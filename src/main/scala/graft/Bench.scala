@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Driver-run benchmark: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR. A first untimed pass absorbs one-time JVM/codegen
+  * warmup so timings measure the queries, not JIT compilation (session
+  * startup is likewise excluded per BASELINE.md). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,12 +11,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: execute every query once, untimed.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).collect() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the complete operator inventory of SURVEY.md §2 (changelog
+  * O1–O11, delegated Solr surface S1–S12, pipeline extensions X1–X5 plus
+  * the dedup/similarity/text/multimodal variants). Every key with
+  * SQL-expressible semantics has a matching DuckDB oracle in `oracleSql`;
+  * `q_distinct_approx` is HLL-sketch-based and intentionally has none
+  * (rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: latest-wins changelog compaction (the reference's entire
+    * reason for existing — index state = latest put per rowkey minus
+    * deletes; SURVEY.md §2.A O11). Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Changelog.queries("q_index_state")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Changelog.queries ++ Search.queries ++ Facets.queries ++ Fetch.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Vectors.queries ++
+      Multimodal.queries
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omitted for non-SQL-expressible ops (HLL sketches). */
+  def oracleSql: Map[String, String] =
+    Changelog.oracle ++ Search.oracle ++ Facets.oracle ++ Fetch.oracle ++
+      TextAnalysis.oracle ++ Dedup.oracle ++ Vectors.oracle ++
+      Multimodal.oracle
 }

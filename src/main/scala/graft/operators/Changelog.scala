@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Changelog / incremental-index family — the reference's write path
+  * re-expressed as declarative Spark plans (SURVEY.md §2.A, O1–O11).
+  *
+  * The reference is an HBase coprocessor that turns each row mutation into a
+  * Solr document upsert (HbaseSolrIndexCoprocesser.java:38-53) or a
+  * delete-by-rowkey (same file, :56-61), micro-batched by a size threshold
+  * (SolrIndexTools.java:124) and a 30 s timer (SolrIndexTools.java:46-49).
+  * Net index semantics: latest put per rowkey, minus rowkeys whose latest
+  * event is a delete — here the `q_index_state` changelog compaction.
+  *
+  * Scale notes (100 TB): compaction shuffles once on `rowkey` (hash
+  * partition); a window + `row_number` is a single exchange + in-partition
+  * sort. At production scale the state table would be bucketed by
+  * `hash(rowkey)` so every incremental merge reuses the same partitioning
+  * and point lookups prune to one bucket. The reference's single-flusher
+  * semaphore (SolrIndexTools.java:110,121 — its self-acknowledged
+  * bottleneck) has no equivalent here: parallel tasks write independent
+  * partitions.
+  */
+object Changelog {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Event classes: the reference's `postPut` vs `postDelete`. The fixture
+    * has no literal deletes, so `error` events model tombstones
+    * (FIXTURES.md). */
+  private val DeleteClass = "error"
+
+  /** O3: rowkey extraction — Bytes.toString(put.getRow()),
+    * HbaseSolrIndexCoprocesser.java:39. */
+  def withRowkey(events: DataFrame): DataFrame =
+    events.withColumn("rowkey", col("user_id").cast("string"))
+
+  /** O11 (flagship): latest-wins changelog compaction. Pure DataFrame ops:
+    * one hash exchange on rowkey, in-partition sort, row_number, filter.
+    * `event_id` is the total commit order (FIXTURES.md), so the result is
+    * deterministic regardless of input partitioning. */
+  def indexState(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("rowkey")).orderBy(col("event_id").desc)
+    withRowkey(events)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= DeleteClass)
+      .select(
+        col("rowkey"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_type"),
+        round(col("value"), 2).as("value"),
+        get_json_object(col("props"), "$.k").as("k"))
+  }
+
+  // ---- queries (driver contract) ----
+
+  private def qScanEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+      col("event_type"), round(col("value"), 2).as("value"), col("props"))
+      .orderBy("event_id")
+
+  private def qProjectRowkey(spark: SparkSession, dir: String): DataFrame =
+    withRowkey(Tables.events(spark, dir))
+      .select("rowkey").distinct()
+      .orderBy(col("rowkey").cast("long"))
+
+  private def qFilterCf(spark: SparkSession, dir: String): DataFrame =
+    // O4: column-family allowlist (HbaseSolrIndexCoprocesser.java:42,
+    // application.properties:2) — event_type plays the CF.
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase", "view"))
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")
+
+  private def qFilterNonempty(spark: SparkSession, dir: String): DataFrame =
+    // O5: skip rows with no indexable cells
+    // (HbaseSolrIndexCoprocesser.java:44).
+    Tables.events(spark, dir)
+      .filter(col("props").isNotNull && col("props") =!= "{}" &&
+        get_json_object(col("props"), "$.k").isNotNull)
+      .select("event_id", "props")
+      .orderBy("event_id")
+
+  private val pivotValues = Seq("click", "error", "purchase", "signup", "view")
+
+  private def qPivotDoc(spark: SparkSession, dir: String): DataFrame =
+    // O6: cells → flat document (doc.addField loop,
+    // HbaseSolrIndexCoprocesser.java:45-49). `max` not `first`: first() is
+    // order-nondeterministic under shuffle (SURVEY.md §7.5).
+    withRowkey(Tables.events(spark, dir))
+      .groupBy("rowkey")
+      .pivot("event_type", pivotValues)
+      .agg(round(max(col("value")), 2))
+      .orderBy(col("rowkey").cast("long"))
+
+  private def qBatchCount(spark: SparkSession, dir: String): DataFrame =
+    // O7: threshold flush arithmetic — add_batchCount=10000
+    // (application.properties:14, SolrIndexTools.java:124). Batches are
+    // commit-order buckets of 10k events.
+    Tables.events(spark, dir)
+      .groupBy(floor(col("event_id") / 10000).cast("long").as("batch_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") =!= DeleteClass, lit(1))).as("n_puts"),
+        count(when(col("event_type") === DeleteClass, lit(1))).as("n_dels"))
+      .orderBy("batch_id")
+
+  private def qIntervalWindow(spark: SparkSession, dir: String): DataFrame =
+    // O8: 30 s interval flush (interval_commit_index=30,
+    // application.properties:12; SolrIndexTools.java:46-49) as time-window
+    // bucketing.
+    Tables.events(spark, dir)
+      .groupBy(expr("(ts div 30000000000) * 30").cast("long").as("win_start"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("win_start")
+
+  private def qIndexState(spark: SparkSession, dir: String): DataFrame =
+    indexState(Tables.events(spark, dir)).orderBy(col("rowkey").cast("long"))
+
+  private def qPointLookup(spark: SparkSession, dir: String): DataFrame =
+    // S12-adjacent: point lookup on the materialized index state. The
+    // rowkey filter is on the window's partition key, so Catalyst pushes it
+    // below the window into the scan (check .explain: PushedFilters on
+    // user_id after the cast is resolved — partition-key filters prune
+    // before the shuffle).
+    indexState(Tables.events(spark, dir))
+      .filter(col("rowkey") === "7")
+      .orderBy("rowkey")
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_events" -> qScanEvents,
+    "q_project_rowkey" -> qProjectRowkey,
+    "q_filter_cf" -> qFilterCf,
+    "q_filter_nonempty" -> qFilterNonempty,
+    "q_pivot_doc" -> qPivotDoc,
+    "q_batch_count" -> qBatchCount,
+    "q_interval_window" -> qIntervalWindow,
+    "q_index_state" -> qIndexState,
+    "q_point_lookup" -> qPointLookup)
+
+  private val indexStateSql =
+    """WITH ranked AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS rowkey, event_id, ts, event_type, value, props,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT rowkey, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+      |       round(value, 2) AS value, json_extract_string(props, '$.k') AS k
+      |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_events" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type,
+        |       round(value, 2) AS value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_project_rowkey" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS rowkey
+        |FROM events ORDER BY CAST(rowkey AS BIGINT)""".stripMargin,
+    "q_filter_cf" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type IN ('click', 'purchase', 'view') ORDER BY event_id""".stripMargin,
+    "q_filter_nonempty" ->
+      """SELECT event_id, props FROM events
+        |WHERE props IS NOT NULL AND props <> '{}'
+        |  AND json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q_pivot_doc" ->
+      """SELECT CAST(user_id AS VARCHAR) AS rowkey,
+        |       round(max(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+        |       round(max(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+        |       round(max(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+        |       round(max(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+        |       round(max(value) FILTER (WHERE event_type = 'view'), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_batch_count" ->
+      """SELECT CAST(floor(event_id / 10000) AS BIGINT) AS batch_id,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE event_type <> 'error') AS n_puts,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_dels
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_interval_window" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 30) * 30 AS BIGINT) AS win_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_index_state" -> (indexStateSql + "\nORDER BY CAST(rowkey AS BIGINT)"),
+    "q_point_lookup" -> (indexStateSql.replace("FROM ranked WHERE rn = 1",
+      "FROM ranked WHERE rowkey = '7' AND rn = 1") + "\nORDER BY rowkey"))
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Facet / stats family — Solr's facet & stats components, which the
+  * reference relies on for "常规的聚合统计" (regular aggregation statistics,
+  * /root/reference/README.md:6); SURVEY.md §2.B S6–S11.
+  *
+  * All are partial-aggregation shapes: Spark plans them as map-side
+  * HashAggregate → single exchange on the group keys → final HashAggregate,
+  * so the shuffle carries one row per (partition, group), not per input row.
+  * At 100 TB that is the difference between shuffling gigabytes and
+  * shuffling the table. `q_distinct` (exact) shuffles per distinct key;
+  * `q_distinct_approx` is the scale path — Spark's built-in HLL sketch
+  * (approx_count_distinct) aggregates a fixed-size buffer instead
+  * (Solr-side analog: stats.calcdistinct / hll).
+  */
+object Facets {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def qFacetField(spark: SparkSession, dir: String): DataFrame =
+    // S6: facet.field — value counts, descending, like Solr's default
+    // count ordering; tiebreak on the value for determinism.
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_returnflag"))
+
+  private def qFacetRange(spark: SparkSession, dir: String): DataFrame =
+    // S7: facet.range with gap=50000 over order totals.
+    Tables.orders(spark, dir)
+      .groupBy((floor(col("o_totalprice") / 50000) * 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  private def qFacetPivot(spark: SparkSession, dir: String): DataFrame =
+    // S8: facet.pivot=returnflag,linestatus — nested two-level counts.
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qStatsAgg(spark: SparkSession, dir: String): DataFrame =
+    // S9: stats.field — min/max/sum/mean/count/missing per facet bucket.
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("l_extendedprice"))).as("n_missing"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy("l_returnflag")
+
+  private def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    // S10 exact flavor (oracle-checkable).
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_linestatus")
+
+  private def qDistinctApprox(spark: SparkSession, dir: String): DataFrame =
+    // S10 HLL flavor — the 100 TB path (fixed-size sketch per group, no
+    // per-key shuffle). Not DuckDB-comparable (different sketch), so it has
+    // no oracleSql entry; the driver records a rows-only check.
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy("l_linestatus")
+
+  private def qGroupTop1(spark: SparkSession, dir: String): DataFrame = {
+    // S11: result grouping — best row per group (group.field, top-1 doc).
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_facet_field" -> qFacetField,
+    "q_facet_range" -> qFacetRange,
+    "q_facet_pivot" -> qFacetPivot,
+    "q_stats_agg" -> qStatsAgg,
+    "q_distinct" -> qDistinct,
+    "q_distinct_approx" -> qDistinctApprox,
+    "q_group_top1" -> qGroupTop1)
+
+  val oracle: Map[String, String] = Map(
+    "q_facet_field" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY 1 ORDER BY n DESC, l_returnflag""".stripMargin,
+    "q_facet_range" ->
+      """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_facet_pivot" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       count(*) - count(l_extendedprice) AS n_missing,
+        |       round(min(l_extendedprice), 2) AS min_price,
+        |       round(max(l_extendedprice), 2) AS max_price,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_group_top1" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Vector similarity family (driver contract; SURVEY.md §2.C X3/X5):
+  * brute-force cosine top-k as the exact baseline, IVF-style probed search
+  * and sign-LSH-blocked near-dup as the scale paths, plus the multimodal
+  * text⋈vector join.
+  *
+  * Dot products are the higher-order `aggregate(zip_with(...))` — a
+  * codegen'd left fold over the array columns, elementwise cast to double so
+  * Spark and the DuckDB oracle perform bit-identical IEEE arithmetic. The
+  * fixture embeddings are L2-normalized (FIXTURES.md; verified norm=1.0),
+  * so dot product == cosine.
+  *
+  * Scale notes:
+  *  - top-k: the scan is one pass, ranking is TakeOrderedAndProject (per-
+  *    partition heap, k rows to the driver) — no global sort at any scale;
+  *    the single-row query side is `broadcast()`.
+  *  - IVF: `label` plays the coarse-quantizer cell id (at 100 TB the cell
+  *    assignment comes from offline k-means and the table is partitioned by
+  *    cell, so a probe touches 1/nlist of the data — here the filter prunes
+  *    to one cell before any arithmetic).
+  *  - sign-LSH near-dup: 8 hyperplane sign bits (dims 1–8 of unit vectors)
+  *    block the pair join into 256 buckets, turning O(n²) into
+  *    O(Σ bucket²).
+  */
+object Vectors {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Codegen'd dot product of two Array[Float] columns in double
+    * precision: left-to-right fold, deterministic. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** 8-bit sign-LSH bucket of an embedding column (dims 1..8). */
+  def signBucket(embCol: String): Column =
+    (0 until 8).map(d =>
+      when(element_at(col(embCol), d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
+      .reduce(_ + _).cast("int")
+
+  private def qVectorTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(dot("embedding", "qv"), 4))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  private def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    // IVF probe: restrict the search to the query vector's own cell
+    // (`label` = coarse-quantizer assignment), then exact cosine within it.
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("label").as("qlabel"), col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("label") === col("qlabel"))
+      .withColumn("sim", round(dot("embedding", "qv"), 4))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def qEmbedLshDup(spark: SparkSession, dir: String): DataFrame = {
+    // Embedding-cosine near-dup, sign-LSH blocked (X2's vector flavor).
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), signBucket("embedding").as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
+      .withColumn("cos", round(dot("va", "vb"), 4))
+      .filter(col("cos") >= 0.40)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def qMultimodalJoin(spark: SparkSession, dir: String): DataFrame =
+    // X5: one row carrying text metadata + typed vector. doc_id==vec_id by
+    // fixture construction; the dimension + norm checks prove the vector
+    // column survives the join intact.
+    Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("source"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(dot("embedding", "embedding"), 3).as("norm_sq"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_vector_topk" -> qVectorTopk,
+    "q_ann_ivf" -> qAnnIvf,
+    "q_embed_lsh_dup" -> qEmbedLshDup,
+    "q_multimodal_join" -> qMultimodalJoin)
+
+  private val bucketSql: String =
+    (0 until 8).map(d =>
+      s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q_vector_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT label AS qlabel, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+        |FROM embeddings, q WHERE label = qlabel AND vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_embed_lsh_dup" ->
+      (s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         $bucketSql AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       round(list_dot_product(a.v, b.v), 4) AS cos
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v), 4) >= 0.40
+         |ORDER BY a_id, b_id""".stripMargin),
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, source, label,
+        |       len(embedding) AS dim,
+        |       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 3) AS norm_sq
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate (dev tooling only, not
+part of the shipped library): run `graft.Verify` first to produce
+<outdir>/<query>.parquet + oracle_sql.json, then this script replays each
+oracle SQL in DuckDB over the same test tables and compares values.
+
+Usage: python3 tools/check_oracle.py <sfdir> <outdir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_bad += 1
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"FAIL {name}: columns differ spark={gc} duckdb={wc}")
+            n_bad += 1
+            continue
+        g = [tuple(norm(v) for v in row) for row in got[gc].itertuples(index=False)]
+        w = [tuple(norm(v) for v in row) for row in want[wc].itertuples(index=False)]
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows spark={len(g)} duckdb={len(w)}")
+            n_bad += 1
+            continue
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b]
+        if diffs:
+            i, a, b = diffs[0]
+            print(f"FAIL {name}: {len(diffs)} differing rows; first at {i}:\n"
+                  f"  spark : {a}\n  duckdb: {b}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(g)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
