@@ -21,14 +21,19 @@ object TextAnalysis {
 
   private def toks = split(col("text"), " ")
 
-  /** Shared 3-gram shingling (also used by Dedup): distinct word 3-grams
-    * per document. */
+  /** Shared 3-gram shingling (also used by Dedup): word 3-grams per
+    * document, duplicates included — consumers dedupe inside their own
+    * aggregation (collect_set / countDistinct), which avoids a full
+    * distinct shuffle of the shingle table. */
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)
+      // Fan the documents out across the cluster BEFORE the explode: the
+      // source may be few files (here: one), and the 500× row expansion +
+      // downstream aggregation must not run at the source's parallelism.
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))")).as("s"))
-      .distinct()
 
   private def qTextTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -89,7 +94,7 @@ object TextAnalysis {
     // anchor). Constant-size output per doc regardless of doc length.
     shingles(Tables.documents(spark, dir))
       .groupBy("doc_id")
-      .agg(min(md5(col("s"))).as("fp"), count(lit(1)).cast("long").as("n_shingles"))
+      .agg(min(md5(col("s"))).as("fp"), countDistinct(col("s")).as("n_shingles"))
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
