@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+/** Dedup family on a tiny synthetic corpus written to parquet (the query
+  * functions take an sf directory, so the fixture mimics one). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_dedup").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),                  // exact dup of 0
+      (2L, base.replace("today", "tomorrow"), "en", "src2", 0L),     // near dup of 0
+      (3L, "completely different words entirely unrelated content here now", "en", "src3", 0L),
+      (4L, "yet another separate document with its own vocabulary set", "en", "src4", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val rows = SparkEntry.queries("q_dedup_exact")(spark, dir).collect()
+    val byKeep = rows.map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(byKeep(0L) === 2L) // docs 0 and 1 collapse
+    assert(byKeep(3L) === 1L)
+  }
+
+  test("ngram jaccard finds the exact and near pair, not the unrelated ones") {
+    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH surfaces identical docs as candidates") {
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((0L, 1L))) // identical signature → all bands match
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs not paired") {
+    val rows = SparkEntry.queries("q_dedup_simhash")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("hamming")))
+    assert(rows.exists(r => r._1 == 0L && r._2 == 1L && r._3 == 0L))
+    assert(!rows.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, MultimodalStub}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world", "en", "src0", 11L),
+    (1L, "tiny", "en", "src1", 4L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("withMedia produces a binary payload with typed metadata") {
+    val m = Multimodal.withMedia(docs).collect()
+    val r0 = m.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(new String(r0.getAs[Array[Byte]]("media"), "UTF-8") === "hello world")
+    assert(r0.getAs[Long]("nbytes") === 11L)
+    assert(r0.getAs[String]("format") === "fake/rgb8")
+  }
+
+  test("featurize runs per-partition over the typed Dataset and matches the stub") {
+    val media = Multimodal.withMedia(docs).as[Multimodal.MediaRecord]
+    val feats = Multimodal.featurize(media).collect().sortBy(_.doc_id)
+    val expect = MultimodalStub.decodeStub("hello world".getBytes("UTF-8"))
+    assert(feats(0).digest === expect.digest)
+    assert(feats(0).fake_width === expect.width)
+    assert(feats(0).fake_height === expect.height)
+  }
+
+  test("stub decode is deterministic and geometry is bounded") {
+    val a = MultimodalStub.decodeStub(Array[Byte](1, 2, 3))
+    val b = MultimodalStub.decodeStub(Array[Byte](1, 2, 3))
+    assert(a === b)
+    assert(a.width >= 0 && a.width < 640 && a.height >= 0 && a.height < 480)
+  }
+
+  test("query metadata math agrees with the mapPartitions featurizer") {
+    // The oracle-checked q_multimodal_meta and the typed featurize path
+    // must compute the same digest/geometry.
+    val viaQuery = Multimodal.withMedia(docs)
+      .select(col("doc_id"), md5(col("media")).as("digest"),
+        (col("nbytes") % 640).cast("int").as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val viaTyped = Multimodal.featurize(Multimodal.withMedia(docs).as[Multimodal.MediaRecord])
+      .collect().map(f => (f.doc_id, f.digest, f.fake_width)).toSet
+    assert(viaQuery === viaTyped)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Changelog
+
+/** Property tests (SURVEY.md §5 item 5): compaction idempotence and
+  * permutation-invariance over random changelogs (scalacheck generators
+  * driven from fixed seeds — deterministic, no scalatestplus bridge
+  * needed). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventGen = for {
+    user <- Gen.choose(0L, 5L)
+    etype <- Gen.oneOf("click", "view", "error", "signup")
+    value <- Gen.choose(0.0, 100.0)
+  } yield (user, etype, value)
+
+  private val logGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOfN(30, eventGen)
+
+  private def sampleLogs(n: Int): Seq[List[(Long, String, Double)]] =
+    (1 to n).map(i => logGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def df(rows: Seq[(Long, Long, String, Double)]) =
+    rows.map { case (id, u, t, v) => (id, id * 1000L, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("compaction output has exactly one row per surviving rowkey") {
+    for (log <- sampleLogs(5)) {
+      val rows = log.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+      val state = Changelog.indexState(df(rows)).collect()
+      assert(state.map(_.getAs[String]("rowkey")).distinct.length === state.length)
+      // survivors = users whose max-event_id row isn't delete-class
+      val expect = rows.groupBy(_._2).collect {
+        case (u, es) if es.maxBy(_._1)._3 != "error" => u.toString
+      }.toSet
+      assert(state.map(_.getAs[String]("rowkey")).toSet === expect)
+    }
+  }
+
+  test("compaction is invariant to input row order") {
+    val rnd = new scala.util.Random(7)
+    for (log <- sampleLogs(5)) {
+      val rows = log.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+      val a = Changelog.indexState(df(rows)).collect().toSet
+      val b = Changelog.indexState(df(rnd.shuffle(rows))).collect().toSet
+      assert(a === b)
+    }
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Vectors
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot() is the double-precision left-fold dot product") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(Vectors.dot("a", "b").as("d"))
+    assert(df.head().getDouble(0) === 32.0)
+  }
+
+  test("signBucket packs the first 8 sign bits little-endian") {
+    val v = Array(1f, -1f, 1f, -1f, -1f, -1f, -1f, 1f, 9f) // bits 0,2,7 set
+    val df = Seq(Tuple1(v)).toDF("embedding")
+      .select(Vectors.signBucket("embedding").as("b"))
+    assert(df.head().getInt(0) === (1 | 4 | 128))
+  }
+
+  test("vector top-k ranks an identical vector first") {
+    val d = Files.createTempDirectory("graft_vec").toString
+    val q = Array.fill(4)(0.5f)
+    val rows = Seq(
+      (0L, q, 0),
+      (1L, q, 0),                                 // identical to the query
+      (2L, Array(1f, 0f, 0f, 0f), 1),
+      (3L, Array(-0.5f, -0.5f, -0.5f, -0.5f), 2)) // opposite
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val top = SparkEntry.queries("q_vector_topk")(spark, d).collect()
+    assert(top.head.getAs[Long]("vec_id") === 1L)
+    assert(top.head.getAs[Double]("sim") === 1.0)
+    assert(top.last.getAs[Double]("sim") === -1.0)
+  }
+}
