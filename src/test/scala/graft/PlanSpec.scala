@@ -1,0 +1,69 @@
+package graft
+
+/** Physical-plan regression checks: the properties that make these queries
+  * scale are asserted, not assumed — a plan that silently degrades to a
+  * shuffle join or a full sort fails here before it fails on a cluster. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_rowkey_join: hit-list side is a broadcast hash join, never a shuffle join") {
+    val p = plan("q_rowkey_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk_relevance: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_relevance")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_sort_page: pagination's top-N is TakeOrderedAndProject") {
+    assert(plan("q_sort_page").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_filter_range: predicates reach the parquet scan as pushed filters") {
+    val p = plan("q_filter_range")
+    // (the PushedFilters list is truncated in toString — assert the list is
+    // non-empty and names the range column)
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_filter_range: scan reads only the referenced columns") {
+    val p = plan("q_filter_range")
+    // ReadSchema must not include unreferenced wide columns.
+    assert(!p.contains("l_comment") && !p.contains("l_tax"), p)
+  }
+
+  test("q_stats_agg: aggregation is partial (map-side) then final — two HashAggregates") {
+    val p = plan("q_stats_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_vector_topk: single-row query side is broadcast; ranking is TakeOrderedAndProject") {
+    val p = plan("q_vector_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_index_state: compaction shuffles once on the rowkey (plus the output sort)") {
+    val p = plan("q_index_state")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected window exchange + output range sort only:\n$p")
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
+    for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // AQE compiles stages lazily — materialize the final plan
+      val p = df.queryExecution.executedPlan.toString
+      // codegen'd operators print as "*(N) Op" in the final adaptive plan
+      assert(p.contains("*("), s"$q:\n${p.take(600)}")
+    }
+  }
+}
