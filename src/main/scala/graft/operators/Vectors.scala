@@ -30,11 +30,13 @@ import graft.Tables
 object Vectors {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Codegen'd dot product of two Array[Float] columns in double
-    * precision: left-to-right fold, deterministic. */
+  /** Dot product of two Array[Float] columns in double precision:
+    * left-to-right accumulation, deterministic, identical arithmetic to the
+    * pure-SQL `aggregate(zip_with(...))` fold — but executed by the native
+    * codegen'd [[graft.functions.VecDotFloat]] expression (tight primitive
+    * loop, no per-row lambda interpretation or intermediate array). */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.functions.VecDotFloat.vec_dot(col(a), col(b))
 
   /** 8-bit sign-LSH bucket of an embedding column (dims 1..8). */
   def signBucket(embCol: String): Column =
