@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Inverted-index query family — the reference's actual architecture
+  * (HBase rows + a Solr inverted index over their fields,
+  * /root/reference/README.md:12-13) expressed natively: posting lists are a
+  * Spark table derived from the corpus, and term queries are joins against
+  * them instead of full-corpus scans.
+  *
+  * Scale notes: at 100 TB the posting-list table is the thing you
+  * materialize once (bucketed by token) and incrementally maintain with the
+  * changelog pipeline — then a term query touches |postings(term)| rows,
+  * not the corpus. `q_inverted_search` demonstrates the read path: small
+  * per-term posting sets are intersected (multi-term AND) with aggregated
+  * semi-join shape; the corpus table is only consulted for the final row
+  * fetch, keyed — the same search-then-fetch topology as the reference,
+  * minus the second system.
+  *
+  * `q_tfidf_topk` upgrades S4's raw TF ranking with corpus-level IDF —
+  * the aggregation producing df(term) is itself the posting-list build.
+  */
+object Index {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Posting lists: (token, sorted doc ids, document frequency). */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
+        countDistinct(col("doc_id")).as("df"))
+
+  private def qInvertedSearch(spark: SparkSession, dir: String): DataFrame = {
+    // Multi-term AND via posting-list intersection: explode each matched
+    // term's postings, keep doc_ids seen under every term. Then fetch the
+    // matched rows from the corpus (search-then-fetch, one engine).
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("merge", "sort")
+    val hits = postings(docs)
+      .filter(col("tok").isin(terms: _*))
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === terms.length)
+      .select("doc_id")
+    docs.join(hits, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private def qTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    // TF-IDF ranked retrieval for a two-term query. idf = ln(N / df);
+    // score = Σ_terms tf(term, doc) · idf(term). All double arithmetic is
+    // derived from exact integer counts, rounded once at the end.
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("merge", "sort")
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df_), "tok")
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private def qHashSample(spark: SparkSession, dir: String): DataFrame =
+    // Deterministic 10% hash sample — the reproducible alternative to
+    // TABLESAMPLE for training-data splits: membership is a pure function
+    // of the stable id, so the sample is identical across engines, runs,
+    // and partitionings, and downstream joins of "sampled" tables line up.
+    Tables.documents(spark, dir)
+      .filter(substring(md5(concat(lit("split0:"), col("doc_id"))), 1, 1).isin("0", "1"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private def qShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    // Deterministic global shuffle for training-data interleaving: a total
+    // order by a seeded hash of the id. At scale this is a range exchange
+    // on the hash — exactly one shuffle, reproducible given the seed.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("seed42:"), col("doc_id"))).as("shuffle_key"))
+      .orderBy("shuffle_key")
+      .limit(100)
+
+  val queries: Map[String, Q] = Map(
+    "q_inverted_search" -> qInvertedSearch,
+    "q_tfidf_topk" -> qTfidfTopk,
+    "q_hash_sample" -> qHashSample,
+    "q_shuffle_order" -> qShuffleOrder)
+
+  val oracle: Map[String, String] = Map(
+    "q_inverted_search" ->
+      """WITH postings AS (
+        |  SELECT tok, list_sort(list(DISTINCT doc_id)) AS ids
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |hits AS (
+        |  SELECT doc_id FROM (
+        |    SELECT unnest(ids) AS doc_id FROM postings WHERE tok IN ('merge', 'sort'))
+        |  GROUP BY doc_id HAVING count(*) = 2)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('merge', 'sort')
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id, round(sum(tf.tf * ln(n_docs * 1.0 / df.df)), 4) AS score
+        |FROM tf JOIN df USING (tok), n
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('split0:' || doc_id), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+    "q_shuffle_order" ->
+      """SELECT doc_id, source, md5('seed42:' || doc_id) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin)
+}
