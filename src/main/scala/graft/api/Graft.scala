@@ -1,0 +1,131 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Changelog, Index, TextAnalysis, Vectors}
+
+/** The user-facing library surface — what a user of the reference system
+  * (HBase rows + Solr secondary index, queried with full-text search,
+  * filters, facets, stats, then row fetch; /root/reference/README.md:5-13)
+  * migrates to. Each method is the parameterized form of an operator from
+  * SURVEY.md §2; `SparkEntry.queries` pins fixed instantiations of the same
+  * operators for the correctness oracle.
+  *
+  * All methods return lazy DataFrames — compose freely, nothing executes
+  * until an action.
+  */
+class Graft(spark: SparkSession, dir: String) {
+
+  // ---- tables ----
+  def events: DataFrame = Tables.events(spark, dir)
+  def documents: DataFrame = Tables.documents(spark, dir)
+  def embeddings: DataFrame = Tables.embeddings(spark, dir)
+
+  // ---- index maintenance (the reference's write path) ----
+
+  /** Materialized secondary-index state: latest put per rowkey, deletes
+    * applied (the coprocessor pipeline O1–O11 as one declarative plan). */
+  def indexState: DataFrame = Changelog.indexState(events)
+
+  /** Point lookup by rowkey against the index state (HBase `Get`). */
+  def lookup(rowkey: String): DataFrame =
+    indexState.filter(col("rowkey") === rowkey)
+
+  // ---- search (the Solr read path) ----
+
+  private def toks = split(col("text"), " ")
+
+  /** Boolean full-text search: all of `all`, at least one of `any` (if
+    * given), none of `none`. */
+  def search(all: Seq[String], any: Seq[String] = Nil, none: Seq[String] = Nil): DataFrame = {
+    val preds =
+      all.map(t => array_contains(toks, t)) ++
+        (if (any.isEmpty) Nil else Seq(any.map(t => array_contains(toks, t)).reduce(_ || _))) ++
+        none.map(t => !array_contains(toks, t))
+    documents.filter(preds.reduce(_ && _))
+  }
+
+  /** Term-frequency relevance top-k for one term. */
+  def topkByRelevance(term: String, k: Int): DataFrame =
+    documents
+      .select(col("doc_id"), size(filter(toks, t => t === term)).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .orderBy(col("tf").desc, col("doc_id"))
+      .limit(k)
+
+  /** Posting lists (token → sorted doc ids, df) — the materialized
+    * inverted index; persist this and maintain it incrementally at scale. */
+  def postings: DataFrame = Index.postings(documents)
+
+  // ---- facets / stats ----
+
+  def facetField(df: DataFrame, field: String, topN: Int = 100): DataFrame =
+    df.groupBy(field).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(field)).limit(topN)
+
+  def facetRange(df: DataFrame, field: String, gap: Double): DataFrame =
+    df.groupBy((floor(col(field) / gap) * gap).as("bucket"))
+      .agg(count(lit(1)).as("n")).orderBy("bucket")
+
+  def stats(df: DataFrame, groupField: String, valueField: String): DataFrame =
+    df.groupBy(groupField).agg(
+      count(lit(1)).as("n"),
+      min(col(valueField)).as("min"), max(col(valueField)).as("max"),
+      sum(col(valueField)).as("sum"), avg(col(valueField)).as("avg"))
+      .orderBy(groupField)
+
+  def topPerGroup(df: DataFrame, groupField: String, orderField: String,
+                  tiebreak: String): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupField))
+          .orderBy(col(orderField).desc, col(tiebreak))))
+      .filter(col("rn") === 1).drop("rn")
+
+  // ---- training-data pipeline ----
+
+  /** Exact dedup survivors: one row per distinct text (min doc_id wins). */
+  def dedupExact: DataFrame =
+    documents.withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn", "h")
+
+  /** Deterministic hash split: rows whose seeded md5 falls in
+    * [0, fraction) of the hash space (first hex digit granularity 1/16). */
+  def hashSample(seed: String, sixteenths: Int): DataFrame = {
+    val allowed = (0 until sixteenths).map(_.toHexString)
+    documents.filter(
+      substring(md5(concat(lit(seed + ":"), col("doc_id"))), 1, 1).isin(allowed: _*))
+  }
+
+  /** Deterministic training shuffle: total order by seeded hash. */
+  def shuffled(seed: String): DataFrame =
+    documents
+      .withColumn("shuffle_key", md5(concat(lit(seed + ":"), col("doc_id"))))
+      .orderBy("shuffle_key")
+
+  /** Brute-force cosine top-k neighbors of a stored vector. */
+  def vectorTopK(queryVecId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", Vectors.dot("embedding", "qv"))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-document quality/text-analysis report (tokens, TTR, stop ratio). */
+  def textReport: DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_unique"),
+      TextAnalysis.stopRatio(toks).as("stop_ratio"))
+}
+
+object Graft {
+  def apply(spark: SparkSession, dir: String): Graft = new Graft(spark, dir)
+}

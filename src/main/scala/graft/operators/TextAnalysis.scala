@@ -54,14 +54,19 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "in")
 
+  /** Stopword-token ratio of a token-array column (function-word density —
+    * the language-ID / quality signal). */
+  def stopRatio(tokens: Column): Column = {
+    val isStop: Column => Column = t => stopwords.map(t === _).reduce(_ || _)
+    size(filter(tokens, isStop)) * lit(1.0) / size(tokens)
+  }
+
   private def qLangId(spark: SparkSession, dir: String): DataFrame = {
     // n-gram/stopword-ratio language-ID heuristic: English function-word
     // density. (The fixture corpus shares one vocabulary across langs, so
     // this demonstrates the operator shape, not a tuned classifier.)
-    val isStop: Column => Column = t => stopwords.map(t === _).reduce(_ || _)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        (size(filter(toks, isStop)) * lit(1.0) / size(toks)).as("ratio0"))
+      .select(col("doc_id"), col("lang"), stopRatio(toks).as("ratio0"))
       .select(col("doc_id"), col("lang"),
         when(col("ratio0") >= 0.12, "en").otherwise("other").as("pred_lang"),
         round(col("ratio0"), 4).as("stop_ratio"))

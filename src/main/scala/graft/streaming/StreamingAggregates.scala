@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Streaming read-side counterparts of the batch operators (SURVEY.md §2.A
+  * O7–O9 and §2.B S6/S9 in streaming form).
+  *
+  * - [[windowedCounts]] is the reference's 30 s interval flush
+  *   (SolrIndexTools.java:46-49) as a first-class event-time window with a
+  *   watermark: late events inside the watermark still land in their
+  *   window; events later than that are dropped explicitly — unlike the
+  *   reference, whose only lateness policy was unbounded buffering and
+  *   data loss on crash (/root/reference/README.md:19-20).
+  * - [[latestState]] is the coprocessor's per-rowkey "current document"
+  *   view as fault-tolerant keyed state (mapGroupsWithState): state lives
+  *   in the state store, checkpointed, sharded by key across executors —
+  *   not in a regionserver heap behind a semaphore.
+  *
+  * Scale notes: both shapes shard by key/window across executors; state
+  * size is bounded by live keys (latestState) or open windows
+  * (windowedCounts with watermark-driven eviction). At 100 TB/day the
+  * knobs are the state-store provider (RocksDB) and watermark delay.
+  */
+object StreamingAggregates {
+
+  /** Event-time 30 s tumbling-window counts with a 2-minute watermark.
+    * Expects a streaming DataFrame with `ts TIMESTAMP` and `event_type`. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "30 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  case class Ev(rowkey: String, event_id: Long, op: String, payload: String)
+  case class KeyState(rowkey: String, event_id: Long, op: String, payload: String)
+
+  /** Keyed latest-wins state: for each rowkey, the highest-event_id event
+    * seen so far (tombstones included — downstream filters `op`), updated
+    * per micro-batch through the checkpointed state store. */
+  def latestState(events: Dataset[Ev]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.rowkey)
+      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+        (_, batch, state) =>
+          val prior = state.getOption
+            .map(s => Ev(s.rowkey, s.event_id, s.op, s.payload)).iterator
+          val best = (prior ++ batch).maxBy(_.event_id)
+          val next = KeyState(best.rowkey, best.event_id, best.op, best.payload)
+          state.update(next)
+          next
+      }
+  }
+}

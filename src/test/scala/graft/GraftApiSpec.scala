@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+import graft.functions.{GraftExtensions, GraftFunctions}
+
+/** The user-facing facade + SQL function registration, on real fixture
+  * data (sf0.001). */
+class GraftApiSpec extends SparkSpec {
+
+  private lazy val g = Graft(spark, "/root/testdata/sf0.001")
+
+  test("search composes AND / OR / NOT over the token index") {
+    val hits = g.search(all = Seq("scan"), any = Seq("merge", "sort"), none = Seq("spark"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty)
+    // matches the fixed oracle-checked query's semantics
+    val fixed = SparkEntry.queries("q_fulltext_bool")(spark, "/root/testdata/sf0.001")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits === fixed)
+  }
+
+  test("indexState + lookup behave like the compaction query") {
+    assert(g.lookup("7").count() <= 1)
+    assert(g.indexState.count() ===
+      SparkEntry.queries("q_index_state")(spark, "/root/testdata/sf0.001").count())
+  }
+
+  test("hashSample is deterministic and roughly proportional") {
+    val a = g.hashSample("split0", 2).count()
+    val b = g.hashSample("split0", 2).count()
+    assert(a === b)
+    val total = g.documents.count()
+    assert(a > total / 16 && a < total / 3) // 2/16 expected, generous band
+    // different seed → different membership
+    assert(g.hashSample("split1", 2).select("doc_id").collect().toSet !==
+      g.hashSample("split0", 2).select("doc_id").collect().toSet)
+  }
+
+  test("shuffled produces a deterministic permutation") {
+    val p1 = g.shuffled("seed42").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val p2 = g.shuffled("seed42").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(p1 === p2)
+    assert(p1.sorted !== p1) // actually permuted
+    assert(p1.toSet === g.documents.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("facets/stats/topPerGroup compose over arbitrary tables") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    assert(g.facetField(li, "l_returnflag").count() === 3)
+    val st = g.stats(li, "l_linestatus", "l_quantity").collect()
+    assert(st.forall(r => r.getAs[Double]("min") <= r.getAs[Double]("max")))
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val top = g.topPerGroup(orders, "o_custkey", "o_totalprice", "o_orderkey")
+    assert(top.groupBy("o_custkey").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("vec_dot_f is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, "/root/testdata/sf0.001").limit(5)
+      .createOrReplaceTempView("emb_test")
+    val rows = spark.sql(
+      "SELECT round(vec_dot_f(embedding, embedding), 3) AS n FROM emb_test").collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(0) === 1.0)) // unit-norm
+  }
+
+  test("GraftExtensions injects the function via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+    GraftFunctions.register(spark)
+    intercept[Exception] { // arity mismatch is rejected at analysis
+      spark.sql("SELECT vec_dot_f()").collect()
+    }
+  }
+}

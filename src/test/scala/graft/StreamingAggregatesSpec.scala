@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingAggregates
+import graft.streaming.StreamingAggregates.{Ev, KeyState}
+
+class StreamingAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked 30s windows aggregate event time across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val df = source.toDF().toDF("ts", "event_type")
+    val q = StreamingAggregates.windowedCounts(df).writeStream
+      .format("memory").queryName("win_counts").outputMode("update").start()
+    try {
+      source.addData(
+        (ts("2024-01-01 00:00:05"), "click"),
+        (ts("2024-01-01 00:00:25"), "click"),
+        (ts("2024-01-01 00:00:31"), "view"))
+      q.processAllAvailable()
+      // second batch: same window updated, late-but-within-watermark event
+      source.addData((ts("2024-01-01 00:00:10"), "click"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT win_start, event_type, max(n) AS n FROM win_counts
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(rows.toSet === Set(
+        ("2024-01-01 00:00:00.0", "click", 3L),
+        ("2024-01-01 00:00:30.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps the latest event per rowkey across batches") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = StreamingAggregates.latestState(source.toDS()).writeStream
+      .format("memory").queryName("latest_state").outputMode("update").start()
+    try {
+      source.addData(Ev("a", 1, "put", "v1"), Ev("b", 2, "put", "v2"))
+      q.processAllAvailable()
+      source.addData(Ev("a", 3, "put", "v3"), Ev("b", 0, "put", "stale"))
+      q.processAllAvailable()
+      val latest = spark.table("latest_state").as[KeyState].collect()
+        .groupBy(_.rowkey).map { case (k, vs) => k -> vs.maxBy(_.event_id) }
+      assert(latest("a").payload === "v3")
+      // the stale event_id=0 for b must NOT displace event_id=2
+      assert(latest("b").payload === "v2")
+    } finally q.stop()
+  }
+}
