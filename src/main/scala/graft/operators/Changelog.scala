@@ -93,11 +93,17 @@ object Changelog {
   private def qPivotDoc(spark: SparkSession, dir: String): DataFrame =
     // O6: cells → flat document (doc.addField loop,
     // HbaseSolrIndexCoprocesser.java:45-49). `max` not `first`: first() is
-    // order-nondeterministic under shuffle (SURVEY.md §7.5).
+    // order-nondeterministic under shuffle (SURVEY.md §7.5). Conditional
+    // aggregation, not Dataset.pivot: pivot plans two exchanges (pair-key
+    // agg then pivotfirst re-agg); max-over-when computes the same wide
+    // row with a single exchange on rowkey.
     withRowkey(Tables.events(spark, dir))
       .groupBy("rowkey")
-      .pivot("event_type", pivotValues)
-      .agg(round(max(col("value")), 2))
+      .agg(
+        round(max(when(col("event_type") === pivotValues.head, col("value"))), 2)
+          .as(pivotValues.head),
+        pivotValues.tail.map(v =>
+          round(max(when(col("event_type") === v, col("value"))), 2).as(v)): _*)
       .orderBy(col("rowkey").cast("long"))
 
   private def qBatchCount(spark: SparkSession, dir: String): DataFrame =

@@ -55,6 +55,14 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected window exchange + output range sort only:\n$p")
     assert(p.contains("hashpartitioning"), p)
+    // rn=1 must be rewritten to a pre-shuffle partial top-1 per key
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_pivot_doc: conditional-aggregation pivot shuffles once (plus the output sort)") {
+    val p = plan("q_pivot_doc")
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("pivotfirst"), p)
   }
 
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
