@@ -29,7 +29,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngram jaccard finds the exact and near pair, not the unrelated ones") {
-    val pairs = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
+    val pairs = SparkEntry.queries("q_dedup_near")(spark, dir).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
