@@ -118,6 +118,21 @@ class Graft(spark: SparkSession, dir: String) {
       .limit(k)
   }
 
+  /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
+    * aggregation that first dedupes within `buckets` hash-shards of the
+    * value space, then sums the shard counts — so a hot key's distinct set
+    * is built by `buckets` parallel tasks instead of one straggler.
+    * (Plain per-key count/sum facets don't need this: map-side partial
+    * aggregation already flattens them; distinct is the aggregate whose
+    * partial state is unbounded.) */
+  def distinctCountSalted(df: DataFrame, keyField: String, valueField: String,
+                          buckets: Int = 32): DataFrame =
+    df.groupBy(col(keyField), pmod(hash(col(valueField)), lit(buckets)).as("_shard"))
+      .agg(countDistinct(col(valueField)).as("_partial"))
+      .groupBy(keyField)
+      .agg(sum(col("_partial")).as("n_distinct"))
+      .orderBy(keyField)
+
   /** Per-document quality/text-analysis report (tokens, TTR, stop ratio). */
   def textReport: DataFrame =
     documents.select(col("doc_id"), col("lang"),

@@ -77,6 +77,20 @@ object Facets {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy("l_linestatus")
 
+  private def qStatsPercentile(spark: SparkSession, dir: String): DataFrame =
+    // S9 extension: Solr's stats/percentiles (exact flavor — linear
+    // interpolation, the SQL-standard percentile_cont semantics, which
+    // DuckDB's quantile_cont matches). The approx path at 100 TB is
+    // percentile_approx (t-digest-style sketch), same split as q_distinct
+    // vs q_distinct_approx.
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+      .orderBy("l_returnflag")
+
   private def qGroupTop1(spark: SparkSession, dir: String): DataFrame = {
     // S11: result grouping — best row per group (group.field, top-1 doc).
     val w = Window.partitionBy(col("o_custkey"))
@@ -95,6 +109,7 @@ object Facets {
     "q_stats_agg" -> qStatsAgg,
     "q_distinct" -> qDistinct,
     "q_distinct_approx" -> qDistinctApprox,
+    "q_stats_percentile" -> qStatsPercentile,
     "q_group_top1" -> qGroupTop1)
 
   val oracle: Map[String, String] = Map(
@@ -118,6 +133,12 @@ object Facets {
     "q_distinct" ->
       """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_group_top1" ->
       """WITH r AS (

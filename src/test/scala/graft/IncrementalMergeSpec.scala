@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.IncrementalIndex
+
+/** The core invariant of the incremental design, on real fixture data:
+  * folding the changelog through per-chunk merges (the streaming
+  * `foreachBatch` path) must land in exactly the state a full recompaction
+  * produces — for any chunking. */
+class IncrementalMergeSpec extends SparkSpec {
+
+  private def changelog: DataFrame =
+    Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("user_id").cast("string").as("rowkey"),
+      col("event_id"),
+      when(col("event_type") === "error", "delete").otherwise("put").as("op"),
+      round(col("value"), 2).as("payload"))
+
+  private def stateMap(df: DataFrame): Map[String, (Long, Double)] =
+    df.collect().map(r => r.getAs[String]("rowkey") ->
+      (r.getAs[Long]("event_id"), r.getAs[Double]("payload"))).toMap
+
+  test("chunked incremental merges equal full recompaction (1000 events, 4 chunks)") {
+    val ev = changelog
+    val statePath = Files.createTempDirectory("graft_inc").toString + "/state"
+    val bounds = Seq((0L, 250L), (250L, 500L), (500L, 750L), (750L, 1000000L))
+    bounds.foreach { case (lo, hi) =>
+      val chunk = ev.filter(col("event_id") >= lo && col("event_id") < hi)
+      IncrementalIndex.mergeBatch(spark, chunk, statePath)
+    }
+    val incremental = stateMap(spark.read.parquet(statePath))
+    val full = stateMap(IncrementalIndex.compact(ev))
+    assert(incremental === full)
+    assert(incremental.nonEmpty)
+  }
+
+  test("merge order of a chunk's internal rows doesn't matter") {
+    val ev = changelog
+    val statePathA = Files.createTempDirectory("graft_incA").toString + "/state"
+    // single merge of everything, pre-shuffled
+    IncrementalIndex.mergeBatch(spark, ev.orderBy(md5(col("rowkey"))), statePathA)
+    assert(stateMap(spark.read.parquet(statePathA)) ===
+      stateMap(IncrementalIndex.compact(ev)))
+  }
+}
