@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -77,19 +77,37 @@ object Facets {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy("l_linestatus")
 
-  private def qStatsPercentile(spark: SparkSession, dir: String): DataFrame =
-    // S9 extension: Solr's stats/percentiles (exact flavor — linear
-    // interpolation, the SQL-standard percentile_cont semantics, which
-    // DuckDB's quantile_cont matches). The approx path at 100 TB is
-    // percentile_approx (t-digest-style sketch), same split as q_distinct
-    // vs q_distinct_approx.
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
-      .orderBy("l_returnflag")
+  private def qStatsPercentile(spark: SparkSession, dir: String): DataFrame = {
+    // S9 extension: Solr's stats/percentiles, exact flavor — SQL-standard
+    // percentile_cont linear interpolation (what DuckDB's quantile_cont
+    // computes). Implemented as one window sort + rank arithmetic rather
+    // than Spark's `percentile` aggregate, which builds a value→count map
+    // per group (measured 3.8 s vs <1 s at sf0.1; unbounded partial state
+    // at scale). The sketch path at 100 TB is percentile_approx, same
+    // split as q_distinct vs q_distinct_approx.
+    val flag = col("l_returnflag")
+    val ranked = Tables.lineitem(spark, dir)
+      .select(flag, col("l_extendedprice").as("v"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(flag).orderBy(col("v"))).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(flag)))
+    def h(p: Double): Column = (col("n") - 1) * p
+    def bound(p: Double, f: Column => Column): Column =
+      max(when(col("rn") === f(h(p)).cast("long"), col("v")))
+    def pcols(p: Double, name: String): Seq[(String, Column)] = Seq(
+      s"lo_$name" -> bound(p, floor), s"hi_$name" -> bound(p, ceil),
+      s"fr_$name" -> max(h(p) - floor(h(p))))
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val aggs = ps.flatMap { case (p, n) => pcols(p, n) }
+      .map { case (n, c) => c.as(n) }
+    ranked.groupBy(flag)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(flag +: ps.map { case (_, n) =>
+        // lo + (hi - lo) * frac — the same IEEE expression DuckDB evaluates
+        round(col(s"lo_$n") + (col(s"hi_$n") - col(s"lo_$n")) * col(s"fr_$n"), 2).as(n)
+      }: _*)
+      .orderBy(flag)
+  }
 
   private def qGroupTop1(spark: SparkSession, dir: String): DataFrame = {
     // S11: result grouping — best row per group (group.field, top-1 doc).
