@@ -44,7 +44,8 @@ class Graft(spark: SparkSession, dir: String) {
       all.map(t => array_contains(toks, t)) ++
         (if (any.isEmpty) Nil else Seq(any.map(t => array_contains(toks, t)).reduce(_ || _))) ++
         none.map(t => !array_contains(toks, t))
-    documents.filter(preds.reduce(_ && _))
+    // no clauses at all → match-all (Solr's q=*:*)
+    documents.filter(preds.reduceOption(_ && _).getOrElse(lit(true)))
   }
 
   /** Term-frequency relevance top-k for one term. */

@@ -36,6 +36,10 @@ case class VecDotFloat(left: Expression, right: Expression)
         s"$prettyName requires two ARRAY<FLOAT> inputs, got $l and $r")
     }
   override def dataType: DataType = DoubleType
+  // nullable even when both inputs are non-null arrays: a null ELEMENT
+  // nulls the result (matching the SQL fold), and the planner must not
+  // elide the null check
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot_f"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -45,6 +49,9 @@ case class VecDotFloat(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element nulls the whole product — same as the SQL fold,
+      // where null * y propagates through the accumulator
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -60,6 +67,7 @@ case class VecDotFloat(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |}
          |${ev.value} = $acc;

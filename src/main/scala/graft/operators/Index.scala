@@ -70,7 +70,7 @@ object Index {
   }
 
   private def qHashSample(spark: SparkSession, dir: String): DataFrame =
-    // Deterministic 10% hash sample — the reproducible alternative to
+    // Deterministic 2/16 (12.5%) hash sample — the reproducible alternative to
     // TABLESAMPLE for training-data splits: membership is a pure function
     // of the stable id, so the sample is identical across engines, runs,
     // and partitionings, and downstream joins of "sampled" tables line up.

@@ -27,43 +27,67 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object IncrementalIndex {
 
   /** Latest-wins compaction of a (possibly already-compacted ∪ new) slice
-    * of the changelog: one row per rowkey, deletes dropped. */
-  def compact(changes: DataFrame): DataFrame = {
+    * of the changelog: one row per rowkey, deletes dropped. Read-side
+    * view; the persisted state keeps tombstones (see [[compactAll]]). */
+  def compact(changes: DataFrame): DataFrame =
+    compactAll(changes).filter(col("op") =!= "delete")
+
+  /** Latest event per rowkey with tombstones retained. The state table
+    * must keep delete tombstones: if they were dropped, a stale put
+    * (lower event_id) arriving in a later batch would resurrect a deleted
+    * row. At 100 TB tombstones are garbage-collected once the source can
+    * no longer replay events older than the tombstone (retention horizon),
+    * the same discipline as compacted-topic / LSM deletes. */
+  def compactAll(changes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("rowkey")).orderBy(col("event_id").desc)
     changes
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .filter(col("rn") === 1)
       .drop("rn")
   }
 
   /** Merge one micro-batch into the state at `statePath` (parquet).
     * Reference semantics: client.add = upsert-by-id, client.deleteById =
-    * drop (SolrIndexTools.java:60,63,127,129). Keeping deletes' tombstones
-    * out of the state is safe because `compact` keeps only each batch's
-    * latest event per rowkey and a delete wins by arriving last. */
+    * drop (SolrIndexTools.java:60,63,127,129). The state persists the
+    * latest event per rowkey INCLUDING tombstones; readers apply
+    * `op != 'delete'` (or use [[readState]]). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, statePath: String): Unit = {
     val dir = new java.io.File(statePath)
     val existing =
       if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty)
         Some(spark.read.parquet(statePath))
       else None
-    // State rows carry op='put' by construction; union with the raw batch
-    // and recompact — event_id totally orders state vs batch rows.
+    // event_id totally orders state rows vs batch rows.
     val all = existing.map(_.unionByName(batch)).getOrElse(batch)
-    val merged = compact(all).cache()
-    merged.count() // materialize before overwriting the input path
+    val merged = compactAll(all).cache()
+    merged.count() // materialize before touching the input path
     val tmp = statePath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     merged.unpersist()
-    val target = new java.io.File(statePath)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(target)
+    // Crash-safe swap: move the old state aside, promote tmp, then drop
+    // the old copy — at no point is the only copy of the state deleted,
+    // and every rename is checked. A crash between the two renames leaves
+    // either old-state-at-backup or new-state-at-target; the streaming
+    // engine replays the batch and the merge is idempotent.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    new java.io.File(tmp).renameTo(target): Unit
+    val target = new java.io.File(statePath)
+    val backup = new java.io.File(statePath + ".old")
+    if (backup.exists()) rm(backup)
+    if (target.exists() && !target.renameTo(backup))
+      throw new java.io.IOException(s"cannot move $statePath aside to $backup")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      // restore the previous state before failing
+      if (backup.exists()) backup.renameTo(target)
+      throw new java.io.IOException(s"cannot promote $tmp to $statePath")
+    }
+    rm(backup)
   }
+
+  /** Read the live view of the persisted state (tombstones filtered). */
+  def readState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).filter(col("op") =!= "delete")
 
   /** Wire a streaming changelog (schema: rowkey STRING, event_id LONG,
     * op STRING, …) into the merge sink. */

@@ -30,10 +30,23 @@ class IncrementalMergeSpec extends SparkSpec {
       val chunk = ev.filter(col("event_id") >= lo && col("event_id") < hi)
       IncrementalIndex.mergeBatch(spark, chunk, statePath)
     }
-    val incremental = stateMap(spark.read.parquet(statePath))
+    val incremental = stateMap(IncrementalIndex.readState(spark, statePath))
     val full = stateMap(IncrementalIndex.compact(ev))
     assert(incremental === full)
     assert(incremental.nonEmpty)
+  }
+
+  test("out-of-order chunks converge too (tombstones block stale resurrection)") {
+    val ev = changelog
+    val statePath = Files.createTempDirectory("graft_incO").toString + "/state"
+    // deliver the NEWEST quarter first, oldest last — worst-case reordering
+    val bounds = Seq((750L, 1000000L), (500L, 750L), (250L, 500L), (0L, 250L))
+    bounds.foreach { case (lo, hi) =>
+      IncrementalIndex.mergeBatch(spark,
+        ev.filter(col("event_id") >= lo && col("event_id") < hi), statePath)
+    }
+    assert(stateMap(IncrementalIndex.readState(spark, statePath)) ===
+      stateMap(IncrementalIndex.compact(ev)))
   }
 
   test("merge order of a chunk's internal rows doesn't matter") {
@@ -41,7 +54,7 @@ class IncrementalMergeSpec extends SparkSpec {
     val statePathA = Files.createTempDirectory("graft_incA").toString + "/state"
     // single merge of everything, pre-shuffled
     IncrementalIndex.mergeBatch(spark, ev.orderBy(md5(col("rowkey"))), statePathA)
-    assert(stateMap(spark.read.parquet(statePathA)) ===
+    assert(stateMap(IncrementalIndex.readState(spark, statePathA)) ===
       stateMap(IncrementalIndex.compact(ev)))
   }
 }

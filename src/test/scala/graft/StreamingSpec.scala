@@ -23,26 +23,30 @@ class StreamingSpec extends SparkSpec {
       source.toDF(), statePath, checkpoint, intervalSeconds = 1)
     try {
       // Batch 1: two puts.
+      def live: Map[String, String] =
+        IncrementalIndex.readState(spark, statePath).collect()
+          .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("payload")).toMap
+
       source.addData(Change("a", 0L, "put", "v0"), Change("b", 1L, "put", "v1"))
       query.processAllAvailable()
-      val s1 = spark.read.parquet(statePath).collect()
-        .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("payload")).toMap
-      assert(s1 === Map("a" -> "v0", "b" -> "v1"))
+      assert(live === Map("a" -> "v0", "b" -> "v1"))
 
       // Batch 2: upsert a, delete b, insert c.
       source.addData(Change("a", 2L, "put", "v2"), Change("b", 3L, "delete", ""),
         Change("c", 4L, "put", "v4"))
       query.processAllAvailable()
-      val s2 = spark.read.parquet(statePath).collect()
-        .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("payload")).toMap
-      assert(s2 === Map("a" -> "v2", "c" -> "v4"))
+      assert(live === Map("a" -> "v2", "c" -> "v4"))
 
-      // Batch 3: put b back after its delete.
+      // Batch 3: a STALE put for b (event_id below its tombstone) must NOT
+      // resurrect it — the persisted tombstone wins.
+      source.addData(Change("b", 1L, "put", "stale"))
+      query.processAllAvailable()
+      assert(live === Map("a" -> "v2", "c" -> "v4"))
+
+      // Batch 4: a genuinely newer put for b takes effect.
       source.addData(Change("b", 5L, "put", "v5"))
       query.processAllAvailable()
-      val s3 = spark.read.parquet(statePath).collect()
-        .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("payload")).toMap
-      assert(s3 === Map("a" -> "v2", "b" -> "v5", "c" -> "v4"))
+      assert(live === Map("a" -> "v2", "b" -> "v5", "c" -> "v4"))
     } finally query.stop()
   }
 }

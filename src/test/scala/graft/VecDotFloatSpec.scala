@@ -37,6 +37,14 @@ class VecDotFloatSpec extends SparkSpec {
     assert(interpreted === viaPlan)
   }
 
+  test("a null element nulls the result, same as the SQL fold") {
+    val df = Seq((Array[java.lang.Float](1.0f, null), Array[java.lang.Float](2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(VecDotFloat.vec_dot(col("a"), col("b")).as("native"), expr(hof).as("sql"))
+    val r = df.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("mismatched lengths use the common prefix; type mismatch fails analysis") {
     val d = Seq((Array(1f, 2f, 3f), Array(10f, 10f)))
       .toDF("a", "b")
