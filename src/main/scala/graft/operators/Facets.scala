@@ -77,6 +77,23 @@ object Facets {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy("l_linestatus")
 
+  private def qFacetRollup(spark: SparkSession, dir: String): DataFrame =
+    // S8 full-hierarchy form: two-level pivot facet plus subtotals and the
+    // grand total in one pass (ROLLUP — partial-aggregated like any
+    // groupBy; Catalyst expands the grouping sets map-side). Subtotal rows
+    // are labeled 'ALL' rather than NULL so the oracle compare never
+    // touches engine-specific null ordering.
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("gid"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   private def qStatsPercentile(spark: SparkSession, dir: String): DataFrame = {
     // S9 extension: Solr's stats/percentiles, exact flavor — SQL-standard
     // percentile_cont linear interpolation (what DuckDB's quantile_cont
@@ -127,6 +144,7 @@ object Facets {
     "q_stats_agg" -> qStatsAgg,
     "q_distinct" -> qDistinct,
     "q_distinct_approx" -> qDistinctApprox,
+    "q_facet_rollup" -> qFacetRollup,
     "q_stats_percentile" -> qStatsPercentile,
     "q_group_top1" -> qGroupTop1)
 
@@ -152,6 +170,13 @@ object Facets {
       """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_facet_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       count(*) AS n,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_stats_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
