@@ -54,4 +54,26 @@ object StreamingAggregates {
           next
       }
   }
+
+  /** Change-data-capture flavor (flatMapGroupsWithState): emit a key's
+    * state only when this micro-batch actually CHANGED it — stale events
+    * produce no output. This is what feeds a downstream index updater at
+    * scale: the emitted stream is proportional to real changes, not to
+    * batch size × touched keys. */
+  def changedState(events: Dataset[Ev]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.rowkey)
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_, batch, state) =>
+          val prior = state.getOption
+          val priorEv = prior.map(s => Ev(s.rowkey, s.event_id, s.op, s.payload)).iterator
+          val best = (priorEv ++ batch).maxBy(_.event_id)
+          val next = KeyState(best.rowkey, best.event_id, best.op, best.payload)
+          if (prior.contains(next)) Iterator.empty
+          else { state.update(next); Iterator.single(next) }
+      }
+  }
 }

@@ -35,6 +35,26 @@ class StreamingAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits only keys a batch actually changed") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = StreamingAggregates.changedState(source.toDS()).writeStream
+      .format("memory").queryName("changed_state").outputMode("update").start()
+    try {
+      source.addData(Ev("a", 1, "put", "v1"), Ev("b", 2, "put", "v2"))
+      q.processAllAvailable()
+      assert(spark.table("changed_state").count() === 2)
+
+      // stale event for a, real update for b → exactly ONE emission
+      source.addData(Ev("a", 0, "put", "stale"), Ev("b", 3, "put", "v3"))
+      q.processAllAvailable()
+      val rows = spark.table("changed_state").as[KeyState].collect()
+      assert(rows.length === 3)
+      assert(rows.count(_.rowkey == "a") === 1) // no second emission for a
+      assert(rows.exists(r => r.rowkey == "b" && r.payload == "v3"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps the latest event per rowkey across batches") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Ev]
