@@ -39,6 +39,20 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("date-partitioned state layout prunes partitions on a date filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    (0 until 300).map(i => (s"k$i", i.toLong, f"2024-01-${1 + i % 3}%02d"))
+      .toDF("rowkey", "event_id", "day")
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val p = df.queryExecution.executedPlan.toString
+    // the day predicate must land in PartitionFilters (directory pruning),
+    // not in DataFilters (row filtering after reading everything)
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+    assert(p.contains("(day#") && p.contains("= 2024-01-02"), p)
+    assert(df.count() === 100)
+  }
+
   test("point lookup on the bucketed state scans one bucket") {
     mkState("g_state_pl", (0 until 100).map(i => (s"k$i", i.toLong, i * 1.0)))
     // auto-bucketed-scan turns bucketed reading off when no join wants the

@@ -49,6 +49,21 @@ class IncrementalMergeSpec extends SparkSpec {
       stateMap(IncrementalIndex.compact(ev)))
   }
 
+  test("leftover .tmp/.old dirs from an interrupted merge don't break the next one") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_incL").toString + "/state"
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), base)
+    // simulate an interrupted previous swap
+    new java.io.File(base + ".tmp").mkdirs()
+    new java.io.File(base + ".old").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base + ".old", "junk"), "stale")
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base)
+    assert(stateMap(IncrementalIndex.readState(spark, base)) ===
+      stateMap(IncrementalIndex.compact(ev)))
+    assert(!new java.io.File(base + ".old").exists())
+  }
+
   test("merge order of a chunk's internal rows doesn't matter") {
     val ev = changelog
     val statePathA = Files.createTempDirectory("graft_incA").toString + "/state"
