@@ -93,6 +93,24 @@ object TextAnalysis {
           (col("n_unique") * lit(1.0) / col("n_tokens")), 4))
       .orderBy("doc_id")
 
+  private def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // Perplexity-style quality signal from a corpus-level unigram LM:
+    // per-document mean negative log-probability of its tokens under the
+    // corpus distribution. High nll = improbable vocabulary = candidate
+    // for filtering. The LM "training" is one aggregation; scoring is a
+    // broadcast join of the (vocabulary-sized) frequency table — the
+    // corpus scan never shuffles.
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("tot"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(-sum(log(col("cnt") / col("tot"))) / count(lit(1)), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
   private def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     // Document fingerprint: min-hash over rolling 3-gram shingles (md5 as
     // the rolling hash; the lexicographic min of hashes is the winnowing
@@ -107,6 +125,7 @@ object TextAnalysis {
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
     "q_quality_score" -> qQualityScore,
+    "q_unigram_logprob" -> qUnigramLogprob,
     "q_fingerprint" -> qFingerprint)
 
   /** DuckDB-side shingle CTE shared by the oracle strings (mirrors
@@ -153,6 +172,13 @@ object TextAnalysis {
         |           len(list_distinct(string_split(text, ' '))) AS n_unique
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS tot FROM toks)
+        |SELECT doc_id, round(-sum(ln(cnt / tot)) / count(*), 4) AS nll
+        |FROM toks JOIN freq USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_fingerprint" -> (shingleCte +
       """
         |SELECT doc_id, min(md5(s)) AS fp, count(*) AS n_shingles
