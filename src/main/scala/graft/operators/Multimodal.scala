@@ -44,14 +44,23 @@ object Multimodal {
 
   /** Batched per-partition featurizer over the typed Dataset — the
     * mapInPandas-shaped path for codecs that only exist as JVM/native
-    * libraries. Decode itself is stubbed (no codecs in this container). */
-  def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    * libraries: the codec context is opened once per partition, and rows
+    * flow through in fixed-size batches (the arrow-batch shape — real
+    * decoders amortize model/codec invocation across a batch, not a row).
+    * Decode itself is stubbed (no codecs in this container); the
+    * partitioning, batching, and schema contract are the real, tested
+    * part. */
+  def featurize(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // Per-partition setup would open the codec once here.
-      it.map { r =>
-        val px = MultimodalStub.decodeStub(r.media)
-        MediaFeatures(r.doc_id, r.nbytes, px.digest, px.width, px.height)
+      // Per-partition setup: a real impl opens the codec/model once here.
+      val codec = MultimodalStub
+      it.grouped(batchSize).flatMap { batch =>
+        // a real impl hands the whole batch to the codec in one call
+        val decoded = codec.decodeBatchStub(batch.map(_.media))
+        batch.lazyZip(decoded).map { (r, px) =>
+          MediaFeatures(r.doc_id, r.nbytes, px.digest, px.width, px.height)
+        }
       }
     }
   }
@@ -92,4 +101,9 @@ object MultimodalStub {
     val digest = md.digest(payload).map("%02x".format(_)).mkString
     DecodedMedia(payload.length % 640, (payload.length * 7) % 480, digest)
   }
+
+  /** STUB: batch entry point — a real decoder processes the batch in one
+    * native/model call; the fake maps the scalar stub. */
+  def decodeBatchStub(payloads: Seq[Array[Byte]]): Seq[DecodedMedia] =
+    payloads.map(decodeStub)
 }
