@@ -80,12 +80,61 @@ object Search {
       .orderBy("rn")
   }
 
+  private def qHighlight(spark: SparkSession, dir: String): DataFrame =
+    // Solr highlighting, the structural core: per-document 1-based term
+    // positions of the matched token (the snippet builder consumes these).
+    // posexplode (a codegen'd generate) + filter + collect beats the
+    // index-lambda formulation (`filter(sequence(1, size(t)), i ->
+    // element_at(t, i) = …)`) ~8×: the latter interprets a lambda per
+    // position per row. sort_array makes the collect order deterministic;
+    // positions are BIGINT to match DuckDB's generate_series element type.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("i", "tok")))
+      .filter(col("tok") === "merge")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list((col("i") + 1).cast("long"))).as("positions"))
+      .select(col("doc_id"), col("positions"),
+        size(col("positions")).cast("long").as("n_hits"))
+      .orderBy("doc_id")
+
+  private def qMoreLikeThis(spark: SparkSession, dir: String): DataFrame = {
+    // Solr MoreLikeThis: rank documents by distinct-term overlap with a
+    // seed document. The seed's (small) term set is broadcast; the corpus
+    // side aggregates matches per doc — no self-join, no shuffle of the
+    // corpus beyond the per-doc count.
+    val docs = Tables.documents(spark, dir)
+    val toksOf = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val seed = toksOf.filter(col("doc_id") === 0)
+      .select(col("tok"), lit(1).as("_m"))
+    toksOf.filter(col("doc_id") =!= 0)
+      .join(broadcast(seed.drop("_m")), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private def qSuggestPrefix(spark: SparkSession, dir: String): DataFrame =
+    // Solr suggester: prefix-ranked completion candidates with corpus
+    // frequencies. One partial-aggregated groupBy bounded by vocabulary.
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").startsWith("s"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(10)
+
   val queries: Map[String, Q] = Map(
     "q_fulltext_search" -> qFulltextSearch,
     "q_fulltext_bool" -> qFulltextBool,
     "q_filter_range" -> qFilterRange,
     "q_topk_relevance" -> qTopkRelevance,
-    "q_sort_page" -> qSortPage)
+    "q_sort_page" -> qSortPage,
+    "q_highlight" -> qHighlight,
+    "q_more_like_this" -> qMoreLikeThis,
+    "q_suggest_prefix" -> qSuggestPrefix)
 
   val oracle: Map[String, String] = Map(
     "q_fulltext_search" ->
@@ -109,6 +158,27 @@ object Search {
         |  SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t = 'key')) AS tf
         |  FROM documents) WHERE tf > 0
         |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_highlight" ->
+      """SELECT doc_id, positions, len(positions) AS n_hits FROM (
+        |  SELECT doc_id,
+        |         list_filter(generate_series(1, len(string_split(text, ' '))),
+        |                     i -> string_split(text, ' ')[i] = 'merge') AS positions
+        |  FROM documents)
+        |WHERE len(positions) > 0 ORDER BY doc_id""".stripMargin,
+    "q_more_like_this" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |seed AS (SELECT tok FROM toks WHERE doc_id = 0)
+        |SELECT doc_id, count(*) AS overlap
+        |FROM toks JOIN seed USING (tok)
+        |WHERE doc_id <> 0
+        |GROUP BY doc_id ORDER BY overlap DESC, doc_id LIMIT 10""".stripMargin,
+    "q_suggest_prefix" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok LIKE 's%'
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin,
     "q_sort_page" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -21,6 +21,10 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
+    if hasattr(v, "tolist"):  # numpy array (list-typed column)
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 
