@@ -77,6 +77,16 @@ object Facets {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy("l_linestatus")
 
+  private def qFacetDateMonth(spark: SparkSession, dir: String): DataFrame =
+    // S7 date flavor: facet.range over a date field with gap=+1MONTH —
+    // the order-volume-by-month histogram. date_trunc is identical in both
+    // engines; the month boundary is emitted as epoch micros to keep the
+    // comparison timezone-free.
+    Tables.orders(spark, dir)
+      .groupBy(expr("unix_micros(date_trunc('month', o_orderdate))").as("month_us"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("month_us")
+
   private def qFacetRollup(spark: SparkSession, dir: String): DataFrame =
     // S8 full-hierarchy form: two-level pivot facet plus subtotals and the
     // grand total in one pass (ROLLUP — partial-aggregated like any
@@ -144,6 +154,7 @@ object Facets {
     "q_stats_agg" -> qStatsAgg,
     "q_distinct" -> qDistinct,
     "q_distinct_approx" -> qDistinctApprox,
+    "q_facet_date_month" -> qFacetDateMonth,
     "q_facet_rollup" -> qFacetRollup,
     "q_stats_percentile" -> qStatsPercentile,
     "q_group_top1" -> qGroupTop1)
@@ -170,6 +181,10 @@ object Facets {
       """SELECT l_linestatus, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_facet_date_month" ->
+      """SELECT epoch_us(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS month_us,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_facet_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -126,8 +126,21 @@ object Search {
       .orderBy(col("n").desc, col("tok"))
       .limit(10)
 
+  private def qFuzzySearch(spark: SparkSession, dir: String): DataFrame =
+    // Solr fuzzy query (term~1): documents containing a token within edit
+    // distance 1 of the query term. levenshtein is a built-in with
+    // identical semantics in Spark and DuckDB, so even fuzzy match is
+    // oracle-checkable. Scale note: a scan-side exists() is the cold
+    // path; production expands the term against the (small) vocabulary
+    // first, then hits posting lists with the expansion set.
+    Tables.documents(spark, dir)
+      .filter(exists(toks, t => levenshtein(t, lit("merge")) <= 1))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q_fulltext_search" -> qFulltextSearch,
+    "q_fuzzy_search" -> qFuzzySearch,
     "q_fulltext_bool" -> qFulltextBool,
     "q_filter_range" -> qFilterRange,
     "q_topk_relevance" -> qTopkRelevance,
@@ -158,6 +171,11 @@ object Search {
         |  SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t = 'key')) AS tf
         |  FROM documents) WHERE tf > 0
         |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_fuzzy_search" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE len(list_filter(string_split(text, ' '),
+        |                      t -> levenshtein(t, 'merge') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_highlight" ->
       """SELECT doc_id, positions, len(positions) AS n_hits FROM (
         |  SELECT doc_id,
