@@ -105,34 +105,26 @@ object Facets {
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
   private def qStatsPercentile(spark: SparkSession, dir: String): DataFrame = {
-    // S9 extension: Solr's stats/percentiles, exact flavor — SQL-standard
-    // percentile_cont linear interpolation (what DuckDB's quantile_cont
-    // computes). Implemented as one window sort + rank arithmetic rather
-    // than Spark's `percentile` aggregate, which builds a value→count map
-    // per group (measured 3.8 s vs <1 s at sf0.1; unbounded partial state
-    // at scale). The sketch path at 100 TB is percentile_approx, same
-    // split as q_distinct vs q_distinct_approx.
+    // S9 extension: Solr's stats/percentiles — DISCRETE flavor (the value
+    // at rank ceil(n·p), i.e. the smallest value whose CDF ≥ p).
+    // Implemented as one window sort + integer rank selection rather than
+    // Spark's `percentile` aggregate (value→count map per group: 3.8 s vs
+    // <1 s at sf0.1, unbounded partial state at scale). Discrete, not
+    // interpolated, deliberately: interpolating 2-decimal prices with
+    // frac=0.5 manufactures exact decimal halves where Spark's and
+    // DuckDB's last-ulp arithmetic can round a cent apart — rank selection
+    // returns actual data values and compares bit-for-bit with no rounding
+    // at all. The sketch path at 100 TB is percentile_approx.
     val flag = col("l_returnflag")
     val ranked = Tables.lineitem(spark, dir)
       .select(flag, col("l_extendedprice").as("v"))
       .withColumn("rn",
-        row_number().over(Window.partitionBy(flag).orderBy(col("v"))).cast("long") - 1)
+        row_number().over(Window.partitionBy(flag).orderBy(col("v"))).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(flag)))
-    def h(p: Double): Column = (col("n") - 1) * p
-    def bound(p: Double, f: Column => Column): Column =
-      max(when(col("rn") === f(h(p)).cast("long"), col("v")))
-    def pcols(p: Double, name: String): Seq[(String, Column)] = Seq(
-      s"lo_$name" -> bound(p, floor), s"hi_$name" -> bound(p, ceil),
-      s"fr_$name" -> max(h(p) - floor(h(p))))
-    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
-    val aggs = ps.flatMap { case (p, n) => pcols(p, n) }
-      .map { case (n, c) => c.as(n) }
+    def pick(p: Double): Column =
+      max(when(col("rn") === greatest(lit(1L), ceil(col("n") * p).cast("long")), col("v")))
     ranked.groupBy(flag)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(flag +: ps.map { case (_, n) =>
-        // lo + (hi - lo) * frac — the same IEEE expression DuckDB evaluates
-        round(col(s"lo_$n") + (col(s"hi_$n") - col(s"lo_$n")) * col(s"fr_$n"), 2).as(n)
-      }: _*)
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
       .orderBy(flag)
   }
 
@@ -193,11 +185,16 @@ object Facets {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_stats_percentile" ->
-      """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.5) AS BIGINT)) THEN v END) AS p50,
+        |       max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.9) AS BIGINT)) THEN v END) AS p90,
+        |       max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.99) AS BIGINT)) THEN v END) AS p99
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_group_top1" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

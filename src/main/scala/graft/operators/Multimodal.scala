@@ -50,12 +50,18 @@ object Multimodal {
     * Decode itself is stubbed (no codecs in this container); the
     * partitioning, batching, and schema contract are the real, tested
     * part. */
-  def featurize(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def featurize(media: Dataset[MediaRecord], maxBatchRows: Int = 64,
+                maxBatchBytes: Long = 4L << 20): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // Per-partition setup: a real impl opens the codec/model once here.
       val codec = MultimodalStub
-      it.grouped(batchSize).flatMap { batch =>
+      // Batches are bounded in BYTES as well as rows: payloads are
+      // MB-scale, so a row-only bound would buffer hundreds of MB per
+      // task. A batch closes at maxBatchRows rows or maxBatchBytes of
+      // payload, whichever first (a single oversized payload still forms
+      // its own batch).
+      byteBudgetedBatches(it, maxBatchRows, maxBatchBytes).flatMap { batch =>
         // a real impl hands the whole batch to the codec in one call
         val decoded = codec.decodeBatchStub(batch.map(_.media))
         batch.lazyZip(decoded).map { (r, px) =>
@@ -64,6 +70,23 @@ object Multimodal {
       }
     }
   }
+
+  private def byteBudgetedBatches(it: Iterator[MediaRecord], maxRows: Int,
+                                  maxBytes: Long): Iterator[Seq[MediaRecord]] =
+    new Iterator[Seq[MediaRecord]] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Seq[MediaRecord] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[MediaRecord]
+        var bytes = 0L
+        while (it.hasNext && buf.length < maxRows &&
+          (buf.isEmpty || bytes < maxBytes)) {
+          val r = it.next()
+          buf += r
+          bytes += r.media.length
+        }
+        buf.toSeq
+      }
+    }
 
   private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     // Metadata math on the codegen path (mirrors decodeStub's geometry so

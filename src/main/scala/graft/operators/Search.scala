@@ -105,10 +105,9 @@ object Search {
     val docs = Tables.documents(spark, dir)
     val toksOf = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val seed = toksOf.filter(col("doc_id") === 0)
-      .select(col("tok"), lit(1).as("_m"))
+    val seed = toksOf.filter(col("doc_id") === 0).select(col("tok"))
     toksOf.filter(col("doc_id") =!= 0)
-      .join(broadcast(seed.drop("_m")), "tok")
+      .join(broadcast(seed), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("overlap"))
       .orderBy(col("overlap").desc, col("doc_id"))

@@ -103,7 +103,9 @@ object TextAnalysis {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val tot = toks.agg(count(lit(1)).as("tot"))
+    // total token count from the vocabulary-sized freq table — not a
+    // second full corpus scan
+    val tot = freq.agg(sum(col("cnt")).as("tot"))
     toks.join(broadcast(freq), "tok")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
