@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("clustering groups the near-dup trio under the min doc_id survivor") {
+    val rows = SparkEntry.queries("q_dedup_cluster")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Int]("is_survivor"))).toMap
+    // docs 0,1,2 are mutual near-dups → one cluster, survivor 0
+    assert(rows(0L) === (0L, 1))
+    assert(rows(1L) === (0L, 0))
+    assert(rows(2L) === (0L, 0))
+    assert(!rows.contains(3L) && !rows.contains(4L)) // unrelated docs absent
+  }
+
   test("minhash LSH surfaces identical docs as candidates") {
     val pairs = SparkEntry.queries("q_dedup_minhash")(spark, dir).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
