@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantically identical to the pure-SQL formulation
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d,
-  * (acc, v) -> acc + v)` — same element order, same IEEE operations, so it
-  * stays bit-for-bit comparable with the DuckDB oracle — but it compiles to
+  * (acc, v) -> acc + v)` — same element order, same IEEE operations, and
+  * null on length mismatch (zip_with null-pads the shorter array, which
+  * nulls the fold) — so it stays bit-for-bit comparable with the DuckDB
+  * oracle — but it compiles to
   * a tight primitive loop inside whole-stage codegen instead of two
   * interpreted higher-order lambdas with a materialized intermediate array.
   * On a 100 TB embedding scan the interpreted lambda path allocates one
@@ -45,7 +47,10 @@ case class VecDotFloat(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch → null, matching the zip_with fold (the shorter side
+    // is null-padded, and a null element nulls the accumulator)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -64,11 +69,15 @@ case class VecDotFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -122,7 +122,10 @@ object MultimodalStub {
   def decodeStub(payload: Array[Byte]): DecodedMedia = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val digest = md.digest(payload).map("%02x".format(_)).mkString
-    DecodedMedia(payload.length % 640, (payload.length * 7) % 480, digest)
+    // Long arithmetic, matching qMultimodalMeta / the oracle (`nbytes * 7 %
+    // 480` on BIGINT): an Int product would overflow for payloads > ~306 MB
+    val nbytes = payload.length.toLong
+    DecodedMedia((nbytes % 640).toInt, (nbytes * 7 % 480).toInt, digest)
   }
 
   /** STUB: batch entry point — a real decoder processes the batch in one

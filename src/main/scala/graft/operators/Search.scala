@@ -86,15 +86,18 @@ object Search {
     // posexplode (a codegen'd generate) + filter + collect beats the
     // index-lambda formulation (`filter(sequence(1, size(t)), i ->
     // element_at(t, i) = …)`) ~8×: the latter interprets a lambda per
-    // position per row. sort_array makes the collect order deterministic;
-    // positions are BIGINT to match DuckDB's generate_series element type.
+    // position per row. sort_array makes the collect order deterministic.
+    // The position list is emitted as a canonical comma-joined string, not
+    // ARRAY<BIGINT>: a scalar column hashes in any downstream comparator,
+    // and the encoding is order-preserving and unambiguous.
     Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks).as(Seq("i", "tok")))
       .filter(col("tok") === "merge")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list((col("i") + 1).cast("long"))).as("positions"))
-      .select(col("doc_id"), col("positions"),
-        size(col("positions")).cast("long").as("n_hits"))
+      .agg(sort_array(collect_list((col("i") + 1).cast("long"))).as("pos_arr"))
+      .select(col("doc_id"),
+        array_join(col("pos_arr").cast("array<string>"), ",").as("positions"),
+        size(col("pos_arr")).cast("long").as("n_hits"))
       .orderBy("doc_id")
 
   private def qMoreLikeThis(spark: SparkSession, dir: String): DataFrame = {
@@ -176,12 +179,13 @@ object Search {
         |                      t -> levenshtein(t, 'merge') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
     "q_highlight" ->
-      """SELECT doc_id, positions, len(positions) AS n_hits FROM (
+      """SELECT doc_id, array_to_string(pos_arr, ',') AS positions,
+        |       len(pos_arr) AS n_hits FROM (
         |  SELECT doc_id,
         |         list_filter(generate_series(1, len(string_split(text, ' '))),
-        |                     i -> string_split(text, ' ')[i] = 'merge') AS positions
+        |                     i -> string_split(text, ' ')[i] = 'merge') AS pos_arr
         |  FROM documents)
-        |WHERE len(positions) > 0 ORDER BY doc_id""".stripMargin,
+        |WHERE len(pos_arr) > 0 ORDER BY doc_id""".stripMargin,
     "q_more_like_this" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (

@@ -52,42 +52,31 @@ object IncrementalIndex {
     * latest event per rowkey INCLUDING tombstones; readers apply
     * `op != 'delete'` (or use [[readState]]). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, statePath: String): Unit = {
-    val dir = new java.io.File(statePath)
+    // Heal an interrupted swap first: if a previous merge died mid-swap,
+    // the previous state is sitting at `.old` and must be restored BEFORE
+    // the existence check below — otherwise the replayed batch would merge
+    // against nothing and promote a batch-only state over the only
+    // surviving copy.
+    StateStore.recover(spark, statePath)
     val existing =
-      if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty)
-        Some(spark.read.parquet(statePath))
+      if (StateStore.nonEmpty(spark, statePath)) Some(spark.read.parquet(statePath))
       else None
     // event_id totally orders state rows vs batch rows.
     val all = existing.map(_.unionByName(batch)).getOrElse(batch)
     val merged = compactAll(all).cache()
-    merged.count() // materialize before touching the input path
-    val tmp = statePath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    merged.unpersist()
-    // Crash-safe swap: move the old state aside, promote tmp, then drop
-    // the old copy — at no point is the only copy of the state deleted,
-    // and every rename is checked. A crash between the two renames leaves
-    // either old-state-at-backup or new-state-at-target; the streaming
-    // engine replays the batch and the merge is idempotent.
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    val target = new java.io.File(statePath)
-    val backup = new java.io.File(statePath + ".old")
-    if (backup.exists()) rm(backup)
-    if (target.exists() && !target.renameTo(backup))
-      throw new java.io.IOException(s"cannot move $statePath aside to $backup")
-    if (!new java.io.File(tmp).renameTo(target)) {
-      // restore the previous state before failing
-      if (backup.exists()) backup.renameTo(target)
-      throw new java.io.IOException(s"cannot promote $tmp to $statePath")
-    }
-    rm(backup)
+    merged.count() // materialize before the swap touches the input path
+    // Crash-safe swap through the Hadoop FileSystem API (HDFS-compatible;
+    // see StateStore for the protocol and the object-store caveat).
+    try StateStore.commit(spark, statePath) { tmp =>
+      merged.write.mode("overwrite").parquet(tmp)
+    } finally merged.unpersist(): Unit
   }
 
   /** Read the live view of the persisted state (tombstones filtered). */
-  def readState(spark: SparkSession, statePath: String): DataFrame =
+  def readState(spark: SparkSession, statePath: String): DataFrame = {
+    StateStore.recover(spark, statePath)
     spark.read.parquet(statePath).filter(col("op") =!= "delete")
+  }
 
   /** Wire a streaming changelog (schema: rowkey STRING, event_id LONG,
     * op STRING, …) into the merge sink. */

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Atomic-swap persistence for materialized state directories, through the
+  * Hadoop `FileSystem` API — the same code path runs on local disk (tests),
+  * HDFS, and any filesystem with a Hadoop connector. `java.io.File` is
+  * deliberately absent: it cannot resolve `hdfs://` paths at all, and a
+  * state table that matters lives on a distributed filesystem.
+  *
+  * Commit protocol (all steps through one `FileSystem`):
+  *   1. caller writes the new state under `<path>.tmp`
+  *   2. leftover `<path>.old` is deleted — only a COMPLETED previous commit
+  *      leaves one behind, because [[recover]] has already promoted it if
+  *      the previous commit died mid-swap
+  *   3. rename `<path>` → `<path>.old`
+  *   4. rename `<path>.tmp` → `<path>`
+  *   5. delete `<path>.old`
+  *
+  * A crash at any point never deletes the only copy of the state:
+  *   - before step 4 completes: the previous state survives at `<path>`
+  *     (steps 1–2) or `<path>.old` (step 3); [[recover]] — which every
+  *     commit and every state read runs first — moves `.old` back to
+  *     `<path>` when the target is missing, and the replayed micro-batch
+  *     then re-merges idempotently;
+  *   - after step 4: `<path>` already holds the new state, so the leftover
+  *     `.old`/`.tmp` are garbage, cleared by recover()/the next commit.
+  *
+  * Scope: HDFS-like filesystems with atomic directory rename. Object stores
+  * (S3 and friends) rename by copy; there the production state table is a
+  * MERGE-capable table format (Iceberg/Delta — SCALE.md §streaming), not a
+  * directory swap.
+  */
+object StateStore {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** True if the state directory exists and holds at least one file. */
+  def nonEmpty(spark: SparkSession, statePath: String): Boolean = {
+    val p = new Path(statePath)
+    val fs = fsOf(spark, p)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Repair an interrupted swap. If the previous commit died between moving
+    * the state aside and promoting the new one, `<path>` is missing and
+    * `<path>.old` holds the only surviving copy — restore it. If the target
+    * exists, any `.old` is a completed commit's leftover and is dropped. */
+  def recover(spark: SparkSession, statePath: String): Unit = {
+    val target = new Path(statePath)
+    val backup = new Path(statePath + ".old")
+    val fs = fsOf(spark, target)
+    if (fs.exists(backup)) {
+      if (!fs.exists(target)) {
+        if (!fs.rename(backup, target))
+          throw new IOException(s"cannot restore interrupted state $backup to $target")
+      } else {
+        fs.delete(backup, true): Unit
+      }
+    }
+  }
+
+  /** Swap in a new state version: `write` receives the `.tmp` path and must
+    * fully materialize the new state there; the swap then promotes it. The
+    * caller's DataFrame must already be decoupled from `<path>`'s files
+    * (cache + count) — the old state is renamed during the swap. */
+  def commit(spark: SparkSession, statePath: String)(write: String => Unit): Unit = {
+    val target = new Path(statePath)
+    val tmp = new Path(statePath + ".tmp")
+    val backup = new Path(statePath + ".old")
+    val fs = fsOf(spark, target)
+    recover(spark, statePath)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    write(tmp.toString)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      throw new IOException(s"cannot move $target aside to $backup")
+    if (!fs.rename(tmp, target)) {
+      // restore the previous state before failing
+      if (fs.exists(backup)) fs.rename(backup, target)
+      throw new IOException(s"cannot promote $tmp to $target")
+    }
+    if (fs.exists(backup)) fs.delete(backup, true): Unit
+  }
+}

@@ -64,6 +64,23 @@ class IncrementalMergeSpec extends SparkSpec {
     assert(!new java.io.File(base + ".old").exists())
   }
 
+  test("a crash between the swap's renames doesn't lose state (.old is restored)") {
+    // The ADVICE-flagged hole: dying between `rename(target, backup)` and
+    // `rename(tmp, target)` leaves the ONLY copy of the state at `.old`.
+    // The replayed merge must restore it before reading — otherwise it
+    // would promote a batch-only state and silently drop chunk 1.
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_incR").toString + "/state"
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), base)
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(base + ".old")))
+    // replay of the interrupted batch + the next chunk
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base)
+    assert(stateMap(IncrementalIndex.readState(spark, base)) ===
+      stateMap(IncrementalIndex.compact(ev)))
+  }
+
   test("merge order of a chunk's internal rows doesn't matter") {
     val ev = changelog
     val statePathA = Files.createTempDirectory("graft_incA").toString + "/state"

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Index
+import graft.streaming.IncrementalPostings
+
+/** The incrementally-maintained inverted index must converge to exactly the
+  * batch-built `Index.postings` of the final corpus, under puts, updates,
+  * deletes, stale replays, and arbitrary chunking — the reference's whole
+  * product (HBase mutations kept in sync with the Solr index) as a testable
+  * invariant. */
+case class DocChange(rowkey: String, event_id: Long, op: String, text: String)
+
+class IncrementalPostingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** tok -> (doc-id set, df) for comparison independent of array order. */
+  private def postingsMap(df: DataFrame): Map[String, (Set[String], Long)] =
+    df.collect().map(r => r.getAs[String]("tok") ->
+      (r.getSeq[String](1).toSet, r.getAs[Long]("df"))).toMap
+
+  private def expected(finalDocs: Seq[(String, String)]): Map[String, (Set[String], Long)] =
+    postingsMap(Index.postings(
+      finalDocs.toDF("doc_id", "text").select(col("doc_id"), col("text"))))
+
+  test("puts, updates, deletes, and a stale replay converge to the batch-built postings") {
+    val root = Files.createTempDirectory("graft_post").toString + "/postings"
+    def merge(changes: DocChange*): Unit =
+      IncrementalPostings.mergeBatch(spark, changes.toSeq.toDF(), root)
+
+    merge(
+      DocChange("1", 0, "put", "spark merge sort"),
+      DocChange("2", 1, "put", "hash join merge"),
+      DocChange("3", 2, "put", "scan filter"),
+      DocChange("4", 3, "put", "sort spill"))
+    merge(
+      DocChange("2", 4, "put", "broadcast join"), // update: loses hash/merge
+      DocChange("3", 5, "delete", ""),            // delete: all postings go
+      DocChange("5", 6, "put", "spark scan"))
+    merge(
+      DocChange("3", 1, "put", "scan filter")) // stale put below the tombstone
+
+    val got = postingsMap(IncrementalPostings.postings(spark, root))
+    val want = expected(Seq(
+      "1" -> "spark merge sort", "2" -> "broadcast join",
+      "4" -> "sort spill", "5" -> "spark scan"))
+    assert(got === want)
+    assert(!got.contains("filter")) // doc 3 stayed dead
+    assert(got("merge") === (Set("1"), 1L)) // doc 2's old tokens were removed
+  }
+
+  test("chunked merges over the fixture corpus equal the batch-built postings") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
+    val root = Files.createTempDirectory("graft_postF").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, docs.filter(col("event_id") < 25), root)
+    IncrementalPostings.mergeBatch(spark, docs.filter(col("event_id") >= 25), root)
+    val got = postingsMap(IncrementalPostings.postings(spark, root))
+    val want = postingsMap(Index.postings(
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming foreachBatch maintains the postings across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[DocChange]
+    val root = Files.createTempDirectory("graft_postS").toString + "/postings"
+    val checkpoint = Files.createTempDirectory("graft_postC").toString
+    val query = IncrementalPostings.start(
+      source.toDF(), root, checkpoint, intervalSeconds = 1)
+    try {
+      source.addData(DocChange("a", 0, "put", "alpha beta"), DocChange("b", 1, "put", "beta gamma"))
+      query.processAllAvailable()
+      assert(postingsMap(IncrementalPostings.postings(spark, root)) ===
+        expected(Seq("a" -> "alpha beta", "b" -> "beta gamma")))
+
+      source.addData(DocChange("a", 2, "delete", ""), DocChange("c", 3, "put", "alpha delta"))
+      query.processAllAvailable()
+      assert(postingsMap(IncrementalPostings.postings(spark, root)) ===
+        expected(Seq("b" -> "beta gamma", "c" -> "alpha delta")))
+    } finally query.stop()
+  }
+}

@@ -45,11 +45,20 @@ class VecDotFloatSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
-  test("mismatched lengths use the common prefix; type mismatch fails analysis") {
-    val d = Seq((Array(1f, 2f, 3f), Array(10f, 10f)))
+  test("mismatched lengths null the result, same as the SQL fold; type mismatch fails analysis") {
+    // zip_with null-pads the shorter array, which nulls the fold — the
+    // native expression must agree (codegen path via the DataFrame, and
+    // the interpreted path via nullSafeEval).
+    val df = Seq((Array(1f, 2f, 3f), Array(10f, 10f)))
       .toDF("a", "b")
-      .select(VecDotFloat.vec_dot(col("a"), col("b"))).head().getDouble(0)
-    assert(d === 30.0)
+      .select(VecDotFloat.vec_dot(col("a"), col("b")).as("native"), expr(hof).as("sql"))
+    val r = df.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val e = VecDotFloat(
+      Literal.create(Array(1f, 2f, 3f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      Literal.create(Array(10f, 10f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.nullSafeEval(
+      new GenericArrayData(Array(1f, 2f, 3f)), new GenericArrayData(Array(10f, 10f))) == null)
     intercept[Exception] {
       Seq((1, 2)).toDF("a", "b")
         .select(VecDotFloat.vec_dot(col("a"), col("b"))).head()
