@@ -3,8 +3,8 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
-import graft.operators.{Changelog, Index, TextAnalysis, Vectors}
+import graft.{GraftConfig, Tables}
+import graft.operators.{Analyzer, Changelog, Index, TextAnalysis, Tokenizer, Vectors}
 
 /** The user-facing library surface — what a user of the reference system
   * (HBase rows + Solr secondary index, queried with full-text search,
@@ -15,8 +15,16 @@ import graft.operators.{Changelog, Index, TextAnalysis, Vectors}
   *
   * All methods return lazy DataFrames — compose freely, nothing executes
   * until an action.
+  *
+  * `cfg` is the O13 parameter set (the reference's application.properties
+  * — CF allowlist, rowkey field, thresholds; load one with
+  * `GraftConfig.load(path)`); `tokenizer` is the analyzer seam the Solr
+  * schema occupies in the reference (pass `Analyzer.Cjk` for space-free
+  * corpora).
   */
-class Graft(spark: SparkSession, dir: String) {
+class Graft(spark: SparkSession, dir: String,
+            cfg: GraftConfig = GraftConfig.default,
+            tokenizer: Tokenizer = Analyzer.default) {
 
   // ---- tables ----
   def events: DataFrame = Tables.events(spark, dir)
@@ -27,7 +35,10 @@ class Graft(spark: SparkSession, dir: String) {
 
   /** Materialized secondary-index state: latest put per rowkey, deletes
     * applied (the coprocessor pipeline O1–O11 as one declarative plan). */
-  def indexState: DataFrame = Changelog.indexState(events)
+  def indexState: DataFrame = Changelog.indexState(events, cfg)
+
+  /** O4: the configured column-family allowlist over the changelog. */
+  def allowedEvents: DataFrame = Changelog.filterCf(events, cfg)
 
   /** Point lookup by rowkey against the index state (HBase `Get`). */
   def lookup(rowkey: String): DataFrame =
@@ -35,7 +46,7 @@ class Graft(spark: SparkSession, dir: String) {
 
   // ---- search (the Solr read path) ----
 
-  private def toks = split(col("text"), " ")
+  private def toks = tokenizer.tokens(col("text"))
 
   /** Boolean full-text search: all of `all`, at least one of `any` (if
     * given), none of `none`. */
@@ -58,7 +69,7 @@ class Graft(spark: SparkSession, dir: String) {
 
   /** Posting lists (token → sorted doc ids, df) — the materialized
     * inverted index; persist this and maintain it incrementally at scale. */
-  def postings: DataFrame = Index.postings(documents)
+  def postings: DataFrame = Index.postings(documents, tokenizer)
 
   // ---- facets / stats ----
 
@@ -143,5 +154,8 @@ class Graft(spark: SparkSession, dir: String) {
 }
 
 object Graft {
-  def apply(spark: SparkSession, dir: String): Graft = new Graft(spark, dir)
+  def apply(spark: SparkSession, dir: String,
+            cfg: GraftConfig = GraftConfig.default,
+            tokenizer: Tokenizer = Analyzer.default): Graft =
+    new Graft(spark, dir, cfg, tokenizer)
 }

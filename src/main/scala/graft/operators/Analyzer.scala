@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** How text becomes terms — the seam the pre-defined Solr schema's
+  * analyzer chain occupies in the reference ("提前定制好schemal",
+  * /root/reference/README.md:33): the reference is a Chinese-language
+  * system whose tokenization is configured in Solr, not hard-coded.
+  * Implementations are pure Column expressions (codegen'd built-ins, no
+  * UDFs), so every consumer keeps whole-stage codegen and the DuckDB
+  * oracle-checkability of the term pipeline.
+  */
+trait Tokenizer {
+  def name: String
+
+  /** Tokenize a text column into `ARRAY<STRING>` terms. */
+  def tokens(text: Column): Column
+}
+
+object Analyzer {
+
+  /** Whitespace analyzer — the corpus default (the fixture corpus is
+    * space-delimited; Solr's WhitespaceTokenizer shape). */
+  case object Whitespace extends Tokenizer {
+    val name = "whitespace"
+    def tokens(text: Column): Column = split(text, " ")
+  }
+
+  /** Overlapping character bigrams — the standard CJK indexing unit
+    * (Lucene's CJKAnalyzer emits exactly these for han runs). Texts of
+    * length ≤ 1 yield the text itself as the single term. */
+  private def bigrams(text: Column): Column =
+    when(length(text) <= 1, array(text))
+      .otherwise(transform(sequence(lit(1), length(text) - 1),
+        i => text.substr(i, lit(2))))
+
+  /** CJK-safe analyzer: text containing whitespace tokenizes by
+    * whitespace; space-free text (the shape of Chinese/Japanese prose — a
+    * real migration of the reference system hits this on day one) falls
+    * back to character bigrams. The per-row branch is a codegen'd
+    * conditional, so mixed corpora pay no second scan. */
+  case object Cjk extends Tokenizer {
+    val name = "cjk"
+    def tokens(text: Column): Column =
+      when(text.contains(" "), Whitespace.tokens(text)).otherwise(bigrams(text))
+  }
+
+  /** Default binding for the fixture corpus; every `SparkEntry` query pins
+    * this (its expression is byte-identical to the previous hard-coded
+    * `split(text, ' ')`, so the oracles are unchanged). */
+  val default: Tokenizer = Whitespace
+}

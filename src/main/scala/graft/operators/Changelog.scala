@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{GraftConfig, Tables}
 
 /** Changelog / incremental-index family — the reference's write path
   * re-expressed as declarative Spark plans (SURVEY.md §2.A, O1–O11).
@@ -27,25 +27,28 @@ import graft.Tables
 object Changelog {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Event classes: the reference's `postPut` vs `postDelete`. The fixture
-    * has no literal deletes, so `error` events model tombstones
-    * (FIXTURES.md). */
-  private val DeleteClass = "error"
+  /** O13: every operator parameter below (rowkey field, CF allowlist,
+    * delete marker, thresholds, interval) comes from [[GraftConfig]] —
+    * the reference drives the same set from application.properties:2-16.
+    * The fixed `queries` map pins [[GraftConfig.default]] (the fixture
+    * binding: `error` events model tombstones, FIXTURES.md) so the oracle
+    * checks one stable instantiation. */
+  private val Cfg = GraftConfig.default
 
   /** O3: rowkey extraction — Bytes.toString(put.getRow()),
     * HbaseSolrIndexCoprocesser.java:39. */
-  def withRowkey(events: DataFrame): DataFrame =
-    events.withColumn("rowkey", col("user_id").cast("string"))
+  def withRowkey(events: DataFrame, cfg: GraftConfig = Cfg): DataFrame =
+    events.withColumn("rowkey", col(cfg.rowkeyField).cast("string"))
 
   /** O11 (flagship): latest-wins changelog compaction. Pure DataFrame ops:
     * one hash exchange on rowkey, in-partition sort, row_number, filter.
     * `event_id` is the total commit order (FIXTURES.md), so the result is
     * deterministic regardless of input partitioning. */
-  def indexState(events: DataFrame): DataFrame = {
+  def indexState(events: DataFrame, cfg: GraftConfig = Cfg): DataFrame = {
     val w = Window.partitionBy(col("rowkey")).orderBy(col("event_id").desc)
-    withRowkey(events)
+    withRowkey(events, cfg)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("event_type") =!= DeleteClass)
+      .filter(col("rn") === 1 && col("event_type") =!= cfg.deleteClass)
       .select(
         col("rowkey"),
         expr("ts div 1000").as("ts_us"),
@@ -53,6 +56,11 @@ object Changelog {
         round(col("value"), 2).as("value"),
         get_json_object(col("props"), "$.k").as("k"))
   }
+
+  /** O4: column-family allowlist filter (HbaseSolrIndexCoprocesser.java:42;
+    * `hbase_column_family`, application.properties:2). */
+  def filterCf(events: DataFrame, cfg: GraftConfig = Cfg): DataFrame =
+    events.filter(col("event_type").isin(cfg.cfAllowlist: _*))
 
   // ---- queries (driver contract) ----
 
@@ -68,10 +76,8 @@ object Changelog {
       .orderBy(col("rowkey").cast("long"))
 
   private def qFilterCf(spark: SparkSession, dir: String): DataFrame =
-    // O4: column-family allowlist (HbaseSolrIndexCoprocesser.java:42,
-    // application.properties:2) — event_type plays the CF.
-    Tables.events(spark, dir)
-      .filter(col("event_type").isin("click", "purchase", "view"))
+    // O4: config-driven allowlist — event_type plays the CF.
+    filterCf(Tables.events(spark, dir))
       .select("event_id", "event_type", "user_id")
       .orderBy("event_id")
 
@@ -107,23 +113,54 @@ object Changelog {
       .orderBy(col("rowkey").cast("long"))
 
   private def qBatchCount(spark: SparkSession, dir: String): DataFrame =
-    // O7: threshold flush arithmetic — add_batchCount=10000
+    // O7: threshold flush arithmetic — add_batchCount
     // (application.properties:14, SolrIndexTools.java:124). Batches are
-    // commit-order buckets of 10k events.
+    // commit-order buckets of the configured size.
     Tables.events(spark, dir)
-      .groupBy(floor(col("event_id") / 10000).cast("long").as("batch_id"))
+      .groupBy(floor(col("event_id") / Cfg.addBatchCount).cast("long").as("batch_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        count(when(col("event_type") =!= DeleteClass, lit(1))).as("n_puts"),
-        count(when(col("event_type") === DeleteClass, lit(1))).as("n_dels"))
+        count(when(col("event_type") =!= Cfg.deleteClass, lit(1))).as("n_puts"),
+        count(when(col("event_type") === Cfg.deleteClass, lit(1))).as("n_dels"))
       .orderBy("batch_id")
 
+  private def qDelBatchCount(spark: SparkSession, dir: String): DataFrame = {
+    // O7's delete-side twin: the reference keeps a SEPARATE delete buffer
+    // with its own flush threshold (del_batchCount=2000,
+    // application.properties:16; SolrIndexTools.java:105-107). A delete's
+    // batch is floor(rank-among-deletes / threshold) in commit order.
+    // Scalable rank: a bare row_number over the whole delete stream would
+    // sort it in ONE partition; instead deletes rank within coarse
+    // event_id segments (a partitioned window), and each segment's global
+    // offset comes from a running sum over the tiny per-segment count
+    // table — the distributed prefix-sum pattern. The only unpartitioned
+    // window runs over |events|/segment_size rows, not the stream.
+    val segSize = 10000
+    val dels = Tables.events(spark, dir)
+      .filter(col("event_type") === Cfg.deleteClass)
+      .select(col("event_id"), floor(col("event_id") / segSize).as("seg"))
+    val segOffsets = dels.groupBy("seg").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(
+        Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("seg", "offset")
+    dels
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("seg").orderBy("event_id")))
+      .join(broadcast(segOffsets), "seg")
+      .withColumn("k", col("offset") + col("rn") - 1)
+      .groupBy(floor(col("k") / Cfg.delBatchCount).cast("long").as("del_batch_id"))
+      .agg(count(lit(1)).as("n_dels"),
+        min(col("event_id")).as("first_event"), max(col("event_id")).as("last_event"))
+      .orderBy("del_batch_id")
+  }
+
   private def qIntervalWindow(spark: SparkSession, dir: String): DataFrame =
-    // O8: 30 s interval flush (interval_commit_index=30,
+    // O8: interval flush (interval_commit_index=30,
     // application.properties:12; SolrIndexTools.java:46-49) as time-window
-    // bucketing.
+    // bucketing over the nanos timestamp.
     Tables.events(spark, dir)
-      .groupBy(expr("(ts div 30000000000) * 30").cast("long").as("win_start"))
+      .groupBy(expr(s"(ts div ${Cfg.commitIntervalSec.toLong * 1000000000L}) " +
+        s"* ${Cfg.commitIntervalSec}").cast("long").as("win_start"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("win_start")
 
@@ -147,6 +184,7 @@ object Changelog {
     "q_filter_nonempty" -> qFilterNonempty,
     "q_pivot_doc" -> qPivotDoc,
     "q_batch_count" -> qBatchCount,
+    "q_del_batch_count" -> qDelBatchCount,
     "q_interval_window" -> qIntervalWindow,
     "q_index_state" -> qIndexState,
     "q_point_lookup" -> qPointLookup)
@@ -190,6 +228,13 @@ object Changelog {
         |       count(*) FILTER (WHERE event_type <> 'error') AS n_puts,
         |       count(*) FILTER (WHERE event_type = 'error') AS n_dels
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_del_batch_count" ->
+      """WITH d AS (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS k
+        |  FROM events WHERE event_type = 'error')
+        |SELECT CAST(floor(k / 2000) AS BIGINT) AS del_batch_id, count(*) AS n_dels,
+        |       min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_interval_window" ->
       """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 30) * 30 AS BIGINT) AS win_start,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value

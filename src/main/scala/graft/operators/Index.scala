@@ -25,9 +25,10 @@ import graft.Tables
 object Index {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Posting lists: (token, sorted doc ids, document frequency). */
-  def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+  /** Posting lists: (token, sorted doc ids, document frequency).
+    * Tokenization goes through the analyzer seam. */
+  def postings(docs: DataFrame, tokenizer: Tokenizer = Analyzer.default): DataFrame =
+    docs.select(col("doc_id"), explode(tokenizer.tokens(col("text"))).as("tok"))
       .groupBy("tok")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
         countDistinct(col("doc_id")).as("df"))
@@ -69,6 +70,41 @@ object Index {
       .limit(20)
   }
 
+  private def qBm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    // BM25 ranked retrieval — Solr's actual default similarity
+    // (BM25Similarity, k1=1.2, b=0.75), i.e. what the reference's read
+    // path returns today. idf is the Lucene/Robertson form
+    // ln(1 + (N − df + ½)/(df + ½)); the tf saturation divides by
+    // tf + k1·(1 − b + b·dl/avgdl), written as its constant-folded
+    // literals (2.2 = k1+1, 0.25 = 1−b) identically in the oracle so the
+    // double pipelines match operation-for-operation. Every input is an
+    // exact integer aggregate (tf, df, N, dl; avgdl = exact integer sum /
+    // exact count), one round at the end. dl rides the token explode —
+    // no corpus-wide length join; df and the scalar stats broadcast.
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("merge", "sort")
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df_ = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df_), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (lit(2.2) * col("tf")) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   private def qHashSample(spark: SparkSession, dir: String): DataFrame =
     // Deterministic 2/16 (12.5%) hash sample — the reproducible alternative to
     // TABLESAMPLE for training-data splits: membership is a pure function
@@ -92,6 +128,7 @@ object Index {
   val queries: Map[String, Q] = Map(
     "q_inverted_search" -> qInvertedSearch,
     "q_tfidf_topk" -> qTfidfTopk,
+    "q_bm25_topk" -> qBm25Topk,
     "q_hash_sample" -> qHashSample,
     "q_shuffle_order" -> qShuffleOrder)
 
@@ -120,6 +157,22 @@ object Index {
         |FROM tf JOIN df USING (tok), n
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25_topk" ->
+      """WITH n AS (
+        |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |               unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('merge', 'sort')
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id,
+        |       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
+        |                 (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM tf JOIN df USING (tok), n
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5('split0:' || doc_id), 1, 1) IN ('0', '1')

@@ -25,7 +25,11 @@ import graft.Tables
 object Search {
   type Q = (SparkSession, String) => DataFrame
 
-  private def toks = split(col("text"), " ")
+  // Tokenization goes through the Analyzer seam (the Solr schema's
+  // analyzer role); the query map pins the corpus-default whitespace
+  // analyzer, whose expression is identical to the former hard-coded
+  // split — the oracles are untouched. CJK corpora pass Analyzer.Cjk.
+  private def toks = Analyzer.default.tokens(col("text"))
   private def hasTok(t: String) = array_contains(toks, t)
 
   private def qFulltextSearch(spark: SparkSession, dir: String): DataFrame =
@@ -107,7 +111,7 @@ object Search {
     // corpus beyond the per-doc count.
     val docs = Tables.documents(spark, dir)
     val toksOf = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+      explode(array_distinct(toks)).as("tok"))
     val seed = toksOf.filter(col("doc_id") === 0).select(col("tok"))
     toksOf.filter(col("doc_id") =!= 0)
       .join(broadcast(seed), "tok")
@@ -121,7 +125,7 @@ object Search {
     // Solr suggester: prefix-ranked completion candidates with corpus
     // frequencies. One partial-aggregated groupBy bounded by vocabulary.
     Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(toks).as("tok"))
       .filter(col("tok").startsWith("s"))
       .groupBy("tok")
       .agg(count(lit(1)).as("n"))

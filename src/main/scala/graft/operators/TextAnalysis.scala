@@ -19,7 +19,7 @@ import graft.Tables
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  private def toks = split(col("text"), " ")
+  private def toks = Analyzer.default.tokens(col("text"))
 
   /** Shared 3-gram shingling (also used by Dedup): word 3-grams per
     * document, duplicates included — consumers dedupe inside their own
@@ -100,13 +100,13 @@ object TextAnalysis {
     // for filtering. The LM "training" is one aggregation; scoring is a
     // broadcast join of the (vocabulary-sized) frequency table — the
     // corpus scan never shuffles.
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val freq = docToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     // total token count from the vocabulary-sized freq table — not a
     // second full corpus scan
     val tot = freq.agg(sum(col("cnt")).as("tot"))
-    toks.join(broadcast(freq), "tok")
+    docToks.join(broadcast(freq), "tok")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(round(-sum(log(col("cnt") / col("tot"))) / count(lit(1)), 4).as("nll"))
