@@ -33,6 +33,10 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Collect predecessors' garbage before timing: otherwise a query's
+      // trials pay GC debt accrued by whichever queries happened to run
+      // before it in map order, which is noise, not the query's cost.
+      System.gc()
       val trials = Seq.fill(3)(timeOnce(fn))
       name -> (if (trials.exists(_ < 0)) -1.0 else trials.min)
     }
