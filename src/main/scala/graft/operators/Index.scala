@@ -115,6 +115,43 @@ object Index {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  private def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    // Train/test contamination check — the training-data hygiene pass that
+    // looks for eval documents leaked into the training split. Exact-hash
+    // intersection misses rewrites, so the match key is the document's
+    // min-shingle fingerprint (a 1-permutation MinHash: equal fingerprints
+    // ⇒ high shingle-set overlap). Split membership is the deterministic
+    // hash split (pure function of doc_id — reproducible anywhere); the
+    // check itself is one fingerprint aggregation and one equi-join keyed
+    // on the fingerprint, both shuffle-partitioned by that key at scale.
+    val docs = Tables.documents(spark, dir)
+    val testHex = Seq("0", "1", "2", "3") // 4/16 deterministic eval split
+    val fps = TextAnalysis.shingles(docs)
+      .groupBy("doc_id").agg(min(md5(col("s"))).as("fp"))
+      .withColumn("is_test",
+        substring(md5(concat(lit("split0:"), col("doc_id"))), 1, 1).isin(testHex: _*))
+    val train = fps.filter(!col("is_test"))
+      .groupBy("fp").agg(min(col("doc_id")).as("train_doc_id"))
+    fps.filter(col("is_test"))
+      .join(train, "fp")
+      .select(col("doc_id").as("test_doc_id"), col("train_doc_id"))
+      .orderBy("test_doc_id")
+  }
+
+  private def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    // Stratified deterministic sampling: a fixed fraction per stratum
+    // (lang), membership a pure function of the stable id — so the sample
+    // is reproducible across engines, runs, and partitionings, and
+    // per-stratum rates are exact by construction. One partial-aggregated
+    // groupBy; no shuffle of the sampled rows themselves.
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(substring(md5(concat(lit("strat:"), col("doc_id"))), 1, 1)
+          .isin("0", "1", "2", "3"), lit(1))).as("n_sampled"))
+      .orderBy("lang")
+
   private def qShuffleOrder(spark: SparkSession, dir: String): DataFrame =
     // Deterministic global shuffle for training-data interleaving: a total
     // order by a seeded hash of the id. At scale this is a range exchange
@@ -130,6 +167,8 @@ object Index {
     "q_tfidf_topk" -> qTfidfTopk,
     "q_bm25_topk" -> qBm25Topk,
     "q_hash_sample" -> qHashSample,
+    "q_contamination" -> qContamination,
+    "q_stratified_sample" -> qStratifiedSample,
     "q_shuffle_order" -> qShuffleOrder)
 
   val oracle: Map[String, String] = Map(
@@ -179,5 +218,21 @@ object Index {
         |ORDER BY doc_id""".stripMargin,
     "q_shuffle_order" ->
       """SELECT doc_id, source, md5('seed42:' || doc_id) AS shuffle_key
-        |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin)
+        |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,
+    "q_contamination" -> (TextAnalysis.shingleCte +
+      """,
+        |fp AS (
+        |  SELECT doc_id, min(md5(s)) AS fp,
+        |         substr(md5('split0:' || doc_id), 1, 1) IN ('0','1','2','3') AS is_test
+        |  FROM sh GROUP BY doc_id),
+        |train AS (
+        |  SELECT fp, min(doc_id) AS train_doc_id FROM fp WHERE NOT is_test GROUP BY fp)
+        |SELECT f.doc_id AS test_doc_id, train.train_doc_id
+        |FROM fp f JOIN train USING (fp) WHERE f.is_test
+        |ORDER BY test_doc_id""".stripMargin),
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_total,
+        |       count(*) FILTER (WHERE substr(md5('strat:' || doc_id), 1, 1)
+        |                        IN ('0','1','2','3')) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

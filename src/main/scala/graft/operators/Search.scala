@@ -132,6 +132,32 @@ object Search {
       .orderBy(col("n").desc, col("tok"))
       .limit(10)
 
+  private def qPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    // Solr phrase query ("merge sort"~0): adjacent-token match. For a
+    // whitespace analyzer, phrase containment over the token stream is
+    // EXACTLY substring containment of the space-joined phrase against the
+    // space-padded text — one codegen'd Contains per row, no explode, no
+    // positions join. (Position-list adjacency is the general-analyzer
+    // path; the padded-contains form is the classic equivalent.)
+    Tables.documents(spark, dir)
+      .filter(concat(lit(" "), col("text"), lit(" ")).contains(" merge sort "))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private def qSpellCorrect(spark: SparkSession, dir: String): DataFrame =
+    // Solr SpellCheckComponent: correction candidates for a misspelled
+    // query term = vocabulary terms within edit distance 1, ranked by
+    // corpus frequency. The levenshtein scan runs over the AGGREGATED
+    // vocabulary (bounded), not per token occurrence — the expansion path
+    // named in qFuzzySearch's scale note.
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .filter(levenshtein(col("tok"), lit("mirge")) <= 1)
+      .orderBy(col("n").desc, col("tok"))
+      .limit(5)
+
   private def qFuzzySearch(spark: SparkSession, dir: String): DataFrame =
     // Solr fuzzy query (term~1): documents containing a token within edit
     // distance 1 of the query term. levenshtein is a built-in with
@@ -150,6 +176,8 @@ object Search {
     "q_fulltext_bool" -> qFulltextBool,
     "q_filter_range" -> qFilterRange,
     "q_topk_relevance" -> qTopkRelevance,
+    "q_phrase_search" -> qPhraseSearch,
+    "q_spell_correct" -> qSpellCorrect,
     "q_sort_page" -> qSortPage,
     "q_highlight" -> qHighlight,
     "q_more_like_this" -> qMoreLikeThis,
@@ -182,6 +210,15 @@ object Search {
         |WHERE len(list_filter(string_split(text, ' '),
         |                      t -> levenshtein(t, 'merge') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
+    "q_phrase_search" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE contains(' ' || text || ' ', ' merge sort ')
+        |ORDER BY doc_id""".stripMargin,
+    "q_spell_correct" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok HAVING levenshtein(tok, 'mirge') <= 1
+        |ORDER BY n DESC, tok LIMIT 5""".stripMargin,
     "q_highlight" ->
       """SELECT doc_id, array_to_string(pos_arr, ',') AS positions,
         |       len(pos_arr) AS n_hits FROM (
