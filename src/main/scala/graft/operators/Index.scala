@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -152,6 +153,26 @@ object Index {
           .isin("0", "1", "2", "3"), lit(1))).as("n_sampled"))
       .orderBy("lang")
 
+  private def qPackBatches(spark: SparkSession, dir: String): DataFrame = {
+    // Training-sequence packing planner: documents are assigned, in
+    // deterministic order within each source shard, to fixed-capacity
+    // token packs. pack = floor(exclusive-prefix-sum / capacity) is the
+    // streaming packing rule — a doc lands in the pack where its running
+    // offset starts. The prefix sum partitions by source, so every shard
+    // packs independently and in parallel; nothing in the plan holds a
+    // global order.
+    val cap = 4096
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .groupBy(col("source"), floor(col("prev") / cap).cast("long").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   private def qShuffleOrder(spark: SparkSession, dir: String): DataFrame =
     // Deterministic global shuffle for training-data interleaving: a total
     // order by a seeded hash of the id. At scale this is a range exchange
@@ -169,6 +190,7 @@ object Index {
     "q_hash_sample" -> qHashSample,
     "q_contamination" -> qContamination,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_pack_batches" -> qPackBatches,
     "q_shuffle_order" -> qShuffleOrder)
 
   val oracle: Map[String, String] = Map(
@@ -230,6 +252,19 @@ object Index {
         |SELECT f.doc_id AS test_doc_id, train.train_doc_id
         |FROM fp f JOIN train USING (fp) WHERE f.is_test
         |ORDER BY test_doc_id""".stripMargin),
+    "q_pack_batches" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM d)
+        |SELECT source, CAST(floor(prev / 4096) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
         |       count(*) FILTER (WHERE substr(md5('strat:' || doc_id), 1, 1)

@@ -65,6 +65,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("pivotfirst"), p)
   }
 
+  test("q_bm25_topk: df and corpus stats broadcast; ranking is TakeOrderedAndProject") {
+    val p = plan("q_bm25_topk")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_phrase_search: phrase match is a scan-side predicate — no generate, no join") {
+    val p = plan("q_phrase_search")
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_stratified_sample: one partial-aggregated groupBy, no join, no window") {
+    val p = plan("q_stratified_sample")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q_contamination: the split check joins on the fingerprint key, never a cartesian") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_del_batch_count: no unpartitioned window over the delete stream") {
+    // the only global-order window allowed is over the tiny per-segment
+    // count table; the delete rows themselves rank within seg partitions
+    val p = plan("q_del_batch_count")
+    assert(p.contains("Window"), p)
+    assert(p.contains("PartitionBy") || p.contains("windowspecdefinition(seg"), p)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
     for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
       val df = SparkEntry.queries(q)(spark, dir)
