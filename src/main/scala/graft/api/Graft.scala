@@ -67,6 +67,45 @@ class Graft(spark: SparkSession, dir: String,
       .orderBy(col("tf").desc, col("doc_id"))
       .limit(k)
 
+  /** BM25-ranked top-k for a multi-term query (Solr's default similarity;
+    * Lucene form, k1=1.2, b=0.75). */
+  def bm25TopK(terms: Seq[String], k: Int): DataFrame = {
+    val stats = documents
+      .select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = documents
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df_ = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df_), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (lit(2.2) * col("tf")) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Adjacent-token phrase search (exact for whitespace analysis). */
+  def phrase(words: Seq[String]): DataFrame =
+    documents.filter(concat(lit(" "), col("text"), lit(" "))
+      .contains(" " + words.mkString(" ") + " "))
+
+  /** Spelling-correction candidates: vocabulary terms within `maxEdits`
+    * of the query term, ranked by corpus frequency. */
+  def spellCorrect(term: String, maxEdits: Int = 1, k: Int = 5): DataFrame =
+    documents.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(levenshtein(col("tok"), lit(term)) <= maxEdits)
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+
   /** Posting lists (token → sorted doc ids, df) — the materialized
     * inverted index; persist this and maintain it incrementally at scale. */
   def postings: DataFrame = Index.postings(documents, tokenizer)
@@ -144,6 +183,33 @@ class Graft(spark: SparkSession, dir: String,
       .groupBy(keyField)
       .agg(sum(col("_partial")).as("n_distinct"))
       .orderBy(keyField)
+
+  /** Train/test contamination report: eval-split docs whose min-shingle
+    * fingerprint matches a training-split doc (1-permutation MinHash —
+    * equal fingerprints ⇒ high shingle overlap). `testHex` selects the
+    * deterministic eval split (n/16 of the hash space). */
+  def contamination(seed: String = "split0", testHex: Seq[String] = Seq("0", "1", "2", "3")): DataFrame = {
+    val fps = TextAnalysis.shingles(documents)
+      .groupBy("doc_id").agg(min(md5(col("s"))).as("fp"))
+      .withColumn("is_test",
+        substring(md5(concat(lit(seed + ":"), col("doc_id"))), 1, 1).isin(testHex: _*))
+    val train = fps.filter(!col("is_test"))
+      .groupBy("fp").agg(min(col("doc_id")).as("train_doc_id"))
+    fps.filter(col("is_test")).join(train, "fp")
+      .select(col("doc_id").as("test_doc_id"), col("train_doc_id"))
+  }
+
+  /** Sequence-packing plan: docs assigned to fixed-capacity token packs
+    * per source shard (exclusive prefix sum — no global order). */
+  def packBatches(capacity: Int = 4096): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("prev") / capacity).cast("long"))
+      .drop("prev")
+  }
 
   /** Per-document quality/text-analysis report (tokens, TTR, stop ratio). */
   def textReport: DataFrame =

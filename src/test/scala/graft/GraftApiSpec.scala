@@ -55,6 +55,49 @@ class GraftApiSpec extends SparkSpec {
     assert(top.groupBy("o_custkey").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("bm25TopK ranks the pinned q_bm25_topk result identically") {
+    val viaApi = g.bm25TopK(Seq("merge", "sort"), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val pinned = SparkEntry.queries("q_bm25_topk")(spark, "/root/testdata/sf0.001")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaApi === pinned && viaApi.nonEmpty)
+  }
+
+  test("phrase matches are a subset of the AND search and adjacency-strict") {
+    val ph = g.phrase(Seq("merge", "sort")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val and = g.search(all = Seq("merge", "sort")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ph.subsetOf(and))
+  }
+
+  test("spellCorrect surfaces the intended vocabulary term") {
+    val cands = g.spellCorrect("mirge").select("tok")
+      .collect().map(_.getString(0)).toSeq
+    assert(cands.contains("merge"))
+  }
+
+  test("contamination joins eval fingerprints against the training split only") {
+    val c = g.contamination().collect()
+    val testIds = c.map(_.getLong(0)).toSet
+    val trainIds = c.map(_.getLong(1)).toSet
+    // a doc can never contaminate from its own split
+    assert(testIds.intersect(trainIds).isEmpty)
+  }
+
+  test("packBatches respects per-source capacity for every pack but the overfull singleton") {
+    val packs = g.packBatches(capacity = 1000)
+      .groupBy("source", "pack_id")
+      .agg(sum(col("n_tokens")).as("tok"), count(lit(1)).as("n"))
+      .collect()
+    assert(packs.nonEmpty)
+    // exclusive-prefix-sum packing: a pack exceeds capacity only via its
+    // final (straddling) doc, so tokens < capacity + max doc length
+    val maxDoc = g.documents
+      .select(max(size(split(col("text"), " ")))).head().getInt(0)
+    assert(packs.forall(r => r.getAs[Long]("tok") < 1000 + maxDoc))
+  }
+
   test("vec_dot_f is callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, "/root/testdata/sf0.001").limit(5)
