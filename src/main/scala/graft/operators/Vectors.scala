@@ -69,6 +69,50 @@ object Vectors {
       .limit(10)
   }
 
+  private def qVectorCentroid(spark: SparkSession, dir: String): DataFrame =
+    // Per-cell centroids — the k-means update step that trains the IVF
+    // coarse quantizer (SCALE.md names offline k-means as the 100 TB cell
+    // assignment). One explode + two-level aggregation, partial map-side;
+    // emitted as (label, dim, c) rows — no float→string encodings.
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(round(avg(col("v").cast("double")), 4).as("c"))
+      .select(col("label"), (col("i") + 1).cast("long").as("dim"), col("c"))
+      .orderBy("label", "dim")
+
+  private def qAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    // IVF multi-probe: rank cells by query·centroid and search the top 2
+    // cells instead of one — the standard recall refinement. Centroids
+    // are one aggregation (tiny: nlist × dim), the cell ranking is a
+    // broadcast of nlist rows, and the probe scan touches only the chosen
+    // cells' partitions. All double arithmetic is shared with the oracle;
+    // cell and result orderings carry deterministic tiebreakers.
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cent"))
+    val top2 = cent.crossJoin(broadcast(q))
+      .select(col("label"), expr(
+        """aggregate(zip_with(cent, qv, (x, y) -> x * CAST(y AS DOUBLE)),
+          |          CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)""".stripMargin).as("csim"))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(2)
+      .select("label")
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(top2), "label")
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(dot("embedding", "qv"), 4))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   private def qEmbedLshDup(spark: SparkSession, dir: String): DataFrame = {
     // Embedding-cosine near-dup, sign-LSH blocked (X2's vector flavor).
     val e = Tables.embeddings(spark, dir)
@@ -98,6 +142,8 @@ object Vectors {
   val queries: Map[String, Q] = Map(
     "q_vector_topk" -> qVectorTopk,
     "q_ann_ivf" -> qAnnIvf,
+    "q_vector_centroid" -> qVectorCentroid,
+    "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_embed_lsh_dup" -> qEmbedLshDup,
     "q_multimodal_join" -> qMultimodalJoin)
 
@@ -116,6 +162,24 @@ object Vectors {
         |           FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
         |FROM embeddings, q WHERE label = qlabel AND vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vector_centroid" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "q_ann_multiprobe" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |cent AS (
+        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |  GROUP BY label, i),
+        |cellsim AS (
+        |  SELECT label, sum(c * qv[i]) AS csim FROM cent, q GROUP BY label),
+        |top2 AS (SELECT label FROM cellsim ORDER BY csim DESC, label LIMIT 2)
+        |SELECT vec_id, label, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0 AND label IN (SELECT label FROM top2)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_embed_lsh_dup" ->
       (s"""WITH e AS (

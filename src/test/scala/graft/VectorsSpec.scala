@@ -21,6 +21,29 @@ class VectorsSpec extends SparkSpec {
     assert(df.head().getInt(0) === (1 | 4 | 128))
   }
 
+  test("multi-probe recall dominates single-cell IVF") {
+    // Probing 2 cells must return results at least as similar as probing
+    // only the query's own cell: the multiprobe top-10's worst sim ≥ the
+    // single-probe top-10's worst sim whenever both are full.
+    val dir = "/root/testdata/sf0.001"
+    def worst(q: String): Double = {
+      val sims = SparkEntry.queries(q)(spark, dir)
+        .collect().map(_.getAs[Double]("sim"))
+      assert(sims.nonEmpty); sims.min
+    }
+    assert(worst("q_ann_multiprobe") >= worst("q_ann_ivf"))
+  }
+
+  test("centroids average to the per-cell mean, one row per (label, dim)") {
+    val dir = "/root/testdata/sf0.001"
+    val c = SparkEntry.queries("q_vector_centroid")(spark, dir).collect()
+    val nLabels = c.map(_.getAs[Any]("label")).distinct.length
+    val dims = c.map(_.getAs[Long]("dim")).max
+    assert(c.length === nLabels * dims)
+    // centroid components of unit vectors stay inside the unit ball
+    assert(c.forall(r => math.abs(r.getAs[Double]("c")) <= 1.0))
+  }
+
   test("vector top-k ranks an identical vector first") {
     val d = Files.createTempDirectory("graft_vec").toString
     val q = Array.fill(4)(0.5f)
