@@ -76,4 +76,22 @@ object StreamingAggregates {
           else { state.update(next); Iterator.single(next) }
       }
   }
+
+  /** Streaming exact dedup (X1's streaming face): emit only the FIRST
+    * document carrying each content hash, across micro-batches. State is
+    * one entry per distinct hash, sharded by hash across executors — at
+    * 100 TB/day the knob is the watermarked variant below, which lets the
+    * store evict hashes older than the duplicate-arrival horizon instead
+    * of growing forever. Expects `doc_id` and `text` columns. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text"))).dropDuplicates("h")
+
+  /** Watermarked streaming dedup: duplicates are only suppressed when
+    * they arrive within `horizon` of the first occurrence's event time —
+    * the bounded-state form (state evicts beyond the watermark). Expects
+    * an event-time `ts TIMESTAMP` column alongside `text`. */
+  def dedupStreamWithin(docs: DataFrame, horizon: String): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("h")
 }

@@ -72,4 +72,39 @@ class StreamingAggregatesSpec extends SparkSpec {
       assert(latest("b").payload === "v2")
     } finally q.stop()
   }
+
+  test("dedupStream emits only the first occurrence of each content hash") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val df = source.toDF().toDF("doc_id", "text")
+    val q = StreamingAggregates.dedupStream(df).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      source.addData((1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"))
+      q.processAllAvailable()
+      // a later batch re-sending known content must emit nothing new
+      source.addData((4L, "gamma"), (5L, "delta"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
+  test("dedupStreamWithin suppresses duplicates inside the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val df = source.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingAggregates.dedupStreamWithin(df, "10 minutes").writeStream
+      .format("memory").queryName("dedup_wm").outputMode("append").start()
+    try {
+      source.addData(
+        (1L, ts("2024-01-01 00:00:00"), "alpha"),
+        (2L, ts("2024-01-01 00:01:00"), "alpha")) // dup within horizon
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_wm ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(1L))
+    } finally q.stop()
+  }
 }
