@@ -1,8 +1,9 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.Changelog
+import graft.operators.{Analyzer, Changelog}
 
 /** Property tests (SURVEY.md §5 item 5): compaction idempotence and
   * permutation-invariance over random changelogs (scalacheck generators
@@ -47,6 +48,29 @@ class PropertySpec extends SparkSpec {
       val a = Changelog.indexState(df(rows)).collect().toSet
       val b = Changelog.indexState(df(rnd.shuffle(rows))).collect().toSet
       assert(a === b)
+    }
+  }
+
+  test("cjk bigram invariants hold for random space-free BMP text") {
+    // For any space-free text of n >= 2 code points: exactly n-1 tokens,
+    // every token is 2 chars, adjacent tokens overlap by one char, and
+    // concatenating first chars + last token reconstructs the text.
+    val hanGen = Gen.listOfN(12, Gen.choose(0x4e00, 0x9fff)).map(
+      cps => cps.map(_.toChar).mkString)
+    val samples = (1 to 25).map(i =>
+      hanGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val rows = samples.toDF("text")
+      .select(col("text"), Analyzer.Cjk.tokens(col("text")).as("t"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks.length === text.length - 1)
+      assert(toks.forall(_.length == 2))
+      toks.sliding(2).foreach {
+        case Seq(x, y) => assert(x(1) === y(0)); case _ =>
+      }
+      assert(toks.map(_.head).mkString + toks.last(1) === text)
     }
   }
 }
