@@ -81,6 +81,16 @@ class IncrementalMergeSpec extends SparkSpec {
       stateMap(IncrementalIndex.compact(ev)))
   }
 
+  test("an empty micro-batch leaves the state unchanged") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_incE").toString + "/state"
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), base)
+    val before = stateMap(IncrementalIndex.readState(spark, base))
+    IncrementalIndex.mergeBatch(spark, ev.filter(lit(false)), base)
+    assert(stateMap(IncrementalIndex.readState(spark, base)) === before)
+    assert(before.nonEmpty)
+  }
+
   test("merge order of a chunk's internal rows doesn't matter") {
     val ev = changelog
     val statePathA = Files.createTempDirectory("graft_incA").toString + "/state"

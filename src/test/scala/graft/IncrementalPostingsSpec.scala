@@ -68,6 +68,16 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("an empty micro-batch leaves the postings state unchanged") {
+    val root = Files.createTempDirectory("graft_postE").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark,
+      Seq(DocChange("1", 0, "put", "alpha beta")).toDF(), root)
+    val before = postingsMap(IncrementalPostings.postings(spark, root))
+    IncrementalPostings.mergeBatch(spark,
+      Seq.empty[DocChange].toDF(), root)
+    assert(postingsMap(IncrementalPostings.postings(spark, root)) === before)
+  }
+
   test("streaming foreachBatch maintains the postings across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[DocChange]
