@@ -44,6 +44,19 @@ class Graft(spark: SparkSession, dir: String,
   def lookup(rowkey: String): DataFrame =
     indexState.filter(col("rowkey") === rowkey)
 
+  /** Register the engine's tables and derived views for `spark.sql(...)`:
+    * `events`, `documents`, `embeddings`, plus `graft_index_state` (the
+    * compacted secondary index) and `graft_postings` (the inverted
+    * index). Views are lazy plans — a SQL query against them gets the
+    * same Catalyst optimization as the DataFrame API. */
+  def createViews(): Unit = {
+    events.createOrReplaceTempView("events")
+    documents.createOrReplaceTempView("documents")
+    embeddings.createOrReplaceTempView("embeddings")
+    indexState.createOrReplaceTempView("graft_index_state")
+    postings.createOrReplaceTempView("graft_postings")
+  }
+
   // ---- search (the Solr read path) ----
 
   private def toks = tokenizer.tokens(col("text"))

@@ -98,6 +98,19 @@ class GraftApiSpec extends SparkSpec {
     assert(packs.forall(r => r.getAs[Long]("tok") < 1000 + maxDoc))
   }
 
+  test("createViews exposes tables and derived views to spark.sql") {
+    g.createViews()
+    val viaSql = spark.sql(
+      """SELECT rowkey FROM graft_index_state ORDER BY CAST(rowkey AS BIGINT)""")
+      .collect().map(_.getString(0)).toSeq
+    val viaApi = g.indexState.orderBy(col("rowkey").cast("long"))
+      .select("rowkey").collect().map(_.getString(0)).toSeq
+    assert(viaSql === viaApi && viaSql.nonEmpty)
+    val p = spark.sql(
+      "SELECT df FROM graft_postings WHERE tok = 'merge'").head().getLong(0)
+    assert(p > 0)
+  }
+
   test("vec_dot_f is callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, "/root/testdata/sf0.001").limit(5)
