@@ -263,7 +263,7 @@ object Index {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
         |  FROM d)
         |SELECT source, CAST(floor(prev / 4096) AS BIGINT) AS pack_id,
-        |       count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
