@@ -3,8 +3,10 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.{GraftConfig, Tables}
 import graft.operators.{Analyzer, Changelog, Index, TextAnalysis, Tokenizer, Vectors}
+import graft.streaming.{IncrementalIndex, IncrementalPostings}
 
 /** The user-facing library surface — what a user of the reference system
   * (HBase rows + Solr secondary index, queried with full-text search,
@@ -43,6 +45,26 @@ class Graft(spark: SparkSession, dir: String,
   /** Point lookup by rowkey against the index state (HBase `Get`). */
   def lookup(rowkey: String): DataFrame =
     indexState.filter(col("rowkey") === rowkey)
+
+  /** Start the streaming index-state merge for a changelog stream, fully
+    * parameterized by the config — commit interval =
+    * `interval_commit_index`, initial delay = `first_delay` (the
+    * reference timer's two knobs, SolrIndexTools.java:46-49). The state
+    * at `statePath` is bucketed; merges rewrite only touched buckets. */
+  def startIndexMaintenance(changes: DataFrame, statePath: String,
+                            checkpoint: String): StreamingQuery =
+    IncrementalIndex.start(changes, statePath, checkpoint,
+      intervalSeconds = cfg.commitIntervalSec,
+      firstDelaySeconds = cfg.firstDelaySec)
+
+  /** Start the streaming inverted-index merge, tokenizing through this
+    * facade's analyzer; same config knobs as [[startIndexMaintenance]]. */
+  def startPostingsMaintenance(changes: DataFrame, rootPath: String,
+                               checkpoint: String): StreamingQuery =
+    IncrementalPostings.start(changes, rootPath, checkpoint,
+      intervalSeconds = cfg.commitIntervalSec,
+      tokenize = tokenizer.tokens,
+      firstDelaySeconds = cfg.firstDelaySec)
 
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the

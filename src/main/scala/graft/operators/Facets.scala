@@ -106,25 +106,55 @@ object Facets {
 
   private def qStatsPercentile(spark: SparkSession, dir: String): DataFrame = {
     // S9 extension: Solr's stats/percentiles — DISCRETE flavor (the value
-    // at rank ceil(n·p), i.e. the smallest value whose CDF ≥ p).
-    // Implemented as one window sort + integer rank selection rather than
-    // Spark's `percentile` aggregate (value→count map per group: 3.8 s vs
-    // <1 s at sf0.1, unbounded partial state at scale). Discrete, not
-    // interpolated, deliberately: interpolating 2-decimal prices with
+    // at rank ceil(n·p), i.e. the smallest value whose CDF ≥ p). Discrete,
+    // not interpolated, deliberately: interpolating 2-decimal prices with
     // frac=0.5 manufactures exact decimal halves where Spark's and
     // DuckDB's last-ulp arithmetic can round a cent apart — rank selection
     // returns actual data values and compares bit-for-bit with no rounding
-    // at all. The sketch path at 100 TB is percentile_approx.
+    // at all.
+    //
+    // Two-phase exact selection (no full-table per-group sort — a
+    // row_number window partitioned by the cardinality-3 flag would
+    // serialize the entire table through 3 tasks at any scale):
+    //   1. quantize values into fixed-width buckets and build a per-group
+    //      BUCKET HISTOGRAM — a partial-aggregated groupBy whose shuffle
+    //      carries one row per (group, bucket), bounded by the value
+    //      range / width, not the row count. A cumulative window over the
+    //      (tiny) histogram locates, for each percentile, the bucket
+    //      containing the target rank r = ceil(n·p) and the remaining
+    //      in-bucket offset k = r − cum(preceding buckets).
+    //   2. join the table against the broadcast (group, bucket, k) target
+    //      list and rank ONLY the rows inside located buckets — the
+    //      phase-2 window sorts ~bucket-sized row sets, never the table.
+    // The k-th smallest value inside the located bucket IS the rank-r
+    // value groupwide (bucket boundaries respect value order), so the
+    // result is bit-identical to the oracle's row_number() rank selection.
+    // PlanSpec pins the histogram-below-window shape; the sketch path at
+    // 100 TB is percentile_approx.
     val flag = col("l_returnflag")
-    val ranked = Tables.lineitem(spark, dir)
+    val base = Tables.lineitem(spark, dir)
       .select(flag, col("l_extendedprice").as("v"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(flag).orderBy(col("v"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(flag)))
-    def pick(p: Double): Column =
-      max(when(col("rn") === greatest(lit(1L), ceil(col("n") * p).cast("long")), col("v")))
-    ranked.groupBy(flag)
-      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+      .withColumn("bkt", floor(col("v") / 100).cast("long"))
+    val hist = base.groupBy(flag, col("bkt")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.partitionBy(flag).orderBy(col("bkt"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(flag)))
+    val targets = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (p, name) =>
+      cum
+        .withColumn("r", greatest(lit(1L), ceil(col("n") * p).cast("long")))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .select(flag, col("bkt"), (col("r") - (col("cum") - col("cnt"))).as("k"),
+          lit(name).as("pq"))
+    }.reduce(_ unionByName _)
+    val picked = base.join(broadcast(targets), Seq("l_returnflag", "bkt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(flag, col("pq")).orderBy(col("v"))).cast("long"))
+      .filter(col("rn") === col("k"))
+    picked.groupBy(flag)
+      .agg(
+        max(when(col("pq") === "p50", col("v"))).as("p50"),
+        max(when(col("pq") === "p90", col("v"))).as("p90"),
+        max(when(col("pq") === "p99", col("v"))).as("p99"))
       .orderBy(flag)
   }
 

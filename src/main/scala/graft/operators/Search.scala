@@ -158,20 +158,55 @@ object Search {
       .orderBy(col("n").desc, col("tok"))
       .limit(5)
 
-  private def qFuzzySearch(spark: SparkSession, dir: String): DataFrame =
+  private def qFuzzySearch(spark: SparkSession, dir: String): DataFrame = {
     // Solr fuzzy query (term~1): documents containing a token within edit
     // distance 1 of the query term. levenshtein is a built-in with
     // identical semantics in Spark and DuckDB, so even fuzzy match is
-    // oracle-checkable. Scale note: a scan-side exists() is the cold
-    // path; production expands the term against the (small) vocabulary
-    // first, then hits posting lists with the expansion set.
-    Tables.documents(spark, dir)
-      .filter(exists(toks, t => levenshtein(t, lit("merge")) <= 1))
+    // oracle-checkable. Production shape (vs the naive scan-side
+    // exists(levenshtein) over every token of every row): expand the query
+    // term against the AGGREGATED vocabulary — the edit-distance scan runs
+    // once per distinct term, bounded by |vocab|, not once per token
+    // occurrence over 100 TB — then hit the posting lists with the (tiny)
+    // expansion set and fetch matched docs by key. The `|| df < 0`
+    // disjunct is always false but references the aggregate output, which
+    // stops Catalyst pushing the deterministic levenshtein predicate
+    // through the postings aggregate back onto the per-occurrence token
+    // stream (a pushdown that is correct but undoes the whole point).
+    // PlanSpec pins levenshtein-above-aggregate.
+    val docs = Tables.documents(spark, dir)
+    val hits = Index.postings(docs)
+      .filter(levenshtein(col("tok"), lit("merge")) <= 1 || col("df") < 0)
+      .select(explode(col("ids")).as("doc_id"))
+      .distinct()
+    docs.join(hits, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+  }
+
+  private def qFulltextCjk(spark: SparkSession, dir: String): DataFrame = {
+    // S1 in the reference's ACTUAL language context: it is a Chinese-system
+    // (/root/reference/README.md:5-6) whose Solr schema analyzes space-free
+    // han prose — Lucene's CJKAnalyzer emits overlapping character bigrams.
+    // The fixture corpus is space-delimited, so both engines manufacture
+    // the CJK shape identically: docs with doc_id % 3 == 0 keep their text
+    // (the whitespace branch), the rest have spaces removed (space-free
+    // prose — the bigram branch). Analyzer.Cjk then branches per row on
+    // `contains(' ')`, and the oracle mirrors that same branch — every row
+    // of the corpus oracle-checks BOTH analyzer paths: term count and the
+    // term frequency of the 2-char query "rg".
+    val z = when(col("doc_id") % 3 === 0, col("text"))
+      .otherwise(regexp_replace(col("text"), " ", ""))
+    val terms = Analyzer.Cjk.tokens(z)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(terms).cast("long").as("n_terms"),
+        size(filter(terms, t => t === "rg")).cast("long").as("tf"))
+      .orderBy("doc_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_fulltext_search" -> qFulltextSearch,
+    "q_fulltext_cjk" -> qFulltextCjk,
     "q_fuzzy_search" -> qFuzzySearch,
     "q_fulltext_bool" -> qFulltextBool,
     "q_filter_range" -> qFilterRange,
@@ -187,6 +222,21 @@ object Search {
     "q_fulltext_search" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE list_contains(string_split(text, ' '), 'merge') ORDER BY doc_id""".stripMargin,
+    "q_fulltext_cjk" ->
+      """WITH z AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text
+        |              ELSE replace(text, ' ', '') END AS zt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN contains(zt, ' ') THEN len(string_split(zt, ' '))
+        |            WHEN len(zt) <= 1 THEN 1
+        |            ELSE len(zt) - 1 END AS n_terms,
+        |       CASE WHEN contains(zt, ' ')
+        |            THEN len(list_filter(string_split(zt, ' '), t -> t = 'rg'))
+        |            ELSE len(list_filter(generate_series(1, len(zt) - 1),
+        |                                 i -> substr(zt, i, 2) = 'rg')) END AS tf
+        |FROM z ORDER BY doc_id""".stripMargin,
     "q_fulltext_bool" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE list_contains(string_split(text, ' '), 'scan')

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -19,12 +19,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (/root/reference/README.md:19-20) is replaced by checkpointed source
   * offsets — exactly-once per micro-batch.
   *
-  * Scale notes: each micro-batch merge shuffles only on `rowkey`, and the
-  * union-with-state recompaction below is the simple form; on a real lake
-  * the state table is a bucketed/MERGE-capable table so a batch touches only
-  * the buckets its rowkeys hash to, not the full state.
+  * State layout — BUCKETED for delta-sized writes, the property that makes
+  * the reference's design incremental (SolrIndexTools.java:93-144 flushes
+  * only the delta, never the index): the state root holds `b=<i>`
+  * directories, one per `pmod(crc32(rowkey), numBuckets)` value. A merge
+  * reads and rewrites ONLY the buckets the batch's rowkeys hash into —
+  * untouched bucket directories are never opened (byte-identical across
+  * the merge, asserted in IncrementalMergeSpec). Each micro-batch merge
+  * shuffles only on `rowkey`; write volume is O(batch + touched-bucket
+  * state), not O(state). At 100 TB, numBuckets is sized so one bucket is a
+  * comfortable rewrite unit (the same knob as LSM compaction granularity);
+  * on object stores the same layout maps onto a MERGE-capable table format
+  * (SCALE.md §streaming).
   */
 object IncrementalIndex {
+
+  /** Default state bucket count. Local tests use a handful; a real
+    * deployment sizes this so one bucket ≈ a comfortable rewrite unit. */
+  val DefaultBuckets = 16
+
+  private def bucketCol(numBuckets: Int): Column =
+    pmod(crc32(col("rowkey")), lit(numBuckets)).cast("int")
 
   /** Latest-wins compaction of a (possibly already-compacted ∪ new) slice
     * of the changelog: one row per rowkey, deletes dropped. Read-side
@@ -46,48 +61,79 @@ object IncrementalIndex {
       .drop("rn")
   }
 
-  /** Merge one micro-batch into the state at `statePath` (parquet).
+  /** Merge one micro-batch into the bucketed state at `statePath`.
     * Reference semantics: client.add = upsert-by-id, client.deleteById =
     * drop (SolrIndexTools.java:60,63,127,129). The state persists the
     * latest event per rowkey INCLUDING tombstones; readers apply
-    * `op != 'delete'` (or use [[readState]]). */
-  def mergeBatch(spark: SparkSession, batch: DataFrame, statePath: String): Unit = {
-    // Heal an interrupted swap first: if a previous merge died mid-swap,
-    // the previous state is sitting at `.old` and must be restored BEFORE
-    // the existence check below — otherwise the replayed batch would merge
-    // against nothing and promote a batch-only state over the only
-    // surviving copy.
-    StateStore.recover(spark, statePath)
-    val existing =
-      if (StateStore.nonEmpty(spark, statePath)) Some(spark.read.parquet(statePath))
-      else None
+    * `op != 'delete'` (or use [[readState]]).
+    *
+    * The touched-bucket list is collected to the driver: it is bounded by
+    * `numBuckets` (metadata, not data). Re-merging the same batch is
+    * idempotent — latest-wins by event_id — which is what makes the
+    * per-bucket (prefix-atomic) commit crash-safe; see
+    * [[StateStore.commitBuckets]]. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, statePath: String,
+                 numBuckets: Int = DefaultBuckets): Unit = {
+    val withB = batch.withColumn("b", bucketCol(numBuckets))
+    val touched = withB.select("b").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return // empty micro-batch: no bucket to rewrite
+    val live = StateStore.liveBuckets(spark, statePath).toSet
+    val touchedDirs = touched.toSeq.map(b => s"b=$b")
+    val oldPaths = touchedDirs.filter(live.contains).map(d => s"$statePath/$d")
+    // Bucket dirs are read directly (no partition discovery), so the
+    // bucket id is recomputed from the rowkey — it is a pure function of
+    // the key, identical in file and formula.
+    val oldTouched =
+      if (oldPaths.nonEmpty)
+        spark.read.parquet(oldPaths: _*).withColumn("b", bucketCol(numBuckets))
+      else withB.limit(0)
     // event_id totally orders state rows vs batch rows.
-    val all = existing.map(_.unionByName(batch)).getOrElse(batch)
-    val merged = compactAll(all).cache()
-    merged.count() // materialize before the swap touches the input path
-    // Crash-safe swap through the Hadoop FileSystem API (HDFS-compatible;
-    // see StateStore for the protocol and the object-store caveat).
-    try StateStore.commit(spark, statePath) { tmp =>
-      merged.write.mode("overwrite").parquet(tmp)
+    val merged = compactAll(oldTouched.unionByName(withB)).cache()
+    merged.count() // materialize before the swap touches the input paths
+    try StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>
+      merged.write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
     } finally merged.unpersist(): Unit
   }
 
   /** Read the live view of the persisted state (tombstones filtered). */
   def readState(spark: SparkSession, statePath: String): DataFrame = {
-    StateStore.recover(spark, statePath)
-    spark.read.parquet(statePath).filter(col("op") =!= "delete")
+    val dirs = StateStore.liveBuckets(spark, statePath)
+    spark.read.parquet(dirs.map(d => s"$statePath/$d"): _*)
+      .filter(col("op") =!= "delete")
   }
 
   /** Wire a streaming changelog (schema: rowkey STRING, event_id LONG,
-    * op STRING, …) into the merge sink. */
+    * op STRING, …) into the merge sink. `firstDelaySeconds` mirrors the
+    * reference's `first_delay` (application.properties:10, the timer's
+    * initial delay at SolrIndexTools.java:48): the first merge of THIS
+    * start() call waits out the remainder of the delay inside
+    * `foreachBatch` — data accumulates at the source exactly as it does
+    * in the reference's buffer, and the gate holds the stream thread, not
+    * the caller. */
   def start(changes: DataFrame, statePath: String, checkpoint: String,
-            intervalSeconds: Int = 30): StreamingQuery =
+            intervalSeconds: Int = 30, firstDelaySeconds: Int = 0,
+            numBuckets: Int = DefaultBuckets): StreamingQuery = {
+    val gate = firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch.sparkSession, batch, statePath)
+        gate()
+        mergeBatch(batch.sparkSession, batch, statePath, numBuckets)
       }
       .start()
+  }
+
+  /** A once-per-start gate: the first invocation sleeps out whatever is
+    * left of `delaySeconds` since creation, later ones return immediately. */
+  private[graft] def firstBatchGate(delaySeconds: Int): () => Unit = {
+    val startNanos = System.nanoTime()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(delaySeconds <= 0)
+    () =>
+      if (done.compareAndSet(false, true)) {
+        val remainMs = delaySeconds * 1000L - (System.nanoTime() - startNanos) / 1000000L
+        if (remainMs > 0) Thread.sleep(remainMs)
+      }
+  }
 }

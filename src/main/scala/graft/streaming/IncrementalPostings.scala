@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** Incremental maintenance of the materialized posting-list table — the
   * reference's actual product (HBase mutations kept in sync with a Solr
@@ -13,23 +13,43 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * index, so term queries read |postings(term)| rows instead of re-scanning
   * the corpus (SCALE.md §search names this as the 100 TB search path).
   *
-  * State layout (one root, swapped atomically as a unit by [[StateStore]]):
-  *   - `<root>/docs`    — latest event per rowkey INCLUDING tombstones
-  *     (same discipline as [[IncrementalIndex]]: without tombstones a stale
-  *     put in a later batch would resurrect a deleted doc's postings);
-  *   - `<root>/entries` — the inverted index as (tok, doc_id) rows, one per
-  *     distinct token per live document.
+  * State layout — two bucketed roots, each in the `b=<i>` layout of
+  * [[StateStore.commitBuckets]]:
+  *   - `<root>/docs`    — latest event per rowkey INCLUDING tombstones,
+  *     bucketed by `crc32(rowkey)` (same discipline as
+  *     [[IncrementalIndex]]: without tombstones a stale put in a later
+  *     batch would resurrect a deleted doc's postings);
+  *   - `<root>/entries` — the inverted index as (tok, doc_id) rows,
+  *     bucketed by `crc32(tok)`.
   *
   * The per-batch delta is keyed by TOKEN on both sides, which is the scale
   * property: removals are the touched docs' OLD tokens and additions their
-  * NEW tokens, so with `entries` bucketed by `tok` a batch touches only the
-  * buckets its tokens hash to — never the full index. (A doc_id-keyed
-  * anti-join would shuffle the whole entries table per batch.)
+  * NEW tokens, so a batch reads and rewrites only the entry buckets those
+  * tokens hash to — never the full index. (A doc_id-keyed anti-join would
+  * shuffle the whole entries table per batch.) Write volume per batch is
+  * O(touched doc buckets + touched token buckets), not O(state).
+  *
+  * Crash protocol: per-bucket swaps are prefix-atomic, so the merge itself
+  * must be idempotent under replay against ANY partially-promoted state.
+  * Two ingredients guarantee that:
+  *   1. entries commit BEFORE docs — replay after a crash between the two
+  *      recomputes removals from the still-old docs, so old tokens are
+  *      re-removed (or already gone: anti-join no-op);
+  *   2. the entries rewrite anti-joins BOTH removals and additions before
+  *      unioning the additions once — re-applying it to an
+  *      already-promoted entry bucket reproduces identical content instead
+  *      of duplicating the additions.
   */
 object IncrementalPostings {
 
   private val entriesSchema = StructType(Seq(
-    StructField("tok", StringType), StructField("doc_id", StringType)))
+    StructField("tok", StringType), StructField("doc_id", StringType),
+    StructField("b", IntegerType)))
+
+  private def docBucket(numBuckets: Int): Column =
+    pmod(crc32(col("rowkey")), lit(numBuckets)).cast("int")
+  private def tokBucket(numBuckets: Int): Column =
+    pmod(crc32(col("tok")), lit(numBuckets)).cast("int")
 
   /** Whitespace tokenization by default; pass e.g. `Analyzer.cjk.tokens`
     * for space-free scripts. Distinct per doc — postings are a set. */
@@ -39,62 +59,102 @@ object IncrementalPostings {
         explode(array_distinct(tokenize(col("text")))).as("tok"))
       .select("tok", "doc_id")
 
+  private def readBuckets(spark: SparkSession, root: String, dirs: Seq[String],
+                          fallback: => DataFrame): DataFrame = {
+    val live = StateStore.liveBuckets(spark, root).toSet
+    val paths = dirs.filter(live.contains).map(d => s"$root/$d")
+    if (paths.nonEmpty) spark.read.parquet(paths: _*) else fallback
+  }
+
   /** Fold one micro-batch (rowkey STRING, event_id LONG, op put|delete,
-    * text STRING) into the persisted postings state. */
+    * text STRING) into the persisted postings state. The touched-bucket
+    * lists collected to the driver are bounded by `numBuckets` each —
+    * metadata, not data. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, rootPath: String,
-                 tokenize: Column => Column = split(_, " ")): Unit = {
-    StateStore.recover(spark, rootPath)
-    val hasState = StateStore.nonEmpty(spark, rootPath)
-    val oldDocs =
-      if (hasState) spark.read.parquet(rootPath + "/docs")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        batch.schema)
-    val oldEntries =
-      if (hasState) spark.read.parquet(rootPath + "/entries")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        entriesSchema)
+                 tokenize: Column => Column = split(_, " "),
+                 numBuckets: Int = IncrementalIndex.DefaultBuckets): Unit = {
+    val docsRoot = rootPath + "/docs"
+    val entriesRoot = rootPath + "/entries"
+
+    val withB = batch.withColumn("b", docBucket(numBuckets))
+    val touchedDocB = withB.select("b").distinct().collect().map(_.getInt(0)).sorted
+    if (touchedDocB.isEmpty) return // empty micro-batch: nothing to rewrite
+    val docDirs = touchedDocB.toSeq.map(b => s"b=$b")
+    // Bucket dirs are read directly (no partition discovery); bucket ids
+    // are recomputed from the keys where needed.
+    val oldDocs = readBuckets(spark, docsRoot, docDirs, batch.limit(0))
 
     // Only rowkeys present in the batch can change; everything is derived
     // from this (small) touched set.
     val touched = batch.select("rowkey").distinct()
-    val mergedDocs = IncrementalIndex.compactAll(oldDocs.unionByName(batch)).cache()
+    val mergedDocs = IncrementalIndex.compactAll(oldDocs.unionByName(batch))
+      .withColumn("b", docBucket(numBuckets)).cache()
     // removals: the touched docs' PREVIOUS tokens (tok-keyed delta);
     // additions: their tokens after the merge. A stale batch event leaves
     // both sides equal, so the entries are rewritten unchanged — idempotent.
     val removals = docToks(oldDocs.join(broadcast(touched), "rowkey"), tokenize)
-    val additions = docToks(mergedDocs.join(broadcast(touched), "rowkey"), tokenize)
+    val additions = docToks(mergedDocs.drop("b").join(broadcast(touched), "rowkey"), tokenize)
+
+    val touchedTokB = removals.select(tokBucket(numBuckets).as("b"))
+      .unionByName(additions.select(tokBucket(numBuckets).as("b")))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val entryDirs = touchedTokB.toSeq.map(b => s"b=$b")
+    val oldEntries = readBuckets(spark, entriesRoot, entryDirs,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        entriesSchema).drop("b"))
+    // Double anti-join (see crash protocol in the class doc): removals for
+    // the delta, additions so replay over an already-promoted bucket
+    // cannot duplicate them.
     val newEntries = oldEntries
       .join(removals, Seq("tok", "doc_id"), "left_anti")
+      .join(additions, Seq("tok", "doc_id"), "left_anti")
       .unionByName(additions)
+      .withColumn("b", tokBucket(numBuckets))
       .cache()
 
     mergedDocs.count(); newEntries.count() // decouple from the input files
-    try StateStore.commit(spark, rootPath) { tmp =>
-      mergedDocs.write.mode("overwrite").parquet(tmp + "/docs")
-      newEntries.write.mode("overwrite").parquet(tmp + "/entries")
+    try {
+      if (entryDirs.nonEmpty)
+        StateStore.commitBuckets(spark, entriesRoot, entryDirs) { tmp =>
+          newEntries.write.partitionBy("b").mode("overwrite").parquet(tmp)
+        }
+      StateStore.commitBuckets(spark, docsRoot, docDirs) { tmp =>
+        mergedDocs.write.partitionBy("b").mode("overwrite").parquet(tmp)
+      }
     } finally { mergedDocs.unpersist(); newEntries.unpersist(): Unit }
   }
 
   /** The maintained inverted index, in `Index.postings` shape:
     * (tok, sorted doc ids, document frequency). */
   def postings(spark: SparkSession, rootPath: String): DataFrame = {
-    StateStore.recover(spark, rootPath)
-    spark.read.parquet(rootPath + "/entries")
-      .groupBy("tok")
+    val root = rootPath + "/entries"
+    val dirs = StateStore.liveBuckets(spark, root)
+    val entries =
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        entriesSchema).drop("b")
+    entries.groupBy("tok")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
         countDistinct(col("doc_id")).as("df"))
   }
 
-  /** Wire a streaming document changelog into the postings merge sink. */
+  /** Wire a streaming document changelog into the postings merge sink.
+    * `firstDelaySeconds` mirrors the reference's `first_delay`
+    * (application.properties:10) — see [[IncrementalIndex.start]]. */
   def start(changes: DataFrame, rootPath: String, checkpoint: String,
             intervalSeconds: Int = 30,
-            tokenize: Column => Column = split(_, " ")): StreamingQuery =
+            tokenize: Column => Column = split(_, " "),
+            firstDelaySeconds: Int = 0,
+            numBuckets: Int = IncrementalIndex.DefaultBuckets): StreamingQuery = {
+    val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch.sparkSession, batch, rootPath, tokenize)
+        gate()
+        mergeBatch(batch.sparkSession, batch, rootPath, tokenize, numBuckets)
       }
       .start()
+  }
 }

@@ -64,18 +64,20 @@ object StateStore {
     }
   }
 
-  /** Swap in a new state version: `write` receives the `.tmp` path and must
-    * fully materialize the new state there; the swap then promotes it. The
-    * caller's DataFrame must already be decoupled from `<path>`'s files
-    * (cache + count) — the old state is renamed during the swap. */
-  def commit(spark: SparkSession, statePath: String)(write: String => Unit): Unit = {
-    val target = new Path(statePath)
-    val tmp = new Path(statePath + ".tmp")
-    val backup = new Path(statePath + ".old")
+  /** Promote a fully-materialized directory over `targetPath` — protocol
+    * steps 3–5, healing first. A MISSING `tmpPath` means the new version of
+    * this target is empty: the target is deleted instead (a bucketed
+    * rewrite whose bucket ended with zero rows writes no directory). */
+  def swapIn(spark: SparkSession, tmpPath: String, targetPath: String): Unit = {
+    val target = new Path(targetPath)
+    val tmp = new Path(tmpPath)
+    val backup = new Path(targetPath + ".old")
     val fs = fsOf(spark, target)
-    recover(spark, statePath)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    write(tmp.toString)
+    recover(spark, targetPath)
+    if (!fs.exists(tmp)) {
+      if (fs.exists(target)) fs.delete(target, true): Unit
+      return
+    }
     if (fs.exists(target) && !fs.rename(target, backup))
       throw new IOException(s"cannot move $target aside to $backup")
     if (!fs.rename(tmp, target)) {
@@ -84,5 +86,58 @@ object StateStore {
       throw new IOException(s"cannot promote $tmp to $target")
     }
     if (fs.exists(backup)) fs.delete(backup, true): Unit
+  }
+
+  /** Swap in a new state version: `write` receives the `.tmp` path and must
+    * fully materialize the new state there; the swap then promotes it. The
+    * caller's DataFrame must already be decoupled from `<path>`'s files
+    * (cache + count) — the old state is renamed during the swap. */
+  def commit(spark: SparkSession, statePath: String)(write: String => Unit): Unit = {
+    val tmp = new Path(statePath + ".tmp")
+    val fs = fsOf(spark, tmp)
+    recover(spark, statePath)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    write(tmp.toString)
+    swapIn(spark, tmp.toString, statePath)
+  }
+
+  /** Bucketed commit — the delta-sized write path. `write` materializes
+    * ONLY the touched buckets under one tmp root (one job, e.g.
+    * `df.write.partitionBy("b")`); each directory named in `bucketDirs`
+    * (e.g. `b=3`) is then swapped in independently. Untouched bucket
+    * directories are never opened, renamed, or rewritten — at 100 TB a
+    * micro-batch rewrites the buckets it hashes into, not the state.
+    *
+    * Each per-bucket swap is atomic, the SEQUENCE is not: a crash midway
+    * leaves a prefix of the buckets promoted. That is safe exactly when
+    * the caller's merge is idempotent — replaying the checkpointed
+    * micro-batch rewrites an already-promoted bucket with identical
+    * content (event_id latest-wins for row state; the postings merge's
+    * double anti-join) — which is the documented contract of both
+    * incremental merges. */
+  def commitBuckets(spark: SparkSession, rootPath: String, bucketDirs: Seq[String])
+                   (write: String => Unit): Unit = {
+    val root = new Path(rootPath)
+    val tmpRoot = new Path(rootPath + ".tmpbatch")
+    val fs = fsOf(spark, root)
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    fs.mkdirs(root)
+    write(tmpRoot.toString)
+    bucketDirs.foreach(d => swapIn(spark, s"$tmpRoot/$d", s"$rootPath/$d"))
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
+  }
+
+  /** Heal every bucket under a bucketed state root (promote interrupted
+    * per-bucket swaps) and return the live bucket directory names. */
+  def liveBuckets(spark: SparkSession, rootPath: String): Seq[String] = {
+    val root = new Path(rootPath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.endsWith(".old"))
+      .foreach(n => recover(spark, s"$rootPath/${n.stripSuffix(".old")}"))
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("b=") && !n.endsWith(".old") && !n.endsWith(".tmp"))
+      .toSeq.sorted
   }
 }

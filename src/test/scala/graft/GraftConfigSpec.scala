@@ -25,6 +25,16 @@ class GraftConfigSpec extends SparkSpec {
     assert(cfg.addBatchCount === 10000 && cfg.delBatchCount === 2000)
     assert(cfg.commitIntervalSec === 30)
     assert(cfg.deleteClass === GraftConfig.default.deleteClass) // unset → default
+    assert(cfg.firstDelaySec === 10) // unset → the reference's shipped value
+  }
+
+  test("first_delay (the flush timer's initial delay) parses and validates") {
+    val p = new java.util.Properties()
+    p.setProperty("first_delay", "25")
+    assert(GraftConfig.fromProperties(p).firstDelaySec === 25)
+    intercept[IllegalArgumentException] {
+      GraftConfig.default.copy(firstDelaySec = -1)
+    }
   }
 
   test("load() parses a .properties file") {

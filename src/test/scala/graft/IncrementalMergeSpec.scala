@@ -49,36 +49,86 @@ class IncrementalMergeSpec extends SparkSpec {
       stateMap(IncrementalIndex.compact(ev)))
   }
 
-  test("leftover .tmp/.old dirs from an interrupted merge don't break the next one") {
+  private def bucketDirs(base: String): Seq[String] =
+    new java.io.File(base).listFiles().map(_.getName)
+      .filter(n => n.startsWith("b=") && !n.endsWith(".old")).toSeq.sorted
+
+  test("leftover .tmpbatch/.old dirs from an interrupted merge don't break the next one") {
     val ev = changelog
     val base = Files.createTempDirectory("graft_incL").toString + "/state"
     IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), base)
-    // simulate an interrupted previous swap
-    new java.io.File(base + ".tmp").mkdirs()
-    new java.io.File(base + ".old").mkdirs()
+    // simulate an interrupted previous bucketed commit: a stale tmp root,
+    // plus a completed commit's leftover backup next to a live bucket
+    new java.io.File(base + ".tmpbatch/b=0").mkdirs()
+    val live = bucketDirs(base).head
+    new java.io.File(s"$base/$live.old").mkdirs()
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(base + ".old", "junk"), "stale")
+      java.nio.file.Paths.get(s"$base/$live.old", "junk"), "stale")
     IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base)
     assert(stateMap(IncrementalIndex.readState(spark, base)) ===
       stateMap(IncrementalIndex.compact(ev)))
-    assert(!new java.io.File(base + ".old").exists())
+    assert(!new java.io.File(s"$base/$live.old").exists())
   }
 
-  test("a crash between the swap's renames doesn't lose state (.old is restored)") {
-    // The ADVICE-flagged hole: dying between `rename(target, backup)` and
-    // `rename(tmp, target)` leaves the ONLY copy of the state at `.old`.
-    // The replayed merge must restore it before reading — otherwise it
-    // would promote a batch-only state and silently drop chunk 1.
+  test("a crash between a bucket swap's renames doesn't lose state (.old is restored)") {
+    // Dying between `rename(target, backup)` and `rename(tmp, target)`
+    // leaves the ONLY copy of that bucket at `b=<i>.old`. The next
+    // merge/read must restore it before reading — otherwise the bucket's
+    // rows would silently vanish from the state.
     val ev = changelog
     val base = Files.createTempDirectory("graft_incR").toString + "/state"
     IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), base)
-    val p = new org.apache.hadoop.fs.Path(base)
+    val victim = bucketDirs(base).head
+    val p = new org.apache.hadoop.fs.Path(s"$base/$victim")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.rename(p, new org.apache.hadoop.fs.Path(base + ".old")))
-    // replay of the interrupted batch + the next chunk
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$base/$victim.old")))
+    // the next chunk's merge heals the bucket whether or not it touches it
     IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base)
     assert(stateMap(IncrementalIndex.readState(spark, base)) ===
       stateMap(IncrementalIndex.compact(ev)))
+  }
+
+  private def snapshot(base: String): Map[String, Map[String, String]] =
+    bucketDirs(base).map { d =>
+      d -> new java.io.File(s"$base/$d").listFiles().filter(_.isFile).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }.toMap
+
+  test("a merge rewrites ONLY the buckets the batch touches (untouched dirs byte-identical)") {
+    // The delta-sized-write property — the reference's whole point
+    // (SolrIndexTools.java:93-144 flushes the delta, never the index).
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_incD").toString + "/state"
+    IncrementalIndex.mergeBatch(spark, ev, base)
+    val before = snapshot(base)
+    val oneKey = ev.select("rowkey").orderBy("rowkey").limit(1)
+      .collect().head.getString(0)
+    IncrementalIndex.mergeBatch(spark,
+      ev.filter(col("rowkey") === oneKey)
+        .withColumn("event_id", col("event_id") + 1000000L), base)
+    val after = snapshot(base)
+    val crc = new java.util.zip.CRC32()
+    crc.update(oneKey.getBytes("UTF-8"))
+    val touched = s"b=${java.lang.Math.floorMod(crc.getValue, IncrementalIndex.DefaultBuckets.toLong)}"
+    assert(before.keySet === after.keySet)
+    assert(before.contains(touched))
+    for (d <- before.keySet if d != touched)
+      assert(before(d) === after(d), s"untouched bucket $d was rewritten")
+    assert(before(touched) !== after(touched), "touched bucket should be rewritten")
+  }
+
+  test("replaying the same micro-batch is a no-op (prefix-atomic commit safety)") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_incP").toString + "/state"
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), base)
+    val chunk2 = ev.filter(col("event_id") >= 500)
+    IncrementalIndex.mergeBatch(spark, chunk2, base)
+    val once = stateMap(IncrementalIndex.readState(spark, base))
+    IncrementalIndex.mergeBatch(spark, chunk2, base) // checkpoint replay
+    assert(stateMap(IncrementalIndex.readState(spark, base)) === once)
   }
 
   test("an empty micro-batch leaves the state unchanged") {

@@ -78,6 +78,59 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(postingsMap(IncrementalPostings.postings(spark, root)) === before)
   }
 
+  test("replaying the same micro-batch is a no-op (double anti-join idempotency)") {
+    // Per-bucket commits are prefix-atomic, so a checkpoint replay can hit
+    // ANY partially-promoted state; the strongest observable form is a full
+    // replay against the fully-promoted state — content must not change
+    // (in particular, additions must not duplicate).
+    val root = Files.createTempDirectory("graft_postR").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "alpha beta"),
+      DocChange("2", 1, "put", "beta gamma")).toDF(), root)
+    val batch2 = Seq(
+      DocChange("1", 2, "put", "alpha zeta"), // update: loses beta
+      DocChange("3", 3, "put", "gamma beta"))
+    IncrementalPostings.mergeBatch(spark, batch2.toDF(), root)
+    val once = postingsMap(IncrementalPostings.postings(spark, root))
+    IncrementalPostings.mergeBatch(spark, batch2.toDF(), root) // replay
+    assert(postingsMap(IncrementalPostings.postings(spark, root)) === once)
+    assert(once("beta") === (Set("2", "3"), 2L))
+  }
+
+  private def tokBucket(s: String): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(s.getBytes("UTF-8"))
+    "b=" + java.lang.Math.floorMod(crc.getValue,
+      graft.streaming.IncrementalIndex.DefaultBuckets.toLong)
+  }
+
+  private def snapshotDirs(base: String): Map[String, Map[String, Long]] = {
+    val root = new java.io.File(base)
+    if (!root.exists()) Map.empty
+    else root.listFiles().filter(d => d.getName.startsWith("b=") && d.isDirectory)
+      .map(d => d.getName ->
+        d.listFiles().filter(_.isFile).map(f => f.getName -> f.length()).toMap)
+      .toMap
+  }
+
+  test("a merge rewrites only the entry buckets its delta tokens hash to") {
+    val root = Files.createTempDirectory("graft_postD").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "alpha beta"),
+      DocChange("2", 1, "put", "gamma delta")).toDF(), root)
+    val before = snapshotDirs(root + "/entries")
+    // update doc 2: delta tokens = {gamma, delta (removals), zeta (addition)}
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("2", 2, "put", "gamma zeta")).toDF(), root)
+    val after = snapshotDirs(root + "/entries")
+    val touched = Set("gamma", "delta", "zeta").map(tokBucket)
+    for (d <- before.keySet if !touched.contains(d))
+      assert(before(d) === after(d), s"entry bucket $d outside the delta was rewritten")
+    // sanity: the delta really did land
+    val got = postingsMap(IncrementalPostings.postings(spark, root))
+    assert(got("zeta") === (Set("2"), 1L) && !got.contains("delta"))
+  }
+
   test("streaming foreachBatch maintains the postings across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[DocChange]

@@ -97,6 +97,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionBy") || p.contains("windowspecdefinition(seg"), p)
   }
 
+  test("q_stats_percentile: the per-group window sorts the HISTOGRAM, not the table") {
+    // The scale property: the rank-selection window's input must be the
+    // (group, value) aggregate — a cardinality-3 partition sort over raw
+    // lineitem would serialize the whole table through 3 tasks. In the
+    // top-down plan print, an aggregate BELOW the window means the deepest
+    // HashAggregate appears after the last Window.
+    val p = plan("q_stats_percentile")
+    assert(p.contains("Window"), p)
+    assert(p.lastIndexOf("HashAggregate") > p.lastIndexOf("Window"),
+      s"window input is not aggregated:\n$p")
+  }
+
+  test("q_fuzzy_search: levenshtein runs over the aggregated vocabulary, not the corpus scan") {
+    val p = plan("q_fuzzy_search")
+    // edit distance must appear ABOVE an aggregate (the postings build) —
+    // i.e. there is still a HashAggregate deeper in the plan than the
+    // levenshtein filter. A scan-side exists(levenshtein) has none below.
+    val lev = p.lastIndexOf("levenshtein")
+    assert(lev >= 0, p)
+    assert(p.indexOf("HashAggregate", lev) > 0,
+      s"levenshtein filter sits on the raw scan:\n$p")
+    assert(!p.contains("exists("), p)
+    // the expansion set reaches the postings via a broadcast, and the doc
+    // fetch is a semi-join — never a shuffle of the corpus against it
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
     for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
       val df = SparkEntry.queries(q)(spark, dir)

@@ -49,4 +49,34 @@ class StreamingSpec extends SparkSpec {
       assert(live === Map("a" -> "v2", "b" -> "v5", "c" -> "v4"))
     } finally query.stop()
   }
+
+  test("first_delay holds the FIRST merge only (reference timer's initial delay)") {
+    // Unit-level check of the gate both starts share: the first call waits
+    // out the remainder of the delay, later calls return immediately.
+    val gate = IncrementalIndex.firstBatchGate(1)
+    val t0 = System.nanoTime()
+    gate()
+    val firstMs = (System.nanoTime() - t0) / 1000000L
+    assert(firstMs >= 900L, s"first call returned after ${firstMs}ms")
+    val t1 = System.nanoTime()
+    gate()
+    assert((System.nanoTime() - t1) / 1000000L < 200L, "second call must not wait")
+  }
+
+  test("a stream started with firstDelaySeconds commits its first batch late") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Change]
+    val statePath = Files.createTempDirectory("graft_stateD").toString + "/state"
+    val checkpoint = Files.createTempDirectory("graft_ckptD").toString
+    val t0 = System.nanoTime()
+    val query = IncrementalIndex.start(
+      source.toDF(), statePath, checkpoint, intervalSeconds = 1, firstDelaySeconds = 1)
+    try {
+      source.addData(Change("a", 0L, "put", "v0"))
+      query.processAllAvailable() // blocks through the gate + the merge
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs >= 1000L, s"first commit landed after only ${elapsedMs}ms")
+      assert(IncrementalIndex.readState(spark, statePath).count() === 1L)
+    } finally query.stop()
+  }
 }
