@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.{GraftConfig, Tables}
-import graft.operators.{Analyzer, Changelog, Index, TextAnalysis, Tokenizer, Vectors}
+import graft.operators.{Analyzer, Changelog, Index, IvfIndex, TextAnalysis, Tokenizer, Vectors}
 import graft.streaming.{IncrementalIndex, IncrementalPostings}
 
 /** The user-facing library surface — what a user of the reference system
@@ -203,6 +203,15 @@ class Graft(spark: SparkSession, dir: String,
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Train and materialize a persisted IVF index over this corpus's
+    * embeddings (cell-partitioned layout; probes prune at the file level). */
+  def buildIvfIndex(path: String, nlist: Int = 16, iters: Int = 5): Unit =
+    IvfIndex.build(embeddings, path, nlist, iters)
+
+  /** Probed ANN search against a persisted IVF index. */
+  def ivfSearch(path: String, query: Seq[Float], k: Int = 10, probes: Int = 2): DataFrame =
+    IvfIndex.search(spark, path, query, k, probes)
 
   /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
     * aggregation that first dedupes within `buckets` hash-shards of the

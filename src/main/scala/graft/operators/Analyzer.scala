@@ -57,6 +57,33 @@ object Analyzer {
       when(text.contains(" "), Whitespace.tokens(text)).otherwise(bigrams(text))
   }
 
+  /** Lowercase filter stage — Solr's LowerCaseFilterFactory, the second
+    * stage of the reference schema's text_general chain, composed over any
+    * tokenizer. Still a pure Column expression: the transform lambda is
+    * codegen'd per element. */
+  final case class Lowercased(inner: Tokenizer) extends Tokenizer {
+    val name = s"lowercased(${inner.name})"
+    def tokens(text: Column): Column = transform(inner.tokens(text), lower(_))
+  }
+
+  /** Stopword filter stage — Solr's StopFilterFactory. Drops exact matches
+    * against the (small, broadcast-as-literal) stopword list. */
+  final case class StopFiltered(inner: Tokenizer, stopwords: Seq[String]) extends Tokenizer {
+    require(stopwords.nonEmpty, "stopword filter needs at least one stopword")
+    val name = s"stopfiltered(${inner.name})"
+    def tokens(text: Column): Column = {
+      val stops = array(stopwords.map(lit): _*)
+      filter(inner.tokens(text), t => !array_contains(stops, t))
+    }
+  }
+
+  /** The reference schema's likely analyzer chain for latin text
+    * (text_general: tokenize → lowercase → stop), assembled from the
+    * stages above — demonstrates chain composition; pass your own
+    * stopword list for a real corpus. */
+  def textGeneral(stopwords: Seq[String]): Tokenizer =
+    StopFiltered(Lowercased(Whitespace), stopwords)
+
   /** Default binding for the fixture corpus; every `SparkEntry` query pins
     * this (its expression is byte-identical to the previous hard-coded
     * `split(text, ' ')`, so the oracles are unchanged). */

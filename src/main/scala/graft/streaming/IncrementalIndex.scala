@@ -95,6 +95,35 @@ object IncrementalIndex {
     } finally merged.unpersist(): Unit
   }
 
+  /** Garbage-collect tombstones older than the source's replay horizon —
+    * the retention discipline the state design names: a tombstone must
+    * outlive every event that could resurrect its rowkey, i.e.
+    * `horizonEventId` must be ≤ the smallest event_id the source can
+    * still replay. (A stale put BELOW a GC'd tombstone would win the
+    * latest-wins merge — the same contract as compacted-topic / LSM
+    * delete retention.) Only buckets actually holding expired tombstones
+    * are rewritten; a bucket left empty by GC is removed. */
+  def gcTombstones(spark: SparkSession, statePath: String, horizonEventId: Long,
+                   numBuckets: Int = DefaultBuckets): Unit = {
+    val dirs = StateStore.liveBuckets(spark, statePath)
+    if (dirs.isEmpty) return
+    val expired = col("op") === "delete" && col("event_id") < horizonEventId
+    val all = spark.read.parquet(dirs.map(d => s"$statePath/$d"): _*)
+      .withColumn("b", bucketCol(numBuckets))
+    val touched = all.filter(expired)
+      .select("b").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val touchedDirs = touched.toSeq.map(b => s"b=$b")
+    val kept = spark.read.parquet(touchedDirs.map(d => s"$statePath/$d"): _*)
+      .withColumn("b", bucketCol(numBuckets))
+      .filter(!expired)
+      .cache()
+    kept.count()
+    try StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>
+      kept.write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
+    } finally kept.unpersist(): Unit
+  }
+
   /** Read the live view of the persisted state (tombstones filtered). */
   def readState(spark: SparkSession, statePath: String): DataFrame = {
     val dirs = StateStore.liveBuckets(spark, statePath)

@@ -47,6 +47,24 @@ class AnalyzerSpec extends SparkSpec {
     assert(p.getSeq[Long](1).sorted === Seq(1L, 2L))
   }
 
+  test("analyzer chain stages compose: tokenize → lowercase → stop (text_general)") {
+    val chain = Analyzer.textGeneral(Seq("the", "a"))
+    assert(tokensOf(chain, "The Quick fox a THE") === Seq("quick", "fox"))
+    // stages are independent: lowercase alone keeps stopwords
+    assert(tokensOf(Analyzer.Lowercased(Analyzer.Whitespace), "The Quick") ===
+      Seq("the", "quick"))
+    // chain composes over ANY tokenizer, including the CJK one
+    val cjkStop = Analyzer.StopFiltered(Analyzer.Cjk, Seq("北京"))
+    assert(tokensOf(cjkStop, "我爱北京天安门") ===
+      Seq("我爱", "爱北", "京天", "天安", "安门"))
+    // search through a chained analyzer matches case-insensitively
+    val df = Seq((0L, "Merge SORT"), (1L, "scan only")).toDF("doc_id", "text")
+    val hits = df.filter(array_contains(
+        Analyzer.textGeneral(Seq("the")).tokens(col("text")), "merge"))
+      .select("doc_id").as[Long].collect()
+    assert(hits === Array(0L))
+  }
+
   test("the default analyzer leaves the fixture pipeline unchanged") {
     // Graft.search with the default tokenizer must equal the raw split
     // formulation on real fixture data.

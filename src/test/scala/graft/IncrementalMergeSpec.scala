@@ -120,6 +120,35 @@ class IncrementalMergeSpec extends SparkSpec {
     assert(before(touched) !== after(touched), "touched bucket should be rewritten")
   }
 
+  test("tombstone GC drops only expired deletes; live rows and newer tombstones survive") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_incG").toString + "/state"
+    IncrementalIndex.mergeBatch(spark, ev, base)
+    val liveBefore = stateMap(IncrementalIndex.readState(spark, base))
+    def tombstones(): Seq[(String, Long)] = {
+      val dirs = bucketDirs(base).map(d => s"$base/$d")
+      spark.read.parquet(dirs: _*).filter(col("op") === "delete")
+        .select("rowkey", "event_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val ts = tombstones()
+    assert(ts.nonEmpty, "fixture changelog must produce tombstones")
+    val horizon = ts.map(_._2).min + 1 // expire exactly the oldest tombstone
+    IncrementalIndex.gcTombstones(spark, base, horizon)
+    assert(tombstones().toSet === ts.filter(_._2 >= horizon).toSet)
+    assert(stateMap(IncrementalIndex.readState(spark, base)) === liveBefore)
+    // gc past everything removes all tombstones, live view still unchanged
+    IncrementalIndex.gcTombstones(spark, base, Long.MaxValue)
+    assert(tombstones().isEmpty)
+    assert(stateMap(IncrementalIndex.readState(spark, base)) === liveBefore)
+    // documented contract: a put BELOW a GC'd tombstone CAN now resurrect —
+    // which is why the horizon must trail the source's replay horizon
+    val dead = ts.map(_._1).head
+    IncrementalIndex.mergeBatch(spark,
+      ev.filter(col("rowkey") === dead && col("op") =!= "delete").limit(1), base)
+    assert(stateMap(IncrementalIndex.readState(spark, base)).contains(dead))
+  }
+
   test("replaying the same micro-batch is a no-op (prefix-atomic commit safety)") {
     val ev = changelog
     val base = Files.createTempDirectory("graft_incP").toString + "/state"

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex
+
+/** The persisted IVF index: k-means training converges to a usable coarse
+  * quantizer, the materialized layout partitions by cell, a probe reads
+  * only the probed cells' files, and probing every cell recovers the exact
+  * brute-force answer. */
+class IvfIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val nlist = 8
+
+  private lazy val path: String = {
+    val p = Files.createTempDirectory("graft_ivf").toString + "/ivf"
+    IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 3)
+    p
+  }
+
+  private lazy val query: Seq[Float] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+
+  test("every vector lands in exactly one cell; all cells within range") {
+    val e = Tables.embeddings(spark, dir)
+    val stored = spark.read.parquet(path + "/vectors")
+    assert(stored.count() === e.count())
+    assert(stored.select("vec_id").distinct().count() === e.count())
+    val cells = stored.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until nlist).toSet) && cells.size > 1)
+  }
+
+  test("probing all cells equals the exact brute-force top-k") {
+    val ivf = IvfIndex.search(spark, path, query, k = 10, probes = nlist)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+    val brute = Tables.embeddings(spark, dir)
+      .withColumn("sim", aggregate(
+        zip_with(col("embedding"), typedlit(query),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, p) => acc + p))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    assert(ivf === brute)
+  }
+
+  test("a 2-cell probe reads only the probed partitions (file pruning)") {
+    val totalFiles = spark.read.parquet(path + "/vectors").inputFiles.length
+    val probedDf = IvfIndex.search(spark, path, query, k = 10, probes = 2)
+    probedDf.collect() // materialize so scan metrics are populated
+    // the cell predicate must prune at the partition level, not post-scan
+    val plan = probedDf.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters: [cell"), plan.toString)
+    val filesRead = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files")
+    // and every hit comes from a probed cell
+    val hitCells = probedDf.collect().map(_.getInt(1)).toSet
+    assert(hitCells.size <= 2)
+  }
+
+  test("the probed result is a superset-ranked prefix: hits are true similarities") {
+    // probe < nlist may lose recall but must never fabricate: every
+    // returned (vec_id, sim) must match the brute-force similarity.
+    val bruteMap = Tables.embeddings(spark, dir)
+      .withColumn("sim", aggregate(
+        zip_with(col("embedding"), typedlit(query),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, p) => acc + p))
+      .select(col("vec_id"), col("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val probed = IvfIndex.search(spark, path, query, k = 10, probes = 2).collect()
+    assert(probed.nonEmpty)
+    probed.foreach { r =>
+      assert(math.abs(bruteMap(r.getLong(0)) - r.getDouble(2)) < 1e-12)
+    }
+  }
+}
