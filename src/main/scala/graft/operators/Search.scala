@@ -204,9 +204,27 @@ object Search {
       .orderBy("doc_id")
   }
 
+  private def qFulltextFolded(spark: SparkSession, dir: String): DataFrame = {
+    // S1 through the full text_general analyzer chain (tokenize →
+    // lowercase → stop), the reference Solr schema's standard latin
+    // configuration. The fixture corpus is already lowercase, so case
+    // folding is exercised by upper-casing the text identically in both
+    // engines first; the stop list is the engine's standard five. Every
+    // row oracle-checks both stages: the stop-filtered term count and the
+    // folded tf of "merge".
+    val chain = Analyzer.textGeneral(Seq("the", "a", "of", "and", "in"))
+    val terms = chain.tokens(upper(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(terms).cast("long").as("n_terms"),
+        size(filter(terms, t => t === "merge")).cast("long").as("tf"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fulltext_search" -> qFulltextSearch,
     "q_fulltext_cjk" -> qFulltextCjk,
+    "q_fulltext_folded" -> qFulltextFolded,
     "q_fuzzy_search" -> qFuzzySearch,
     "q_fulltext_bool" -> qFulltextBool,
     "q_filter_range" -> qFilterRange,
@@ -237,6 +255,16 @@ object Search {
         |            ELSE len(list_filter(generate_series(1, len(zt) - 1),
         |                                 i -> substr(zt, i, 2) = 'rg')) END AS tf
         |FROM z ORDER BY doc_id""".stripMargin,
+    "q_fulltext_folded" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(upper(text), ' '),
+        |                                    x -> lower(x)),
+        |                     x -> x NOT IN ('the', 'a', 'of', 'and', 'in')) AS terms
+        |  FROM documents)
+        |SELECT doc_id, len(terms) AS n_terms,
+        |       len(list_filter(terms, x -> x = 'merge')) AS tf
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_fulltext_bool" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE list_contains(string_split(text, ' '), 'scan')

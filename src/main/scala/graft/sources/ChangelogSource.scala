@@ -40,4 +40,15 @@ object ChangelogSource {
     spark.read.schema(schema)
       .option("mode", "FAILFAST")
       .json(path)
+
+  /** Streaming flavor of the landing zone: the same DECLARED schema over a
+    * file stream (new files picked up per micro-batch, offsets
+    * checkpointed by the sink's query) — wires directly into
+    * `IncrementalIndex.start` / `IncrementalPostings.start`. At scale this
+    * is the producer-drop directory; `maxFilesPerTrigger` (pass via
+    * `options`) bounds per-batch ingest so one huge drop cannot starve the
+    * commit interval. */
+  def stream(spark: SparkSession, path: String, format: String = "json",
+             options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(schema).format(format).options(options).load(path)
 }

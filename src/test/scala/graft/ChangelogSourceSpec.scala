@@ -31,6 +31,31 @@ class ChangelogSourceSpec extends SparkSpec {
     assert(state(ChangelogSource.jsonLines(spark, s"$base/j")) === expect)
   }
 
+  test("landing-zone file stream feeds the bucketed state merge end-to-end") {
+    val base = Files.createTempDirectory("graft_srcS").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    val statePath = s"$base/state"
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.writeString(java.nio.file.Paths.get(in, name), lines.mkString("\n"))
+    drop("f1.json", Seq(
+      """{"rowkey": "a", "event_id": 1, "op": "put", "payload": "v1"}""",
+      """{"rowkey": "b", "event_id": 2, "op": "put", "payload": "v2"}"""))
+    val query = IncrementalIndex.start(
+      ChangelogSource.stream(spark, in), statePath, s"$base/ckpt", intervalSeconds = 1)
+    def live: Map[String, String] =
+      IncrementalIndex.readState(spark, statePath).collect()
+        .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("payload")).toMap
+    try {
+      query.processAllAvailable()
+      assert(live === Map("a" -> "v1", "b" -> "v2"))
+      drop("f2.json", Seq(
+        """{"rowkey": "b", "event_id": 3, "op": "delete", "payload": ""}""",
+        """{"rowkey": "c", "event_id": 4, "op": "put", "payload": "v4"}"""))
+      query.processAllAvailable()
+      assert(live === Map("a" -> "v1", "c" -> "v4"))
+    } finally query.stop()
+  }
+
   test("a drifted producer fails loudly, not silently") {
     val base = Files.createTempDirectory("graft_src_bad").toString
     Files.writeString(java.nio.file.Paths.get(base, "bad.json"),
