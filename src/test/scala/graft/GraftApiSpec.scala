@@ -111,6 +111,18 @@ class GraftApiSpec extends SparkSpec {
     assert(p > 0)
   }
 
+  test("facade IVF round-trip: build a persisted index, probe it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_apiIvf")
+      .toString + "/ivf"
+    g.buildIvfIndex(path, nlist = 4, iters = 2)
+    val q = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") === 1).head().getSeq[Float](1)
+    val hits = g.ivfSearch(path, q, k = 5, probes = 4).collect()
+    assert(hits.length === 5)
+    // probing every cell must surface the query vector itself on top
+    assert(hits.head.getLong(0) === 1L)
+  }
+
   test("vec_dot_f is callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, "/root/testdata/sf0.001").limit(5)

@@ -51,6 +51,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed incremental merges converge for random changelogs, chunkings, and orders") {
+    // Any partition of any changelog into micro-batches, delivered in any
+    // order, must land the bucketed state exactly where one full
+    // compaction lands — with a bucket count small enough that batches
+    // collide in buckets and some buckets stay untouched.
+    import graft.streaming.IncrementalIndex
+    val rnd = new scala.util.Random(11)
+    for ((log, i) <- sampleLogs(3).zipWithIndex) {
+      val rows = log.zipWithIndex.map { case ((u, t, v), j) => (j.toLong, u, t, v) }
+      val ev = df(rows).select(
+        col("user_id").cast("string").as("rowkey"), col("event_id"),
+        when(col("event_type") === "error", "delete").otherwise("put").as("op"),
+        col("value").as("payload"))
+      val base = java.nio.file.Files.createTempDirectory(s"graft_prop$i")
+        .toString + "/state"
+      val groups = rows.map(_._1).groupBy(_ => rnd.nextInt(4)).values.toSeq
+      rnd.shuffle(groups).foreach { ids =>
+        IncrementalIndex.mergeBatch(spark,
+          ev.filter(col("event_id").isin(ids: _*)), base, numBuckets = 4)
+      }
+      def m(d: org.apache.spark.sql.DataFrame): Map[String, (Long, Double)] =
+        d.collect().map(r => r.getAs[String]("rowkey") ->
+          (r.getAs[Long]("event_id"), r.getAs[Double]("payload"))).toMap
+      assert(m(IncrementalIndex.readState(spark, base)) ===
+        m(IncrementalIndex.compact(ev)))
+    }
+  }
+
   test("cjk bigram invariants hold for random space-free BMP text") {
     // For any space-free text of n >= 2 code points: exactly n-1 tokens,
     // every token is 2 chars, adjacent tokens overlap by one char, and
