@@ -88,6 +88,63 @@ object Multimodal {
       }
     }
 
+  /** A video row: opaque payload + duration metadata (fixture: text bytes
+    * stand in for the container stream; 40 ms of fake video per byte). */
+  case class VideoRecord(doc_id: Long, media: Array[Byte], duration_ms: Long)
+
+  /** One sampled, decoded frame (fixed-width — what flows onward). */
+  case class FrameFeatures(doc_id: Long, frame_idx: Long, ts_ms: Long,
+                           digest: String, width: Int, height: Int)
+
+  /** Attach the fake video payload + duration metadata. */
+  def withVideo(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      octet_length(col("text")).cast("long").as("nbytes"),
+      (octet_length(col("text")) * 40).cast("long").as("duration_ms"))
+
+  /** Frame sampling, codec face: uniform every `everyMs` (≥ 1 frame per
+    * video), decoded per partition — the sample plan is derived from
+    * METADATA, and each payload is consulted only inside its own task, so
+    * video bytes are never replicated across frame rows or shuffled.
+    * Decode is [[MultimodalStub.decodeFrameStub]] (no codecs in this
+    * container); MultimodalSpec pins this face equal to the
+    * oracle-checked declarative form (`q_frame_sample`). */
+  def sampleFrames(videos: Dataset[VideoRecord],
+                   everyMs: Long = 1000L): Dataset[FrameFeatures] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { it =>
+      val codec = MultimodalStub // real impl: open the demuxer once here
+      it.flatMap { v =>
+        val n = math.max(1L, v.duration_ms / everyMs)
+        (0L until n).iterator.map { i =>
+          val ts = i * everyMs
+          val px = codec.decodeFrameStub(v.media, ts)
+          FrameFeatures(v.doc_id, i, ts, px.digest, px.width, px.height)
+        }
+      }
+    }
+  }
+
+  private def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    // Declarative frame sampling: the frame list explodes from DURATION
+    // METADATA (sequence over frame indices), so the generate is driven by
+    // a scalar, and the payload column is projected away before the output
+    // sort — video bytes never cross an exchange. The stub's digest is
+    // md5(payload ++ ":" ++ ts), which the oracle reproduces byte-for-byte
+    // on the text fixture — even the decode arithmetic is oracle-checked.
+    withVideo(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("media"), col("nbytes"),
+        explode(sequence(lit(0L),
+          greatest(lit(0L), expr("duration_ms div 1000") - 1))).as("frame_idx"))
+      .withColumn("ts_ms", col("frame_idx") * 1000)
+      .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+        md5(concat(col("media"),
+          encode(concat(lit(":"), col("ts_ms").cast("string")), "UTF-8"))).as("digest"),
+        ((col("nbytes") + col("ts_ms")) % 640).cast("long").as("width"),
+        ((col("nbytes") * 7 + col("ts_ms")) % 480).cast("long").as("height"))
+      .orderBy("doc_id", "frame_idx")
+
   private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     // Metadata math on the codegen path (mirrors decodeStub's geometry so
     // the oracle covers the same arithmetic the stub performs).
@@ -99,9 +156,24 @@ object Multimodal {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
-    "q_multimodal_meta" -> qMultimodalMeta)
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_frame_sample" -> qFrameSample)
 
   val oracle: Map[String, String] = Map(
+    "q_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, strlen(text) AS nbytes,
+        |         strlen(text) * 40 AS duration_ms
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, nbytes,
+        |         unnest(generate_series(0, greatest(0, duration_ms // 1000 - 1))) AS frame_idx
+        |  FROM v)
+        |SELECT doc_id, frame_idx, frame_idx * 1000 AS ts_ms,
+        |       md5(text || ':' || CAST(frame_idx * 1000 AS VARCHAR)) AS digest,
+        |       CAST((nbytes + frame_idx * 1000) % 640 AS BIGINT) AS width,
+        |       CAST((nbytes * 7 + frame_idx * 1000) % 480 AS BIGINT) AS height
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'fake/rgb8' AS format, CAST(strlen(text) AS BIGINT) AS nbytes,
         |       md5(text) AS digest,
@@ -132,4 +204,17 @@ object MultimodalStub {
     * native/model call; the fake maps the scalar stub. */
   def decodeBatchStub(payloads: Seq[Array[Byte]]): Seq[DecodedMedia] =
     payloads.map(decodeStub)
+
+  /** STUB: seek + decode one frame at `tsMs`. The fake digests
+    * payload ++ ":" ++ ts — deterministic, schema-identical to a real
+    * frame grab, and reproducible in plain SQL so the declarative
+    * `q_frame_sample` oracle covers the same arithmetic. */
+  def decodeFrameStub(payload: Array[Byte], tsMs: Long): DecodedMedia = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload)
+    md.update(s":$tsMs".getBytes("UTF-8"))
+    val digest = md.digest().map("%02x".format(_)).mkString
+    val nbytes = payload.length.toLong
+    DecodedMedia(((nbytes + tsMs) % 640).toInt, ((nbytes * 7 + tsMs) % 480).toInt, digest)
+  }
 }

@@ -35,6 +35,31 @@ class MultimodalSpec extends SparkSpec {
     assert(a.width >= 0 && a.width < 640 && a.height >= 0 && a.height < 480)
   }
 
+  test("frame sampling: codec face equals the declarative oracle-checked form") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val declarative = SparkEntry.queries("q_frame_sample")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val typed = Multimodal.sampleFrames(
+        Multimodal.withVideo(real).select("doc_id", "media", "duration_ms")
+          .as[Multimodal.VideoRecord])
+      .collect()
+      .map(f => (f.doc_id, f.frame_idx, f.ts_ms, f.digest,
+        f.width.toLong, f.height.toLong)).toSet
+    assert(declarative === typed && declarative.nonEmpty)
+  }
+
+  test("every video yields at least one frame; frame count tracks duration") {
+    val videos = Seq(
+      Multimodal.VideoRecord(0L, "x".getBytes, 0L),        // degenerate: 1 frame
+      Multimodal.VideoRecord(1L, "abc".getBytes, 3500L))   // 3 full seconds
+      .toDS()
+    val frames = Multimodal.sampleFrames(videos).collect().groupBy(_.doc_id)
+    assert(frames(0L).map(_.ts_ms).toSeq === Seq(0L))
+    assert(frames(1L).map(_.ts_ms).sorted.toSeq === Seq(0L, 1000L, 2000L))
+  }
+
   test("query metadata math agrees with the mapPartitions featurizer") {
     // The oracle-checked q_multimodal_meta and the typed featurize path
     // must compute the same digest/geometry.
