@@ -174,10 +174,11 @@ object Search {
     // stream (a pushdown that is correct but undoes the whole point).
     // PlanSpec pins levenshtein-above-aggregate.
     val docs = Tables.documents(spark, dir)
+    // (no distinct on the exploded ids: the left_semi join deduplicates —
+    // an aggregate here would just add a shuffle)
     val hits = Index.postings(docs)
       .filter(levenshtein(col("tok"), lit("merge")) <= 1 || col("df") < 0)
       .select(explode(col("ids")).as("doc_id"))
-      .distinct()
     docs.join(hits, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")

@@ -50,5 +50,7 @@ object ChangelogSource {
     * commit interval. */
   def stream(spark: SparkSession, path: String, format: String = "json",
              options: Map[String, String] = Map.empty): DataFrame =
-    spark.readStream.schema(schema).format(format).options(options).load(path)
+    spark.readStream.schema(schema)
+      .option("mode", "FAILFAST") // same strict-ingest contract as batch
+      .format(format).options(options).load(path)
 }

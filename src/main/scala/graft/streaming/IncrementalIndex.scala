@@ -52,9 +52,18 @@ object IncrementalIndex {
     * (lower event_id) arriving in a later batch would resurrect a deleted
     * row. At 100 TB tombstones are garbage-collected once the source can
     * no longer replay events older than the tombstone (retention horizon),
-    * the same discipline as compacted-topic / LSM deletes. */
+    * the same discipline as compacted-topic / LSM deletes.
+    *
+    * Ties on event_id break on a stable hash of the whole row: with the
+    * per-bucket PREFIX-atomic commit, a checkpoint replay must pick the
+    * same winner it picked before the crash — an arbitrary tie order
+    * would let a replay promote different content into an
+    * already-committed bucket. Fully identical rows are the only
+    * remaining tie, and those are idempotent by definition. */
   def compactAll(changes: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("rowkey")).orderBy(col("event_id").desc)
+    val rowHash = xxhash64(changes.columns.map(col): _*)
+    val w = Window.partitionBy(col("rowkey"))
+      .orderBy(col("event_id").desc, rowHash)
     changes
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -77,6 +86,7 @@ object IncrementalIndex {
     val withB = batch.withColumn("b", bucketCol(numBuckets))
     val touched = withB.select("b").distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return // empty micro-batch: no bucket to rewrite
+    StateStore.ensureBucketCount(spark, statePath, numBuckets)
     val live = StateStore.liveBuckets(spark, statePath).toSet
     val touchedDirs = touched.toSeq.map(b => s"b=$b")
     val oldPaths = touchedDirs.filter(live.contains).map(d => s"$statePath/$d")
@@ -107,6 +117,7 @@ object IncrementalIndex {
                    numBuckets: Int = DefaultBuckets): Unit = {
     val dirs = StateStore.liveBuckets(spark, statePath)
     if (dirs.isEmpty) return
+    StateStore.ensureBucketCount(spark, statePath, numBuckets)
     val expired = col("op") === "delete" && col("event_id") < horizonEventId
     val all = spark.read.parquet(dirs.map(d => s"$statePath/$d"): _*)
       .withColumn("b", bucketCol(numBuckets))

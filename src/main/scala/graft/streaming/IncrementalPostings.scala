@@ -79,6 +79,8 @@ object IncrementalPostings {
     val withB = batch.withColumn("b", docBucket(numBuckets))
     val touchedDocB = withB.select("b").distinct().collect().map(_.getInt(0)).sorted
     if (touchedDocB.isEmpty) return // empty micro-batch: nothing to rewrite
+    StateStore.ensureBucketCount(spark, docsRoot, numBuckets)
+    StateStore.ensureBucketCount(spark, entriesRoot, numBuckets)
     val docDirs = touchedDocB.toSeq.map(b => s"b=$b")
     // Bucket dirs are read directly (no partition discovery); bucket ids
     // are recomputed from the keys where needed.

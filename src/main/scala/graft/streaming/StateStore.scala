@@ -127,6 +127,31 @@ object StateStore {
     if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
   }
 
+  /** Pin the bucket count of a bucketed state root. The first writer
+    * records `numBuckets` in a `_nbuckets` marker; every later writer must
+    * present the same value — a mismatched count would hash rowkeys into
+    * the wrong directories and silently duplicate state (the existing copy
+    * in the old bucket is never read). Fails loudly instead. */
+  def ensureBucketCount(spark: SparkSession, rootPath: String, numBuckets: Int): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val marker = new Path(rootPath + "/_nbuckets")
+    val fs = fsOf(spark, marker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded =
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      if (recorded != numBuckets)
+        throw new IOException(
+          s"state at $rootPath was bucketed with numBuckets=$recorded; " +
+            s"refusing to merge with numBuckets=$numBuckets")
+    } else {
+      fs.mkdirs(new Path(rootPath))
+      val out = fs.create(marker, true)
+      try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Heal every bucket under a bucketed state root (promote interrupted
     * per-bucket swaps) and return the live bucket directory names. */
   def liveBuckets(spark: SparkSession, rootPath: String): Seq[String] = {

@@ -56,6 +56,18 @@ class ChangelogSourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the streaming reader keeps the strict-ingest contract (FAILFAST)") {
+    val base = Files.createTempDirectory("graft_srcF").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(in, "bad.json"),
+      """{"rowkey": "a", "event_id": "not-a-number", "op": "put", "payload": "x"}""")
+    val query = ChangelogSource.stream(spark, in).writeStream
+      .format("memory").queryName("graft_srcF_out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try intercept[Exception] { query.processAllAvailable(); assert(query.exception.isEmpty) }
+    finally query.stop()
+  }
+
   test("a drifted producer fails loudly, not silently") {
     val base = Files.createTempDirectory("graft_src_bad").toString
     Files.writeString(java.nio.file.Paths.get(base, "bad.json"),

@@ -52,7 +52,6 @@ class DedupSpec extends SparkSpec {
     // threshold the pair partitioning is kept and each composition level
     // is deduplicated. Same propagation, same labels — forced here by
     // running the identical pair list through both branches.
-    import org.apache.spark.sql.functions.col
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (7L, 8L), (8L, 9L))
       .toDF("da", "db")
     val small = graft.operators.Dedup.clusterFromPairs(pairs).collect().toSeq
@@ -62,10 +61,6 @@ class DedupSpec extends SparkSpec {
     val labels = small.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(labels === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
-    // fast-path plan really is single-partition: one task per composition
-    assert(graft.operators.Dedup.clusterFromPairs(pairs)
-      .rdd.getNumPartitions >= 1) // smoke: evaluable both ways
-    val _ = col("da") // keep the import used
   }
 
   test("minhash LSH surfaces identical docs as candidates") {

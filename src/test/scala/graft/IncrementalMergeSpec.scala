@@ -120,6 +120,20 @@ class IncrementalMergeSpec extends SparkSpec {
     assert(before(touched) !== after(touched), "touched bucket should be rewritten")
   }
 
+  test("a mismatched numBuckets is rejected instead of silently duplicating state") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_incN").toString + "/state"
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), base, numBuckets = 4)
+    val e = intercept[java.io.IOException] {
+      IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base) // default 16
+    }
+    assert(e.getMessage.contains("numBuckets=4"))
+    // the matching count still works
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base, numBuckets = 4)
+    assert(stateMap(IncrementalIndex.readState(spark, base)) ===
+      stateMap(IncrementalIndex.compact(ev)))
+  }
+
   test("tombstone GC drops only expired deletes; live rows and newer tombstones survive") {
     val ev = changelog
     val base = Files.createTempDirectory("graft_incG").toString + "/state"
