@@ -131,6 +131,25 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got("zeta") === (Set("2"), 1L) && !got.contains("delta"))
   }
 
+  test("a CJK analyzer threads through the incremental merge (bigram postings)") {
+    import graft.operators.Analyzer
+    val root = Files.createTempDirectory("graft_postZ").toString + "/postings"
+    def merge(changes: DocChange*): Unit =
+      IncrementalPostings.mergeBatch(spark, changes.toSeq.toDF(), root,
+        tokenize = Analyzer.Cjk.tokens)
+    merge(
+      DocChange("1", 0, "put", "我爱北京"),
+      DocChange("2", 1, "put", "北京欢迎"))
+    merge(DocChange("1", 2, "put", "我爱上海")) // update: loses 爱北/北京
+    val got = postingsMap(IncrementalPostings.postings(spark, root))
+    val want = postingsMap(Index.postings(
+      Seq(("1", "我爱上海"), ("2", "北京欢迎")).toDF("doc_id", "text"),
+      Analyzer.Cjk))
+    assert(got === want)
+    assert(got("北京") === (Set("2"), 1L)) // doc 1's old bigrams were removed
+    assert(got.contains("上海"))
+  }
+
   test("streaming foreachBatch maintains the postings across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[DocChange]
