@@ -124,6 +124,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q_frame_sample: payload bytes never cross the exchange") {
+    // the binary media column must be projected away before the output
+    // sort — at scale a sort carrying MB payloads per frame row would
+    // shuffle the video corpus once per sampled frame
+    val plan = SparkEntry.queries("q_frame_sample")(spark, dir)
+      .queryExecution.sparkPlan
+    val sortCols = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s.output.map(_.name)
+    }
+    assert(sortCols.nonEmpty)
+    sortCols.foreach(cols => assert(!cols.contains("media"), cols.mkString(",")))
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
     for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
       val df = SparkEntry.queries(q)(spark, dir)
