@@ -140,6 +140,31 @@ object IncrementalPostings {
         countDistinct(col("doc_id")).as("df"))
   }
 
+  /** Live view of the maintained document state (tombstones filtered). */
+  def docsState(spark: SparkSession, rootPath: String): DataFrame = {
+    val root = rootPath + "/docs"
+    val dirs = StateStore.liveBuckets(spark, root)
+    spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      .filter(col("op") =!= "delete")
+  }
+
+  /** The reference's read topology over the MAINTAINED state — multi-term
+    * AND via posting-list intersection, then key-fetch of the live rows
+    * (Solr hit list → HBase Get, /root/reference/README.md:12-13) — with
+    * no corpus scan anywhere: the query touches |postings(term)| entry
+    * rows and the matched doc rows only. The (small) hit list broadcasts
+    * into the fetch join. */
+  def termSearch(spark: SparkSession, rootPath: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "termSearch needs at least one term")
+    val hits = postings(spark, rootPath)
+      .filter(col("tok").isin(terms: _*))
+      .select(explode(col("ids")).as("rowkey"))
+      .groupBy("rowkey").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === terms.length)
+      .select("rowkey")
+    docsState(spark, rootPath).join(broadcast(hits), "rowkey")
+  }
+
   /** Wire a streaming document changelog into the postings merge sink.
     * `firstDelaySeconds` mirrors the reference's `first_delay`
     * (application.properties:10) — see [[IncrementalIndex.start]]. */

@@ -33,6 +33,16 @@ import org.apache.spark.sql.SparkSession
   * (S3 and friends) rename by copy; there the production state table is a
   * MERGE-capable table format (Iceberg/Delta — SCALE.md §streaming), not a
   * directory swap.
+  *
+  * Concurrency: ONE writer per state root — exactly what a Structured
+  * Streaming query provides (foreachBatch invocations are serialized per
+  * query; this replaces the reference's single-flusher semaphore at the
+  * granularity where it belongs: per state table, not per write thread).
+  * Readers racing an in-flight swap can at worst abort that swap's commit
+  * (recover promotes the `.old` the writer just set aside, so the
+  * writer's promote fails loudly); the replayed micro-batch then
+  * re-merges idempotently. A reader never observes a half-written bucket:
+  * promotion is a directory rename.
   */
 object StateStore {
 

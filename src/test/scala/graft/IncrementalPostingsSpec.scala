@@ -131,6 +131,25 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got("zeta") === (Set("2"), 1L) && !got.contains("delta"))
   }
 
+  test("termSearch answers from the maintained state: intersection + live fetch") {
+    val root = Files.createTempDirectory("graft_postQ").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "spark merge sort"),
+      DocChange("2", 1, "put", "spark hash join"),
+      DocChange("3", 2, "put", "merge only here")).toDF(), root)
+    def hits(terms: String*): Set[String] =
+      IncrementalPostings.termSearch(spark, root, terms.toSeq)
+        .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(hits("spark") === Set("1", "2"))
+    assert(hits("spark", "merge") === Set("1")) // AND intersection
+    assert(hits("absent") === Set.empty)
+    // a delete drops the doc from BOTH the hit list and the fetch
+    IncrementalPostings.mergeBatch(spark,
+      Seq(DocChange("1", 3, "delete", "")).toDF(), root)
+    assert(hits("spark") === Set("2"))
+    assert(hits("spark", "merge") === Set.empty)
+  }
+
   test("a CJK analyzer threads through the incremental merge (bigram postings)") {
     import graft.operators.Analyzer
     val root = Files.createTempDirectory("graft_postZ").toString + "/postings"
