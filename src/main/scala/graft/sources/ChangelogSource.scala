@@ -51,6 +51,7 @@ object ChangelogSource {
   def stream(spark: SparkSession, path: String, format: String = "json",
              options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.schema(schema)
-      .option("mode", "FAILFAST") // same strict-ingest contract as batch
-      .format(format).options(options).load(path)
+      .options(options)
+      .option("mode", "FAILFAST") // unconditional: same strict contract as batch
+      .format(format).load(path)
 }

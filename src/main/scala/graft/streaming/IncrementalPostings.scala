@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Incremental maintenance of the materialized posting-list table — the
   * reference's actual product (HBase mutations kept in sync with a Solr
@@ -45,6 +45,14 @@ object IncrementalPostings {
   private val entriesSchema = StructType(Seq(
     StructField("tok", StringType), StructField("doc_id", StringType),
     StructField("b", IntegerType)))
+
+  /** The documented merge-batch schema — the shape of the docs state. */
+  private val docsSchema = StructType(Seq(
+    StructField("rowkey", StringType), StructField("event_id", LongType),
+    StructField("op", StringType), StructField("text", StringType)))
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   private def docBucket(numBuckets: Int): Column =
     pmod(crc32(col("rowkey")), lit(numBuckets)).cast("int")
@@ -140,27 +148,48 @@ object IncrementalPostings {
         countDistinct(col("doc_id")).as("df"))
   }
 
-  /** Live view of the maintained document state (tombstones filtered). */
+  /** Live view of the maintained document state (tombstones filtered);
+    * empty with the documented schema before the first merge. */
   def docsState(spark: SparkSession, rootPath: String): DataFrame = {
     val root = rootPath + "/docs"
     val dirs = StateStore.liveBuckets(spark, root)
-    spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
-      .filter(col("op") =!= "delete")
+    val docs =
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      else emptyDf(spark, docsSchema)
+    docs.filter(col("op") =!= "delete")
   }
 
   /** The reference's read topology over the MAINTAINED state — multi-term
-    * AND via posting-list intersection, then key-fetch of the live rows
-    * (Solr hit list → HBase Get, /root/reference/README.md:12-13) — with
-    * no corpus scan anywhere: the query touches |postings(term)| entry
-    * rows and the matched doc rows only. The (small) hit list broadcasts
-    * into the fetch join. */
+    * AND via posting intersection, then key-fetch of the live rows (Solr
+    * hit list → HBase Get, /root/reference/README.md:12-13) — with no
+    * corpus scan anywhere. The entries read opens ONLY the buckets the
+    * query terms hash to (the `_nbuckets` marker supplies the count;
+    * pre-marker roots fall back to all live buckets), so per-query I/O is
+    * |touched buckets| + matched doc rows, not the index. The (small) hit
+    * list broadcasts into the fetch join. */
   def termSearch(spark: SparkSession, rootPath: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "termSearch needs at least one term")
-    val hits = postings(spark, rootPath)
-      .filter(col("tok").isin(terms: _*))
-      .select(explode(col("ids")).as("rowkey"))
-      .groupBy("rowkey").agg(count(lit(1)).as("nt"))
-      .filter(col("nt") === terms.length)
+    val uniq = terms.distinct
+    val entriesRoot = rootPath + "/entries"
+    val live = StateStore.liveBuckets(spark, entriesRoot)
+    val dirs = StateStore.bucketCount(spark, entriesRoot) match {
+      case Some(n) =>
+        // same CRC32-of-UTF-8 as the write-side tokBucket
+        val wanted = uniq.map { t =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(t.getBytes("UTF-8"))
+          s"b=${java.lang.Math.floorMod(crc.getValue, n.toLong)}"
+        }.toSet
+        live.filter(wanted.contains)
+      case None => live
+    }
+    val entries =
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
+      else emptyDf(spark, entriesSchema).drop("b")
+    val hits = entries.filter(col("tok").isin(uniq: _*))
+      .groupBy(col("doc_id").as("rowkey"))
+      .agg(countDistinct(col("tok")).as("nt"))
+      .filter(col("nt") === uniq.length)
       .select("rowkey")
     docsState(spark, rootPath).join(broadcast(hits), "rowkey")
   }

@@ -141,24 +141,56 @@ object StateStore {
     * records `numBuckets` in a `_nbuckets` marker; every later writer must
     * present the same value — a mismatched count would hash rowkeys into
     * the wrong directories and silently duplicate state (the existing copy
-    * in the old bucket is never read). Fails loudly instead. */
+    * in the old bucket is never read). Fails loudly instead. The marker is
+    * written tmp-then-rename (same torn-write discipline as the swaps),
+    * and adopting a marker onto a pre-marker root cross-checks the
+    * existing bucket indices against the presented count. */
   def ensureBucketCount(spark: SparkSession, rootPath: String, numBuckets: Int): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
     val marker = new Path(rootPath + "/_nbuckets")
     val fs = fsOf(spark, marker)
-    if (fs.exists(marker)) {
+    bucketCount(spark, rootPath) match {
+      case Some(recorded) =>
+        if (recorded != numBuckets)
+          throw new IOException(
+            s"state at $rootPath was bucketed with numBuckets=$recorded; " +
+              s"refusing to merge with numBuckets=$numBuckets")
+      case None =>
+        // legacy/new root: any existing bucket index must fit the count
+        val tooBig = liveBuckets(spark, rootPath)
+          .map(_.stripPrefix("b=").toInt).filter(_ >= numBuckets)
+        if (tooBig.nonEmpty)
+          throw new IOException(
+            s"state at $rootPath has bucket dirs ${tooBig.map("b=" + _).mkString(",")} " +
+              s"outside numBuckets=$numBuckets; it was bucketed with a larger count")
+        fs.mkdirs(new Path(rootPath))
+        val tmp = new Path(rootPath + "/_nbuckets.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, marker)) {
+          fs.delete(tmp, true)
+          // a concurrent/previous writer won the rename — re-validate
+          if (!bucketCount(spark, rootPath).contains(numBuckets))
+            throw new IOException(s"cannot record bucket count at $marker")
+        }
+    }
+  }
+
+  /** The pinned bucket count of a state root, if one has been recorded. */
+  def bucketCount(spark: SparkSession, rootPath: String): Option[Int] = {
+    val marker = new Path(rootPath + "/_nbuckets")
+    val fs = fsOf(spark, marker)
+    if (!fs.exists(marker)) None
+    else {
       val in = fs.open(marker)
-      val recorded =
-        try new String(in.readAllBytes(), "UTF-8").trim.toInt
-        finally in.close()
-      if (recorded != numBuckets)
-        throw new IOException(
-          s"state at $rootPath was bucketed with numBuckets=$recorded; " +
-            s"refusing to merge with numBuckets=$numBuckets")
-    } else {
-      fs.mkdirs(new Path(rootPath))
-      val out = fs.create(marker, true)
-      try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+      val text = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      try Some(text.toInt)
+      catch {
+        case _: NumberFormatException =>
+          throw new IOException(
+            s"unreadable bucket-count marker $marker (content: '$text'); " +
+              "delete it to re-adopt the root with an explicit numBuckets")
+      }
     }
   }
 

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.streaming.IncrementalIndex
+import graft.streaming.{IncrementalIndex, StateStore}
 
 /** The core invariant of the incremental design, on real fixture data:
   * folding the changelog through per-chunk merges (the streaming
@@ -128,6 +128,17 @@ class IncrementalMergeSpec extends SparkSpec {
       IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base) // default 16
     }
     assert(e.getMessage.contains("numBuckets=4"))
+    // a pre-marker (legacy) root is cross-checked against its bucket dirs:
+    // b=<i> outside the presented count proves the count wrong
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base + "/_nbuckets"), false)
+    val e2 = intercept[java.io.IOException] {
+      IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base, numBuckets = 2)
+    }
+    assert(e2.getMessage.contains("outside numBuckets=2"))
+    // re-adopting with the true count works
+    StateStore.ensureBucketCount(spark, base, 4)
     // the matching count still works
     IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 500), base, numBuckets = 4)
     assert(stateMap(IncrementalIndex.readState(spark, base)) ===

@@ -142,7 +142,11 @@ class IncrementalPostingsSpec extends SparkSpec {
         .select("rowkey").collect().map(_.getString(0)).toSet
     assert(hits("spark") === Set("1", "2"))
     assert(hits("spark", "merge") === Set("1")) // AND intersection
+    assert(hits("spark", "spark") === Set("1", "2")) // duplicate terms collapse
     assert(hits("absent") === Set.empty)
+    // querying a root that was never merged is empty, not an error
+    val fresh = Files.createTempDirectory("graft_postQ0").toString + "/p"
+    assert(IncrementalPostings.termSearch(spark, fresh, Seq("x")).count() === 0L)
     // a delete drops the doc from BOTH the hit list and the fetch
     IncrementalPostings.mergeBatch(spark,
       Seq(DocChange("1", 3, "delete", "")).toDF(), root)
