@@ -51,7 +51,8 @@ object Multimodal {
     * partitioning, batching, and schema contract are the real, tested
     * part. */
   def featurize(media: Dataset[MediaRecord], maxBatchRows: Int = 64,
-                maxBatchBytes: Long = 4L << 20): Dataset[MediaFeatures] = {
+                maxBatchBytes: Long = 4L << 20,
+                resizeTo: Option[(Int, Int)] = None): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // Per-partition setup: a real impl opens the codec/model once here.
@@ -64,7 +65,8 @@ object Multimodal {
       byteBudgetedBatches(it, maxBatchRows, maxBatchBytes).flatMap { batch =>
         // a real impl hands the whole batch to the codec in one call
         val decoded = codec.decodeBatchStub(batch.map(_.media))
-        batch.lazyZip(decoded).map { (r, px) =>
+        batch.lazyZip(decoded).map { (r, px0) =>
+          val px = resizeTo.fold(px0) { case (w, h) => codec.resizeStub(px0, w, h) }
           MediaFeatures(r.doc_id, r.nbytes, px.digest, px.width, px.height)
         }
       }
@@ -204,6 +206,22 @@ object MultimodalStub {
     * native/model call; the fake maps the scalar stub. */
   def decodeBatchStub(payloads: Seq[Array[Byte]]): Seq[DecodedMedia] =
     payloads.map(decodeStub)
+
+  /** STUB: resize to fit within (maxW, maxH) preserving aspect ratio —
+    * downscale-only, never below 1×1, identity when already inside the
+    * box. A real impl calls the codec's scaler; the geometry contract
+    * (bounded output, preserved ratio, idempotent no-op) is the tested
+    * part. */
+  def resizeStub(d: DecodedMedia, maxW: Int, maxH: Int): DecodedMedia = {
+    require(maxW > 0 && maxH > 0, "resize bounds must be positive")
+    if (d.width <= maxW && d.height <= maxH) d
+    else {
+      val scale = math.min(maxW.toDouble / d.width, maxH.toDouble / d.height)
+      DecodedMedia(
+        math.max(1, (d.width * scale).toInt),
+        math.max(1, (d.height * scale).toInt), d.digest)
+    }
+  }
 
   /** STUB: seek + decode one frame at `tsMs`. The fake digests
     * payload ++ ":" ++ ts — deterministic, schema-identical to a real

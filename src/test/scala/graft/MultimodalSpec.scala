@@ -35,6 +35,24 @@ class MultimodalSpec extends SparkSpec {
     assert(a.width >= 0 && a.width < 640 && a.height >= 0 && a.height < 480)
   }
 
+  test("resize stage fits frames inside the target box, preserving aspect ratio") {
+    import graft.operators.MultimodalStub.DecodedMedia
+    val big = DecodedMedia(600, 400, "d")
+    val r = MultimodalStub.resizeStub(big, 300, 300)
+    assert(r.width === 300 && r.height === 200) // scale 0.5, ratio preserved
+    assert(r.digest === "d")
+    // identity inside the box; never collapses to zero
+    assert(MultimodalStub.resizeStub(DecodedMedia(100, 50, "x"), 300, 300) ===
+      DecodedMedia(100, 50, "x"))
+    val tiny = MultimodalStub.resizeStub(DecodedMedia(5000, 1, "y"), 10, 10)
+    assert(tiny.width >= 1 && tiny.height >= 1)
+    // and through the featurizer: every output fits the box
+    val media = Multimodal.withMedia(docs).as[Multimodal.MediaRecord]
+    val feats = Multimodal.featurize(media, resizeTo = Some((4, 4))).collect()
+    assert(feats.nonEmpty)
+    feats.foreach(f => assert(f.fake_width <= 4 && f.fake_height <= 4))
+  }
+
   test("frame sampling: codec face equals the declarative oracle-checked form") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val declarative = SparkEntry.queries("q_frame_sample")(spark, "/root/testdata/sf0.001")
