@@ -131,6 +131,78 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got("zeta") === (Set("2"), 1L) && !got.contains("delta"))
   }
 
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t): Unit
+      }
+    }
+  }
+
+  test("replay converges from the exact crash state between the two commits") {
+    // The protocol's central claim: entries commit BEFORE docs, so a crash
+    // between them leaves new entries over old docs — and replaying the
+    // checkpointed batch from that state must land exactly where the
+    // uninterrupted merge landed. Constructed literally: graft the
+    // post-batch2 entries onto the pre-batch2 docs, then replay batch2.
+    val base = Files.createTempDirectory("graft_postX").toString
+    val batch1 = Seq(
+      DocChange("1", 0, "put", "alpha beta"),
+      DocChange("2", 1, "put", "beta gamma"))
+    val batch2 = Seq(
+      DocChange("1", 2, "put", "alpha zeta"), // update: beta leaves doc 1
+      DocChange("2", 3, "delete", ""),
+      DocChange("3", 4, "put", "gamma beta"))
+    val full = s"$base/full"
+    IncrementalPostings.mergeBatch(spark, batch1.toDF(), full)
+    val crash = s"$base/crash"
+    copyDir(full, crash) // snapshot the pre-batch2 state
+    IncrementalPostings.mergeBatch(spark, batch2.toDF(), full)
+    // crash state: batch2's entries promoted, docs still pre-batch2
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$crash/entries"))
+    copyDir(s"$full/entries", s"$crash/entries")
+    IncrementalPostings.mergeBatch(spark, batch2.toDF(), crash) // the replay
+    assert(postingsMap(IncrementalPostings.postings(spark, crash)) ===
+      postingsMap(IncrementalPostings.postings(spark, full)))
+    def docs(root: String): Map[String, String] =
+      IncrementalPostings.docsState(spark, root).collect()
+        .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("text")).toMap
+    assert(docs(crash) === docs(full))
+    assert(docs(crash) === Map("1" -> "alpha zeta", "3" -> "gamma beta"))
+  }
+
+  test("replay converges from a partially-promoted entries commit") {
+    // Within the entries commit itself, per-bucket swaps are sequential:
+    // a crash mid-sequence leaves SOME entry buckets new and the rest old
+    // (docs all old). The double anti-join must make the replay land
+    // identically regardless of which prefix was promoted.
+    val base = Files.createTempDirectory("graft_postY").toString
+    val batch1 = Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "beta gamma epsilon"))
+    val batch2 = Seq(
+      DocChange("1", 2, "put", "alpha zeta eta"),
+      DocChange("3", 3, "put", "gamma theta"))
+    val full = s"$base/full"
+    IncrementalPostings.mergeBatch(spark, batch1.toDF(), full)
+    val crash = s"$base/crash"
+    copyDir(full, crash)
+    IncrementalPostings.mergeBatch(spark, batch2.toDF(), full)
+    // promote exactly one of batch2's entry buckets onto the old state
+    val promoted = new java.io.File(s"$full/entries").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b=")).head.getName
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$crash/entries/$promoted"))
+    copyDir(s"$full/entries/$promoted", s"$crash/entries/$promoted")
+    IncrementalPostings.mergeBatch(spark, batch2.toDF(), crash) // the replay
+    assert(postingsMap(IncrementalPostings.postings(spark, crash)) ===
+      postingsMap(IncrementalPostings.postings(spark, full)))
+  }
+
   test("termSearch answers from the maintained state: intersection + live fetch") {
     val root = Files.createTempDirectory("graft_postQ").toString + "/postings"
     IncrementalPostings.mergeBatch(spark, Seq(
