@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.streaming.StateStore
 
 /** Persisted IVF (inverted-file) vector index — the materialized form of
   * the ANN scale path that `q_ann_ivf` / `q_ann_multiprobe` demonstrate
@@ -83,6 +84,40 @@ object IvfIndex {
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path + "/centroids")
 
+  /** Incrementally upsert vectors into a built index: assign against the
+    * TRAINED centroids (the quantizer is not retrained — the standard IVF
+    * maintenance contract; drifted distributions call for a rebuild), then
+    * read + rewrite ONLY the cells the vectors land in, replacing rows by
+    * vec_id (new wins). Per-cell swaps ride the same prefix-atomic
+    * [[StateStore.commitBuckets]] protocol as the changelog merges, safe
+    * under replay because re-running the same upsert reproduces the same
+    * assignment and replacement. */
+  def upsert(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    val vecRoot = path + "/vectors"
+    val assigned = assign(vectors.select(col("vec_id"), col("embedding")),
+      centroids(spark, path)).cache()
+    try {
+      val touched = assigned.select("cell").distinct().collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val live = StateStore.liveBuckets(spark, vecRoot, "cell=").toSet
+      val dirs = touched.toSeq.map(c => s"cell=$c")
+      val oldPaths = dirs.filter(live.contains).map(d => s"$vecRoot/$d")
+      val old =
+        if (oldPaths.nonEmpty)
+          spark.read.option("basePath", vecRoot).parquet(oldPaths: _*)
+        else assigned.limit(0)
+      val merged = old
+        .join(assigned.select(col("vec_id").as("upserted")),
+          col("vec_id") === col("upserted"), "left_anti")
+        .unionByName(assigned)
+        .cache()
+      merged.count() // decouple from the cell files before the swap
+      try StateStore.commitBuckets(spark, vecRoot, dirs) { tmpRoot =>
+        merged.write.partitionBy("cell").mode("overwrite").parquet(tmpRoot)
+      } finally merged.unpersist(): Unit
+    } finally assigned.unpersist(): Unit
+  }
+
   /** Probed ANN search: rank cells by query·centroid, then scan only the
     * top `probes` cells' partitions for the exact top-k. The cell list is
     * collected — it is nlist rows of metadata, never data. */
@@ -94,6 +129,9 @@ object IvfIndex {
       .orderBy(col("csim").desc, col("cell"))
       .limit(probes)
       .select("cell").collect().map(_.getInt(0)).toSeq
+    // heal any interrupted upsert swap before partition discovery (a
+    // leftover cell=<c>.old dir would corrupt the inferred cell column)
+    StateStore.liveBuckets(spark, path + "/vectors", "cell=")
     spark.read.parquet(path + "/vectors") // partition-discovered `cell` column
       .filter(col("cell").isin(probed: _*)) // prunes to probed directories
       .withColumn("sim", dotDD(col("embedding"), qv))

@@ -195,16 +195,19 @@ object StateStore {
   }
 
   /** Heal every bucket under a bucketed state root (promote interrupted
-    * per-bucket swaps) and return the live bucket directory names. */
-  def liveBuckets(spark: SparkSession, rootPath: String): Seq[String] = {
+    * per-bucket swaps) and return the live bucket directory names.
+    * `prefix` selects the partition naming scheme — `b=` for the
+    * hash-bucketed merges, `cell=` for the IVF index's cell layout. */
+  def liveBuckets(spark: SparkSession, rootPath: String,
+                  prefix: String = "b="): Seq[String] = {
     val root = new Path(rootPath)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.endsWith(".old"))
+      .filter(n => n.startsWith(prefix) && n.endsWith(".old"))
       .foreach(n => recover(spark, s"$rootPath/${n.stripSuffix(".old")}"))
     fs.listStatus(root).map(_.getPath.getName)
-      .filter(n => n.startsWith("b=") && !n.endsWith(".old") && !n.endsWith(".tmp"))
+      .filter(n => n.startsWith(prefix) && !n.endsWith(".old") && !n.endsWith(".tmp"))
       .toSeq.sorted
   }
 }

@@ -67,6 +67,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(hitCells.size <= 2)
   }
 
+  test("upsert rewrites only the landed cells; search reflects the new vectors") {
+    import spark.implicits._
+    // private copy of the index so the shared lazy fixture stays pristine
+    val p = Files.createTempDirectory("graft_ivfU").toString + "/ivf"
+    IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 3)
+    val before = snapshot(p + "/vectors")
+    val total = spark.read.parquet(p + "/vectors").count()
+    // one brand-new vector: the query itself under a fresh id → sim 1.0 top hit
+    val newId = 1000000L
+    IvfIndex.upsert(spark, p, Seq((newId, query)).toDF("vec_id", "embedding"))
+    val after = snapshot(p + "/vectors")
+    assert(spark.read.parquet(p + "/vectors").count() === total + 1)
+    // vec_id 0 (the query's own source) also scores 1.0 and wins the
+    // id tiebreak — the upserted vector must tie it in the top 2
+    val top2 = IvfIndex.search(spark, p, query, k = 2, probes = nlist).collect()
+    assert(top2.map(_.getLong(0)).toSet === Set(0L, newId))
+    top2.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)) // float-norm slack
+    // untouched cells are byte-identical; the landed cell was rewritten
+    val changed = after.keySet.filter(d => before.get(d) != after.get(d))
+    assert(changed.nonEmpty && changed.size < before.size,
+      s"changed=$changed of ${before.size}")
+    // replacement by vec_id: upserting the same id again must not duplicate
+    IvfIndex.upsert(spark, p, Seq((newId, query)).toDF("vec_id", "embedding"))
+    assert(spark.read.parquet(p + "/vectors").count() === total + 1)
+  }
+
+  private def snapshot(base: String): Map[String, Map[String, String]] =
+    new java.io.File(base).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.isFile).map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getName -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+        }.toMap
+      }.toMap
+
   test("the probed result is a superset-ranked prefix: hits are true similarities") {
     // probe < nlist may lose recall but must never fabricate: every
     // returned (vec_id, sim) must match the brute-force similarity.
