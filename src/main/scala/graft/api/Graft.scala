@@ -213,6 +213,11 @@ class Graft(spark: SparkSession, dir: String,
   def ivfSearch(path: String, query: Seq[Float], k: Int = 10, probes: Int = 2): DataFrame =
     IvfIndex.search(spark, path, query, k, probes)
 
+  /** Incrementally upsert (vec_id, embedding) rows into a persisted IVF
+    * index — only the landed cells are rewritten. */
+  def upsertIvf(path: String, vectors: DataFrame): Unit =
+    IvfIndex.upsert(spark, path, vectors)
+
   /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
     * aggregation that first dedupes within `buckets` hash-shards of the
     * value space, then sums the shard counts — so a hot key's distinct set
