@@ -62,10 +62,19 @@ object IvfIndex {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cent"))
 
+  /** Bucket count of the id→cell sidecar map (see [[upsert]]). */
+  val IdBuckets = 16
+
+  private def idBucket: Column =
+    pmod(crc32(col("vec_id").cast("string")), lit(IdBuckets)).cast("int")
+
   /** Train the coarse quantizer and materialize the index. Seeding is the
     * `nlist` smallest vec_ids — deterministic, so rebuilds are stable.
     * Each iteration checkpoints the (tiny) centroid table to truncate the
-    * iterative lineage. */
+    * iterative lineage. Alongside the cell-partitioned vectors, an
+    * id→cell sidecar (`<path>/ids`, bucketed by vec_id hash) records each
+    * vector's current cell so [[upsert]] can find and clear a moved
+    * vector's old copy without scanning the index. */
   def build(vectors: DataFrame, path: String, nlist: Int = 16, iters: Int = 5): Unit = {
     val e = vectors.select(col("vec_id"), col("embedding"))
     var centroids = e.orderBy("vec_id").limit(nlist)
@@ -76,8 +85,14 @@ object IvfIndex {
     for (_ <- 1 to iters)
       centroids = recompute(assign(e, centroids)).localCheckpoint()
     centroids.write.mode("overwrite").parquet(path + "/centroids")
-    assign(e, centroids).write.mode("overwrite")
-      .partitionBy("cell").parquet(path + "/vectors")
+    val assigned = assign(e, centroids).cache()
+    try {
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/vectors")
+      assigned.select(col("vec_id"), col("cell")).withColumn("b", idBucket)
+        .write.mode("overwrite").partitionBy("b").parquet(path + "/ids")
+      // after the overwrite (which replaces the whole ids dir, marker included)
+      StateStore.ensureBucketCount(assigned.sparkSession, path + "/ids", IdBuckets)
+    } finally assigned.unpersist(): Unit
   }
 
   /** The trained centroid table (cell, centroid). */
@@ -87,18 +102,42 @@ object IvfIndex {
   /** Incrementally upsert vectors into a built index: assign against the
     * TRAINED centroids (the quantizer is not retrained — the standard IVF
     * maintenance contract; drifted distributions call for a rebuild), then
-    * read + rewrite ONLY the cells the vectors land in, replacing rows by
-    * vec_id (new wins). Per-cell swaps ride the same prefix-atomic
-    * [[StateStore.commitBuckets]] protocol as the changelog merges, safe
-    * under replay because re-running the same upsert reproduces the same
-    * assignment and replacement. */
+    * read + rewrite ONLY the touched cells, replacing rows by vec_id.
+    *
+    * "Touched" must include the cells holding the upserted ids' OLD
+    * copies: an updated embedding can re-assign its vec_id to a different
+    * cell, and the cell — unlike the changelog merges' rowkey bucket — is
+    * a function of the (changed) embedding, not the key. The id→cell
+    * sidecar map locates those old cells by reading only the id buckets
+    * the batch's vec_ids hash to. Commit order is cells first, ids
+    * second: a replay with the OLD id map still sees the old cells as
+    * touched and re-clears them (idempotent); the reverse order would
+    * lose track of a stale copy. */
   def upsert(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
     val vecRoot = path + "/vectors"
-    val assigned = assign(vectors.select(col("vec_id"), col("embedding")),
-      centroids(spark, path)).cache()
+    val idsRoot = path + "/ids"
+    StateStore.ensureBucketCount(spark, idsRoot, IdBuckets)
+    val batch = vectors.select(col("vec_id"), col("embedding"))
+    require(batch.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "upsert batch contains duplicate vec_ids — resolve to one embedding per id first")
+    val assigned = assign(batch, centroids(spark, path)).cache()
     try {
-      val touched = assigned.select("cell").distinct().collect().map(_.getInt(0)).sorted
-      if (touched.isEmpty) return
+      val newCells = assigned.select("cell").distinct().collect().map(_.getInt(0))
+      if (newCells.isEmpty) return
+      // old cells of the upserted ids, from the touched id buckets only
+      val idB = assigned.select(idBucket.as("b")).distinct().collect().map(_.getInt(0)).sorted
+      val idDirs = idB.toSeq.map(b => s"b=$b")
+      val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
+      val oldIdPaths = idDirs.filter(liveIds.contains).map(d => s"$idsRoot/$d")
+      val oldIds =
+        if (oldIdPaths.nonEmpty) spark.read.parquet(oldIdPaths: _*)
+        else assigned.select(col("vec_id"), col("cell")).limit(0)
+      val oldCells = oldIds
+        .join(broadcast(assigned.select(col("vec_id").as("upserted"))),
+          col("vec_id") === col("upserted"))
+        .select("cell").distinct().collect().map(_.getInt(0))
+
+      val touched = (newCells ++ oldCells).distinct.sorted
       val live = StateStore.liveBuckets(spark, vecRoot, "cell=").toSet
       val dirs = touched.toSeq.map(c => s"cell=$c")
       val oldPaths = dirs.filter(live.contains).map(d => s"$vecRoot/$d")
@@ -107,14 +146,25 @@ object IvfIndex {
           spark.read.option("basePath", vecRoot).parquet(oldPaths: _*)
         else assigned.limit(0)
       val merged = old
-        .join(assigned.select(col("vec_id").as("upserted")),
+        .join(broadcast(assigned.select(col("vec_id").as("upserted"))),
           col("vec_id") === col("upserted"), "left_anti")
         .unionByName(assigned)
         .cache()
-      merged.count() // decouple from the cell files before the swap
-      try StateStore.commitBuckets(spark, vecRoot, dirs) { tmpRoot =>
-        merged.write.partitionBy("cell").mode("overwrite").parquet(tmpRoot)
-      } finally merged.unpersist(): Unit
+      val newIds = oldIds
+        .join(broadcast(assigned.select(col("vec_id").as("upserted"))),
+          col("vec_id") === col("upserted"), "left_anti")
+        .unionByName(assigned.select(col("vec_id"), col("cell")))
+        .withColumn("b", idBucket)
+        .cache()
+      merged.count(); newIds.count() // decouple from the files before the swaps
+      try {
+        StateStore.commitBuckets(spark, vecRoot, dirs) { tmpRoot =>
+          merged.write.partitionBy("cell").mode("overwrite").parquet(tmpRoot)
+        }
+        StateStore.commitBuckets(spark, idsRoot, idDirs) { tmpRoot =>
+          newIds.write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
+        }
+      } finally { merged.unpersist(); newIds.unpersist(): Unit }
     } finally assigned.unpersist(): Unit
   }
 

@@ -192,9 +192,19 @@ class IncrementalPostingsSpec extends SparkSpec {
     val crash = s"$base/crash"
     copyDir(full, crash)
     IncrementalPostings.mergeBatch(spark, batch2.toDF(), full)
-    // promote exactly one of batch2's entry buckets onto the old state
+    // promote exactly one of the entry buckets batch2 actually CHANGED —
+    // a bucket with identical bytes pre/post would degenerate this test
+    // to a plain replay over fully-old state
+    def fileSet(d: String): Set[(String, Long)] = {
+      val f = new java.io.File(d)
+      if (!f.exists()) Set.empty
+      else f.listFiles().filter(_.isFile).map(x => (x.getName, x.length())).toSet
+    }
     val promoted = new java.io.File(s"$full/entries").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("b=")).head.getName
+      .filter(f => f.isDirectory && f.getName.startsWith("b="))
+      .map(_.getName)
+      .find(d => fileSet(s"$full/entries/$d") != fileSet(s"$crash/entries/$d"))
+      .getOrElse(fail("batch2 changed no entry bucket — fixture is degenerate"))
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$crash/entries/$promoted"))
     copyDir(s"$full/entries/$promoted", s"$crash/entries/$promoted")

@@ -93,6 +93,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(spark.read.parquet(p + "/vectors").count() === total + 1)
   }
 
+  test("an updated embedding that moves cells leaves no stale copy behind") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_ivfM").toString + "/ivf"
+    IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 3)
+    val stored = spark.read.parquet(p + "/vectors")
+    val total = stored.count()
+    // pick two vectors currently in DIFFERENT cells; give the first the
+    // second's embedding, which re-assigns it to the second's cell
+    val byCell = stored.select("vec_id", "cell", "embedding").collect()
+      .groupBy(_.getInt(1))
+    val (cellA, cellB) = { val ks = byCell.keys.toSeq.sorted; (ks.head, ks.last) }
+    assert(cellA !== cellB)
+    val mover = byCell(cellA).head.getLong(0)
+    val targetEmb = byCell(cellB).head.getSeq[Float](2)
+    IvfIndex.upsert(spark, p, Seq((mover, targetEmb)).toDF("vec_id", "embedding"))
+    val now = spark.read.parquet(p + "/vectors")
+    assert(now.count() === total, "a moved vector must be replaced, not duplicated")
+    val rows = now.filter(col("vec_id") === mover).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Int]("cell") === cellB, "the copy must live in the new cell")
+  }
+
+  test("a batch with duplicate vec_ids is rejected") {
+    import spark.implicits._
+    val q = query
+    intercept[IllegalArgumentException] {
+      IvfIndex.upsert(spark, path, Seq((5L, q), (5L, q)).toDF("vec_id", "embedding"))
+    }
+  }
+
   private def snapshot(base: String): Map[String, Map[String, String]] =
     new java.io.File(base).listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("cell="))
