@@ -111,6 +111,25 @@ class GraftApiSpec extends SparkSpec {
     assert(p > 0)
   }
 
+  test("facade streaming start wires the config's interval and delay end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAggregates.Ev
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Ev]
+    val base = java.nio.file.Files.createTempDirectory("graft_apiStream").toString
+    val fast = Graft(spark, "/root/testdata/sf0.001",
+      GraftConfig.default.copy(commitIntervalSec = 1, firstDelaySec = 0))
+    val query = fast.startIndexMaintenance(source.toDF(), s"$base/state", s"$base/ckpt")
+    try {
+      source.addData(Ev("a", 0L, "put", "v0"), Ev("b", 1L, "delete", ""))
+      query.processAllAvailable()
+      val live = graft.streaming.IncrementalIndex.readState(spark, s"$base/state")
+        .collect().map(_.getAs[String]("rowkey")).toSet
+      assert(live === Set("a"))
+    } finally query.stop()
+  }
+
   test("facade IVF round-trip: build a persisted index, probe it") {
     val path = java.nio.file.Files.createTempDirectory("graft_apiIvf")
       .toString + "/ivf"
