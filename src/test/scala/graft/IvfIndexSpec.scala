@@ -115,6 +115,51 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows.head.getAs[Int]("cell") === cellB, "the copy must live in the new cell")
   }
 
+  test("upsert replay converges from the crash state between cells and ids commits") {
+    // The id-map commit-order claim, constructed literally: vectors
+    // promoted, id map still old. Replaying the same upsert must land
+    // exactly where the uninterrupted one landed — the old map makes the
+    // replay re-touch (and re-clear) the already-cleared old cell.
+    import spark.implicits._
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(s).forEach { p0 =>
+        val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p0))
+        if (java.nio.file.Files.isDirectory(p0)) java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p0, t): Unit
+        }
+      }
+    }
+    val base = Files.createTempDirectory("graft_ivfC").toString
+    val full = s"$base/full"
+    IvfIndex.build(Tables.embeddings(spark, dir), full, nlist = nlist, iters = 3)
+    val crash = s"$base/crash"
+    copyDir(full, crash)
+    // a cell-moving upsert (same construction as the move test)
+    val stored = spark.read.parquet(full + "/vectors")
+    val byCell = stored.select("vec_id", "cell", "embedding").collect().groupBy(_.getInt(1))
+    val ks = byCell.keys.toSeq.sorted
+    val mover = byCell(ks.head).head.getLong(0)
+    val targetEmb = byCell(ks.last).head.getSeq[Float](2)
+    val batch = Seq((mover, targetEmb)).toDF("vec_id", "embedding")
+    IvfIndex.upsert(spark, full, batch)
+    // crash state: new vectors over the OLD id map
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$crash/vectors"))
+    copyDir(s"$full/vectors", s"$crash/vectors")
+    IvfIndex.upsert(spark, crash, batch) // the replay
+    def rows(p: String): Set[(Long, Int)] =
+      spark.read.parquet(p + "/vectors").select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def ids(p: String): Set[(Long, Int)] =
+      spark.read.parquet(p + "/ids").select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows(crash) === rows(full))
+    assert(ids(crash) === ids(full))
+    assert(ids(full) === rows(full), "the id map must mirror the stored cells")
+  }
+
   test("a batch with duplicate vec_ids is rejected") {
     import spark.implicits._
     val q = query
