@@ -66,6 +66,12 @@ class Graft(spark: SparkSession, dir: String,
       tokenize = tokenizer.tokens,
       firstDelaySeconds = cfg.firstDelaySec)
 
+  /** Query the INCREMENTALLY MAINTAINED index at `rootPath` (multi-term
+    * AND, then live-row fetch) — the reference's read path over the state
+    * [[startPostingsMaintenance]] keeps current, no corpus scan. */
+  def searchMaintained(rootPath: String, terms: Seq[String]): DataFrame =
+    IncrementalPostings.termSearch(spark, rootPath, terms)
+
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the
     * compacted secondary index) and `graft_postings` (the inverted

@@ -41,6 +41,9 @@ object ChangelogSource {
       .option("mode", "FAILFAST")
       .json(path)
 
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Streaming flavor of the landing zone: the same DECLARED schema over a
     * file stream (new files picked up per micro-batch, offsets
     * checkpointed by the sink's query) — wires directly into

@@ -25,10 +25,12 @@ class ChangelogSourceSpec extends SparkSpec {
       IncrementalIndex.compact(d).collect()
         .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("payload")).toMap
 
+    df.write.mode("overwrite").orc(s"$base/o")
     val expect = Map("a" -> "v3", "c" -> "v5")
     assert(state(ChangelogSource.parquet(spark, s"$base/p")) === expect)
     assert(state(ChangelogSource.csv(spark, s"$base/c")) === expect)
     assert(state(ChangelogSource.jsonLines(spark, s"$base/j")) === expect)
+    assert(state(ChangelogSource.orc(spark, s"$base/o")) === expect)
   }
 
   test("landing-zone file stream feeds the bucketed state merge end-to-end") {
