@@ -76,6 +76,16 @@ object IvfIndex {
     * vector's current cell so [[upsert]] can find and clear a moved
     * vector's old copy without scanning the index. */
   def build(vectors: DataFrame, path: String, nlist: Int = 16, iters: Int = 5): Unit = {
+    // Rebuild = REPLACE: clear any previous index first, as one unit. The
+    // three writes below are not mutually atomic; replacing from scratch
+    // means a crash mid-build leaves an obviously-incomplete index whose
+    // readers fail loudly (missing dirs), never a complete-looking index
+    // whose id map describes the PREVIOUS layout — that combination would
+    // make later upserts clear the wrong cells silently.
+    val spark0 = vectors.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark0.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.delete(root, true): Unit
     val e = vectors.select(col("vec_id"), col("embedding"))
     var centroids = e.orderBy("vec_id").limit(nlist)
       .select(
@@ -116,18 +126,30 @@ object IvfIndex {
   def upsert(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
     val vecRoot = path + "/vectors"
     val idsRoot = path + "/ids"
+    // Fail loudly on an index whose id map is absent while vectors exist
+    // (a pre-sidecar layout, or a build that crashed between its writes):
+    // upserting against an empty map would stop clearing moved vectors'
+    // old copies — the silent-duplication bug the map exists to prevent.
+    val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
+    if (liveIds.isEmpty && StateStore.liveBuckets(spark, vecRoot, "cell=").nonEmpty)
+      throw new IllegalStateException(
+        s"index at $path has vectors but no id map — rebuild it with IvfIndex.build")
     StateStore.ensureBucketCount(spark, idsRoot, IdBuckets)
-    val batch = vectors.select(col("vec_id"), col("embedding"))
+    // cache the batch: the duplicate check and assign() both consume it,
+    // and the caller's frame may be expensive
+    val batch = vectors.select(col("vec_id"), col("embedding")).cache()
     require(batch.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
       "upsert batch contains duplicate vec_ids — resolve to one embedding per id first")
     val assigned = assign(batch, centroids(spark, path)).cache()
     try {
-      val newCells = assigned.select("cell").distinct().collect().map(_.getInt(0))
+      // one job yields both touched-cell and touched-id-bucket sets (and
+      // materializes `assigned` while `batch` is still cached)
+      val cellAndIdB = assigned.select(col("cell"), idBucket.as("ib"))
+        .distinct().collect()
+      val newCells = cellAndIdB.map(_.getInt(0)).distinct
       if (newCells.isEmpty) return
-      // old cells of the upserted ids, from the touched id buckets only
-      val idB = assigned.select(idBucket.as("b")).distinct().collect().map(_.getInt(0)).sorted
+      val idB = cellAndIdB.map(_.getInt(1)).distinct.sorted
       val idDirs = idB.toSeq.map(b => s"b=$b")
-      val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
       val oldIdPaths = idDirs.filter(liveIds.contains).map(d => s"$idsRoot/$d")
       val oldIds =
         if (oldIdPaths.nonEmpty) spark.read.parquet(oldIdPaths: _*)
@@ -165,7 +187,7 @@ object IvfIndex {
           newIds.write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
         }
       } finally { merged.unpersist(); newIds.unpersist(): Unit }
-    } finally assigned.unpersist(): Unit
+    } finally { assigned.unpersist(); batch.unpersist(): Unit }
   }
 
   /** Probed ANN search: rank cells by query·centroid, then scan only the

@@ -41,8 +41,19 @@ object ChangelogSource {
       .option("mode", "FAILFAST")
       .json(path)
 
-  def orc(spark: SparkSession, path: String): DataFrame =
+  def orc(spark: SparkSession, path: String): DataFrame = {
+    // FAILFAST doesn't apply to self-describing formats: with a declared
+    // schema, by-name resolution silently null-fills columns a drifted
+    // producer renamed or dropped. Check the file schema explicitly so
+    // drift fails loudly here too (a footer read — metadata, not data).
+    val fileFields = spark.read.orc(path).schema.fieldNames.toSet
+    val missing = schema.fieldNames.filterNot(fileFields.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ORC changelog at $path is missing required columns " +
+          s"${missing.mkString(", ")} — drifted producer")
     spark.read.schema(schema).orc(path)
+  }
 
   /** Streaming flavor of the landing zone: the same DECLARED schema over a
     * file stream (new files picked up per micro-batch, offsets

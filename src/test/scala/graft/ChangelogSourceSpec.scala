@@ -58,6 +58,16 @@ class ChangelogSourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a drifted ORC producer fails loudly too (schema checked, not null-filled)") {
+    val base = Files.createTempDirectory("graft_srcO").toString
+    rows.toDF("key", "event_id", "op", "payload") // rowkey renamed away
+      .write.mode("overwrite").orc(s"$base/drifted")
+    val e = intercept[IllegalArgumentException] {
+      ChangelogSource.orc(spark, s"$base/drifted")
+    }
+    assert(e.getMessage.contains("rowkey"))
+  }
+
   test("the streaming reader keeps the strict-ingest contract (FAILFAST)") {
     val base = Files.createTempDirectory("graft_srcF").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()

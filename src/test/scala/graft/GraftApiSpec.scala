@@ -130,6 +130,27 @@ class GraftApiSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("facade postings maintenance + searchMaintained round-trip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[DocChange]
+    val base = java.nio.file.Files.createTempDirectory("graft_apiSearch").toString
+    val fast = Graft(spark, "/root/testdata/sf0.001",
+      GraftConfig.default.copy(commitIntervalSec = 1, firstDelaySec = 0))
+    val query = fast.startPostingsMaintenance(
+      source.toDF(), s"$base/postings", s"$base/ckpt")
+    try {
+      source.addData(
+        DocChange("1", 0, "put", "spark merge sort"),
+        DocChange("2", 1, "put", "spark hash join"))
+      query.processAllAvailable()
+      val hits = fast.searchMaintained(s"$base/postings", Seq("spark", "merge"))
+        .select("rowkey").collect().map(_.getString(0)).toSet
+      assert(hits === Set("1"))
+    } finally query.stop()
+  }
+
   test("facade IVF round-trip: build a persisted index, probe it") {
     val path = java.nio.file.Files.createTempDirectory("graft_apiIvf")
       .toString + "/ivf"

@@ -131,18 +131,6 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got("zeta") === (Set("2"), 1L) && !got.contains("delta"))
   }
 
-  private def copyDir(src: String, dst: String): Unit = {
-    val s = java.nio.file.Paths.get(src)
-    java.nio.file.Files.walk(s).forEach { p =>
-      val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else {
-        java.nio.file.Files.createDirectories(t.getParent)
-        java.nio.file.Files.copy(p, t): Unit
-      }
-    }
-  }
-
   test("replay converges from the exact crash state between the two commits") {
     // The protocol's central claim: entries commit BEFORE docs, so a crash
     // between them leaves new entries over old docs — and replaying the

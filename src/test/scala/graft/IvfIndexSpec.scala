@@ -121,17 +121,6 @@ class IvfIndexSpec extends SparkSpec {
     // exactly where the uninterrupted one landed — the old map makes the
     // replay re-touch (and re-clear) the already-cleared old cell.
     import spark.implicits._
-    def copyDir(src: String, dst: String): Unit = {
-      val s = java.nio.file.Paths.get(src)
-      java.nio.file.Files.walk(s).forEach { p0 =>
-        val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p0))
-        if (java.nio.file.Files.isDirectory(p0)) java.nio.file.Files.createDirectories(t)
-        else {
-          java.nio.file.Files.createDirectories(t.getParent)
-          java.nio.file.Files.copy(p0, t): Unit
-        }
-      }
-    }
     val base = Files.createTempDirectory("graft_ivfC").toString
     val full = s"$base/full"
     IvfIndex.build(Tables.embeddings(spark, dir), full, nlist = nlist, iters = 3)

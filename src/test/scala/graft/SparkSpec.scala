@@ -19,4 +19,17 @@ object SparkSpec {
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
+
+  /** Recursive local-FS directory copy (crash-state construction). */
+  protected def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t): Unit
+      }
+    }
+  }
 }
