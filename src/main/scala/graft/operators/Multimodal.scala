@@ -128,6 +128,75 @@ object Multimodal {
     }
   }
 
+  /** An audio row: opaque payload + PCM metadata (fixture: text bytes stand
+    * in for the encoded stream; 16 fake samples per byte at 16 kHz). */
+  case class AudioRecord(doc_id: Long, media: Array[Byte], sample_rate: Int,
+                         n_samples: Long)
+
+  /** One analysis window's fixed-width features (what flows onward). */
+  case class AudioFeatures(doc_id: Long, win_idx: Long, start_sample: Long,
+                           ts_ms: Long, digest: String, energy: Long)
+
+  /** Window geometry shared by the codec face, the declarative form, and
+    * the oracle: 2000-sample windows, 1000-sample hop, every clip gets at
+    * least one (possibly partial) window. */
+  private[graft] val AudioWindow = 2000L
+  private[graft] val AudioHop = 1000L
+
+  /** Attach the fake audio payload + PCM metadata. */
+  def withAudio(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit(16000).as("sample_rate"),
+      (octet_length(col("text")) * 16).cast("long").as("n_samples"))
+
+  /** Audio chunking, codec face: fixed window/hop analysis frames — the
+    * window list is derived from METADATA (`n_samples`), and each payload
+    * is consulted only inside its own task, so audio bytes are never
+    * replicated across window rows or shuffled. Decode is
+    * [[MultimodalStub.decodeAudioWindowStub]] (no codecs in this
+    * container); MultimodalSpec pins this face equal to the oracle-checked
+    * declarative form (`q_audio_chunks`). */
+  def chunkAudio(audios: Dataset[AudioRecord],
+                 windowSamples: Long = AudioWindow,
+                 hopSamples: Long = AudioHop): Dataset[AudioFeatures] = {
+    import audios.sparkSession.implicits._
+    audios.mapPartitions { it =>
+      val codec = MultimodalStub // real impl: open the decoder once here
+      it.flatMap { a =>
+        // max(0, n-w)/hop + 1 windows — ≥ 1 per clip, non-negative
+        // arithmetic only (floor vs truncate division never diverges).
+        val n = math.max(0L, a.n_samples - windowSamples) / hopSamples + 1
+        (0L until n).iterator.map { i =>
+          val start = i * hopSamples
+          val w = codec.decodeAudioWindowStub(a.media, start, a.n_samples)
+          AudioFeatures(a.doc_id, i, start,
+            start * 1000 / a.sample_rate, w.digest, w.energy)
+        }
+      }
+    }
+  }
+
+  private def qAudioChunks(spark: SparkSession, dir: String): DataFrame =
+    // Declarative audio chunking: the window list explodes from SAMPLE
+    // METADATA (sequence over window indices), the payload column is
+    // projected away before the output sort — audio bytes never cross an
+    // exchange. The stub's digest is md5(payload ++ "#" ++ start_sample),
+    // which the oracle reproduces byte-for-byte on the text fixture.
+    // greatest(0, n-w) keeps the division non-negative: Spark `div`
+    // truncates while DuckDB `//` floors, and they only disagree below 0.
+    withAudio(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("media"), col("n_samples"), col("sample_rate"),
+        explode(sequence(lit(0L),
+          expr(s"greatest(0L, n_samples - $AudioWindow) div $AudioHop"))).as("win_idx"))
+      .withColumn("start_sample", col("win_idx") * AudioHop)
+      .select(col("doc_id"), col("win_idx"), col("start_sample"),
+        expr("start_sample * 1000 div sample_rate").as("ts_ms"),
+        md5(concat(col("media"),
+          encode(concat(lit("#"), col("start_sample").cast("string")), "UTF-8"))).as("digest"),
+        ((col("n_samples") + col("start_sample")) % 1000).cast("long").as("energy"))
+      .orderBy("doc_id", "win_idx")
+
   private def qFrameSample(spark: SparkSession, dir: String): DataFrame =
     // Declarative frame sampling: the frame list explodes from DURATION
     // METADATA (sequence over frame indices), so the generate is driven by
@@ -159,9 +228,23 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
-    "q_frame_sample" -> qFrameSample)
+    "q_frame_sample" -> qFrameSample,
+    "q_audio_chunks" -> qAudioChunks)
 
   val oracle: Map[String, String] = Map(
+    "q_audio_chunks" ->
+      """WITH a AS (
+        |  SELECT doc_id, text, strlen(text) * 16 AS n_samples
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text, n_samples,
+        |         unnest(generate_series(0, greatest(0, n_samples - 2000) // 1000)) AS win_idx
+        |  FROM a)
+        |SELECT doc_id, win_idx, win_idx * 1000 AS start_sample,
+        |       (win_idx * 1000 * 1000) // 16000 AS ts_ms,
+        |       md5(text || '#' || CAST(win_idx * 1000 AS VARCHAR)) AS digest,
+        |       CAST((n_samples + win_idx * 1000) % 1000 AS BIGINT) AS energy
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
     "q_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, text, strlen(text) AS nbytes,
@@ -221,6 +304,22 @@ object MultimodalStub {
         math.max(1, (d.width * scale).toInt),
         math.max(1, (d.height * scale).toInt), d.digest)
     }
+  }
+
+  case class DecodedAudioWindow(energy: Long, digest: String)
+
+  /** STUB: decode + analyze one PCM window starting at `startSample`. The
+    * fake digests payload ++ "#" ++ startSample and derives a fake energy
+    * from the sample geometry — deterministic, schema-identical to a real
+    * analysis frame, and reproducible in plain SQL so the declarative
+    * `q_audio_chunks` oracle covers the same arithmetic. */
+  def decodeAudioWindowStub(payload: Array[Byte], startSample: Long,
+                            nSamplesTotal: Long): DecodedAudioWindow = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload)
+    md.update(s"#$startSample".getBytes("UTF-8"))
+    val digest = md.digest().map("%02x".format(_)).mkString
+    DecodedAudioWindow((nSamplesTotal + startSample) % 1000, digest)
   }
 
   /** STUB: seek + decode one frame at `tsMs`. The fake digests

@@ -78,6 +78,33 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1L).map(_.ts_ms).sorted.toSeq === Seq(0L, 1000L, 2000L))
   }
 
+  test("audio chunking: codec face equals the declarative oracle-checked form") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val declarative = SparkEntry.queries("q_audio_chunks")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSet
+    val typed = Multimodal.chunkAudio(Multimodal.withAudio(real).as[Multimodal.AudioRecord])
+      .collect()
+      .map(a => (a.doc_id, a.win_idx, a.start_sample, a.ts_ms, a.digest, a.energy))
+      .toSet
+    assert(declarative === typed && declarative.nonEmpty)
+  }
+
+  test("every clip yields at least one window; window count tracks samples") {
+    val clips = Seq(
+      Multimodal.AudioRecord(0L, "x".getBytes, 16000, 100L),   // < one window
+      Multimodal.AudioRecord(1L, "abc".getBytes, 16000, 4500L)) // 2000+1000k spans
+      .toDS()
+    val wins = Multimodal.chunkAudio(clips).collect().groupBy(_.doc_id)
+    assert(wins(0L).map(_.start_sample).toSeq === Seq(0L))
+    // windows start every 1000 samples while a full-or-partial tail remains:
+    // max(0, 4500-2000)/1000 + 1 = 3 windows
+    assert(wins(1L).map(_.start_sample).sorted.toSeq === Seq(0L, 1000L, 2000L))
+    // ts_ms derives from the hop and rate: 1000 samples at 16 kHz = 62 ms
+    assert(wins(1L).sortBy(_.win_idx).map(_.ts_ms).toSeq === Seq(0L, 62L, 125L))
+  }
+
   test("query metadata math agrees with the mapPartitions featurizer") {
     // The oracle-checked q_multimodal_meta and the typed featurize path
     // must compute the same digest/geometry.

@@ -137,6 +137,19 @@ class PlanSpec extends SparkSpec {
     sortCols.foreach(cols => assert(!cols.contains("media"), cols.mkString(",")))
   }
 
+  test("q_audio_chunks: payload bytes never cross the exchange") {
+    // same contract as q_frame_sample for the audio modality: the binary
+    // column feeds the per-window digest and is projected away before the
+    // output sort
+    val plan = SparkEntry.queries("q_audio_chunks")(spark, dir)
+      .queryExecution.sparkPlan
+    val sortCols = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s.output.map(_.name)
+    }
+    assert(sortCols.nonEmpty)
+    sortCols.foreach(cols => assert(!cols.contains("media"), cols.mkString(",")))
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
     for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
       val df = SparkEntry.queries(q)(spark, dir)
