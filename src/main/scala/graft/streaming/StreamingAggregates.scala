@@ -77,6 +77,63 @@ object StreamingAggregates {
       }
   }
 
+  /** A buffered event released by a threshold flush: the original event
+    * plus which shard buffer and which flush batch released it. */
+  case class FlushedEv(rowkey: String, event_id: Long, op: String,
+                       payload: String, shard: Int, flush_seq: Long)
+
+  private case class BufState(flushSeq: Long, buf: List[Ev])
+
+  /** Count-threshold flush — O7's streaming face. The reference keeps an
+    * add buffer and a delete buffer per regionserver and flushes each the
+    * moment it reaches its batch count (add_batchCount=10000 /
+    * del_batchCount=2000, SolrIndexTools.java:62-75,93-101); the interval
+    * timer is the separate, complementary trigger (already covered by the
+    * interval-driven streaming starts). Here each (op-class, shard) key
+    * owns one buffer in the checkpointed state store — the shard plays the
+    * regionserver: buffers fill and flush independently, and adding
+    * executors spreads them, exactly how adding regionservers did. Unlike
+    * the reference's heap buffer, a crash replays into the SAME buffer
+    * instead of losing it (README.md:19-20 documents the reference's data
+    * loss).
+    *
+    * State per key is bounded by the threshold (a full buffer always
+    * drains), so state size is `shards × (addBatchCount + delBatchCount)`
+    * rows regardless of stream volume. Rows are buffered in event_id order
+    * (arrival order within a micro-batch is not deterministic); each
+    * emitted row carries its buffer's running `flush_seq`, so a downstream
+    * sink sees exactly the reference's "one addDocs call per full buffer"
+    * batching. */
+  def thresholdFlush(events: Dataset[Ev], addBatchCount: Int,
+                     delBatchCount: Int, shards: Int = 32,
+                     deleteOp: String = "delete"): Dataset[FlushedEv] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    require(addBatchCount > 0 && delBatchCount > 0 && shards > 0,
+      "thresholds and shard count must be positive")
+    events
+      .groupByKey(e => (e.op == deleteOp,
+        math.floorMod(e.rowkey.hashCode, shards)))
+      .flatMapGroupsWithState[BufState, FlushedEv](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((isDelete, shard), batch, state) =>
+          val threshold = if (isDelete) delBatchCount else addBatchCount
+          val prior = state.getOption.getOrElse(BufState(0L, Nil))
+          var buf = prior.buf ++ batch.toSeq.sortBy(_.event_id)
+          var seq = prior.flushSeq
+          val out = List.newBuilder[FlushedEv]
+          while (buf.lengthCompare(threshold) >= 0) {
+            val (flush, rest) = buf.splitAt(threshold)
+            out ++= flush.map(e =>
+              FlushedEv(e.rowkey, e.event_id, e.op, e.payload, shard, seq))
+            seq += 1
+            buf = rest
+          }
+          state.update(BufState(seq, buf))
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup (X1's streaming face): emit only the FIRST
     * document carrying each content hash, across micro-batches. State is
     * one entry per distinct hash, sharded by hash across executors — at
