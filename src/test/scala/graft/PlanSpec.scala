@@ -124,6 +124,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("dedup family reads materialized artifacts — no in-plan index rebuild") {
+    // The expensive derived artifacts (shingle inverted index; near-dup
+    // pair set) must appear ZERO times as build subtrees inside the family's
+    // query plans: q_dedup_near/q_dedup_cluster read the materialized pair
+    // artifact, q_dedup_minhash reads the materialized shingle index. A
+    // plan that re-derives an artifact from the parquet corpus re-runs the
+    // dominant cost once per consumer.
+    // (Node-based collect: InMemoryRelation PRINTS its cached build subtree
+    // — including the original FileScan — but holds it as metadata, not as
+    // an executing child, so tree traversal sees only real scans.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    for (q <- Seq("q_dedup_near", "q_dedup_minhash", "q_dedup_cluster")) {
+      val all = nodes(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)
+      val fileScans = all.filter(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      assert(fileScans.isEmpty,
+        s"$q rebuilds its artifact from the corpus scan:\n${fileScans.mkString("\n")}")
+      // cluster's plan reads the checkpointed pair list (the artifact was
+      // consumed when the checkpoint materialized), so the cache-scan node
+      // is only visible in the other two.
+      if (q != "q_dedup_cluster")
+        assert(all.exists(_.nodeName.contains("InMemoryTableScan")),
+          s"$q does not read the materialized artifact:\n${all.head}")
+    }
+  }
+
+  test("dedup family shares ONE shingle-index artifact per session") {
+    val a = operators.Dedup.sharedShingleIndex(spark, dir)
+    val b = operators.Dedup.sharedShingleIndex(spark, dir)
+    assert(a eq b, "sharedShingleIndex must return the same materialized instance")
+  }
+
   test("q_frame_sample: payload bytes never cross the exchange") {
     // the binary media column must be projected away before the output
     // sort — at scale a sort carrying MB payloads per frame row would
