@@ -34,13 +34,26 @@ object Index {
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
         countDistinct(col("doc_id")).as("df"))
 
+  /** The default-analyzer posting lists over the corpus at `dir`,
+    * MATERIALIZED once per session (see [[Materialize]]) — the read-side
+    * form of the index the reference keeps in Solr. Term, fuzzy and
+    * intersection queries consume the persisted copy: the filter runs per
+    * DISTINCT vocabulary term against cached blocks, and because the
+    * artifact is already materialized there is no aggregate in the
+    * consumer's plan for Catalyst to (incorrectly for cost) push a
+    * per-occurrence predicate beneath — no optimizer-barrier tricks
+    * needed. */
+  def sharedPostings(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "postings_default", dir)(
+      postings(Tables.documents(spark, dir)))
+
   private def qInvertedSearch(spark: SparkSession, dir: String): DataFrame = {
     // Multi-term AND via posting-list intersection: explode each matched
     // term's postings, keep doc_ids seen under every term. Then fetch the
     // matched rows from the corpus (search-then-fetch, one engine).
     val docs = Tables.documents(spark, dir)
     val terms = Seq("merge", "sort")
-    val hits = postings(docs)
+    val hits = sharedPostings(spark, dir)
       .filter(col("tok").isin(terms: _*))
       .select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("nt"))

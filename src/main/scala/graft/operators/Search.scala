@@ -164,20 +164,19 @@ object Search {
     // identical semantics in Spark and DuckDB, so even fuzzy match is
     // oracle-checkable. Production shape (vs the naive scan-side
     // exists(levenshtein) over every token of every row): expand the query
-    // term against the AGGREGATED vocabulary — the edit-distance scan runs
-    // once per distinct term, bounded by |vocab|, not once per token
-    // occurrence over 100 TB — then hit the posting lists with the (tiny)
-    // expansion set and fetch matched docs by key. The `|| df < 0`
-    // disjunct is always false but references the aggregate output, which
-    // stops Catalyst pushing the deterministic levenshtein predicate
-    // through the postings aggregate back onto the per-occurrence token
-    // stream (a pushdown that is correct but undoes the whole point).
-    // PlanSpec pins levenshtein-above-aggregate.
+    // term against the MATERIALIZED posting lists (Index.sharedPostings) —
+    // the edit-distance scan runs once per distinct vocabulary term over
+    // cached blocks, bounded by |vocab|, not once per token occurrence
+    // over 100 TB — then hit the posting lists with the (tiny) expansion
+    // set and fetch matched docs by key. Reading the persisted artifact
+    // also removes the old `|| df < 0` optimizer-barrier hack: with no
+    // aggregate left in this plan, there is nothing for Catalyst to push
+    // the levenshtein predicate beneath. PlanSpec pins the shape.
     val docs = Tables.documents(spark, dir)
     // (no distinct on the exploded ids: the left_semi join deduplicates —
     // an aggregate here would just add a shuffle)
-    val hits = Index.postings(docs)
-      .filter(levenshtein(col("tok"), lit("merge")) <= 1 || col("df") < 0)
+    val hits = Index.sharedPostings(spark, dir)
+      .filter(levenshtein(col("tok"), lit("merge")) <= 1)
       .select(explode(col("ids")).as("doc_id"))
     docs.join(hits, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source")

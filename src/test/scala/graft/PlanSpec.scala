@@ -109,18 +109,21 @@ class PlanSpec extends SparkSpec {
       s"window input is not aggregated:\n$p")
   }
 
-  test("q_fuzzy_search: levenshtein runs over the aggregated vocabulary, not the corpus scan") {
+  test("q_fuzzy_search: levenshtein runs over the materialized vocabulary, not the corpus scan") {
+    // The edit-distance filter must consume the persisted posting-list
+    // artifact (one InMemoryTableScan per distinct term), never a
+    // scan-side exists(levenshtein) over every token occurrence — and with
+    // the artifact materialized there is no aggregate in the plan for
+    // Catalyst to push the predicate beneath, so no barrier disjunct.
     val p = plan("q_fuzzy_search")
-    // edit distance must appear ABOVE an aggregate (the postings build) —
-    // i.e. there is still a HashAggregate deeper in the plan than the
-    // levenshtein filter. A scan-side exists(levenshtein) has none below.
-    val lev = p.lastIndexOf("levenshtein")
+    // first occurrence: the Filter node (later ones are the scan's own
+    // pushed-predicate display on the InMemoryTableScan line itself)
+    val lev = p.indexOf("levenshtein")
     assert(lev >= 0, p)
-    assert(p.indexOf("HashAggregate", lev) > 0,
-      s"levenshtein filter sits on the raw scan:\n$p")
+    assert(p.indexOf("InMemoryTableScan", lev) > 0,
+      s"levenshtein filter does not read the materialized postings:\n$p")
     assert(!p.contains("exists("), p)
-    // the expansion set reaches the postings via a broadcast, and the doc
-    // fetch is a semi-join — never a shuffle of the corpus against it
+    // the doc fetch is a semi-join — never a shuffle of the corpus
     assert(p.contains("LeftSemi"), p)
   }
 
