@@ -183,24 +183,60 @@ object Search {
       .orderBy("doc_id")
   }
 
-  private def qFulltextCjk(spark: SparkSession, dir: String): DataFrame = {
-    // S1 in the reference's ACTUAL language context: it is a Chinese-system
-    // (/root/reference/README.md:5-6) whose Solr schema analyzes space-free
-    // han prose — Lucene's CJKAnalyzer emits overlapping character bigrams.
-    // The fixture corpus is space-delimited, so both engines manufacture
-    // the CJK shape identically: docs with doc_id % 3 == 0 keep their text
-    // (the whitespace branch), the rest have spaces removed (space-free
-    // prose — the bigram branch). Analyzer.Cjk then branches per row on
-    // `contains(' ')`, and the oracle mirrors that same branch — every row
-    // of the corpus oracle-checks BOTH analyzer paths: term count and the
-    // term frequency of the 2-char query "rg".
-    val z = when(col("doc_id") % 3 === 0, col("text"))
-      .otherwise(regexp_replace(col("text"), " ", ""))
-    val terms = Analyzer.Cjk.tokens(z)
-    Tables.documents(spark, dir)
+  /** The manufactured CJK corpus with its analyzed term vectors,
+    * MATERIALIZED once per session. The reference is a Chinese-language
+    * system (/root/reference/README.md:5-6) whose Solr schema analyzes
+    * space-free han prose — Lucene's CJKAnalyzer emits overlapping
+    * character bigrams; re-running that analyzer per query is the cost
+    * the Solr index exists to avoid, so the analyzed term vectors (and the
+    * posting lists derived from them, [[cjkPostings]]) are session
+    * artifacts every CJK query reads. The fixture corpus is
+    * space-delimited, so both engines manufacture the CJK shape
+    * identically: docs with doc_id % 3 == 0 keep their text (the
+    * whitespace branch), the rest have spaces removed (space-free prose —
+    * the bigram branch); Analyzer.Cjk branches per row on `contains(' ')`,
+    * and the oracles mirror that same branch. */
+  private def cjkTermVectors(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "cjk_term_vectors", dir) {
+      val z = when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), " ", ""))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Analyzer.Cjk.tokens(z).as("terms"))
+    }
+
+  /** Bigram posting lists over the CJK term vectors — the inverted-index
+    * artifact a CJK term query touches instead of the corpus. */
+  private def cjkPostings(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "cjk_postings", dir)(
+      cjkTermVectors(spark, dir)
+        .select(col("doc_id"), explode(col("terms")).as("tok"))
+        .groupBy("tok")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
+          countDistinct(col("doc_id")).as("df")))
+
+  private def qFulltextCjk(spark: SparkSession, dir: String): DataFrame =
+    // Every row of the corpus oracle-checks BOTH analyzer paths: term
+    // count and the term frequency of the 2-char query "rg" — computed
+    // over the materialized term vectors, not a fresh analyzer pass.
+    cjkTermVectors(spark, dir)
       .select(col("doc_id"),
-        size(terms).cast("long").as("n_terms"),
-        size(filter(terms, t => t === "rg")).cast("long").as("tf"))
+        size(col("terms")).cast("long").as("n_terms"),
+        size(filter(col("terms"), t => t === "rg")).cast("long").as("tf"))
+      .orderBy("doc_id")
+
+  private def qCjkSearch(spark: SparkSession, dir: String): DataFrame = {
+    // CJK term search — the reference's actual read path for its actual
+    // language context: the query bigram hits the MATERIALIZED posting
+    // list (|postings("rg")| rows, not a corpus scan), then matched docs
+    // are fetched by key (search-then-fetch, semi-join). The maintained
+    // streaming form of the same index is IncrementalPostings.start with
+    // Analyzer.Cjk.tokens as the tokenize function.
+    val hits = cjkPostings(spark, dir)
+      .filter(col("tok") === "rg")
+      .select(explode(col("ids")).as("doc_id"))
+    Tables.documents(spark, dir)
+      .join(hits, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }
 
@@ -224,6 +260,7 @@ object Search {
   val queries: Map[String, Q] = Map(
     "q_fulltext_search" -> qFulltextSearch,
     "q_fulltext_cjk" -> qFulltextCjk,
+    "q_cjk_search" -> qCjkSearch,
     "q_fulltext_folded" -> qFulltextFolded,
     "q_fuzzy_search" -> qFuzzySearch,
     "q_fulltext_bool" -> qFulltextBool,
@@ -255,6 +292,19 @@ object Search {
         |            ELSE len(list_filter(generate_series(1, len(zt) - 1),
         |                                 i -> substr(zt, i, 2) = 'rg')) END AS tf
         |FROM z ORDER BY doc_id""".stripMargin,
+    "q_cjk_search" ->
+      """WITH z AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN doc_id % 3 = 0 THEN text
+        |              ELSE replace(text, ' ', '') END AS zt
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM z
+        |WHERE CASE WHEN contains(zt, ' ')
+        |           THEN list_contains(string_split(zt, ' '), 'rg')
+        |           ELSE len(zt) > 1
+        |                AND len(list_filter(generate_series(1, len(zt) - 1),
+        |                                    i -> substr(zt, i, 2) = 'rg')) > 0 END
+        |ORDER BY doc_id""".stripMargin,
     "q_fulltext_folded" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -241,6 +241,14 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(got === want)
     assert(got("北京") === (Set("2"), 1L)) // doc 1's old bigrams were removed
     assert(got.contains("上海"))
+    // the maintained-state CJK term search: the query bigram hits the
+    // maintained posting list, then fetches the live row — no corpus scan
+    def hits(term: String): Set[String] =
+      IncrementalPostings.termSearch(spark, root, Seq(term))
+        .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(hits("北京") === Set("2"))
+    assert(hits("上海") === Set("1"))
+    assert(hits("爱北") === Set.empty) // doc 1's pre-update bigram stays dead
   }
 
   test("streaming foreachBatch maintains the postings across micro-batches") {
