@@ -168,12 +168,15 @@ class Graft(spark: SparkSession, dir: String,
       sum(col(valueField)).as("sum"), avg(col(valueField)).as("avg"))
       .orderBy(groupField)
 
+  /** Solr result grouping (group.field + group.limit): the `n` best rows
+    * per group. Compiles to WindowGroupLimit — a pre-shuffle partial
+    * top-n per key, never the group's full contents through one task. */
   def topPerGroup(df: DataFrame, groupField: String, orderField: String,
-                  tiebreak: String): DataFrame =
+                  tiebreak: String, n: Int = 1): DataFrame =
     df.withColumn("rn", row_number().over(
         Window.partitionBy(col(groupField))
           .orderBy(col(orderField).desc, col(tiebreak))))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") <= n).drop("rn")
 
   // ---- training-data pipeline ----
 

@@ -169,8 +169,25 @@ object Facets {
       .orderBy("o_custkey")
   }
 
+  private def qGroupTopN(spark: SparkSession, dir: String): DataFrame = {
+    // S11 generalized to Solr's group.limit > 1: the n best rows per group
+    // (n=3 here). The rn <= n filter over a row_number window still
+    // compiles to WindowGroupLimit — a pre-shuffle partial top-n per key,
+    // so the shuffle carries at most n rows per group per partition, never
+    // the group's full contents (PlanSpec pins this).
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn").cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_facet_field" -> qFacetField,
+    "q_group_topn" -> qGroupTopN,
     "q_facet_range" -> qFacetRange,
     "q_facet_pivot" -> qFacetPivot,
     "q_stats_agg" -> qStatsAgg,
@@ -225,6 +242,14 @@ object Facets {
         |       max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.9) AS BIGINT)) THEN v END) AS p90,
         |       max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.99) AS BIGINT)) THEN v END) AS p99
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_group_topn" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+        |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q_group_top1" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -104,6 +104,24 @@ object Search {
         size(col("pos_arr")).cast("long").as("n_hits"))
       .orderBy("doc_id")
 
+  private def qHighlightSnippet(spark: SparkSession, dir: String): DataFrame =
+    // Solr highlighting's actual payload: a text fragment around each hit
+    // (hl.fragsize in token terms — ±3 tokens here), one row per hit.
+    // The token array is computed once per row and shared by the position
+    // explode and the fragment slice; the slice bounds clamp at the
+    // document edges. Everything is codegen'd built-ins over the row's own
+    // array — embarrassingly parallel, no joins, no index needed (snippet
+    // build happens on the already-matched hit set in a real pipeline).
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Analyzer.default.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("i", "tok")))
+      .filter(col("tok") === "merge")
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
+        array_join(expr(
+          "slice(t, greatest(i + 1 - 3, 1), least(i + 1 + 3, size(t)) - greatest(i + 1 - 3, 1) + 1)"),
+          " ").as("snippet"))
+      .orderBy("doc_id", "pos")
+
   private def qMoreLikeThis(spark: SparkSession, dir: String): DataFrame = {
     // Solr MoreLikeThis: rank documents by distinct-term overlap with a
     // seed document. The seed's (small) term set is broadcast; the corpus
@@ -270,6 +288,7 @@ object Search {
     "q_spell_correct" -> qSpellCorrect,
     "q_sort_page" -> qSortPage,
     "q_highlight" -> qHighlight,
+    "q_highlight_snippet" -> qHighlightSnippet,
     "q_more_like_this" -> qMoreLikeThis,
     "q_suggest_prefix" -> qSuggestPrefix)
 
@@ -355,6 +374,15 @@ object Search {
         |                     i -> string_split(text, ' ')[i] = 'merge') AS pos_arr
         |  FROM documents)
         |WHERE len(pos_arr) > 0 ORDER BY doc_id""".stripMargin,
+    "q_highlight_snippet" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT doc_id, t, i
+        |  FROM t, unnest(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[i] = 'merge')
+        |SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |       array_to_string(list_slice(t, greatest(i - 3, 1), least(i + 3, len(t))), ' ') AS snippet
+        |FROM p ORDER BY doc_id, pos""".stripMargin,
     "q_more_like_this" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (

@@ -164,6 +164,14 @@ class PlanSpec extends SparkSpec {
     assert(a eq b, "sharedShingleIndex must return the same materialized instance")
   }
 
+  test("q_group_topn: per-group limit is a pre-shuffle WindowGroupLimit") {
+    // rn <= n over a row_number window must keep the partial top-n
+    // rewrite: the shuffle carries at most n rows per group per input
+    // partition, never a group's full contents through one task.
+    val p = plan("q_group_topn")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_frame_sample: payload bytes never cross the exchange") {
     // the binary media column must be projected away before the output
     // sort — at scale a sort carrying MB payloads per frame row would
