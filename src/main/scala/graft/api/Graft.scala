@@ -57,6 +57,27 @@ class Graft(spark: SparkSession, dir: String,
       intervalSeconds = cfg.commitIntervalSec,
       firstDelaySeconds = cfg.firstDelaySec)
 
+  /** The streaming landing-zone changelog at `path`, with the config's
+    * size threshold (`add_batchCount`, the reference's buffer-flush bound
+    * at SolrIndexTools.java:124) applied as source admission — the SIZE
+    * half of the reference's dual flush trigger; [[startIndexMaintenance]]
+    * supplies the TIME half (`interval_commit_index` as the processing
+    * trigger). `eventsPerFile` translates the row threshold into the file
+    * source's admission unit (files): producers dropping ~fixed-size
+    * files make `addBatchCount / eventsPerFile` the per-batch file
+    * budget. */
+  def changeStream(path: String, format: String = "json",
+                   eventsPerFile: Int = 1): DataFrame =
+    graft.sources.ChangelogSource.stream(spark, path, format,
+      maxFilesPerTrigger =
+        Some(math.max(1, cfg.addBatchCount / math.max(1, eventsPerFile))))
+
+  /** Queue-shaped changelog records (value-bytes + broker metadata)
+    * projected through the declared schema — see
+    * [[graft.sources.ChangelogSource.fromBroker]]. */
+  def brokerChanges(records: DataFrame): DataFrame =
+    graft.sources.ChangelogSource.fromBroker(records)
+
   /** Start the streaming inverted-index merge, tokenizing through this
     * facade's analyzer; same config knobs as [[startIndexMaintenance]]. */
   def startPostingsMaintenance(changes: DataFrame, rootPath: String,

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json}
 import org.apache.spark.sql.types._
 
 /** Format-agnostic changelog ingestion. The reference's mutation stream
@@ -59,13 +60,41 @@ object ChangelogSource {
     * file stream (new files picked up per micro-batch, offsets
     * checkpointed by the sink's query) — wires directly into
     * `IncrementalIndex.start` / `IncrementalPostings.start`. At scale this
-    * is the producer-drop directory; `maxFilesPerTrigger` (pass via
-    * `options`) bounds per-batch ingest so one huge drop cannot starve the
-    * commit interval. */
+    * is the producer-drop directory.
+    *
+    * `maxFilesPerTrigger` is the SIZE half of the reference's dual flush
+    * trigger (buffer ≥ `add_batchCount` docs OR the commit timer,
+    * SolrIndexTools.java:124 + :46-49): the time half is the sink query's
+    * `Trigger.ProcessingTime`; the size half is source admission — one
+    * oversized drop is split across micro-batches instead of starving the
+    * commit interval. Admission on a file source is file-granular (the
+    * Spark-native unit), so the row threshold translates through the
+    * producer's file size — a bound in the same spirit as the reference's
+    * buffer check, not an exact row count. */
   def stream(spark: SparkSession, path: String, format: String = "json",
-             options: Map[String, String] = Map.empty): DataFrame =
+             options: Map[String, String] = Map.empty,
+             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val admission = maxFilesPerTrigger
+      .map(n => Map("maxFilesPerTrigger" -> n.toString)).getOrElse(Map.empty)
     spark.readStream.schema(schema)
-      .options(options)
+      .options(options ++ admission)
       .option("mode", "FAILFAST") // unconditional: same strict contract as batch
       .format(format).load(path)
+  }
+
+  /** Queue-shaped ingestion seam — the async-queue decoupling the
+    * reference names as its intended architecture
+    * (/root/reference/README.md:29, Kafka). Broker sources deliver records
+    * with the payload as bytes (`value` plus key/topic/offset metadata);
+    * this projects the value bytes through the SAME declared schema and
+    * FAILFAST contract as the file landing zone, so the merge pipeline
+    * stays source-shape-blind: `fromBroker(spark.readStream.format("kafka")
+    * .…load())` wires into `IncrementalIndex.start` exactly like a file
+    * drop. Works on batch and streaming frames alike (no broker in this
+    * environment — any frame with a `value` column has the shape). */
+  def fromBroker(records: DataFrame): DataFrame =
+    records
+      .select(from_json(col("value").cast("string"), schema,
+        Map("mode" -> "FAILFAST")).as("c"))
+      .select("c.*")
 }

@@ -58,6 +58,94 @@ class ChangelogSourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("an oversized drop is split across micro-batches (size half of the dual trigger)") {
+    val base = Files.createTempDirectory("graft_srcM").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    for (i <- 1 to 3)
+      Files.writeString(java.nio.file.Paths.get(in, s"f$i.json"),
+        s"""{"rowkey": "k$i", "event_id": $i, "op": "put", "payload": "v$i"}""")
+    val statePath = s"$base/state"
+    val query = IncrementalIndex.start(
+      ChangelogSource.stream(spark, in, maxFilesPerTrigger = Some(1)),
+      statePath, s"$base/ckpt", intervalSeconds = 1)
+    try {
+      query.processAllAvailable()
+      val live = IncrementalIndex.readState(spark, statePath).collect()
+        .map(_.getAs[String]("rowkey")).toSet
+      assert(live === Set("k1", "k2", "k3"))
+      val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"expected the 3-file drop split into >=3 micro-batches, saw $dataBatches")
+    } finally query.stop()
+  }
+
+  test("the facade threads add_batchCount into source admission (dual-trigger parity)") {
+    val base = Files.createTempDirectory("graft_srcA").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    for (i <- 1 to 4)
+      Files.writeString(java.nio.file.Paths.get(in, s"f$i.json"),
+        s"""{"rowkey": "k$i", "event_id": $i, "op": "put", "payload": "v$i"}""")
+    // add_batchCount=2 at one event per file → 2 files admitted per batch
+    val cfg = GraftConfig(Seq("click"), "user_id", "error",
+      addBatchCount = 2, delBatchCount = 1, commitIntervalSec = 1, firstDelaySec = 0)
+    val g = graft.api.Graft(spark, "/root/testdata/sf0.001", cfg)
+    val statePath = s"$base/state"
+    val query = g.startIndexMaintenance(g.changeStream(in), statePath, s"$base/ckpt")
+    try {
+      query.processAllAvailable()
+      assert(IncrementalIndex.readState(spark, statePath).count() === 4L)
+      val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2,
+        s"expected the 4-file drop split into >=2 admission-bounded batches, saw $dataBatches")
+    } finally query.stop()
+  }
+
+  test("broker-shaped records project through the declared schema; drift fails loudly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vals = Seq(
+      """{"rowkey": "a", "event_id": 1, "op": "put", "payload": "v1"}""",
+      """{"rowkey": "b", "event_id": 2, "op": "put", "payload": "v2"}""")
+    // the broker shape: payload as BYTES plus source metadata columns
+    val records = vals.toDF("value")
+      .select(col("value").cast("binary").as("value"),
+        lit("changelog").as("topic"), lit(0L).as("offset"))
+    val got = ChangelogSource.fromBroker(records).collect()
+      .map(r => r.getAs[String]("rowkey") -> r.getAs[Long]("event_id")).toMap
+    assert(got === Map("a" -> 1L, "b" -> 2L))
+    val drifted = Seq("""{"rowkey": "a", "event_id": "not-a-number", "op": "put", "payload": ""}""")
+      .toDF("value")
+    intercept[Exception] {
+      ChangelogSource.fromBroker(drifted).collect()
+    }
+  }
+
+  test("a broker-shaped stream feeds index maintenance end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val base = Files.createTempDirectory("graft_srcB").toString
+    val statePath = s"$base/state"
+    val cfg = GraftConfig(Seq("click"), "user_id", "error",
+      addBatchCount = 100, delBatchCount = 1, commitIntervalSec = 1, firstDelaySec = 0)
+    val g = graft.api.Graft(spark, "/root/testdata/sf0.001", cfg)
+    val query = g.startIndexMaintenance(
+      g.brokerChanges(source.toDF()), statePath, s"$base/ckpt")
+    def live: Map[String, String] =
+      IncrementalIndex.readState(spark, statePath).collect()
+        .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("payload")).toMap
+    try {
+      source.addData(
+        """{"rowkey": "a", "event_id": 1, "op": "put", "payload": "v1"}""",
+        """{"rowkey": "b", "event_id": 2, "op": "put", "payload": "v2"}""")
+      query.processAllAvailable()
+      assert(live === Map("a" -> "v1", "b" -> "v2"))
+      source.addData(
+        """{"rowkey": "a", "event_id": 3, "op": "delete", "payload": ""}""",
+        """{"rowkey": "c", "event_id": 4, "op": "put", "payload": "v4"}""")
+      query.processAllAvailable()
+      assert(live === Map("b" -> "v2", "c" -> "v4"))
+    } finally query.stop()
+  }
+
   test("a drifted ORC producer fails loudly too (schema checked, not null-filled)") {
     val base = Files.createTempDirectory("graft_srcO").toString
     rows.toDF("key", "event_id", "op", "payload") // rowkey renamed away
