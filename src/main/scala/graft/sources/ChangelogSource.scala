@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, from_json}
+import org.apache.spark.sql.functions.{coalesce, col, concat, from_json, lit, raise_error, to_json, when}
 import org.apache.spark.sql.types._
 
 /** Format-agnostic changelog ingestion. The reference's mutation stream
@@ -92,9 +92,23 @@ object ChangelogSource {
     * .…load())` wires into `IncrementalIndex.start` exactly like a file
     * drop. Works on batch and streaming frames alike (no broker in this
     * environment — any frame with a `value` column has the shape). */
-  def fromBroker(records: DataFrame): DataFrame =
-    records
-      .select(from_json(col("value").cast("string"), schema,
-        Map("mode" -> "FAILFAST")).as("c"))
+  def fromBroker(records: DataFrame): DataFrame = {
+    val parsed = records.select(from_json(col("value").cast("string"), schema,
+      Map("mode" -> "FAILFAST")).as("c"))
+    // FAILFAST only fires on malformed/untypeable records: a RENAMED or
+    // DROPPED field and a null payload (a broker tombstone) both parse
+    // cleanly to nulls — the exact silent null-fill the ORC reader above
+    // guards against. A changelog contract needs every event keyed and
+    // typed (deletes are explicit op='delete' events, never bare null
+    // values), so both are drift and must fail loudly, per row. The check
+    // rides the projected column itself so no optimizer can prune it.
+    val drifted = col("c").isNull ||
+      Seq("rowkey", "event_id", "op").map(f => col(s"c.$f").isNull).reduce(_ || _)
+    parsed
+      .select(when(drifted, raise_error(concat(
+          lit("drifted broker record (missing rowkey/event_id/op or null payload): "),
+          coalesce(to_json(col("c")), lit("null")))))
+        .otherwise(col("c")).as("c"))
       .select("c.*")
+  }
 }

@@ -20,6 +20,13 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
 
+  override protected def afterAll(): Unit = {
+    // artifact isolation across suites sharing the session: drop this
+    // suite's materialized artifacts so no suite can read another's
+    graft.operators.Materialize.reset(spark)
+    super.afterAll()
+  }
+
   /** Recursive local-FS directory copy (crash-state construction). */
   protected def copyDir(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
