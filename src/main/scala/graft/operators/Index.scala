@@ -26,13 +26,25 @@ import graft.Tables
 object Index {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Posting lists: (token, sorted doc ids, document frequency).
-    * Tokenization goes through the analyzer seam. */
+  /** Posting lists: (token, sorted doc ids, document frequency, total
+    * occurrence count, per-doc term frequencies). Tokenization goes through
+    * the analyzer seam. `hits` is the full Lucene-shaped posting — (doc_id,
+    * tf) pairs sorted by doc — from which `ids`/`df`/`n` are projections,
+    * so every vocabulary query (suggest, spell, MLT) AND every ranked
+    * retrieval (tf-idf, BM25) is answerable from the index alone, exactly
+    * the read surface Solr serves from its standing index. The build
+    * partial-aggregates twice ((tok, doc) then tok); at 100 TB both
+    * shuffles are bounded by distinct (token, doc) pairs, not occurrences. */
   def postings(docs: DataFrame, tokenizer: Tokenizer = Analyzer.default): DataFrame =
     docs.select(col("doc_id"), explode(tokenizer.tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
       .groupBy("tok")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
-        countDistinct(col("doc_id")).as("df"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("hits"))
+      .select(col("tok"),
+        col("hits.doc_id").as("ids"),
+        size(col("hits")).cast("long").as("df"),
+        aggregate(col("hits"), lit(0L), (acc, h) => acc + h("tf")).as("n"),
+        col("hits"))
 
   /** The default-analyzer posting lists over the corpus at `dir`,
     * MATERIALIZED once per session (see [[Materialize]]) — the read-side
@@ -46,6 +58,18 @@ object Index {
   def sharedPostings(spark: SparkSession, dir: String): DataFrame =
     Materialize.artifact(spark, "postings_default", dir)(
       postings(Tables.documents(spark, dir)))
+
+  /** Per-document token counts (doc_id, dl), derived from the MATERIALIZED
+    * postings — Lucene's length norms, the per-doc sidecar BM25 needs. dl =
+    * Σ tf over the doc's postings = the doc's token count, so corpus-level
+    * ranking statistics (N, avgdl) come from the index too: none of the
+    * ranked-retrieval queries touches the corpus files. */
+  private[graft] def docLens(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "doc_lens", dir)(
+      sharedPostings(spark, dir)
+        .select(explode(col("hits")).as("h"))
+        .groupBy(col("h.doc_id").as("doc_id"))
+        .agg(sum(col("h.tf")).as("dl")))
 
   private def qInvertedSearch(spark: SparkSession, dir: String): DataFrame = {
     // Multi-term AND via posting-list intersection: explode each matched
@@ -68,16 +92,17 @@ object Index {
     // TF-IDF ranked retrieval for a two-term query. idf = ln(N / df);
     // score = Σ_terms tf(term, doc) · idf(term). All double arithmetic is
     // derived from exact integer counts, rounded once at the end.
-    val docs = Tables.documents(spark, dir)
+    // Served ENTIRELY from the standing index (Solr's topology): the query
+    // terms' posting rows already carry df and the per-doc tfs, and N comes
+    // from the doc-length sidecar — zero corpus file scans; per-query work
+    // is Σ df(term) posting entries.
     val terms = Seq("merge", "sort")
-    val n = docs.select(count(lit(1)).as("n_docs"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val n = docLens(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val tf = sharedPostings(spark, dir)
       .filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    tf.join(broadcast(df_), "tok")
-      .crossJoin(broadcast(n))
+      .select(col("df"), explode(col("hits")).as("h"))
+      .select(col("h.doc_id").as("doc_id"), col("h.tf").as("tf"), col("df"))
+    tf.crossJoin(broadcast(n))
       .groupBy("doc_id")
       .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -93,21 +118,20 @@ object Index {
     // literals (2.2 = k1+1, 0.25 = 1−b) identically in the oracle so the
     // double pipelines match operation-for-operation. Every input is an
     // exact integer aggregate (tf, df, N, dl; avgdl = exact integer sum /
-    // exact count), one round at the end. dl rides the token explode —
-    // no corpus-wide length join; df and the scalar stats broadcast.
-    val docs = Tables.documents(spark, dir)
+    // exact count), one round at the end. Served ENTIRELY from the standing
+    // index: tf/df from the query terms' posting rows, dl from the
+    // doc-length sidecar (Lucene's norms), N/avgdl aggregated over the same
+    // sidecar. The (small, Σ df(term)-bounded) hit list broadcasts into the
+    // length join — the same hit-list-into-fetch topology as
+    // search-then-fetch; no corpus file is opened.
     val terms = Seq("merge", "sort")
-    val stats = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
-        explode(split(col("text"), " ")).as("tok"))
+    val lens = docLens(spark, dir)
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = sharedPostings(spark, dir)
       .filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df_ = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    tf.join(broadcast(df_), "tok")
+      .select(col("df"), explode(col("hits")).as("h"))
+      .select(col("h.doc_id").as("doc_id"), col("h.tf").as("tf"), col("df"))
+    lens.join(broadcast(tf), "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *

@@ -122,31 +122,32 @@ object Search {
           " ").as("snippet"))
       .orderBy("doc_id", "pos")
 
-  private def qMoreLikeThis(spark: SparkSession, dir: String): DataFrame = {
+  private def qMoreLikeThis(spark: SparkSession, dir: String): DataFrame =
     // Solr MoreLikeThis: rank documents by distinct-term overlap with a
-    // seed document. The seed's (small) term set is broadcast; the corpus
-    // side aggregates matches per doc — no self-join, no shuffle of the
-    // corpus beyond the per-doc count.
-    val docs = Tables.documents(spark, dir)
-    val toksOf = docs.select(col("doc_id"),
-      explode(array_distinct(toks)).as("tok"))
-    val seed = toksOf.filter(col("doc_id") === 0).select(col("tok"))
-    toksOf.filter(col("doc_id") =!= 0)
-      .join(broadcast(seed), "tok")
+    // seed document — served ENTIRELY from the standing index. The seed's
+    // term set is the posting rows whose id list contains the seed doc;
+    // exploding just those rows' postings counts, per other doc, the
+    // number of shared distinct terms. No corpus scan, no join at all:
+    // per-query work is Σ df(seed term) posting entries.
+    Index.sharedPostings(spark, dir)
+      .filter(array_contains(col("ids"), lit(0L)))
+      .select(explode(col("ids")).as("doc_id"))
+      .filter(col("doc_id") =!= 0)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("overlap"))
       .orderBy(col("overlap").desc, col("doc_id"))
       .limit(10)
-  }
 
   private def qSuggestPrefix(spark: SparkSession, dir: String): DataFrame =
     // Solr suggester: prefix-ranked completion candidates with corpus
-    // frequencies. One partial-aggregated groupBy bounded by vocabulary.
-    Tables.documents(spark, dir)
-      .select(explode(toks).as("tok"))
+    // frequencies — a pure vocabulary query, answered from the
+    // MATERIALIZED posting lists' occurrence counts (Solr's suggester
+    // likewise reads the standing index/FST, never the stored docs). The
+    // prefix filter runs once per DISTINCT vocabulary term over cached
+    // blocks; zero corpus file scans (PlanSpec pins this).
+    Index.sharedPostings(spark, dir)
       .filter(col("tok").startsWith("s"))
-      .groupBy("tok")
-      .agg(count(lit(1)).as("n"))
+      .select(col("tok"), col("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(10)
 
@@ -165,14 +166,13 @@ object Search {
   private def qSpellCorrect(spark: SparkSession, dir: String): DataFrame =
     // Solr SpellCheckComponent: correction candidates for a misspelled
     // query term = vocabulary terms within edit distance 1, ranked by
-    // corpus frequency. The levenshtein scan runs over the AGGREGATED
-    // vocabulary (bounded), not per token occurrence — the expansion path
-    // named in qFuzzySearch's scale note.
-    Tables.documents(spark, dir)
-      .select(explode(toks).as("tok"))
-      .groupBy("tok")
-      .agg(count(lit(1)).as("n"))
+    // corpus frequency. The levenshtein scan runs over the MATERIALIZED
+    // vocabulary (the posting lists' tok/n columns) — once per distinct
+    // term over cached blocks, never per token occurrence, and with zero
+    // corpus file scans (PlanSpec pins this).
+    Index.sharedPostings(spark, dir)
       .filter(levenshtein(col("tok"), lit("mirge")) <= 1)
+      .select(col("tok"), col("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(5)
 

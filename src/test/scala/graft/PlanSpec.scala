@@ -198,6 +198,29 @@ class PlanSpec extends SparkSpec {
     sortCols.foreach(cols => assert(!cols.contains("media"), cols.mkString(",")))
   }
 
+  test("vocabulary + ranked retrieval serve from the standing index — zero corpus file scans") {
+    // Solr answers suggest/spell/MLT and ranked retrieval from the index it
+    // maintains, never the stored documents; the engine-native equivalents
+    // must do the same — every one of these plans reads ONLY materialized
+    // artifacts (postings + doc-length sidecar), opening zero parquet files.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    for (q <- Seq("q_suggest_prefix", "q_spell_correct", "q_more_like_this",
+                  "q_tfidf_topk", "q_bm25_topk")) {
+      val all = nodes(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)
+      val fileScans = all.filter(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      assert(fileScans.isEmpty,
+        s"$q reads corpus files instead of the standing index:\n${fileScans.mkString("\n")}")
+      assert(all.exists(_.nodeName.contains("InMemoryTableScan")),
+        s"$q does not read the materialized postings:\n${all.head}")
+    }
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
     for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
       val df = SparkEntry.queries(q)(spark, dir)
