@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.{GraftConfig, Tables}
 import graft.operators.{Analyzer, Changelog, Index, IvfIndex, TextAnalysis, Tokenizer, Vectors}
-import graft.streaming.{IncrementalIndex, IncrementalPostings}
+import graft.streaming.{IncrementalIndex, IncrementalPostings, IncrementalShingles}
 
 /** The user-facing library surface — what a user of the reference system
   * (HBase rows + Solr secondary index, queried with full-text search,
@@ -92,6 +92,21 @@ class Graft(spark: SparkSession, dir: String,
     * [[startPostingsMaintenance]] keeps current, no corpus scan. */
   def searchMaintained(rootPath: String, terms: Seq[String]): DataFrame =
     IncrementalPostings.termSearch(spark, rootPath, terms)
+
+  /** Start the streaming shingle-index merge — the dedup family's dominant
+    * artifact kept current by the changelog instead of rebuilt per session;
+    * same config knobs as [[startIndexMaintenance]]. */
+  def startShingleMaintenance(changes: DataFrame, rootPath: String,
+                              checkpoint: String): StreamingQuery =
+    IncrementalShingles.start(changes, rootPath, checkpoint,
+      intervalSeconds = cfg.commitIntervalSec,
+      firstDelaySeconds = cfg.firstDelaySec)
+
+  /** Serve this corpus's dedup artifacts (shingle index, near-dup pairs)
+    * from the maintained shingle state at `rootPath`; each merge into that
+    * root invalidates the session's cached artifacts automatically. */
+  def useMaintainedShingles(rootPath: String): Unit =
+    IncrementalShingles.register(spark, dir, rootPath)
 
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -26,16 +28,30 @@ import org.apache.spark.storage.StorageLevel
   * is the session-lifetime complement, spilling to local disk past
   * memory.
   *
+  * Lifecycle:
+  *   - entries live until [[reset]] (per session), [[invalidate]] (per
+  *     data scope — called when the data under `scope` is known to have
+  *     changed, e.g. by the incremental-maintenance pipelines), or the
+  *     session's context ending: the first artifact built on a context
+  *     registers a [[SparkListener]] whose `onApplicationEnd` drops every
+  *     entry of that context's sessions, so a long-lived driver cycling
+  *     sessions cannot pin executor storage through forgotten caches.
+  *
   * Concurrency: builds are guarded per key — two threads requesting
   * DIFFERENT artifacts build in parallel; two requesting the same key get
-  * one build. Cache hits never block on a build. Keys hold the session
-  * reference itself (identity equality — the cached DataFrames retain the
-  * session anyway), so distinct sessions can never collide.
+  * one build. Cache hits never block on a build. Teardown ([[reset]] /
+  * [[invalidate]]) synchronizes on the same per-key lock as the build, so
+  * it cannot race an in-flight build into a resurrected or leaked entry:
+  * it waits for the build's put, then removes and unpersists exactly that
+  * value. Keys hold the session reference itself (identity equality — the
+  * cached DataFrames retain the session anyway), so distinct sessions can
+  * never collide.
   */
 object Materialize {
   private type Key = (SparkSession, String, String)
   private val cache = new java.util.concurrent.ConcurrentHashMap[Key, DataFrame]()
   private val locks = new java.util.concurrent.ConcurrentHashMap[Key, Object]()
+  private val hooks = new java.util.concurrent.ConcurrentHashMap[SparkContext, SparkListener]()
 
   /** The artifact `name` over scope `scope` (the data directory), built at
     * most once per SparkSession; later calls return the persisted copy. */
@@ -44,6 +60,7 @@ object Materialize {
     val key: Key = (spark, name, scope)
     val hit = cache.get(key)
     if (hit != null) return hit
+    hookSessionClose(spark)
     val lock = locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
       val again = cache.get(key)
@@ -57,19 +74,67 @@ object Materialize {
     }
   }
 
+  /** Drop one key under its build lock: wait out any in-flight build, then
+    * remove and unpersist the value that build produced. Removing the lock
+    * last keeps the invariant that every cached entry has a lock. */
+  private def drop(key: Key): Unit = {
+    val lock = locks.get(key)
+    def remove(): Unit = {
+      val df = cache.remove(key)
+      if (df != null) quietUnpersist(df)
+    }
+    if (lock == null) remove()
+    else lock.synchronized { remove(); locks.remove(key) }
+  }
+
+  private def quietUnpersist(df: DataFrame): Unit =
+    try df.unpersist(): Unit
+    catch { case _: Throwable => () } // context already stopped: blocks are gone
+
+  private def keysFor(pred: Key => Boolean): Seq[Key] = {
+    val all = new scala.collection.mutable.LinkedHashSet[Key]
+    locks.keySet.forEach(k => all += k)
+    cache.keySet.forEach(k => all += k)
+    all.filter(pred).toSeq
+  }
+
   /** Drop every artifact cached for `spark` (unpersist + forget) — called
     * when a session's artifacts should no longer pin executor storage
-    * (spec teardown wires this per suite; a long-lived driver cycling
-    * sessions calls it at session retirement). */
-  private[graft] def reset(spark: SparkSession): Unit = {
-    val it = cache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) {
-        e.getValue.unpersist()
-        locks.remove(e.getKey)
-        it.remove()
+    * (spec teardown wires this per suite; the session-close listener calls
+    * it for every session of a stopping context). */
+  private[graft] def reset(spark: SparkSession): Unit =
+    keysFor(_._1 eq spark).foreach(drop)
+
+  /** Drop every session's artifacts over data scope `scope` — the
+    * invalidation hook for data changes: anything that mutates the corpus
+    * a scope points at (e.g. an incremental-maintenance merge landing new
+    * state for `scope`) calls this so no session keeps serving stale
+    * derived artifacts. */
+  def invalidate(scope: String): Unit =
+    keysFor(_._3 == scope).foreach(drop)
+
+  /** Drop one named artifact over `scope`, across sessions. */
+  def invalidate(name: String, scope: String): Unit =
+    keysFor(k => k._2 == name && k._3 == scope).foreach(drop)
+
+  /** First artifact on a context registers the close hook: when the
+    * context ends, every entry of its sessions is dropped, so forgotten
+    * caches do not outlive the executors that held their blocks. */
+  private def hookSessionClose(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    hooks.computeIfAbsent(sc, _ => {
+      val listener = new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          keysFor(_._1.sparkContext eq sc).foreach(drop)
+          hooks.remove(sc): Unit
+        }
       }
-    }
+      sc.addSparkListener(listener)
+      listener
+    }): Unit
   }
+
+  /** Test seam: the close listener registered for `sc`, if any. */
+  private[graft] def closeListener(sc: SparkContext): Option[SparkListener] =
+    Option(hooks.get(sc))
 }

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.{IncrementalIndex, IncrementalShingles}
+
+/** The incrementally-maintained shingle index must converge to exactly the
+  * batch-built `Dedup.shingleIndex` of the final corpus — puts, updates,
+  * deletes, stale replays — with delta-sized writes (untouched buckets
+  * byte-identical), and `Materialize` must serve the maintained table once
+  * a scope is registered. */
+class IncrementalShinglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtureDir = "/root/testdata/sf0.001"
+
+  /** s -> sorted id list, independent of row order. */
+  private def indexMap(df: DataFrame): Map[String, Seq[Long]] =
+    df.collect().map(r => r.getAs[String]("s") -> r.getSeq[Long](1)).toMap
+
+  private def batchIndex(docs: DataFrame): Map[String, Seq[Long]] =
+    indexMap(Dedup.shingleIndex(docs))
+
+  private def merge(root: String, changes: DocChange*): Unit =
+    IncrementalShingles.mergeBatch(spark, changes.toSeq.toDF(), root)
+
+  test("puts, updates, deletes, and a stale replay converge to the batch-built index") {
+    val root = Files.createTempDirectory("graft_shing").toString + "/shingles"
+    merge(root,
+      DocChange("1", 0, "put", "merge sort spill disk"),
+      DocChange("2", 1, "put", "hash join probe build"),
+      DocChange("3", 2, "put", "scan filter project"),
+      DocChange("4", 3, "put", "ab")) // under 3 tokens: no shingles
+    merge(root,
+      DocChange("2", 4, "put", "broadcast join exchange"), // loses old shingles
+      DocChange("3", 5, "delete", ""))                     // all shingles go
+    merge(root,
+      DocChange("3", 1, "put", "scan filter project")) // stale put below tombstone
+
+    val got = indexMap(IncrementalShingles.shingleIndex(spark, root, Dedup.DfCap))
+    val want = batchIndex(Seq(
+      (1L, "merge sort spill disk"), (2L, "broadcast join exchange"),
+      (4L, "ab")).toDF("doc_id", "text"))
+    assert(got === want)
+    assert(got.contains("merge sort spill"))
+    assert(!got.keys.exists(_.contains("hash join")), "doc 2's old shingles must be removed")
+    assert(!got.keys.exists(_.contains("scan filter")), "doc 3 stayed dead")
+  }
+
+  test("chunked merges over the fixture corpus equal the batch index; Materialize serves the maintained table") {
+    val root = Files.createTempDirectory("graft_shingF").toString + "/shingles"
+    val changes = Tables.documents(spark, fixtureDir)
+      .select(col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
+    IncrementalShingles.mergeBatch(spark, changes.filter(col("event_id") < 25), root)
+    IncrementalShingles.mergeBatch(spark, changes.filter(col("event_id") >= 25), root)
+
+    val want = batchIndex(Tables.documents(spark, fixtureDir))
+    val got = indexMap(IncrementalShingles.shingleIndex(spark, root, Dedup.DfCap))
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // registration routes the session's materialized artifact to the
+    // maintained table — same content, no corpus rebuild
+    IncrementalShingles.register(spark, fixtureDir, root)
+    try {
+      val viaArtifact = Dedup.sharedShingleIndex(spark, fixtureDir)
+      assert(indexMap(viaArtifact) === want)
+      // the artifact's plan reads the maintained state files, not the corpus
+      val scanned = viaArtifact.queryExecution.analyzed.collectLeaves().toString
+      assert(!scanned.contains("documents.parquet"),
+        s"registered scope must not rebuild from the corpus:\n$scanned")
+    } finally IncrementalShingles.unregister(spark, fixtureDir)
+    // unregister invalidated the cache: the batch path is back
+    assert(indexMap(Dedup.sharedShingleIndex(spark, fixtureDir)) === want)
+  }
+
+  test("a merge rewrites ONLY the buckets the batch touches (untouched dirs byte-identical)") {
+    val root = Files.createTempDirectory("graft_shingD").toString + "/shingles"
+    merge(root,
+      DocChange("1", 0, "put", "aa bb cc dd"),
+      DocChange("2", 1, "put", "ee ff gg hh"),
+      DocChange("3", 2, "put", "ii jj kk ll"))
+    val beforeDocs = snapshot(s"$root/docs")
+    val beforeEntries = snapshot(s"$root/entries")
+
+    // update doc 1 only: removals are its old shingles, additions the new
+    merge(root, DocChange("1", 9, "put", "mm nn oo pp"))
+
+    val afterDocs = snapshot(s"$root/docs")
+    val afterEntries = snapshot(s"$root/entries")
+    def bucketOf(key: String): String = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(key.getBytes("UTF-8"))
+      s"b=${java.lang.Math.floorMod(crc.getValue, IncrementalIndex.DefaultBuckets.toLong)}"
+    }
+    val touchedDocs = Set(bucketOf("1"))
+    val oldSh = Seq("aa bb cc", "bb cc dd")
+    val newSh = Seq("mm nn oo", "nn oo pp")
+    val touchedEntries = (oldSh ++ newSh).map(bucketOf).toSet
+
+    for (d <- beforeDocs.keySet if !touchedDocs.contains(d))
+      assert(beforeDocs(d) === afterDocs(d), s"untouched docs bucket $d was rewritten")
+    for (d <- beforeEntries.keySet if !touchedEntries.contains(d))
+      assert(beforeEntries(d) === afterEntries(d), s"untouched entries bucket $d was rewritten")
+    // and the update actually landed
+    val got = indexMap(IncrementalShingles.shingleIndex(spark, root, Dedup.DfCap))
+    assert(got("mm nn oo") === Seq(1L))
+    assert(!got.contains("aa bb cc"))
+  }
+
+  test("merging into a registered root drops the scope's cached dedup artifacts") {
+    val root = Files.createTempDirectory("graft_shingI").toString + "/shingles"
+    val dir = "spec-scope-dir" // synthetic scope: only cache behavior is under test
+    merge(root, DocChange("1", 0, "put", "aa bb cc dd"))
+    IncrementalShingles.register(spark, dir, root)
+    try {
+      val before = operators.Materialize.artifact(spark, "shingle_index", dir)(
+        IncrementalShingles.shingleIndex(spark, root, Dedup.DfCap))
+      assert(indexMap(before).contains("aa bb cc"))
+      // a maintained-state merge must invalidate the session artifact …
+      merge(root, DocChange("2", 1, "put", "qq rr ss tt"))
+      assert(before.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "stale artifact must be unpersisted by the merge")
+      // … so the next request rebuilds over the advanced state
+      val after = operators.Materialize.artifact(spark, "shingle_index", dir)(
+        IncrementalShingles.shingleIndex(spark, root, Dedup.DfCap))
+      assert(indexMap(after).contains("qq rr ss"))
+    } finally IncrementalShingles.unregister(spark, dir)
+  }
+
+  private def snapshot(base: String): Map[String, Map[String, String]] = {
+    val dirs = new java.io.File(base).listFiles().filter(d =>
+      d.isDirectory && d.getName.startsWith("b=")).map(_.getName)
+    dirs.map { d =>
+      d -> new java.io.File(s"$base/$d").listFiles().filter(_.isFile).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }.toMap
+  }
+}
