@@ -64,13 +64,35 @@ class Graft(spark: SparkSession, dir: String,
     * supplies the TIME half (`interval_commit_index` as the processing
     * trigger). `eventsPerFile` translates the row threshold into the file
     * source's admission unit (files): producers dropping ~fixed-size
-    * files make `addBatchCount / eventsPerFile` the per-batch file
-    * budget. */
+    * files make `ceil(addBatchCount / eventsPerFile)` the per-batch file
+    * budget. When one file already exceeds the row threshold
+    * (`eventsPerFile > addBatchCount`), file granularity cannot honor it —
+    * the cap degrades to one file per trigger (logged); producers with
+    * variable or large files should bound bytes instead
+    * ([[changeStreamBytes]]). */
   def changeStream(path: String, format: String = "json",
-                   eventsPerFile: Int = 1): DataFrame =
+                   eventsPerFile: Int = 1): DataFrame = {
+    require(eventsPerFile > 0, s"eventsPerFile must be positive, got $eventsPerFile")
+    if (eventsPerFile > cfg.addBatchCount)
+      Graft.log.warn(
+        s"changeStream($path): one file carries ~$eventsPerFile events but " +
+          s"add_batchCount=${cfg.addBatchCount}; file-granular admission degrades " +
+          "to 1 file/trigger — consider changeStreamBytes for a byte bound")
     graft.sources.ChangelogSource.stream(spark, path, format,
       maxFilesPerTrigger =
-        Some(math.max(1, cfg.addBatchCount / math.max(1, eventsPerFile))))
+        Some(math.max(1L, (cfg.addBatchCount.toLong + eventsPerFile - 1) / eventsPerFile).toInt))
+  }
+
+  /** Byte-budgeted flavor of [[changeStream]] — the sturdier admission
+    * knob for file sources: `bytesPerEvent` translates the config's row
+    * threshold into a per-trigger byte budget, which holds regardless of
+    * how the producer sliced its files. */
+  def changeStreamBytes(path: String, format: String = "json",
+                        bytesPerEvent: Long = 256L): DataFrame = {
+    require(bytesPerEvent > 0, s"bytesPerEvent must be positive, got $bytesPerEvent")
+    graft.sources.ChangelogSource.stream(spark, path, format,
+      maxBytesPerTrigger = Some(math.max(1L, cfg.addBatchCount * bytesPerEvent)))
+  }
 
   /** Queue-shaped changelog records (value-bytes + broker metadata)
     * projected through the declared schema — see
@@ -92,6 +114,19 @@ class Graft(spark: SparkSession, dir: String,
     * [[startPostingsMaintenance]] keeps current, no corpus scan. */
   def searchMaintained(rootPath: String, terms: Seq[String]): DataFrame =
     IncrementalPostings.termSearch(spark, rootPath, terms)
+
+  /** Drop tombstones older than the source's replay horizon from a
+    * maintained index state ([[startIndexMaintenance]]'s `statePath`) —
+    * the compacted-topic/LSM retention discipline; only buckets holding
+    * expired tombstones are rewritten. `horizonEventId` must be ≤ the
+    * smallest event_id the source can still replay. */
+  def gcIndexState(statePath: String, horizonEventId: Long): Unit =
+    IncrementalIndex.gcTombstones(spark, statePath, horizonEventId)
+
+  /** Same horizon GC for a maintained postings or shingle root (they share
+    * the docs-state layout); the inverted index is never touched. */
+  def gcPostings(rootPath: String, horizonEventId: Long): Unit =
+    IncrementalPostings.gcTombstones(spark, rootPath, horizonEventId)
 
   /** Start the streaming shingle-index merge — the dedup family's dominant
     * artifact kept current by the changelog instead of rebuilt per session;
@@ -263,6 +298,13 @@ class Graft(spark: SparkSession, dir: String,
   def upsertIvf(path: String, vectors: DataFrame): Unit =
     IvfIndex.upsert(spark, path, vectors)
 
+  /** True when drift has skewed the index's cells past `skewThreshold`×
+    * their fair share and the quantizer should be retrained
+    * ([[buildIvfIndex]]) — run on the maintenance cadence, not per
+    * upsert. */
+  def ivfNeedsRebuild(path: String, skewThreshold: Double = 4.0): Boolean =
+    IvfIndex.needsRebuild(spark, path, skewThreshold)
+
   /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
     * aggregation that first dedupes within `buckets` hash-shards of the
     * value space, then sums the shard counts — so a hot key's distinct set
@@ -314,6 +356,8 @@ class Graft(spark: SparkSession, dir: String,
 }
 
 object Graft {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Graft])
+
   def apply(spark: SparkSession, dir: String,
             cfg: GraftConfig = GraftConfig.default,
             tokenizer: Tokenizer = Analyzer.default): Graft =

@@ -190,6 +190,38 @@ object IvfIndex {
     } finally { assigned.unpersist(); batch.unpersist(): Unit }
   }
 
+  /** Cell-occupancy skew of a built index: the largest cell's size over
+    * the mean size across ALL trained cells (empty cells count — drift
+    * typically empties cells while overfilling one, and both halves
+    * degrade a probe). Computed from the id→cell sidecar — two columns of
+    * metadata, never a vector read. 1.0 = perfectly balanced. */
+  def cellSkew(spark: SparkSession, path: String): Double = {
+    val idsRoot = path + "/ids"
+    val live = StateStore.liveBuckets(spark, idsRoot)
+    val nlist = centroids(spark, path).count()
+    if (live.isEmpty || nlist == 0) return 1.0
+    val agg = spark.read.parquet(live.map(d => s"$idsRoot/$d"): _*)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("total")).head()
+    if (agg.isNullAt(0)) 1.0
+    else agg.getLong(0).toDouble * nlist / agg.getLong(1).toDouble
+  }
+
+  /** Maintenance guard for [[upsert]]'s fixed-quantizer contract: upserts
+    * assign against the TRAINED centroids, so after heavy distribution
+    * drift one cell absorbs most arrivals — probing it re-approaches a
+    * full scan and recall at fixed probes decays. True = the quantizer no
+    * longer partitions the data; retrain with [[build]]. Run it on the
+    * maintenance cadence (e.g. every N upsert batches), not per batch:
+    * the check reads the whole id map, which is metadata-sized but not
+    * delta-sized. The default threshold flags a cell holding ≥ 4× its
+    * fair share. */
+  def needsRebuild(spark: SparkSession, path: String,
+                   skewThreshold: Double = 4.0): Boolean = {
+    require(skewThreshold > 1.0, "skewThreshold must exceed 1.0 (perfect balance)")
+    cellSkew(spark, path) >= skewThreshold
+  }
+
   /** Probed ANN search: rank cells by query·centroid, then scan only the
     * top `probes` cells' partitions for the exact top-k. The cell list is
     * collected — it is nlist rows of metadata, never data. */

@@ -62,20 +62,28 @@ object ChangelogSource {
     * `IncrementalIndex.start` / `IncrementalPostings.start`. At scale this
     * is the producer-drop directory.
     *
-    * `maxFilesPerTrigger` is the SIZE half of the reference's dual flush
-    * trigger (buffer ≥ `add_batchCount` docs OR the commit timer,
-    * SolrIndexTools.java:124 + :46-49): the time half is the sink query's
-    * `Trigger.ProcessingTime`; the size half is source admission — one
-    * oversized drop is split across micro-batches instead of starving the
-    * commit interval. Admission on a file source is file-granular (the
-    * Spark-native unit), so the row threshold translates through the
-    * producer's file size — a bound in the same spirit as the reference's
-    * buffer check, not an exact row count. */
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` are the SIZE half of the
+    * reference's dual flush trigger (buffer ≥ `add_batchCount` docs OR the
+    * commit timer, SolrIndexTools.java:124 + :46-49): the time half is the
+    * sink query's `Trigger.ProcessingTime`; the size half is source
+    * admission — one oversized drop is split across micro-batches instead
+    * of starving the commit interval. Admission on a file source is
+    * file-granular (the Spark-native unit); the FILE count translates a
+    * row threshold through the producer's file size, so it degrades when
+    * file sizes vary — the BYTE budget bounds the batch regardless of how
+    * the producer sliced its files and is the sturdier knob when rows are
+    * ~fixed-size. The two are mutually exclusive (also enforced by the
+    * source itself). */
   def stream(spark: SparkSession, path: String, format: String = "json",
              options: Map[String, String] = Map.empty,
-             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val admission = maxFilesPerTrigger
-      .map(n => Map("maxFilesPerTrigger" -> n.toString)).getOrElse(Map.empty)
+             maxFilesPerTrigger: Option[Int] = None,
+             maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    require(maxFilesPerTrigger.isEmpty || maxBytesPerTrigger.isEmpty,
+      "set at most one of maxFilesPerTrigger and maxBytesPerTrigger")
+    val admission =
+      maxFilesPerTrigger.map(n => Map("maxFilesPerTrigger" -> n.toString))
+        .orElse(maxBytesPerTrigger.map(n => Map("maxBytesPerTrigger" -> n.toString)))
+        .getOrElse(Map.empty)
     spark.readStream.schema(schema)
       .options(options ++ admission)
       .option("mode", "FAILFAST") // unconditional: same strict contract as batch
@@ -99,11 +107,13 @@ object ChangelogSource {
     // DROPPED field and a null payload (a broker tombstone) both parse
     // cleanly to nulls — the exact silent null-fill the ORC reader above
     // guards against. A changelog contract needs every event keyed and
-    // typed (deletes are explicit op='delete' events, never bare null
-    // values), so both are drift and must fail loudly, per row. The check
-    // rides the projected column itself so no optimizer can prune it.
+    // typed (deletes are explicit op='delete' events carrying payload "",
+    // never bare null values — the file-source contract), so ALL FOUR
+    // fields must be present; a null in any of them is drift and must fail
+    // loudly, per row. The check rides the projected column itself so no
+    // optimizer can prune it.
     val drifted = col("c").isNull ||
-      Seq("rowkey", "event_id", "op").map(f => col(s"c.$f").isNull).reduce(_ || _)
+      schema.fieldNames.toSeq.map(f => col(s"c.$f").isNull).reduce(_ || _)
     parsed
       .select(when(drifted, raise_error(concat(
           lit("drifted broker record (missing rowkey/event_id/op or null payload): "),

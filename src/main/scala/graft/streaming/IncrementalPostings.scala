@@ -134,6 +134,21 @@ object IncrementalPostings {
     } finally { mergedDocs.unpersist(); newEntries.unpersist(): Unit }
   }
 
+  /** Garbage-collect doc tombstones older than the source's replay horizon
+    * — the retention discipline the docs state names (see
+    * [[IncrementalIndex.gcTombstones]]; same contract: `horizonEventId`
+    * must be ≤ the smallest event_id the source can still replay, or a
+    * stale put below a GC'd tombstone could resurrect the doc). Tombstones
+    * live ONLY in the docs state: a delete's postings are removed from the
+    * entries at merge time ([[docToks]] drops deletes), so GC rewrites only
+    * the doc buckets holding expired tombstones and never opens an entry
+    * bucket — [[termSearch]] results are unchanged by construction. The
+    * docs root shares `IncrementalIndex`'s layout (latest event per rowkey,
+    * `crc32(rowkey)` buckets), so the rewrite is the proven one. */
+  def gcTombstones(spark: SparkSession, rootPath: String, horizonEventId: Long,
+                   numBuckets: Int = IncrementalIndex.DefaultBuckets): Unit =
+    IncrementalIndex.gcTombstones(spark, rootPath + "/docs", horizonEventId, numBuckets)
+
   /** The maintained inverted index, in `Index.postings` shape:
     * (tok, sorted doc ids, document frequency). */
   def postings(spark: SparkSession, rootPath: String): DataFrame = {

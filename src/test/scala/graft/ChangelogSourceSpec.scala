@@ -79,6 +79,33 @@ class ChangelogSourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a byte budget splits an oversized drop regardless of file sizes") {
+    val base = Files.createTempDirectory("graft_srcY").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    // deliberately UNEVEN files — the case where the file-count heuristic
+    // degrades and the byte budget still bounds each micro-batch
+    Files.writeString(java.nio.file.Paths.get(in, "big.json"), (1 to 5).map(i =>
+      s"""{"rowkey": "k$i", "event_id": $i, "op": "put", "payload": "v$i"}""").mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(in, "small.json"),
+      """{"rowkey": "k6", "event_id": 6, "op": "put", "payload": "v6"}""")
+    val statePath = s"$base/state"
+    val query = IncrementalIndex.start(
+      ChangelogSource.stream(spark, in, maxBytesPerTrigger = Some(16L)),
+      statePath, s"$base/ckpt", intervalSeconds = 1)
+    try {
+      query.processAllAvailable()
+      assert(IncrementalIndex.readState(spark, statePath).count() === 6L)
+      val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2,
+        s"expected the drop split into >=2 byte-bounded batches, saw $dataBatches")
+    } finally query.stop()
+    // the two admission knobs are mutually exclusive
+    intercept[IllegalArgumentException] {
+      ChangelogSource.stream(spark, in,
+        maxFilesPerTrigger = Some(1), maxBytesPerTrigger = Some(16L))
+    }
+  }
+
   test("the facade threads add_batchCount into source admission (dual-trigger parity)") {
     val base = Files.createTempDirectory("graft_srcA").toString
     val in = s"$base/in"; new java.io.File(in).mkdirs()
@@ -100,6 +127,33 @@ class ChangelogSourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("the facade's file budget rounds UP so admission honors the row threshold") {
+    val base = Files.createTempDirectory("graft_srcC").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    for (i <- 1 to 4) // 4 files x 2 events
+      Files.writeString(java.nio.file.Paths.get(in, s"f$i.json"), Seq(
+        s"""{"rowkey": "k${i}a", "event_id": ${2 * i}, "op": "put", "payload": "v"}""",
+        s"""{"rowkey": "k${i}b", "event_id": ${2 * i + 1}, "op": "put", "payload": "v"}""")
+        .mkString("\n"))
+    // threshold 3 rows at 2 events/file: ceil(3/2)=2 files/trigger — the
+    // first admission CROSSING the threshold (the reference flushes at
+    // buffer >= add_batchCount); floored division would drain 1 file at a
+    // time, twice the batches the threshold asks for
+    val cfg = GraftConfig(Seq("click"), "user_id", "error",
+      addBatchCount = 3, delBatchCount = 1, commitIntervalSec = 1, firstDelaySec = 0)
+    val g = graft.api.Graft(spark, "/root/testdata/sf0.001", cfg)
+    intercept[IllegalArgumentException] { g.changeStream(in, eventsPerFile = 0) }
+    intercept[IllegalArgumentException] { g.changeStreamBytes(in, bytesPerEvent = 0) }
+    val statePath = s"$base/state"
+    val query = g.startIndexMaintenance(
+      g.changeStream(in, eventsPerFile = 2), statePath, s"$base/ckpt")
+    try {
+      query.processAllAvailable()
+      assert(IncrementalIndex.readState(spark, statePath).count() === 8L)
+      assert(query.recentProgress.count(_.numInputRows > 0) === 2)
+    } finally query.stop()
+  }
+
   test("broker-shaped records project through the declared schema; drift fails loudly") {
     import org.apache.spark.sql.functions.{col, lit}
     val vals = Seq(
@@ -116,6 +170,12 @@ class ChangelogSourceSpec extends SparkSpec {
       .toDF("value")
     intercept[Exception] {
       ChangelogSource.fromBroker(drifted).collect()
+    }
+    // a producer that dropped/renamed the payload field null-fills it on
+    // parse — drift, not a legal event (deletes carry "", never null)
+    val noPayload = Seq("""{"rowkey": "a", "event_id": 1, "op": "put"}""").toDF("value")
+    intercept[Exception] {
+      ChangelogSource.fromBroker(noPayload).collect()
     }
   }
 

@@ -251,6 +251,43 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(hits("爱北") === Set.empty) // doc 1's pre-update bigram stays dead
   }
 
+  test("tombstone GC rewrites only expired doc buckets; entries and termSearch unchanged") {
+    val root = Files.createTempDirectory("graft_postG").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "spark merge sort"),
+      DocChange("2", 1, "put", "spark hash join"),
+      DocChange("3", 2, "put", "merge only here")).toDF(), root)
+    IncrementalPostings.mergeBatch(spark,
+      Seq(DocChange("2", 3, "delete", "")).toDF(), root)
+    val docsBefore = snapshotDirs(root + "/docs")
+    val entriesBefore = snapshotDirs(root + "/entries")
+    def rawOps(): Map[String, String] = // the persisted docs state, tombstones included
+      spark.read.parquet(graft.streaming.StateStore
+          .liveBuckets(spark, root + "/docs").map(d => s"$root/docs/$d"): _*)
+        .collect().map(r => r.getAs[String]("rowkey") -> r.getAs[String]("op")).toMap
+    assert(rawOps()("2") === "delete")
+
+    // horizon AT the tombstone's event_id: not yet expired (strict <) — no-op
+    IncrementalPostings.gcTombstones(spark, root, horizonEventId = 3)
+    assert(snapshotDirs(root + "/docs") === docsBefore)
+
+    // horizon past the tombstone: it is dropped from the docs state...
+    IncrementalPostings.gcTombstones(spark, root, horizonEventId = 4)
+    assert(!rawOps().contains("2"))
+    // ...rewriting ONLY the bucket the tombstone's rowkey hashes to...
+    val tombBucket = tokBucket("2") // same crc32-of-UTF-8 bucketing as rowkeys
+    val docsAfter = snapshotDirs(root + "/docs")
+    for (d <- docsBefore.keySet if d != tombBucket)
+      assert(docsBefore(d) === docsAfter(d), s"doc bucket $d without tombstones was rewritten")
+    // ...and never opening an entry bucket (deletes left the entries at merge time)
+    assert(snapshotDirs(root + "/entries") === entriesBefore)
+    def hits(terms: String*): Set[String] =
+      IncrementalPostings.termSearch(spark, root, terms.toSeq)
+        .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(hits("spark") === Set("1"))
+    assert(hits("merge") === Set("1", "3"))
+  }
+
   test("streaming foreachBatch maintains the postings across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[DocChange]

@@ -149,6 +149,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(ids(full) === rows(full), "the id map must mirror the stored cells")
   }
 
+  test("a drifted upsert stream trips the cell-skew rebuild signal") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_ivfD").toString + "/ivf"
+    IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 3)
+    // a healthy k-means partition of the training data is near-balanced
+    val trained = IvfIndex.cellSkew(spark, p)
+    assert(trained < 4.0, s"freshly trained index already skewed: $trained")
+    assert(!IvfIndex.needsRebuild(spark, p))
+    // drift: a corpus-sized stream of new vectors that all quantize to ONE
+    // trained cell (every arrival is the same existing embedding) — the
+    // fixed-quantizer failure mode the guard exists to catch
+    val total = spark.read.parquet(p + "/vectors").count()
+    val anchor = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val drifted = (1 to total.toInt)
+      .map(i => (10000000L + i, anchor)).toDF("vec_id", "embedding")
+    IvfIndex.upsert(spark, p, drifted)
+    // one cell now holds >= half the index against a 1/nlist fair share
+    assert(IvfIndex.cellSkew(spark, p) >= 4.0)
+    assert(IvfIndex.needsRebuild(spark, p))
+    intercept[IllegalArgumentException] {
+      IvfIndex.needsRebuild(spark, p, skewThreshold = 1.0)
+    }
+  }
+
   test("a batch with duplicate vec_ids is rejected") {
     import spark.implicits._
     val q = query
