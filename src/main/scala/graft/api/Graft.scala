@@ -143,6 +143,14 @@ class Graft(spark: SparkSession, dir: String,
   def useMaintainedShingles(rootPath: String): Unit =
     IncrementalShingles.register(spark, dir, rootPath)
 
+  /** Query-time near-duplicate probe of an arriving document against the
+    * maintained shingle state at `rootPath` — candidates from the capped,
+    * bucket-pruned index, exact Jaccard scored on the fetched live rows;
+    * no corpus or index scan. The ingestion-time dedup gate. */
+  def nearDuplicatesOf(rootPath: String, text: String,
+                       threshold: Double = 0.8): DataFrame =
+    IncrementalShingles.nearDuplicates(spark, rootPath, text, threshold)
+
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the
     * compacted secondary index) and `graft_postings` (the inverted

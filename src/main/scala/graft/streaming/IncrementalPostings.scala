@@ -174,23 +174,19 @@ object IncrementalPostings {
     docs.filter(col("op") =!= "delete")
   }
 
-  /** The reference's read topology over the MAINTAINED state — multi-term
-    * AND via posting intersection, then key-fetch of the live rows (Solr
-    * hit list → HBase Get, /root/reference/README.md:12-13) — with no
-    * corpus scan anywhere. The entries read opens ONLY the buckets the
-    * query terms hash to (the `_nbuckets` marker supplies the count;
-    * pre-marker roots fall back to all live buckets), so per-query I/O is
-    * |touched buckets| + matched doc rows, not the index. The (small) hit
-    * list broadcasts into the fetch join. */
-  def termSearch(spark: SparkSession, rootPath: String, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "termSearch needs at least one term")
-    val uniq = terms.distinct
+  /** The entries rows for exactly `toks`, reading ONLY the buckets those
+    * tokens hash to (the `_nbuckets` marker supplies the count; pre-marker
+    * roots fall back to all live buckets) — per-query I/O is |touched
+    * buckets|, not the index. A token's posting list is COMPLETE within
+    * its bucket, so per-token counts (df) over this frame are exact. */
+  private[streaming] def prunedEntries(spark: SparkSession, rootPath: String,
+                                       toks: Seq[String]): DataFrame = {
     val entriesRoot = rootPath + "/entries"
     val live = StateStore.liveBuckets(spark, entriesRoot)
     val dirs = StateStore.bucketCount(spark, entriesRoot) match {
       case Some(n) =>
         // same CRC32-of-UTF-8 as the write-side tokBucket
-        val wanted = uniq.map { t =>
+        val wanted = toks.map { t =>
           val crc = new java.util.zip.CRC32()
           crc.update(t.getBytes("UTF-8"))
           s"b=${java.lang.Math.floorMod(crc.getValue, n.toLong)}"
@@ -201,7 +197,19 @@ object IncrementalPostings {
     val entries =
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
       else emptyDf(spark, entriesSchema).drop("b")
-    val hits = entries.filter(col("tok").isin(uniq: _*))
+    entries.filter(col("tok").isin(toks: _*))
+  }
+
+  /** The reference's read topology over the MAINTAINED state — multi-term
+    * AND via posting intersection, then key-fetch of the live rows (Solr
+    * hit list → HBase Get, /root/reference/README.md:12-13) — with no
+    * corpus scan anywhere. The entries read is bucket-pruned to the query
+    * terms ([[prunedEntries]]); the (small) hit list broadcasts into the
+    * fetch join. */
+  def termSearch(spark: SparkSession, rootPath: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "termSearch needs at least one term")
+    val uniq = terms.distinct
+    val hits = prunedEntries(spark, rootPath, uniq)
       .groupBy(col("doc_id").as("rowkey"))
       .agg(countDistinct(col("tok")).as("nt"))
       .filter(col("nt") === uniq.length)

@@ -98,6 +98,54 @@ object IncrementalShingles {
       .select(col("tok").as("s"),
         sort_array(transform(col("ids"), _.cast("long"))).as("ids"))
 
+  /** Query-time near-duplicate probe against the MAINTAINED state — the
+    * ingestion-time dedup check a training-data pipeline runs per arriving
+    * document, with no corpus scan anywhere (the online form of the batch
+    * family's `q_dedup_near`; the reference's search-then-fetch topology
+    * applied to dedup). Three steps:
+    *
+    *   1. the arriving text's own shingles (one doc — driver-side
+    *      metadata, computed through the SAME column expression as the
+    *      index's write side);
+    *   2. candidate ids from the entries read bucket-pruned to those
+    *      shingles ([[IncrementalPostings.prunedEntries]]), with the
+    *      document-frequency cap applied exactly (a shingle's posting
+    *      list is complete within its bucket): a shingle shared by more
+    *      than `dfCap` docs carries no near-dup signal but quadratic
+    *      fan-out — same recall contract as the batch family;
+    *   3. the (small) candidate list broadcasts into a live-row fetch,
+    *      and the score is the EXACT Jaccard between the two shingle
+    *      sets, recomputed from the fetched texts — candidates are
+    *      cap-bounded, the reported score is uncapped truth.
+    *
+    * Per-query I/O: |query-shingle buckets| + |candidate rows|, never the
+    * index or the corpus. Returns (rowkey, jaccard) ≥ `threshold`, best
+    * match first. */
+  def nearDuplicates(spark: SparkSession, rootPath: String, text: String,
+                     threshold: Double = 0.8,
+                     dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
+    val qsh = spark.range(1)
+      .select(explode(array_distinct(shingleize(lit(text)))).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    if (qsh.isEmpty) // under 3 tokens: no shingles, no candidates — empty, not an error
+      return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
+    val hits = IncrementalPostings.prunedEntries(spark, rootPath, qsh)
+    val kept = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val cands = hits.join(broadcast(kept.select("tok")), "tok")
+      .select(col("doc_id").as("rowkey")).distinct()
+    val qArr = typedlit(qsh)
+    IncrementalPostings.docsState(spark, rootPath)
+      .join(broadcast(cands), "rowkey")
+      .select(col("rowkey"), array_distinct(shingleize(col("text"))).as("bs"))
+      .withColumn("c", size(array_intersect(col("bs"), qArr)).cast("long"))
+      .withColumn("jaccard",
+        round(col("c") / (size(col("bs")) + lit(qsh.length) - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("rowkey", "jaccard")
+      .orderBy(col("jaccard").desc, col("rowkey"))
+  }
+
   /** Wire a streaming document changelog into the shingle-state merge —
     * same knobs as [[IncrementalPostings.start]]. */
   def start(changes: DataFrame, rootPath: String, checkpoint: String,

@@ -132,6 +132,49 @@ class IncrementalShinglesSpec extends SparkSpec {
     } finally IncrementalShingles.unregister(spark, dir)
   }
 
+  test("query-time near-dup probe: capped candidates, exact Jaccard, live fetch, pruned I/O") {
+    val root = Files.createTempDirectory("graft_shingQ").toString + "/shingles"
+    merge(root,
+      DocChange("1", 0, "put", "alpha beta gamma delta epsilon zeta"),
+      DocChange("2", 1, "put", "completely different words entirely here now"),
+      DocChange("3", 2, "put", "alpha beta gamma delta epsilon eta"))
+    val q = "alpha beta gamma delta epsilon zeta" // doc 1 verbatim; 3/5 overlap with doc 3
+    def probe(threshold: Double = 0.8, dfCap: Int = Dedup.DfCap): Map[String, Double] =
+      IncrementalShingles.nearDuplicates(spark, root, q, threshold, dfCap)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exact duplicate found at 1.0; doc 3's true Jaccard (3 shared of 5
+    // distinct shingles = 0.6) is below the default threshold
+    assert(probe() === Map("1" -> 1.0))
+    assert(probe(threshold = 0.5) === Map("1" -> 1.0, "3" -> 0.6))
+    // the DF cap bounds CANDIDATE GENERATION: at dfCap=1 the shingles doc 1
+    // and doc 3 share (df=2) generate nothing — doc 1 stays reachable via
+    // its unique shingle and still scores its exact, uncapped 1.0
+    assert(probe(threshold = 0.5, dfCap = 1) === Map("1" -> 1.0))
+    // the entries read opens ONLY the buckets the query's shingles hash to
+    def bucketOf(key: String): String = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(key.getBytes("UTF-8"))
+      s"b=${java.lang.Math.floorMod(crc.getValue, IncrementalIndex.DefaultBuckets.toLong)}"
+    }
+    val qShingles = Seq("alpha beta gamma", "beta gamma delta",
+      "gamma delta epsilon", "delta epsilon zeta")
+    val wanted = qShingles.map(bucketOf).toSet
+    val entryFiles = IncrementalShingles.nearDuplicates(spark, root, q, 0.5)
+      .inputFiles.filter(_.contains("/entries/"))
+    assert(entryFiles.nonEmpty)
+    for (f <- entryFiles)
+      assert(wanted.exists(b => f.contains(s"/$b/")),
+        s"probe read entry file outside the query's buckets: $f")
+    // unrelated text shares no shingle: no candidates, empty result
+    assert(IncrementalShingles.nearDuplicates(spark, root,
+      "unrelated probe sentence with nothing shared").count() === 0L)
+    // under 3 tokens: no shingles — empty, not an error
+    assert(IncrementalShingles.nearDuplicates(spark, root, "ab cd").count() === 0L)
+    // deletion drops the duplicate from the live fetch immediately
+    merge(root, DocChange("1", 9, "delete", ""))
+    assert(probe(threshold = 0.5) === Map("3" -> 0.6))
+  }
+
   private def snapshot(base: String): Map[String, Map[String, String]] = {
     val dirs = new java.io.File(base).listFiles().filter(d =>
       d.isDirectory && d.getName.startsWith("b=")).map(_.getName)
