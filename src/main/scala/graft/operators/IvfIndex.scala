@@ -95,10 +95,13 @@ object IvfIndex {
     for (_ <- 1 to iters)
       centroids = recompute(assign(e, centroids)).localCheckpoint()
     centroids.write.mode("overwrite").parquet(path + "/centroids")
-    val assigned = assign(e, centroids).cache()
+    // repartition by the partition column: one file per cell/id-bucket dir,
+    // so a probe opens |probed cells| files, not |cells × writer partitions|
+    val assigned = assign(e, centroids).repartition(col("cell")).cache()
     try {
       assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/vectors")
       assigned.select(col("vec_id"), col("cell")).withColumn("b", idBucket)
+        .repartition(col("b"))
         .write.mode("overwrite").partitionBy("b").parquet(path + "/ids")
       // after the overwrite (which replaces the whole ids dir, marker included)
       StateStore.ensureBucketCount(assigned.sparkSession, path + "/ids", IdBuckets)
@@ -171,12 +174,14 @@ object IvfIndex {
         .join(broadcast(assigned.select(col("vec_id").as("upserted"))),
           col("vec_id") === col("upserted"), "left_anti")
         .unionByName(assigned)
+        .repartition(col("cell")) // one file per rewritten cell dir
         .cache()
       val newIds = oldIds
         .join(broadcast(assigned.select(col("vec_id").as("upserted"))),
           col("vec_id") === col("upserted"), "left_anti")
         .unionByName(assigned.select(col("vec_id"), col("cell")))
         .withColumn("b", idBucket)
+        .repartition(col("b"))
         .cache()
       merged.count(); newIds.count() // decouple from the files before the swaps
       try {

@@ -53,6 +53,7 @@ object Materialize {
   private val locks = new java.util.concurrent.ConcurrentHashMap[Key, Object]()
   private val hooks = new java.util.concurrent.ConcurrentHashMap[SparkContext, SparkListener]()
   private val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Cumulative wall time this process has spent BUILDING artifacts (cache
     * hits cost nothing). Queries served from the cache measure warm-index
@@ -60,6 +61,13 @@ object Materialize {
     * build cost as its own line instead of letting whichever query runs
     * first absorb it. */
   def buildSeconds: Double = buildNanos.get() / 1e9
+
+  /** Fold an EXTERNAL one-time build (e.g. a file-backed maintained state
+    * constructed for a session) into the same build clock, so
+    * `artifact_build_sec` attributes every one-time cost, not just the
+    * in-process cache's. */
+  private[graft] def recordBuild(nanos: Long): Unit =
+    buildNanos.addAndGet(nanos): Unit
 
   /** The artifact `name` over scope `scope` (the data directory), built at
     * most once per SparkSession; later calls return the persisted copy. */
@@ -77,7 +85,9 @@ object Materialize {
         val t0 = System.nanoTime()
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
         df.count() // eager: the build runs here, once — not in consumer plans
-        buildNanos.addAndGet(System.nanoTime() - t0)
+        val took = System.nanoTime() - t0
+        buildNanos.addAndGet(took)
+        log.info(f"built artifact $name over $scope in ${took / 1e9}%.2f s")
         cache.put(key, df)
         df
       }

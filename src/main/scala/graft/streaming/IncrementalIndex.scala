@@ -97,8 +97,13 @@ object IncrementalIndex {
       if (oldPaths.nonEmpty)
         spark.read.parquet(oldPaths: _*).withColumn("b", bucketCol(numBuckets))
       else withB.limit(0)
-    // event_id totally orders state rows vs batch rows.
-    val merged = compactAll(oldTouched.unionByName(withB)).cache()
+    // event_id totally orders state rows vs batch rows. Repartitioning by
+    // bucket collapses each rewritten bucket dir to ONE file (readers open
+    // |buckets| files, not |buckets × writer partitions| — the small-files
+    // problem); the extra shuffle is batch-sized, and bucket count stays
+    // the knob that sizes the rewrite unit.
+    val merged = compactAll(oldTouched.unionByName(withB))
+      .repartition(col("b")).cache()
     merged.count() // materialize before the swap touches the input paths
     try StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>
       merged.write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
@@ -128,6 +133,7 @@ object IncrementalIndex {
     val kept = spark.read.parquet(touchedDirs.map(d => s"$statePath/$d"): _*)
       .withColumn("b", bucketCol(numBuckets))
       .filter(!expired)
+      .repartition(col("b")) // one file per rewritten bucket (see mergeBatch)
       .cache()
     kept.count()
     try StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>

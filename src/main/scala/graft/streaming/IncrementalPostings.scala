@@ -97,8 +97,12 @@ object IncrementalPostings {
     // Only rowkeys present in the batch can change; everything is derived
     // from this (small) touched set.
     val touched = batch.select("rowkey").distinct()
+    // repartition by bucket: one file per rewritten bucket dir, so reads
+    // open |buckets| files, not |buckets × writer partitions| (see
+    // IncrementalIndex.mergeBatch)
     val mergedDocs = IncrementalIndex.compactAll(oldDocs.unionByName(batch))
-      .withColumn("b", docBucket(numBuckets)).cache()
+      .withColumn("b", docBucket(numBuckets))
+      .repartition(col("b")).cache()
     // removals: the touched docs' PREVIOUS tokens (tok-keyed delta);
     // additions: their tokens after the merge. A stale batch event leaves
     // both sides equal, so the entries are rewritten unchanged — idempotent.
@@ -120,6 +124,7 @@ object IncrementalPostings {
       .join(additions, Seq("tok", "doc_id"), "left_anti")
       .unionByName(additions)
       .withColumn("b", tokBucket(numBuckets))
+      .repartition(col("b")) // one file per rewritten entry bucket
       .cache()
 
     mergedDocs.count(); newEntries.count() // decouple from the input files
