@@ -106,8 +106,12 @@ object IncrementalPostings {
     // removals: the touched docs' PREVIOUS tokens (tok-keyed delta);
     // additions: their tokens after the merge. A stale batch event leaves
     // both sides equal, so the entries are rewritten unchanged — idempotent.
-    val removals = docToks(oldDocs.join(broadcast(touched), "rowkey"), tokenize)
+    // Both are cached: each feeds the touched-bucket collect AND the
+    // entries rewrite, and the tokenize explode is the merge's dominant
+    // cost — recomputing it doubled the batch time.
+    val removals = docToks(oldDocs.join(broadcast(touched), "rowkey"), tokenize).cache()
     val additions = docToks(mergedDocs.drop("b").join(broadcast(touched), "rowkey"), tokenize)
+      .cache()
 
     val touchedTokB = removals.select(tokBucket(numBuckets).as("b"))
       .unionByName(additions.select(tokBucket(numBuckets).as("b")))
@@ -136,7 +140,10 @@ object IncrementalPostings {
       StateStore.commitBuckets(spark, docsRoot, docDirs) { tmp =>
         mergedDocs.write.partitionBy("b").mode("overwrite").parquet(tmp)
       }
-    } finally { mergedDocs.unpersist(); newEntries.unpersist(): Unit }
+    } finally {
+      mergedDocs.unpersist(); newEntries.unpersist()
+      removals.unpersist(); additions.unpersist(): Unit
+    }
   }
 
   /** Garbage-collect doc tombstones older than the source's replay horizon
