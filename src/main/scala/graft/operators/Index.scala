@@ -162,10 +162,11 @@ object Index {
     // hash split (pure function of doc_id — reproducible anywhere); the
     // check itself is one fingerprint aggregation and one equi-join keyed
     // on the fingerprint, both shuffle-partitioned by that key at scale.
-    val docs = Tables.documents(spark, dir)
     val testHex = Seq("0", "1", "2", "3") // 4/16 deterministic eval split
-    val fps = TextAnalysis.shingles(docs)
-      .groupBy("doc_id").agg(min(md5(col("s"))).as("fp"))
+    // the match key reads the MATERIALIZED fingerprint artifact — shared
+    // with q_fingerprint, built once per session
+    val fps = TextAnalysis.sharedFingerprints(spark, dir)
+      .select(col("doc_id"), col("fp"))
       .withColumn("is_test",
         substring(md5(concat(lit("split0:"), col("doc_id"))), 1, 1).isin(testHex: _*))
     val train = fps.filter(!col("is_test"))

@@ -113,13 +113,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document min-shingle fingerprints (winnowing anchor + distinct
+    * shingle count), MATERIALIZED once per session: the same artifact is
+    * q_fingerprint's output AND the contamination check's match key, and
+    * at scale it is a standing per-doc index column maintained alongside
+    * the corpus, not a per-query recompute. */
+  private[graft] def sharedFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "doc_fingerprints", dir)(
+      shingles(Tables.documents(spark, dir))
+        .groupBy("doc_id")
+        .agg(min(md5(col("s"))).as("fp"), countDistinct(col("s")).as("n_shingles")))
+
   private def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     // Document fingerprint: min-hash over rolling 3-gram shingles (md5 as
     // the rolling hash; the lexicographic min of hashes is the winnowing
     // anchor). Constant-size output per doc regardless of doc length.
-    shingles(Tables.documents(spark, dir))
-      .groupBy("doc_id")
-      .agg(min(md5(col("s"))).as("fp"), countDistinct(col("s")).as("n_shingles"))
+    sharedFingerprints(spark, dir)
+      .select("doc_id", "fp", "n_shingles")
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(

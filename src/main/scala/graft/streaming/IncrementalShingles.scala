@@ -69,12 +69,13 @@ object IncrementalShingles {
   private[graft] def maintainedRoot(spark: SparkSession, corpusDir: String): Option[String] =
     Option(registry.get((spark, corpusDir)))
 
-  /** The shingle artifacts derived from the index — both must drop when
-    * the index's source changes (registration or a maintained-state merge). */
-  private def invalidateScope(corpusDir: String): Unit = {
-    Materialize.invalidate("shingle_index", corpusDir)
-    Materialize.invalidate("near_dup_pairs", corpusDir)
-  }
+  /** Every artifact derived from the scope's corpus must drop when its
+    * source changes (registration or a maintained-state merge) — the whole
+    * scope, not a name list: fingerprints, postings, and any artifact
+    * added later are corpus-derived too, and a stale survivor would
+    * silently serve pre-mutation results. */
+  private def invalidateScope(corpusDir: String): Unit =
+    Materialize.invalidate(corpusDir)
 
   /** Fold one changelog micro-batch (rowkey, event_id, op, text) into the
     * maintained shingle state, then invalidate every session artifact fed
@@ -129,11 +130,14 @@ object IncrementalShingles {
       .collect().map(_.getString(0)).toSeq
     if (qsh.isEmpty) // under 3 tokens: no shingles, no candidates — empty, not an error
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
-    val hits = IncrementalPostings.prunedEntries(spark, rootPath, qsh)
-    val kept = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    // one pass over the pruned entries: per-shingle df and posting list
+    // together, cap filter, then the union of surviving posting lists
+    val cands = IncrementalPostings.prunedEntries(spark, rootPath, qsh)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
       .filter(col("df") <= dfCap)
-    val cands = hits.join(broadcast(kept.select("tok")), "tok")
-      .select(col("doc_id").as("rowkey")).distinct()
+      .select(explode(col("ids")).as("rowkey"))
+      .distinct()
     val qArr = typedlit(qsh)
     IncrementalPostings.docsState(spark, rootPath)
       .join(broadcast(cands), "rowkey")
