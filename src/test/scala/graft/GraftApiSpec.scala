@@ -151,6 +151,42 @@ class GraftApiSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("facade shingle maintenance + near-dup probe + tombstone GC round-trip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[DocChange]
+    val base = java.nio.file.Files.createTempDirectory("graft_apiShingle").toString
+    val fast = Graft(spark, "/root/testdata/sf0.001",
+      GraftConfig.default.copy(commitIntervalSec = 1, firstDelaySec = 0))
+    val root = s"$base/shingles"
+    val query = fast.startShingleMaintenance(source.toDF(), root, s"$base/ckpt")
+    def probe(): Map[String, Double] =
+      fast.nearDuplicatesOf(root, "alpha beta gamma delta", threshold = 0.5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    try {
+      source.addData(
+        DocChange("1", 0, "put", "alpha beta gamma delta"),
+        DocChange("2", 1, "put", "alpha beta gamma delta zeta"),
+        DocChange("3", 2, "put", "totally different text here"))
+      query.processAllAvailable()
+      // an arriving doc finds its exact and near duplicate from the
+      // maintained state (2 of 3 shingles shared -> 0.6667)
+      assert(probe() === Map("1" -> 1.0, "2" -> 0.6667))
+      // a streamed delete drops the duplicate from the live probe
+      source.addData(DocChange("1", 3, "delete", ""))
+      query.processAllAvailable()
+      assert(probe() === Map("2" -> 0.6667))
+      // horizon GC drops the expired tombstone; results are unchanged
+      fast.gcPostings(root, horizonEventId = 4)
+      val rawOps = spark.read.parquet(graft.streaming.StateStore
+          .liveBuckets(spark, s"$root/docs").map(d => s"$root/docs/$d"): _*)
+        .collect().map(r => r.getAs[String]("rowkey") -> r.getAs[String]("op")).toMap
+      assert(!rawOps.contains("1"))
+      assert(probe() === Map("2" -> 0.6667))
+    } finally query.stop()
+  }
+
   test("facade IVF round-trip: build a persisted index, probe it") {
     val path = java.nio.file.Files.createTempDirectory("graft_apiIvf")
       .toString + "/ivf"
@@ -161,6 +197,8 @@ class GraftApiSpec extends SparkSpec {
     assert(hits.length === 5)
     // probing every cell must surface the query vector itself on top
     assert(hits.head.getLong(0) === 1L)
+    // a freshly trained index does not trip the drift guard
+    assert(!g.ivfNeedsRebuild(path))
   }
 
   test("vec_dot_f is callable from SQL after registration") {
