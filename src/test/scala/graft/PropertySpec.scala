@@ -79,6 +79,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("near-dup probe: self-match at 1.0 and true-Jaccard scores over random corpora") {
+    import graft.streaming.IncrementalShingles
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty[String]
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = for {
+      n <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    for (seed <- 1 to 3) {
+      val texts = Gen.listOfN(12, docGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_probeP$seed").toString + "/sh"
+      IncrementalShingles.mergeBatch(spark,
+        texts.zipWithIndex.map { case (t, i) => DocChange(i.toString, i.toLong, "put", t) }
+          .toDF(), root)
+      val byId = texts.zipWithIndex.map { case (t, i) => i.toString -> t }.toMap
+      val probed = byId.toSeq.sortBy(_._1).filter(p => shingleSet(p._2).nonEmpty).take(3)
+      assert(probed.nonEmpty, s"seed $seed generated no shingleable docs")
+      for ((qid, qt) <- probed) {
+        val got = IncrementalShingles.nearDuplicates(spark, root, qt, threshold = 0.3)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // a document is always its own near-duplicate
+        assert(got.get(qid).contains(1.0),
+          s"self-match missing for doc $qid ('$qt') in seed $seed: $got")
+        // every reported score is the true Jaccard of the two shingle sets
+        for ((rid, j) <- got) {
+          val a = shingleSet(qt); val b = shingleSet(byId(rid))
+          val inter = (a & b).size
+          val truth = inter.toDouble / (a.size + b.size - inter)
+          assert(math.abs(j - truth) < 5e-5,
+            s"score mismatch for ($qid,$rid) in seed $seed: got $j, true $truth")
+          assert(truth >= 0.3 - 5e-5, s"($qid,$rid) below threshold in seed $seed")
+        }
+      }
+    }
+  }
+
   test("cjk bigram invariants hold for random space-free BMP text") {
     // For any space-free text of n >= 2 code points: exactly n-1 tokens,
     // every token is 2 chars, adjacent tokens overlap by one char, and
