@@ -34,6 +34,8 @@ object Bench {
       try run(fn) catch { case _: Throwable => }
     }
     val buildSec = graft.operators.Materialize.buildSeconds
+    val buildMap = graft.operators.Materialize.buildBreakdown.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Timed: min of 3 trials per query — the standard way to report the
     // query's cost rather than transient GC/load noise on a shared box.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -53,7 +55,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap}""")
     spark.stop()
   }
 }

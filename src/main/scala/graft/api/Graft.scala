@@ -115,6 +115,17 @@ class Graft(spark: SparkSession, dir: String,
   def searchMaintained(rootPath: String, terms: Seq[String]): DataFrame =
     IncrementalPostings.termSearch(spark, rootPath, terms)
 
+  /** Prefix completions from the maintained index's vocabulary (df-ranked,
+    * Solr-suggester parity; a vocabulary-sized entries scan, no docs). */
+  def suggestMaintained(rootPath: String, prefix: String, k: Int = 10): DataFrame =
+    IncrementalPostings.suggest(spark, rootPath, prefix, k)
+
+  /** Spelling corrections from the maintained vocabulary within
+    * `maxEdits`, df-ranked. */
+  def spellCorrectMaintained(rootPath: String, term: String,
+                             maxEdits: Int = 1, k: Int = 5): DataFrame =
+    IncrementalPostings.spellCorrect(spark, rootPath, term, maxEdits, k)
+
   /** Drop tombstones older than the source's replay horizon from a
     * maintained index state ([[startIndexMaintenance]]'s `statePath`) —
     * the compacted-topic/LSM retention discipline; only buckets holding

@@ -62,12 +62,29 @@ object Materialize {
     * first absorb it. */
   def buildSeconds: Double = buildNanos.get() / 1e9
 
+  /** Per-name build durations (seconds), for benchmark attribution: which
+    * artifact costs what, summed across scopes and sessions. */
+  def buildBreakdown: Map[String, Double] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    builds.forEach((name, nanos) => out(name) = nanos.get() / 1e9)
+    out.toMap
+  }
+
+  private val builds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def addBuild(name: String, nanos: Long): Unit = {
+    buildNanos.addAndGet(nanos)
+    builds.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong())
+      .addAndGet(nanos): Unit
+  }
+
   /** Fold an EXTERNAL one-time build (e.g. a file-backed maintained state
     * constructed for a session) into the same build clock, so
     * `artifact_build_sec` attributes every one-time cost, not just the
     * in-process cache's. */
-  private[graft] def recordBuild(nanos: Long): Unit =
-    buildNanos.addAndGet(nanos): Unit
+  private[graft] def recordBuild(name: String, nanos: Long): Unit =
+    addBuild(name, nanos)
 
   /** The artifact `name` over scope `scope` (the data directory), built at
     * most once per SparkSession; later calls return the persisted copy. */
@@ -86,7 +103,7 @@ object Materialize {
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
         df.count() // eager: the build runs here, once — not in consumer plans
         val took = System.nanoTime() - t0
-        buildNanos.addAndGet(took)
+        addBuild(name, took)
         log.info(f"built artifact $name over $scope in ${took / 1e9}%.2f s")
         cache.put(key, df)
         df

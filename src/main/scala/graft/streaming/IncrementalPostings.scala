@@ -175,6 +175,32 @@ object IncrementalPostings {
         countDistinct(col("doc_id")).as("df"))
   }
 
+  /** The maintained index's vocabulary — (tok, df). A vocabulary-sized
+    * scan of the entries, never the docs: the read surface Solr's
+    * suggester/spellchecker serve from the standing index. (The maintained
+    * entries are set-valued, so ranking is by DOCUMENT frequency — the
+    * corpus-scoped `q_suggest_prefix`/`q_spell_correct` rank by occurrence
+    * count, which per-doc tf state would buy here too.) */
+  def vocabulary(spark: SparkSession, rootPath: String): DataFrame =
+    postings(spark, rootPath).select(col("tok"), col("df"))
+
+  /** Prefix completions from the MAINTAINED vocabulary, df-ranked. */
+  def suggest(spark: SparkSession, rootPath: String, prefix: String,
+              k: Int = 10): DataFrame =
+    vocabulary(spark, rootPath)
+      .filter(col("tok").startsWith(prefix))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
+
+  /** Correction candidates from the MAINTAINED vocabulary: terms within
+    * `maxEdits` of the query term, df-ranked. */
+  def spellCorrect(spark: SparkSession, rootPath: String, term: String,
+                   maxEdits: Int = 1, k: Int = 5): DataFrame =
+    vocabulary(spark, rootPath)
+      .filter(levenshtein(col("tok"), lit(term)) <= maxEdits)
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
+
   /** Live view of the maintained document state (tombstones filtered);
     * empty with the documented schema before the first merge. */
   def docsState(spark: SparkSession, rootPath: String): DataFrame = {

@@ -251,6 +251,28 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(hits("爱北") === Set.empty) // doc 1's pre-update bigram stays dead
   }
 
+  test("suggest and spellCorrect answer from the maintained vocabulary") {
+    val root = Files.createTempDirectory("graft_postV").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "spark merge sort"),
+      DocChange("2", 1, "put", "spark spill merge"),
+      DocChange("3", 2, "put", "scan filter")).toDF(), root)
+    def sugg(prefix: String): Seq[(String, Long)] =
+      IncrementalPostings.suggest(spark, root, prefix)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // df-ranked completions; ties break lexicographically
+    assert(sugg("sp") === Seq("spark" -> 2L, "spill" -> 1L))
+    assert(sugg("s") === Seq("spark" -> 2L, "scan" -> 1L, "sort" -> 1L, "spill" -> 1L))
+    assert(sugg("zz").isEmpty)
+    val spell = IncrementalPostings.spellCorrect(spark, root, "spork")
+      .collect().map(_.getString(0)).toSeq
+    assert(spell === Seq("spark")) // edit distance 1; 'sort'/'spill' are further
+    // vocabulary follows deletes: doc 2's terms lose df, unique ones vanish
+    IncrementalPostings.mergeBatch(spark,
+      Seq(DocChange("2", 3, "delete", "")).toDF(), root)
+    assert(sugg("sp") === Seq("spark" -> 1L))
+  }
+
   test("tombstone GC rewrites only expired doc buckets; entries and termSearch unchanged") {
     val root = Files.createTempDirectory("graft_postG").toString + "/postings"
     IncrementalPostings.mergeBatch(spark, Seq(
