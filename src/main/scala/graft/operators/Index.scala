@@ -221,7 +221,47 @@ object Index {
       .orderBy("shuffle_key")
       .limit(100)
 
+  /** Session-scoped maintained token-postings fixture backing the
+    * maintained-read correctness keys: the corpus folded once per
+    * (session, dir) into the file-backed state `IncrementalPostings`
+    * keeps current in production — so the reference's PRIMARY read
+    * topology (search the index, fetch the live rows) is exercised by the
+    * oracle gate against genuinely maintained state, not a session cache. */
+  private val maintainedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def maintainedFixture(spark: SparkSession, dir: String): String =
+    maintainedFixtures.computeIfAbsent((spark, dir), { case (s, d) =>
+      val t0 = System.nanoTime()
+      val root = java.nio.file.Files.createTempDirectory("graft_mpost").toString + "/postings"
+      graft.streaming.IncrementalPostings.mergeBatch(s,
+        Tables.documents(s, d).select(
+          col("doc_id").cast("string").as("rowkey"),
+          col("doc_id").as("event_id"), lit("put").as("op"), col("text")), root)
+      Materialize.recordBuild("maintained_postings_fixture", System.nanoTime() - t0)
+      root
+    })
+
+  private def qSearchMaintained(spark: SparkSession, dir: String): DataFrame =
+    // The reference's read path, end to end, over MAINTAINED state:
+    // multi-term AND via bucket-pruned posting intersection, then the
+    // live-row fetch (Solr hit list → HBase Get). rowkey is the decimal
+    // doc_id string; the ORDER BY is numeric via event_id for a stable
+    // oracle comparison.
+    graft.streaming.IncrementalPostings
+      .termSearch(spark, maintainedFixture(spark, dir), Seq("scan", "merge"))
+      .orderBy("event_id")
+
+  private def qSuggestMaintained(spark: SparkSession, dir: String): DataFrame =
+    // Solr suggester over the MAINTAINED vocabulary (df-ranked; the
+    // corpus-scoped q_suggest_prefix ranks by occurrence count from the
+    // richer session artifact).
+    graft.streaming.IncrementalPostings
+      .suggest(spark, maintainedFixture(spark, dir), "s", 10)
+
   val queries: Map[String, Q] = Map(
+    "q_search_maintained" -> qSearchMaintained,
+    "q_suggest_maintained" -> qSuggestMaintained,
     "q_inverted_search" -> qInvertedSearch,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_bm25_topk" -> qBm25Topk,
@@ -232,6 +272,18 @@ object Index {
     "q_shuffle_order" -> qShuffleOrder)
 
   val oracle: Map[String, String] = Map(
+    "q_search_maintained" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
+        |       'put' AS op, text
+        |FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'scan')
+        |  AND list_contains(string_split(text, ' '), 'merge')
+        |ORDER BY event_id""".stripMargin,
+    "q_suggest_maintained" ->
+      """SELECT tok, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok LIKE 's%'
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 10""".stripMargin,
     "q_inverted_search" ->
       """WITH postings AS (
         |  SELECT tok, list_sort(list(DISTINCT doc_id)) AS ids
