@@ -221,6 +221,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("maintained-index reads broadcast the hit list into the fetch join") {
+    // the reference's search-then-fetch topology: the (small) hit/candidate
+    // list must broadcast into the live-row fetch, never shuffle the docs
+    for (q <- Seq("q_search_maintained", "q_neardup_probe")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // AQE finalizes join strategies lazily
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(800)}")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles the fetch:\n${p.take(800)}")
+    }
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
     for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
       val df = SparkEntry.queries(q)(spark, dir)
