@@ -69,6 +69,27 @@ object Vectors {
       .limit(10)
   }
 
+  private def qAnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    // Batched IVF ANN — the pipeline form: a SET of query vectors joins
+    // the cell-partitioned table on its probed cell in ONE broadcast join
+    // (the big side never moves, no per-query driver loop), and per-query
+    // top-k comes from a WindowGroupLimit-compiled rank. At 100 TB this is
+    // the shape of "embed a batch, retrieve neighbors for all of it":
+    // queries × cells fan-out instead of queries × corpus.
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(qs), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(dot("embedding", "qv"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rn").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   private def qVectorCentroid(spark: SparkSession, dir: String): DataFrame =
     // Per-cell centroids — the k-means update step that trains the IVF
     // coarse quantizer (SCALE.md names offline k-means as the 100 TB cell
@@ -142,6 +163,7 @@ object Vectors {
   val queries: Map[String, Q] = Map(
     "q_vector_topk" -> qVectorTopk,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_batch" -> qAnnBatch,
     "q_vector_centroid" -> qVectorCentroid,
     "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_embed_lsh_dup" -> qEmbedLshDup,
@@ -163,6 +185,18 @@ object Vectors {
         |SELECT vec_id, label, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
         |FROM embeddings, q WHERE label = qlabel AND vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, e.vec_id,
+        |         round(list_dot_product(e.embedding::DOUBLE[], qv), 4) AS sim
+        |  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "q_vector_centroid" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
         |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c

@@ -172,6 +172,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_ann_batch: queries broadcast into the cell join; per-query top-k is WindowGroupLimit") {
+    // the big side (the vector table) must never move: the query set
+    // broadcasts, and the per-query rank keeps the partial top-k rewrite
+    val p = plan("q_ann_batch")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_frame_sample: payload bytes never cross the exchange") {
     // the binary media column must be projected away before the output
     // sort — at scale a sort carrying MB payloads per frame row would
