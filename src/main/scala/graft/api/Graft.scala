@@ -315,6 +315,13 @@ class Graft(spark: SparkSession, dir: String,
   def ivfSearch(path: String, query: Seq[Float], k: Int = 10, probes: Int = 2): DataFrame =
     IvfIndex.search(spark, path, query, k, probes)
 
+  /** Batched probed search: `queries` is (qid LONG, qv ARRAY<FLOAT>); one
+    * broadcast join against the cell-pruned index serves every query —
+    * no per-query driver loop. */
+  def ivfSearchBatch(path: String, queries: DataFrame,
+                     k: Int = 10, probes: Int = 2): DataFrame =
+    IvfIndex.searchBatch(spark, path, queries, k, probes)
+
   /** Incrementally upsert (vec_id, embedding) rows into a persisted IVF
     * index — only the landed cells are rewritten. */
   def upsertIvf(path: String, vectors: DataFrame): Unit =

@@ -227,6 +227,38 @@ object IvfIndex {
     cellSkew(spark, path) >= skewThreshold
   }
 
+  /** Batched probed search against a persisted index — the pipeline form
+    * ("embed a batch, retrieve neighbors for all of it"): `queries` is
+    * (qid LONG, qv ARRAY<FLOAT>); every query ranks the (broadcast)
+    * centroids, the scan prunes at the file listing to the UNION of
+    * probed cells (collected — bounded by nlist, metadata not data), the
+    * (small) query set broadcasts into one join keyed on the probed cell,
+    * and per-query top-k compiles to WindowGroupLimit. The vector table
+    * never moves and the driver never loops over queries. Returns
+    * (qid, vec_id, cell, sim, rank), rank 1..k per qid. */
+  def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
+                  k: Int = 10, probes: Int = 2): DataFrame = {
+    val cellRank = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probed = queries.select(col("qid"), col("qv"))
+      .crossJoin(broadcast(centroids(spark, path)))
+      .withColumn("csim", dotDD(col("cent"), col("qv")))
+      .withColumn("rn", row_number().over(cellRank))
+      .filter(col("rn") <= probes)
+      .select("qid", "cell", "qv")
+    val cellList = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal before discovery
+    val simRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    spark.read.parquet(path + "/vectors")
+      .filter(col("cell").isin(cellList: _*)) // prunes to the probed directories
+      .join(broadcast(probed), "cell")
+      .withColumn("sim", dotDD(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(simRank))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cell"), col("sim"),
+        col("rn").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Probed ANN search: rank cells by query·centroid, then scan only the
     * top `probes` cells' partitions for the exact top-k. The cell list is
     * collected — it is nlist rows of metadata, never data. */

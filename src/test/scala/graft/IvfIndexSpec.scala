@@ -149,6 +149,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(ids(full) === rows(full), "the id map must mirror the stored cells")
   }
 
+  test("searchBatch equals per-query search and prunes to the probed cells' files") {
+    import spark.implicits._
+    val qids = Seq(0L, 1L, 2L)
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batched = IvfIndex.searchBatch(spark, path, queries, k = 5, probes = 2)
+    val rows = batched.collect() // ONE execution: scan metrics reflect it
+    val byQid = rows.groupBy(_.getLong(0)).view.mapValues(_.toSeq.sortBy(_.getLong(4))).toMap
+    assert(byQid.keySet === qids.toSet)
+    for (qid <- qids) {
+      val qv = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === qid).head().getSeq[Float](1)
+      val single = IvfIndex.search(spark, path, qv, k = 5, probes = 2).collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+      val batch = byQid(qid)
+        .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e6)))
+      assert(batch === single.toSeq, s"batched result diverges for qid=$qid")
+    }
+    // the scan pruned to the union of probed cells, not the whole index
+    // (AQE wraps this multi-exchange plan — traverse into the stages)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val totalFiles = spark.read.parquet(path + "/vectors").inputFiles.length
+    val filesRead = nodes(batched.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.mkString(",").contains("/vectors") =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"batch read $filesRead of $totalFiles files")
+  }
+
   test("a drifted upsert stream trips the cell-skew rebuild signal") {
     import spark.implicits._
     val p = Files.createTempDirectory("graft_ivfD").toString + "/ivf"
