@@ -162,6 +162,19 @@ class Graft(spark: SparkSession, dir: String,
                        threshold: Double = 0.8): DataFrame =
     IncrementalShingles.nearDuplicates(spark, rootPath, text, threshold)
 
+  /** Batch form of [[nearDuplicatesOf]]: `docs` is (qid STRING, text) —
+    * one job probes the maintained state for the whole batch. */
+  def nearDuplicatesOfBatch(rootPath: String, docs: DataFrame,
+                            threshold: Double = 0.8): DataFrame =
+    IncrementalShingles.nearDuplicatesBatch(spark, rootPath, docs, threshold)
+
+  /** The ingestion admission filter: drop changelog puts whose text
+    * already near-duplicates the maintained state at `rootPath`; novel
+    * puts and all deletes pass through, ready for the merge sinks. */
+  def dedupGate(rootPath: String, batch: DataFrame,
+                threshold: Double = 0.8): DataFrame =
+    IncrementalShingles.dedupGate(spark, rootPath, batch, threshold)
+
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the
     * compacted secondary index) and `graft_postings` (the inverted

@@ -161,19 +161,23 @@ object IncrementalPostings {
                    numBuckets: Int = IncrementalIndex.DefaultBuckets): Unit =
     IncrementalIndex.gcTombstones(spark, rootPath + "/docs", horizonEventId, numBuckets)
 
-  /** The maintained inverted index, in `Index.postings` shape:
-    * (tok, sorted doc ids, document frequency). */
-  def postings(spark: SparkSession, rootPath: String): DataFrame = {
+  /** All live entries rows (tok, doc_id) — the full-index read behind the
+    * vocabulary and batch-probe paths (per-TERM reads use the bucket-
+    * pruned [[prunedEntries]] instead). */
+  private[streaming] def allEntries(spark: SparkSession, rootPath: String): DataFrame = {
     val root = rootPath + "/entries"
     val dirs = StateStore.liveBuckets(spark, root)
-    val entries =
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        entriesSchema).drop("b")
-    entries.groupBy("tok")
+    if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      entriesSchema).drop("b")
+  }
+
+  /** The maintained inverted index, in `Index.postings` shape:
+    * (tok, sorted doc ids, document frequency). */
+  def postings(spark: SparkSession, rootPath: String): DataFrame =
+    allEntries(spark, rootPath).groupBy("tok")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
         countDistinct(col("doc_id")).as("df"))
-  }
 
   /** The maintained index's vocabulary — (tok, df). A vocabulary-sized
     * scan of the entries, never the docs: the read surface Solr's

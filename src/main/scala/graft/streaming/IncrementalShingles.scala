@@ -150,6 +150,56 @@ object IncrementalShingles {
       .orderBy(col("jaccard").desc, col("rowkey"))
   }
 
+  /** Batch form of [[nearDuplicates]] — a micro-batch of arriving
+    * documents probes the maintained state in ONE job (the shape an
+    * ingest pipeline runs per batch, not per doc): one shingle explode
+    * over the batch, one join against the entries keyed on the shingle
+    * (both sides shuffle by shingle — batch-sized and touched-postings-
+    * sized, never the state), candidates df-capped exactly as the
+    * per-doc probe, then the candidate PAIRS fetch their live rows and
+    * score the exact text-derived Jaccard. `docs` is (qid STRING, text);
+    * returns (qid, rowkey, jaccard) ≥ `threshold`. */
+  def nearDuplicatesBatch(spark: SparkSession, rootPath: String, docs: DataFrame,
+                          threshold: Double = 0.8,
+                          dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
+    val qsh = docs.select(col("qid"),
+      explode(array_distinct(shingleize(col("text")))).as("tok"))
+    val entries = IncrementalPostings.allEntries(spark, rootPath)
+    val tokDf = entries.join(qsh.select("tok").distinct(), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val cands = entries.join(broadcast(tokDf.select("tok")), "tok")
+      .join(qsh, "tok")
+      .select(col("qid"), col("doc_id").as("rowkey")).distinct()
+    val qArr = docs.select(col("qid"),
+      array_distinct(shingleize(col("text"))).as("qs"))
+    IncrementalPostings.docsState(spark, rootPath)
+      .join(cands, "rowkey")
+      .join(qArr, "qid")
+      .select(col("qid"), col("rowkey"),
+        array_distinct(shingleize(col("text"))).as("bs"), col("qs"))
+      .withColumn("c", size(array_intersect(col("bs"), col("qs"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("c") / (size(col("bs")) + size(col("qs")) - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("qid", "rowkey", "jaccard")
+  }
+
+  /** The ingestion-time admission filter — the dedup gate an LLM-data
+    * pipeline runs before letting a batch into the corpus: puts whose
+    * text already has a near-duplicate in the MAINTAINED state (at
+    * `threshold`) are dropped; everything else — novel puts and all
+    * deletes — passes through unchanged, ready for the merge sinks. */
+  def dedupGate(spark: SparkSession, rootPath: String, batch: DataFrame,
+                threshold: Double = 0.8): DataFrame = {
+    val puts = batch.filter(col("op") =!= "delete")
+    val dupIds = nearDuplicatesBatch(spark, rootPath,
+        puts.select(col("rowkey").as("qid"), col("text")), threshold)
+      .select(col("qid").as("rowkey")).distinct()
+    batch.filter(col("op") === "delete")
+      .unionByName(puts.join(dupIds, Seq("rowkey"), "left_anti"))
+  }
+
   /** Wire a streaming document changelog into the shingle-state merge —
     * same knobs as [[IncrementalPostings.start]]. */
   def start(changes: DataFrame, rootPath: String, checkpoint: String,

@@ -175,6 +175,37 @@ class IncrementalShinglesSpec extends SparkSpec {
     assert(probe(threshold = 0.5) === Map("3" -> 0.6))
   }
 
+  test("batch probe equals per-doc probes; dedupGate admits only novel puts") {
+    val root = Files.createTempDirectory("graft_shingB").toString + "/shingles"
+    merge(root,
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "totally different words here"))
+    // one batch: an exact dup, a near dup, a novel doc — one probe job
+    val arrivals = Seq(
+      ("n1", "alpha beta gamma delta"),
+      ("n2", "alpha beta gamma delta zeta"),
+      ("n3", "nothing shared with anything"))
+    val got = IncrementalShingles.nearDuplicatesBatch(spark, root,
+        arrivals.toDF("qid", "text"), threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(("n1", "1", 1.0), ("n2", "1", 0.6667)))
+    // equivalence to the per-doc probe, arrival by arrival
+    val single = arrivals.flatMap { case (qid, t) =>
+      IncrementalShingles.nearDuplicates(spark, root, t, 0.5).collect()
+        .map(r => (qid, r.getString(0), r.getDouble(1)))
+    }.toSet
+    assert(got === single)
+    // the admission gate: the dup'd put is dropped, the novel put and the
+    // delete pass through unchanged
+    val batch = Seq(
+      DocChange("n1", 10, "put", "alpha beta gamma delta"),
+      DocChange("n3", 11, "put", "nothing shared with anything"),
+      DocChange("1", 12, "delete", ""))
+    val admitted = IncrementalShingles.dedupGate(spark, root, batch.toDF(), 0.8)
+      .collect().map(r => r.getAs[String]("rowkey")).toSet
+    assert(admitted === Set("n3", "1"))
+  }
+
   private def snapshot(base: String): Map[String, Map[String, String]] = {
     val dirs = new java.io.File(base).listFiles().filter(d =>
       d.isDirectory && d.getName.startsWith("b=")).map(_.getName)
