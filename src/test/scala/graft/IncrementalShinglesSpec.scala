@@ -206,6 +206,50 @@ class IncrementalShinglesSpec extends SparkSpec {
     assert(admitted === Set("n3", "1"))
   }
 
+  test("gated ingest end-to-end: the stream dedups itself against its own state") {
+    // The full ingestion loop: each micro-batch passes the dedup gate
+    // against the CURRENT maintained state, survivors merge into that
+    // state — so the maintained corpus stays near-dup-free across batches
+    // without any batch knowing about the others.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[DocChange]
+    val base = Files.createTempDirectory("graft_shingG").toString
+    val root = s"$base/shingles"
+    val query = source.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val admitted = IncrementalShingles.dedupGate(
+          batch.sparkSession, root, batch, threshold = 0.5)
+        IncrementalShingles.mergeBatch(batch.sparkSession, admitted, root)
+      }
+      .start()
+    def corpus(): Map[String, String] =
+      graft.streaming.IncrementalPostings.docsState(spark, root).collect()
+        .map(r => r.getAs[String]("rowkey") -> r.getAs[String]("text")).toMap
+    try {
+      source.addData(
+        DocChange("1", 0, "put", "alpha beta gamma delta"),
+        DocChange("2", 1, "put", "totally different words here"))
+      query.processAllAvailable()
+      assert(corpus().keySet === Set("1", "2")) // both novel: admitted
+      // batch 2: a near-dup of doc 1 plus a novel doc
+      source.addData(
+        DocChange("3", 2, "put", "alpha beta gamma delta zeta"),
+        DocChange("4", 3, "put", "unrelated fresh content entirely"))
+      query.processAllAvailable()
+      assert(corpus().keySet === Set("1", "2", "4"), "the near-dup must be gated out")
+      // batch 3: after deleting doc 1, the same text is novel again
+      source.addData(DocChange("1", 4, "delete", ""))
+      query.processAllAvailable()
+      source.addData(DocChange("5", 5, "put", "alpha beta gamma delta"))
+      query.processAllAvailable()
+      assert(corpus().keySet === Set("2", "4", "5"))
+    } finally query.stop()
+  }
+
   private def snapshot(base: String): Map[String, Map[String, String]] = {
     val dirs = new java.io.File(base).listFiles().filter(d =>
       d.isDirectory && d.getName.startsWith("b=")).map(_.getName)
