@@ -229,6 +229,7 @@ object Index {
     * oracle gate against genuinely maintained state, not a session cache. */
   private val maintainedFixtures =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  Materialize.onSessionFreed(s => maintainedFixtures.keySet.removeIf(_._1 eq s): Unit)
 
   private def maintainedFixture(spark: SparkSession, dir: String): String =
     maintainedFixtures.computeIfAbsent((spark, dir), { case (s, d) =>

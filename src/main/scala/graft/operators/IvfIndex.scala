@@ -239,12 +239,16 @@ object IvfIndex {
   def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
                   k: Int = 10, probes: Int = 2): DataFrame = {
     val cellRank = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    // localCheckpoint: the probed set feeds both the cell-list collect and
+    // the broadcast join below — without it the centroid ranking would
+    // execute twice
     val probed = queries.select(col("qid"), col("qv"))
       .crossJoin(broadcast(centroids(spark, path)))
       .withColumn("csim", dotDD(col("cent"), col("qv")))
       .withColumn("rn", row_number().over(cellRank))
       .filter(col("rn") <= probes)
       .select("qid", "cell", "qv")
+      .localCheckpoint()
     val cellList = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal before discovery
     val simRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))

@@ -62,6 +62,11 @@ object Materialize {
     * first absorb it. */
   def buildSeconds: Double = buildNanos.get() / 1e9
 
+  /** Raw build-clock reading, for callers that must subtract NESTED
+    * builds from their own wall time before recording (see
+    * [[recordBuild]] — double-counting would corrupt the breakdown). */
+  private[graft] def buildClockNanos: Long = buildNanos.get()
+
   /** Per-name build durations (seconds), for benchmark attribution: which
     * artifact costs what, summed across scopes and sessions. */
   def buildBreakdown: Map[String, Double] = {
@@ -105,7 +110,12 @@ object Materialize {
         val took = System.nanoTime() - t0
         addBuild(name, took)
         log.info(f"built artifact $name over $scope in ${took / 1e9}%.2f s")
-        cache.put(key, df)
+        // A drop() that ran between our computeIfAbsent and this
+        // synchronized block removed the lock we hold — a later requester
+        // can then build under a fresh lock. The put displaces whichever
+        // copy lost that race; unpersist it so nothing leaks.
+        val displaced = cache.put(key, df)
+        if (displaced != null && (displaced ne df)) quietUnpersist(displaced)
         df
       }
     }
@@ -135,12 +145,24 @@ object Materialize {
     all.filter(pred).toSeq
   }
 
+  /** Cleanups run whenever a session's artifacts are freed ([[reset]] or
+    * the context-close listener) — session-keyed side caches (probe
+    * fixtures, maintained-state registrations) register here so retired
+    * sessions are not pinned by their map keys either. */
+  private val sessionCleaners =
+    new java.util.concurrent.CopyOnWriteArrayList[SparkSession => Unit]()
+
+  private[graft] def onSessionFreed(f: SparkSession => Unit): Unit =
+    sessionCleaners.add(f): Unit
+
   /** Drop every artifact cached for `spark` (unpersist + forget) — called
     * when a session's artifacts should no longer pin executor storage
     * (spec teardown wires this per suite; the session-close listener calls
     * it for every session of a stopping context). */
-  private[graft] def reset(spark: SparkSession): Unit =
+  private[graft] def reset(spark: SparkSession): Unit = {
     keysFor(_._1 eq spark).foreach(drop)
+    sessionCleaners.forEach(f => f(spark))
+  }
 
   /** Drop every session's artifacts over data scope `scope` — the
     * invalidation hook for data changes: anything that mutates the corpus
@@ -162,7 +184,10 @@ object Materialize {
     hooks.computeIfAbsent(sc, _ => {
       val listener = new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-          keysFor(_._1.sparkContext eq sc).foreach(drop)
+          val keys = keysFor(_._1.sparkContext eq sc)
+          val sessions = keys.map(_._1).distinct
+          keys.foreach(drop)
+          sessions.foreach(s => sessionCleaners.forEach(f => f(s)))
           hooks.remove(sc): Unit
         }
       }

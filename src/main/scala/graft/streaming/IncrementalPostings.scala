@@ -216,30 +216,51 @@ object IncrementalPostings {
     docs.filter(col("op") =!= "delete")
   }
 
-  /** The entries rows for exactly `toks`, reading ONLY the buckets those
-    * tokens hash to (the `_nbuckets` marker supplies the count; pre-marker
-    * roots fall back to all live buckets) — per-query I/O is |touched
-    * buckets|, not the index. A token's posting list is COMPLETE within
-    * its bucket, so per-token counts (df) over this frame are exact. */
-  private[streaming] def prunedEntries(spark: SparkSession, rootPath: String,
-                                       toks: Seq[String]): DataFrame = {
-    val entriesRoot = rootPath + "/entries"
-    val live = StateStore.liveBuckets(spark, entriesRoot)
-    val dirs = StateStore.bucketCount(spark, entriesRoot) match {
+  /** The live bucket dirs under `root` that `keys` hash into — the same
+    * CRC32-of-UTF-8 as the write-side bucket columns; a missing
+    * `_nbuckets` marker (pre-marker root) falls back to all live dirs. */
+  private def bucketDirsFor(spark: SparkSession, root: String,
+                            keys: Seq[String]): Seq[String] = {
+    val live = StateStore.liveBuckets(spark, root)
+    StateStore.bucketCount(spark, root) match {
       case Some(n) =>
-        // same CRC32-of-UTF-8 as the write-side tokBucket
-        val wanted = toks.map { t =>
+        val wanted = keys.map { k =>
           val crc = new java.util.zip.CRC32()
-          crc.update(t.getBytes("UTF-8"))
+          crc.update(k.getBytes("UTF-8"))
           s"b=${java.lang.Math.floorMod(crc.getValue, n.toLong)}"
         }.toSet
         live.filter(wanted.contains)
       case None => live
     }
+  }
+
+  /** The entries rows for exactly `toks`, reading ONLY the buckets those
+    * tokens hash to — per-query I/O is |touched buckets|, not the index.
+    * A token's posting list is COMPLETE within its bucket, so per-token
+    * counts (df) over this frame are exact. */
+  private[graft] def prunedEntries(spark: SparkSession, rootPath: String,
+                                       toks: Seq[String]): DataFrame = {
+    val entriesRoot = rootPath + "/entries"
+    val dirs = bucketDirsFor(spark, entriesRoot, toks)
     val entries =
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
       else emptyDf(spark, entriesSchema).drop("b")
     entries.filter(col("tok").isin(toks: _*))
+  }
+
+  /** The LIVE doc rows for exactly `rowkeys`, reading only the buckets
+    * those keys hash to — the HBase-Get-shaped fetch for hit lists with a
+    * KNOWN bound (the probe's candidates are df-capped). Unbounded hit
+    * lists (e.g. [[termSearch]]'s) stay DataFrame-joined against the full
+    * docs state instead: collecting them would move data, not metadata. */
+  private[graft] def prunedDocs(spark: SparkSession, rootPath: String,
+                                    rowkeys: Seq[String]): DataFrame = {
+    val docsRoot = rootPath + "/docs"
+    val dirs = bucketDirsFor(spark, docsRoot, rowkeys)
+    val docs =
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$docsRoot/$d"): _*)
+      else emptyDf(spark, docsSchema)
+    docs.filter(col("op") =!= "delete").filter(col("rowkey").isin(rowkeys: _*))
   }
 
   /** The reference's read topology over the MAINTAINED state — multi-term

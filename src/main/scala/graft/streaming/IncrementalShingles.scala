@@ -51,6 +51,7 @@ object IncrementalShingles {
   /** corpus scope (session, data dir) → maintained shingle-state root. */
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  Materialize.onSessionFreed(s => registry.keySet.removeIf(_._1 eq s): Unit)
 
   /** Serve `corpusDir`'s shingle index from the maintained state at
     * `rootPath` (drops the scope's cached shingle artifacts so the switch
@@ -114,14 +115,16 @@ object IncrementalShingles {
     *      list is complete within its bucket): a shingle shared by more
     *      than `dfCap` docs carries no near-dup signal but quadratic
     *      fan-out — same recall contract as the batch family;
-    *   3. the (small) candidate list broadcasts into a live-row fetch,
-    *      and the score is the EXACT Jaccard between the two shingle
-    *      sets, recomputed from the fetched texts — candidates are
-    *      cap-bounded, the reported score is uncapped truth.
+    *   3. the candidate list — bounded by dfCap × |query shingles| by
+    *      construction — fetches its live rows from ONLY the doc buckets
+    *      the candidates hash to (the HBase-Get shape), and the score is
+    *      the EXACT Jaccard between the two shingle sets, recomputed
+    *      from the fetched texts: candidates are cap-bounded, the
+    *      reported score is uncapped truth.
     *
-    * Per-query I/O: |query-shingle buckets| + |candidate rows|, never the
-    * index or the corpus. Returns (rowkey, jaccard) ≥ `threshold`, best
-    * match first. */
+    * Per-query I/O: |query-shingle entry buckets| + |candidate doc
+    * buckets|, never the index or the corpus. Returns (rowkey, jaccard)
+    * ≥ `threshold`, best match first. */
   def nearDuplicates(spark: SparkSession, rootPath: String, text: String,
                      threshold: Double = 0.8,
                      dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
@@ -131,16 +134,21 @@ object IncrementalShingles {
     if (qsh.isEmpty) // under 3 tokens: no shingles, no candidates — empty, not an error
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
     // one pass over the pruned entries: per-shingle df and posting list
-    // together, cap filter, then the union of surviving posting lists
-    val cands = IncrementalPostings.prunedEntries(spark, rootPath, qsh)
+    // together, cap filter, then the union of surviving posting lists.
+    // The candidate list is collected — bounded by dfCap × |query
+    // shingles| by construction — so the live-row fetch below prunes to
+    // the candidates' own doc buckets (the HBase-Get shape).
+    val candIds = IncrementalPostings.prunedEntries(spark, rootPath, qsh)
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
       .filter(col("df") <= dfCap)
       .select(explode(col("ids")).as("rowkey"))
       .distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (candIds.isEmpty)
+      return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
     val qArr = typedlit(qsh)
-    IncrementalPostings.docsState(spark, rootPath)
-      .join(broadcast(cands), "rowkey")
+    IncrementalPostings.prunedDocs(spark, rootPath, candIds)
       .select(col("rowkey"), array_distinct(shingleize(col("text"))).as("bs"))
       .withColumn("c", size(array_intersect(col("bs"), qArr)).cast("long"))
       .withColumn("jaccard",
@@ -153,24 +161,28 @@ object IncrementalShingles {
   /** Batch form of [[nearDuplicates]] — a micro-batch of arriving
     * documents probes the maintained state in ONE job (the shape an
     * ingest pipeline runs per batch, not per doc): one shingle explode
-    * over the batch, one join against the entries keyed on the shingle
-    * (both sides shuffle by shingle — batch-sized and touched-postings-
-    * sized, never the state), candidates df-capped exactly as the
-    * per-doc probe, then the candidate PAIRS fetch their live rows and
-    * score the exact text-derived Jaccard. `docs` is (qid STRING, text);
-    * returns (qid, rowkey, jaccard) ≥ `threshold`. */
+    * over the batch, ONE read of the entries joined on the shingle (the
+    * shingle set is data here, so the read cannot bucket-prune
+    * driver-side like the per-doc probe; the join still discards
+    * untouched postings before any aggregation, and the corpus is never
+    * scanned), per-shingle df and posting list aggregated together,
+    * candidates df-capped exactly as the per-doc probe, then the
+    * candidate PAIRS fetch their live rows and score the exact
+    * text-derived Jaccard. `docs` is (qid STRING, text); returns
+    * (qid, rowkey, jaccard) ≥ `threshold`. */
   def nearDuplicatesBatch(spark: SparkSession, rootPath: String, docs: DataFrame,
                           threshold: Double = 0.8,
                           dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
     val qsh = docs.select(col("qid"),
       explode(array_distinct(shingleize(col("text")))).as("tok"))
-    val entries = IncrementalPostings.allEntries(spark, rootPath)
-    val tokDf = entries.join(qsh.select("tok").distinct(), "tok")
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val hit = IncrementalPostings.allEntries(spark, rootPath)
+      .join(qsh.select("tok").distinct(), "tok")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
       .filter(col("df") <= dfCap)
-    val cands = entries.join(broadcast(tokDf.select("tok")), "tok")
+    val cands = hit.select(col("tok"), explode(col("ids")).as("rowkey"))
       .join(qsh, "tok")
-      .select(col("qid"), col("doc_id").as("rowkey")).distinct()
+      .select(col("qid"), col("rowkey")).distinct()
     val qArr = docs.select(col("qid"),
       array_distinct(shingleize(col("text"))).as("qs"))
     IncrementalPostings.docsState(spark, rootPath)
@@ -193,8 +205,12 @@ object IncrementalShingles {
   def dedupGate(spark: SparkSession, rootPath: String, batch: DataFrame,
                 threshold: Double = 0.8): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
+    // a put whose only near-dup is its OWN stored version is an UPDATE,
+    // not a duplicate — qid = rowkey matches must not gate it out, or
+    // every minor edit to an existing document would be silently lost
     val dupIds = nearDuplicatesBatch(spark, rootPath,
         puts.select(col("rowkey").as("qid"), col("text")), threshold)
+      .filter(col("qid") =!= col("rowkey"))
       .select(col("qid").as("rowkey")).distinct()
     batch.filter(col("op") === "delete")
       .unionByName(puts.join(dupIds, Seq("rowkey"), "left_anti"))

@@ -159,12 +159,24 @@ class IncrementalShinglesSpec extends SparkSpec {
     val qShingles = Seq("alpha beta gamma", "beta gamma delta",
       "gamma delta epsilon", "delta epsilon zeta")
     val wanted = qShingles.map(bucketOf).toSet
-    val entryFiles = IncrementalShingles.nearDuplicates(spark, root, q, 0.5)
-      .inputFiles.filter(_.contains("/entries/"))
+    // candidate generation runs eagerly inside the probe (the hit list is
+    // collected, bounded by dfCap × |query shingles|), so entry pruning is
+    // asserted on the read path it uses...
+    val entryFiles = graft.streaming.IncrementalPostings
+      .prunedEntries(spark, root, qShingles).inputFiles
     assert(entryFiles.nonEmpty)
     for (f <- entryFiles)
       assert(wanted.exists(b => f.contains(s"/$b/")),
         s"probe read entry file outside the query's buckets: $f")
+    // ...and the returned frame's live-row fetch opens only the
+    // CANDIDATES' doc buckets (the HBase-Get shape)
+    val docFiles = IncrementalShingles.nearDuplicates(spark, root, q, 0.5)
+      .inputFiles.filter(_.contains("/docs/"))
+    val wantedDocs = Set("1", "3").map(bucketOf)
+    assert(docFiles.nonEmpty)
+    for (f <- docFiles)
+      assert(wantedDocs.exists(b => f.contains(s"/$b/")),
+        s"probe fetched a doc bucket outside the candidates': $f")
     // unrelated text shares no shingle: no candidates, empty result
     assert(IncrementalShingles.nearDuplicates(spark, root,
       "unrelated probe sentence with nothing shared").count() === 0L)
@@ -204,6 +216,11 @@ class IncrementalShinglesSpec extends SparkSpec {
     val admitted = IncrementalShingles.dedupGate(spark, root, batch.toDF(), 0.8)
       .collect().map(r => r.getAs[String]("rowkey")).toSet
     assert(admitted === Set("n3", "1"))
+    // an UPDATE of an existing document matches only its own stored
+    // version — that self-match must NOT gate the edit out
+    val update = Seq(DocChange("1", 20, "put", "alpha beta gamma delta epsilon"))
+    assert(IncrementalShingles.dedupGate(spark, root, update.toDF(), 0.5)
+      .count() === 1L, "a self-near-dup update was swallowed by the gate")
   }
 
   test("gated ingest end-to-end: the stream dedups itself against its own state") {

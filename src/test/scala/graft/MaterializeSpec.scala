@@ -18,6 +18,13 @@ class MaterializeSpec extends SparkSpec {
   // which always have distinct build plans
   private def build(tag: Int) = spark.range(5 + tag).toDF("v")
 
+  test("reset runs registered session cleaners (side caches drop their keys)") {
+    val seen = scala.collection.mutable.Buffer[org.apache.spark.sql.SparkSession]()
+    operators.Materialize.onSessionFreed(s => seen += s: Unit)
+    operators.Materialize.reset(spark)
+    assert(seen.exists(_ eq spark))
+  }
+
   test("invalidate(scope) drops that scope's artifacts across names; other scopes survive") {
     val a1 = Materialize.artifact(spark, "m_a", "scopeX")(build(1))
     val a2 = Materialize.artifact(spark, "m_b", "scopeX")(build(2))
