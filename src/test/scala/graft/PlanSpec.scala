@@ -230,16 +230,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("maintained-index reads broadcast the hit list into the fetch join") {
-    // the reference's search-then-fetch topology: the (small) hit/candidate
-    // list must broadcast into the live-row fetch, never shuffle the docs
-    for (q <- Seq("q_search_maintained", "q_neardup_probe")) {
-      val df = SparkEntry.queries(q)(spark, dir)
-      df.collect() // AQE finalizes join strategies lazily
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("BroadcastHashJoin"), s"$q:\n${p.take(800)}")
-      assert(!p.contains("SortMergeJoin"), s"$q shuffles the fetch:\n${p.take(800)}")
-    }
+  test("maintained-index reads never shuffle the fetch") {
+    // the reference's search-then-fetch topology: q_search_maintained's
+    // (unbounded) hit list broadcasts into the live-row join;
+    // q_neardup_probe's (cap-bounded) candidates prune the fetch harder
+    // still — an isin filter over the candidates' own doc buckets, no
+    // join at all. Neither may shuffle the docs.
+    val ps = { val df = SparkEntry.queries("q_search_maintained")(spark, dir)
+      df.collect(); df.queryExecution.executedPlan.toString }
+    assert(ps.contains("BroadcastHashJoin"), ps.take(800))
+    assert(!ps.contains("SortMergeJoin"), ps.take(800))
+    val pp = { val df = SparkEntry.queries("q_neardup_probe")(spark, dir)
+      df.collect(); df.queryExecution.executedPlan.toString }
+    assert(!pp.contains("SortMergeJoin"), pp.take(800))
+    assert(pp.contains("PushedFilters"), pp.take(800)) // candidate filter reaches the scan
   }
 
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
