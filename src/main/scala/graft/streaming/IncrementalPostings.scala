@@ -248,6 +248,54 @@ object IncrementalPostings {
     entries.filter(col("tok").isin(toks: _*))
   }
 
+  /** The entries rows matching a DataFrame of tokens whose VALUES are data
+    * (too many to collect) but whose touched-BUCKET set is driver metadata
+    * bounded by the bucket count: collect the distinct bucket ids the
+    * tokens hash to (same move as the merge's touched-bucket collect),
+    * read only those bucket dirs, and join. Per-call I/O is O(touched
+    * entry buckets), never the index — the batch-probe analogue of
+    * [[prunedEntries]]. A token's posting list is complete within its
+    * bucket, so per-token counts over the result are exact. A missing
+    * `_nbuckets` marker (pre-marker root) falls back to all live dirs. */
+  private[graft] def prunedEntriesForTokens(spark: SparkSession, rootPath: String,
+                                            toks: DataFrame): DataFrame = {
+    val entriesRoot = rootPath + "/entries"
+    val live = StateStore.liveBuckets(spark, entriesRoot)
+    val dirs = StateStore.bucketCount(spark, entriesRoot) match {
+      case Some(n) =>
+        val wanted = toks.select(pmod(crc32(col("tok")), lit(n)).cast("int").as("b"))
+          .distinct().collect().map(r => s"b=${r.getInt(0)}").toSet
+        live.filter(wanted.contains)
+      case None => live
+    }
+    val entries =
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
+      else emptyDf(spark, entriesSchema).drop("b")
+    entries.join(toks.select("tok").distinct(), "tok")
+  }
+
+  /** The LIVE doc rows matching a DataFrame of rowkeys — bucket-pruned
+    * like [[prunedEntriesForTokens]]: the keys stay distributed, only
+    * their distinct bucket ids (≤ bucket count) are collected, and only
+    * those doc buckets are opened. The batch form of the HBase-Get-shaped
+    * [[prunedDocs]] fetch. */
+  private[graft] def prunedDocsForKeys(spark: SparkSession, rootPath: String,
+                                       keys: DataFrame): DataFrame = {
+    val docsRoot = rootPath + "/docs"
+    val live = StateStore.liveBuckets(spark, docsRoot)
+    val dirs = StateStore.bucketCount(spark, docsRoot) match {
+      case Some(n) =>
+        val wanted = keys.select(pmod(crc32(col("rowkey")), lit(n)).cast("int").as("b"))
+          .distinct().collect().map(r => s"b=${r.getInt(0)}").toSet
+        live.filter(wanted.contains)
+      case None => live
+    }
+    val docs =
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$docsRoot/$d"): _*)
+      else emptyDf(spark, docsSchema)
+    docs.filter(col("op") =!= "delete").join(keys.select("rowkey").distinct(), "rowkey")
+  }
+
   /** The LIVE doc rows for exactly `rowkeys`, reading only the buckets
     * those keys hash to — the HBase-Get-shaped fetch for hit lists with a
     * KNOWN bound (the probe's candidates are df-capped). Unbounded hit

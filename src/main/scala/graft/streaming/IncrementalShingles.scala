@@ -48,6 +48,18 @@ object IncrementalShingles {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Driver-local twin of [[shingleize]] for single-string probe texts:
+    * identical output to the column expression (property-tested in
+    * PropertySpec), without scheduling a Spark job to shingleize one
+    * driver-resident string. Tokenization matches `Analyzer.default`
+    * exactly — Spark's `split(text, " ")` is Java regex split with
+    * limit -1 (trailing empty tokens kept). */
+  private[graft] def shingleizeLocal(text: String): Seq[String] = {
+    val t = text.split(" ", -1)
+    if (t.length < 3) Seq.empty
+    else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+  }
+
   /** corpus scope (session, data dir) → maintained shingle-state root. */
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
@@ -128,9 +140,7 @@ object IncrementalShingles {
   def nearDuplicates(spark: SparkSession, rootPath: String, text: String,
                      threshold: Double = 0.8,
                      dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
-    val qsh = spark.range(1)
-      .select(explode(array_distinct(shingleize(lit(text)))).as("s"))
-      .collect().map(_.getString(0)).toSeq
+    val qsh = shingleizeLocal(text).distinct
     if (qsh.isEmpty) // under 3 tokens: no shingles, no candidates — empty, not an error
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
     // one pass over the pruned entries: per-shingle df and posting list
@@ -161,31 +171,42 @@ object IncrementalShingles {
   /** Batch form of [[nearDuplicates]] — a micro-batch of arriving
     * documents probes the maintained state in ONE job (the shape an
     * ingest pipeline runs per batch, not per doc): one shingle explode
-    * over the batch, ONE read of the entries joined on the shingle (the
-    * shingle set is data here, so the read cannot bucket-prune
-    * driver-side like the per-doc probe; the join still discards
-    * untouched postings before any aggregation, and the corpus is never
-    * scanned), per-shingle df and posting list aggregated together,
-    * candidates df-capped exactly as the per-doc probe, then the
-    * candidate PAIRS fetch their live rows and score the exact
-    * text-derived Jaccard. `docs` is (qid STRING, text); returns
-    * (qid, rowkey, jaccard) ≥ `threshold`. */
+    * over the batch, the entries read BUCKET-PRUNED to the batch's
+    * shingles (the shingle VALUES are data, but the bucket ids they hash
+    * to are driver metadata bounded by the bucket count —
+    * [[IncrementalPostings.prunedEntriesForTokens]], the same
+    * touched-bucket collect the merge itself runs), per-shingle df and
+    * posting list aggregated together, candidates df-capped exactly as
+    * the per-doc probe, then the candidate rows fetched from ONLY the doc
+    * buckets the candidates hash to
+    * ([[IncrementalPostings.prunedDocsForKeys]]) and scored by the exact
+    * text-derived Jaccard. Per-batch I/O is O(touched entry buckets +
+    * candidate doc buckets) — never the index, never the corpus — which
+    * is what lets [[dedupGate]] run this on EVERY ingest micro-batch.
+    * `docs` is (qid STRING, text); returns (qid, rowkey, jaccard) ≥
+    * `threshold`. */
   def nearDuplicatesBatch(spark: SparkSession, rootPath: String, docs: DataFrame,
                           threshold: Double = 0.8,
                           dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
+    // checkpointed: the shingle set feeds the bucket-id collect, the
+    // qid→candidate join, and (via cands) the fetch pruning — one
+    // batch-sized materialization instead of three shingleize passes
     val qsh = docs.select(col("qid"),
-      explode(array_distinct(shingleize(col("text")))).as("tok"))
-    val hit = IncrementalPostings.allEntries(spark, rootPath)
-      .join(qsh.select("tok").distinct(), "tok")
+      explode(array_distinct(shingleize(col("text")))).as("tok")).localCheckpoint()
+    val hit = IncrementalPostings.prunedEntriesForTokens(spark, rootPath,
+        qsh.select("tok").distinct())
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
       .filter(col("df") <= dfCap)
+    // df-cap-bounded by construction (≤ dfCap × |batch shingles| rows);
+    // checkpointed so the fetch's bucket-id collect and the join read one
+    // materialization
     val cands = hit.select(col("tok"), explode(col("ids")).as("rowkey"))
       .join(qsh, "tok")
-      .select(col("qid"), col("rowkey")).distinct()
+      .select(col("qid"), col("rowkey")).distinct().localCheckpoint()
     val qArr = docs.select(col("qid"),
       array_distinct(shingleize(col("text"))).as("qs"))
-    IncrementalPostings.docsState(spark, rootPath)
+    IncrementalPostings.prunedDocsForKeys(spark, rootPath, cands.select("rowkey"))
       .join(cands, "rowkey")
       .join(qArr, "qid")
       .select(col("qid"), col("rowkey"),
@@ -197,11 +218,51 @@ object IncrementalShingles {
       .select("qid", "rowkey", "jaccard")
   }
 
+  /** Rowkeys to DROP among one batch's own documents: near-dup pairs at
+    * `threshold` are generated within the batch (df-capped shingle
+    * buckets → posting-list pair expansion — `Dedup.pairsFromBuckets`'s
+    * shape, batch-sized), and a rowkey is dropped iff it has a near-dup
+    * partner with a SMALLER rowkey. Pairs are emitted ordered (da < db
+    * lexicographically, from the sorted bucket arrays), so the drop set
+    * is just the distinct `db` side — and the admitted set is pairwise
+    * near-dup-free by construction: if two admitted keys were near-dups,
+    * the larger would appear as some pair's `db`. Keeping every local
+    * minimum (rather than only each connected component's global minimum)
+    * admits strictly more data under the same invariant — near-dup is not
+    * transitive, so two docs that merely share a common near-dup are not
+    * themselves duplicates and both belong in the corpus. */
+  private def intraBatchDrops(docs: DataFrame, threshold: Double,
+                              dfCap: Int): DataFrame = {
+    val sh = docs.select(col("rowkey"),
+      explode(array_distinct(shingleize(col("text")))).as("s"))
+    val buckets = sh.groupBy("s")
+      .agg(sort_array(collect_set(col("rowkey"))).as("ids"))
+      .filter(size(col("ids")) <= dfCap)
+    val co = graft.operators.Dedup.pairsFromBuckets(buckets, "ids")
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val cnt = sh.groupBy("rowkey").agg(count(lit(1)).as("nsh"))
+    co
+      .join(cnt.select(col("rowkey").as("da"), col("nsh").as("na")), "da")
+      .join(cnt.select(col("rowkey").as("db"), col("nsh").as("nb")), "db")
+      .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= threshold)
+      .select(col("db").as("rowkey")).distinct()
+  }
+
   /** The ingestion-time admission filter — the dedup gate an LLM-data
-    * pipeline runs before letting a batch into the corpus: puts whose
-    * text already has a near-duplicate in the MAINTAINED state (at
-    * `threshold`) are dropped; everything else — novel puts and all
-    * deletes — passes through unchanged, ready for the merge sinks. */
+    * pipeline runs before letting a batch into the corpus. Two passes:
+    *
+    *   1. AGAINST THE MAINTAINED STATE: puts whose text already has a
+    *      near-duplicate in the state (at `threshold`) are dropped — via
+    *      the bucket-pruned [[nearDuplicatesBatch]], so the per-batch I/O
+    *      is O(touched buckets), never the index;
+    *   2. WITHIN THE BATCH: two novel near-identical documents arriving
+    *      in the SAME micro-batch (invisible to pass 1 — neither is in
+    *      the state yet) are deduped against each other: each near-dup
+    *      pair keeps its smaller rowkey ([[intraBatchDrops]]), so the
+    *      admitted set is pairwise near-dup-free and the gated corpus
+    *      invariant holds across AND within batches.
+    *
+    * Deletes always pass through unchanged, ready for the merge sinks. */
   def dedupGate(spark: SparkSession, rootPath: String, batch: DataFrame,
                 threshold: Double = 0.8): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
@@ -212,8 +273,16 @@ object IncrementalShingles {
         puts.select(col("rowkey").as("qid"), col("text")), threshold)
       .filter(col("qid") =!= col("rowkey"))
       .select(col("qid").as("rowkey")).distinct()
+    // checkpointed: state-pass survivors feed both the intra-batch pair
+    // generation and the final anti-join — one probe, not two
+    val survivors = puts.join(dupIds, Seq("rowkey"), "left_anti").localCheckpoint()
+    // intra-batch pairing operates at document granularity: latest event
+    // per rowkey (the version the merge would keep)
+    val latest = survivors.groupBy("rowkey")
+      .agg(max_by(col("text"), col("event_id")).as("text"))
+    val drops = intraBatchDrops(latest, threshold, graft.operators.Dedup.DfCap)
     batch.filter(col("op") === "delete")
-      .unionByName(puts.join(dupIds, Seq("rowkey"), "left_anti"))
+      .unionByName(survivors.join(drops, Seq("rowkey"), "left_anti"))
   }
 
   /** Wire a streaming document changelog into the shingle-state merge —

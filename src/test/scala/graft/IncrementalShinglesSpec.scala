@@ -207,6 +207,36 @@ class IncrementalShinglesSpec extends SparkSpec {
         .map(r => (qid, r.getString(0), r.getDouble(1)))
     }.toSet
     assert(got === single)
+    // the batch probe's entries read opens ONLY the buckets the batch's
+    // own shingles hash to (the shingle VALUES are data; their bucket ids
+    // are collected driver metadata) ...
+    def bucketOf(key: String): String = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(key.getBytes("UTF-8"))
+      s"b=${java.lang.Math.floorMod(crc.getValue, IncrementalIndex.DefaultBuckets.toLong)}"
+    }
+    val batchShingles = arrivals.flatMap(a =>
+      IncrementalShingles.shingleizeLocal(a._2)).distinct
+    val wantedEntry = batchShingles.map(bucketOf).toSet
+    val entryFiles = graft.streaming.IncrementalPostings
+      .prunedEntriesForTokens(spark, root,
+        batchShingles.toDF("tok"))
+      .inputFiles.filter(_.contains("/entries/"))
+    assert(entryFiles.nonEmpty)
+    for (f <- entryFiles)
+      assert(wantedEntry.exists(b => f.contains(s"/$b/")),
+        s"batch probe read an entry file outside the batch's shingle buckets: $f")
+    // ... and the live-row fetch opens only the CANDIDATES' doc buckets
+    // (doc 1 is the only candidate; the probe frame's lineage reads no
+    // other doc bucket and no entries at all — those feed the
+    // checkpointed candidate set)
+    val probeFiles = IncrementalShingles.nearDuplicatesBatch(spark, root,
+      arrivals.toDF("qid", "text"), threshold = 0.5).inputFiles
+    val wantedDoc = Set(bucketOf("1"))
+    assert(probeFiles.count(_.contains("/docs/")) > 0)
+    for (f <- probeFiles)
+      assert(wantedDoc.exists(b => f.contains(s"/$b/")),
+        s"batch probe fetched outside the candidates' doc buckets: $f")
     // the admission gate: the dup'd put is dropped, the novel put and the
     // delete pass through unchanged
     val batch = Seq(
@@ -221,6 +251,40 @@ class IncrementalShinglesSpec extends SparkSpec {
     val update = Seq(DocChange("1", 20, "put", "alpha beta gamma delta epsilon"))
     assert(IncrementalShingles.dedupGate(spark, root, update.toDF(), 0.5)
       .count() === 1L, "a self-near-dup update was swallowed by the gate")
+  }
+
+  test("dedupGate dedups WITHIN the batch: state dups, intra-batch pairs, and a self-match update in one scenario") {
+    val root = Files.createTempDirectory("graft_shingW").toString + "/shingles"
+    merge(root, DocChange("1", 0, "put", "alpha beta gamma delta"))
+    // one batch, every gate rule at once:
+    //  n4/n5 — novel near-identical pair (0.5 Jaccard), invisible to the
+    //          state pass: the smaller rowkey n4 survives, n5 drops;
+    //  n6    — near-dup of stored doc 1 (0.6667): state pass drops it;
+    //  1     — an UPDATE whose only state match is its own stored version:
+    //          self-match exempt, admitted;
+    //  9     — a delete: always passes through.
+    val batch = Seq(
+      DocChange("n5", 10, "put", "quick brown fox jumps high"),
+      DocChange("n4", 11, "put", "quick brown fox jumps low"),
+      DocChange("n6", 12, "put", "alpha beta gamma delta zeta"),
+      DocChange("1", 13, "put", "alpha beta gamma delta epsilon"),
+      DocChange("9", 14, "delete", ""))
+    val admitted = IncrementalShingles.dedupGate(spark, root, batch.toDF(), 0.5)
+      .collect().map(r => (r.getAs[String]("rowkey"), r.getAs[String]("op"))).toSet
+    assert(admitted === Set(("n4", "put"), ("1", "put"), ("9", "delete")))
+    // and the full loop stays consistent: merging the admitted rows keeps
+    // the maintained corpus pairwise near-dup-free
+    IncrementalShingles.mergeBatch(spark,
+      batch.toDF().join(admitted.map(_._1).toSeq.toDF("rowkey"), "rowkey"), root)
+    val live = graft.streaming.IncrementalPostings.docsState(spark, root)
+      .select("rowkey", "text").collect().map(r => r.getString(0) -> r.getString(1))
+    for (Seq((ka, ta), (kb, tb)) <- live.toSeq.combinations(2)) {
+      val sa = IncrementalShingles.shingleizeLocal(ta).toSet
+      val sb = IncrementalShingles.shingleizeLocal(tb).toSet
+      val inter = (sa & sb).size.toDouble
+      val j = if (sa.isEmpty && sb.isEmpty) 0.0 else inter / (sa.size + sb.size - inter)
+      assert(j < 0.5, s"admitted corpus holds a near-dup pair ($ka, $kb) at $j")
+    }
   }
 
   test("gated ingest end-to-end: the stream dedups itself against its own state") {

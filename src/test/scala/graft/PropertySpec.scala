@@ -143,4 +143,28 @@ class PropertySpec extends SparkSpec {
       assert(toks.map(_.head).mkString + toks.last(1) === text)
     }
   }
+
+  test("driver-local shingler equals the column expression on random (and degenerate) text") {
+    // The per-doc probe shingleizes its one query string on the driver
+    // (no Spark job); its output must be byte-identical to the column
+    // expression the index's WRITE side uses, or probe and state would
+    // disagree about what a shingle is. Generator includes empty tokens,
+    // runs of spaces, short texts, and the empty string — exactly the
+    // split(" ", -1) edge cases.
+    import graft.streaming.IncrementalShingles
+    val tokenGen = Gen.oneOf("alpha", "beta", "gamma", "", "x9", "δ", "a b".substring(0, 1))
+    val textGen = for {
+      n <- Gen.choose(0, 10)
+      ws <- Gen.listOfN(n, tokenGen)
+    } yield ws.mkString(" ")
+    val texts = (Gen.listOfN(80, textGen)
+      .pureApply(Gen.Parameters.default, Seed(42L)) :+ "" :+ " " :+ "  " :+ "a b c")
+    val viaColumn = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"), IncrementalShingles.shingleize(col("text")).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(viaColumn(i) === IncrementalShingles.shingleizeLocal(t),
+        s"shingler drift on text '$t'")
+  }
 }
