@@ -115,16 +115,24 @@ class Graft(spark: SparkSession, dir: String,
   def searchMaintained(rootPath: String, terms: Seq[String]): DataFrame =
     IncrementalPostings.termSearch(spark, rootPath, terms)
 
-  /** Prefix completions from the maintained index's vocabulary (df-ranked,
-    * Solr-suggester parity; a vocabulary-sized entries scan, no docs). */
+  /** Prefix completions from the maintained index's vocabulary
+    * (occurrence-ranked, Solr-suggester parity with the corpus-scoped
+    * suggester; a vocabulary-sized entries scan, no docs). */
   def suggestMaintained(rootPath: String, prefix: String, k: Int = 10): DataFrame =
     IncrementalPostings.suggest(spark, rootPath, prefix, k)
 
   /** Spelling corrections from the maintained vocabulary within
-    * `maxEdits`, df-ranked. */
+    * `maxEdits`, occurrence-ranked. */
   def spellCorrectMaintained(rootPath: String, term: String,
                              maxEdits: Int = 1, k: Int = 5): DataFrame =
     IncrementalPostings.spellCorrect(spark, rootPath, term, maxEdits, k)
+
+  /** BM25 top-k over the MAINTAINED index — ranked retrieval with zero
+    * corpus scans: tf/df from the query terms' bucket-pruned entries,
+    * N/avgdl from the per-bucket stats sidecar. Ranks a converged corpus
+    * identically to [[bm25TopK]]. */
+  def bm25Maintained(rootPath: String, terms: Seq[String], k: Int = 20): DataFrame =
+    IncrementalPostings.bm25Search(spark, rootPath, terms, k)
 
   /** Drop tombstones older than the source's replay horizon from a
     * maintained index state ([[startIndexMaintenance]]'s `statePath`) —

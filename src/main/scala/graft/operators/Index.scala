@@ -254,15 +254,26 @@ object Index {
       .orderBy("event_id")
 
   private def qSuggestMaintained(spark: SparkSession, dir: String): DataFrame =
-    // Solr suggester over the MAINTAINED vocabulary (df-ranked; the
-    // corpus-scoped q_suggest_prefix ranks by occurrence count from the
-    // richer session artifact).
+    // Solr suggester over the MAINTAINED vocabulary — occurrence-ranked
+    // from the entries' tf column, the SAME ranking as the corpus-scoped
+    // q_suggest_prefix: both surfaces order one corpus one way.
     graft.streaming.IncrementalPostings
       .suggest(spark, maintainedFixture(spark, dir), "s", 10)
+
+  private def qBm25Maintained(spark: SparkSession, dir: String): DataFrame =
+    // BM25 ranked retrieval over MAINTAINED state — the ranked form of
+    // the reference's read path: tf/df from the query terms' bucket-
+    // pruned posting entries, N/avgdl from the per-bucket stats sidecar,
+    // dl from the fetched rows. Same arithmetic as q_bm25_topk, so the
+    // two surfaces rank a converged corpus identically (doc_id here is
+    // the rowkey string; the oracle casts to match).
+    graft.streaming.IncrementalPostings
+      .bm25Search(spark, maintainedFixture(spark, dir), Seq("merge", "sort"))
 
   val queries: Map[String, Q] = Map(
     "q_search_maintained" -> qSearchMaintained,
     "q_suggest_maintained" -> qSuggestMaintained,
+    "q_bm25_maintained" -> qBm25Maintained,
     "q_inverted_search" -> qInvertedSearch,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_bm25_topk" -> qBm25Topk,
@@ -281,10 +292,29 @@ object Index {
         |  AND list_contains(string_split(text, ' '), 'merge')
         |ORDER BY event_id""".stripMargin,
     "q_suggest_maintained" ->
-      """SELECT tok, count(DISTINCT doc_id) AS df
-        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |WHERE tok LIKE 's%'
-        |GROUP BY tok ORDER BY df DESC, tok LIMIT 10""".stripMargin,
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin,
+    "q_bm25_maintained" ->
+      """WITH n AS (
+        |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |               unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('merge', 'sort')
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS rk,
+        |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
+        |                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tf JOIN df USING (tok), n
+        |  GROUP BY doc_id)
+        |SELECT rk AS doc_id, score FROM scored
+        |ORDER BY score DESC, rk LIMIT 20""".stripMargin,
     "q_inverted_search" ->
       """WITH postings AS (
         |  SELECT tok, list_sort(list(DISTINCT doc_id)) AS ids

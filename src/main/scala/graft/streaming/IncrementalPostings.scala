@@ -19,8 +19,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *     bucketed by `crc32(rowkey)` (same discipline as
   *     [[IncrementalIndex]]: without tombstones a stale put in a later
   *     batch would resurrect a deleted doc's postings);
-  *   - `<root>/entries` — the inverted index as (tok, doc_id) rows,
-  *     bucketed by `crc32(tok)`.
+  *   - `<root>/entries` — the inverted index as (tok, doc_id, tf) rows
+  *     (tf = the term's per-doc occurrence count, Lucene's posting
+  *     payload), bucketed by `crc32(tok)`;
+  *   - `<root>/dstats` — a per-doc-bucket stats sidecar (live doc count,
+  *     total token length) rewritten with exactly the touched doc
+  *     buckets, so corpus-level ranking statistics (N, avgdl — BM25's
+  *     denominators) are a ≤-bucket-count metadata read, never a docs
+  *     scan.
   *
   * The per-batch delta is keyed by TOKEN on both sides, which is the scale
   * property: removals are the touched docs' OLD tokens and additions their
@@ -44,7 +50,7 @@ object IncrementalPostings {
 
   private val entriesSchema = StructType(Seq(
     StructField("tok", StringType), StructField("doc_id", StringType),
-    StructField("b", IntegerType)))
+    StructField("tf", LongType), StructField("b", IntegerType)))
 
   /** The documented merge-batch schema — the shape of the docs state. */
   private val docsSchema = StructType(Seq(
@@ -60,12 +66,16 @@ object IncrementalPostings {
     pmod(crc32(col("tok")), lit(numBuckets)).cast("int")
 
   /** Whitespace tokenization by default; pass e.g. `Analyzer.cjk.tokens`
-    * for space-free scripts. Distinct per doc — postings are a set. */
+    * for space-free scripts. One row per (tok, doc) carrying the per-doc
+    * term frequency — the Lucene-shaped posting entry, so ranked
+    * retrieval (BM25/tf-idf) and occurrence-ranked vocabulary reads are
+    * served from the maintained entries alone. The aggregate is
+    * batch-sized (it feeds the delta, never the state) and
+    * partial-aggregates map-side. */
   private def docToks(docs: DataFrame, tokenize: Column => Column): DataFrame =
     docs.filter(col("op") =!= "delete")
-      .select(col("rowkey").as("doc_id"),
-        explode(array_distinct(tokenize(col("text")))).as("tok"))
-      .select("tok", "doc_id")
+      .select(col("rowkey").as("doc_id"), explode(tokenize(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
 
   private def readBuckets(spark: SparkSession, root: String, dirs: Seq[String],
                           fallback: => DataFrame): DataFrame = {
@@ -131,6 +141,18 @@ object IncrementalPostings {
       .repartition(col("b")) // one file per rewritten entry bucket
       .cache()
 
+    // Per-bucket doc stats for the touched buckets: a pure function of the
+    // bucket's post-merge content, so replay reproduces identical rows —
+    // idempotent exactly like the bucket rewrites themselves. Committed
+    // LAST: a crash before this commit leaves stats one batch behind, and
+    // the checkpointed replay recomputes them from the (already-new) docs.
+    val statsRoot = rootPath + "/dstats"
+    StateStore.ensureBucketCount(spark, statsRoot, numBuckets)
+    val stats = mergedDocs.groupBy("b").agg(
+      count(when(col("op") =!= "delete", lit(1))).as("n_docs"),
+      coalesce(sum(when(col("op") =!= "delete",
+        size(tokenize(col("text"))).cast("long"))), lit(0L)).as("dl_sum"))
+
     mergedDocs.count(); newEntries.count() // decouple from the input files
     try {
       if (entryDirs.nonEmpty)
@@ -139,6 +161,9 @@ object IncrementalPostings {
         }
       StateStore.commitBuckets(spark, docsRoot, docDirs) { tmp =>
         mergedDocs.write.partitionBy("b").mode("overwrite").parquet(tmp)
+      }
+      StateStore.commitBuckets(spark, statsRoot, docDirs) { tmp =>
+        stats.write.partitionBy("b").mode("overwrite").parquet(tmp)
       }
     } finally {
       mergedDocs.unpersist(); newEntries.unpersist()
@@ -173,36 +198,41 @@ object IncrementalPostings {
   }
 
   /** The maintained inverted index, in `Index.postings` shape:
-    * (tok, sorted doc ids, document frequency). */
+    * (tok, sorted doc ids, document frequency, total occurrence count). */
   def postings(spark: SparkSession, rootPath: String): DataFrame =
     allEntries(spark, rootPath).groupBy("tok")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
-        countDistinct(col("doc_id")).as("df"))
+        countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("n"))
 
-  /** The maintained index's vocabulary — (tok, df). A vocabulary-sized
+  /** The maintained index's vocabulary — (tok, df, n). A vocabulary-sized
     * scan of the entries, never the docs: the read surface Solr's
-    * suggester/spellchecker serve from the standing index. (The maintained
-    * entries are set-valued, so ranking is by DOCUMENT frequency — the
-    * corpus-scoped `q_suggest_prefix`/`q_spell_correct` rank by occurrence
-    * count, which per-doc tf state would buy here too.) */
+    * suggester/spellchecker serve from the standing index. The entries'
+    * tf column makes `n` the occurrence count, so maintained-state
+    * vocabulary reads rank identically to the corpus-scoped
+    * `q_suggest_prefix`/`q_spell_correct`. */
   def vocabulary(spark: SparkSession, rootPath: String): DataFrame =
-    postings(spark, rootPath).select(col("tok"), col("df"))
+    postings(spark, rootPath).select(col("tok"), col("df"), col("n"))
 
-  /** Prefix completions from the MAINTAINED vocabulary, df-ranked. */
+  /** Prefix completions from the MAINTAINED vocabulary, ranked by corpus
+    * occurrence count — the same ranking as the corpus-scoped suggester. */
   def suggest(spark: SparkSession, rootPath: String, prefix: String,
               k: Int = 10): DataFrame =
     vocabulary(spark, rootPath)
       .filter(col("tok").startsWith(prefix))
-      .orderBy(col("df").desc, col("tok"))
+      .select(col("tok"), col("n"))
+      .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
   /** Correction candidates from the MAINTAINED vocabulary: terms within
-    * `maxEdits` of the query term, df-ranked. */
+    * `maxEdits` of the query term, occurrence-ranked like the
+    * corpus-scoped speller. */
   def spellCorrect(spark: SparkSession, rootPath: String, term: String,
                    maxEdits: Int = 1, k: Int = 5): DataFrame =
     vocabulary(spark, rootPath)
       .filter(levenshtein(col("tok"), lit(term)) <= maxEdits)
-      .orderBy(col("df").desc, col("tok"))
+      .select(col("tok"), col("n"))
+      .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
   /** Live view of the maintained document state (tombstones filtered);
@@ -326,6 +356,56 @@ object IncrementalPostings {
       .filter(col("nt") === uniq.length)
       .select("rowkey")
     docsState(spark, rootPath).join(broadcast(hits), "rowkey")
+  }
+
+  /** Corpus-level ranking statistics over the maintained state — one row
+    * (n_docs, avgdl) summed from the per-bucket stats sidecar: ≤
+    * bucket-count rows of metadata, no docs scan. avgdl is the exact
+    * integer token-length sum over the exact live count, divided once in
+    * double — the same arithmetic as the corpus-scoped BM25's `avg`. */
+  def docStats(spark: SparkSession, rootPath: String): DataFrame = {
+    val root = rootPath + "/dstats"
+    val dirs = StateStore.liveBuckets(spark, root)
+    val per =
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      else spark.range(0).select(lit(0L).as("n_docs"), lit(0L).as("dl_sum"))
+    per.agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
+      .select(col("n_docs"), (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
+  }
+
+  /** BM25 ranked retrieval served ENTIRELY from the maintained state —
+    * Solr's default similarity (BM25Similarity, k1=1.2, b=0.75, the
+    * reference's actual ranking) over the incrementally-maintained index:
+    * tf and df from the query terms' BUCKET-PRUNED entries (a term's
+    * posting list is complete within its bucket, so both are exact),
+    * N/avgdl from the [[docStats]] sidecar (metadata-sized), and dl from
+    * the hit rows' text at fetch time. The hit list (Σ df(term) rows)
+    * broadcasts into the docs join — the same hit-list-into-fetch
+    * topology as [[termSearch]]. Arithmetic is operation-for-operation
+    * the corpus-scoped `Index.qBm25Topk`'s (constant-folded 2.2/0.25
+    * literals, one round at the end), so converged state ranks
+    * identically — spec-pinned and oracle-checked (`q_bm25_maintained`).
+    * `tokenize` must match the one the state was merged with. */
+  def bm25Search(spark: SparkSession, rootPath: String, terms: Seq[String],
+                 k: Int = 20, tokenize: Column => Column = split(_, " ")): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val uniq = terms.distinct
+    val ent = prunedEntries(spark, rootPath, uniq).select("tok", "doc_id", "tf")
+    val dfs = ent.groupBy("tok").agg(count(lit(1)).as("df"))
+    val hits = ent.join(broadcast(dfs), "tok")
+    val stats = docStats(spark, rootPath)
+    docsState(spark, rootPath)
+      .select(col("rowkey").as("doc_id"), size(tokenize(col("text"))).cast("long").as("dl"))
+      .join(broadcast(hits), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (lit(2.2) * col("tf")) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Wire a streaming document changelog into the postings merge sink.

@@ -39,7 +39,8 @@ object IncrementalShingles {
   /** Word 3-gram shingling as a pure column expression, shingle-set
     * identical per document to the batch builder (`TextAnalysis.shingles`):
     * whitespace tokens; documents under 3 tokens yield no shingles. The
-    * per-doc distinct is applied by the merge (postings are a set). */
+    * merge keys entries by (shingle, doc) — multiplicity rides in the tf
+    * column; the read side treats postings as a set. */
   val shingleize: Column => Column = text => {
     val t = Analyzer.default.tokens(text)
     when(size(t) >= 3,

@@ -251,26 +251,102 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(hits("爱北") === Set.empty) // doc 1's pre-update bigram stays dead
   }
 
-  test("suggest and spellCorrect answer from the maintained vocabulary") {
+  test("suggest and spellCorrect rank by OCCURRENCE count — parity with the corpus-scoped suggester") {
+    val corpus = Seq(
+      ("1", "spark merge sort"), ("2", "spark spill merge"),
+      ("3", "scan filter"), ("4", "spill spill spill"))
     val root = Files.createTempDirectory("graft_postV").toString + "/postings"
-    IncrementalPostings.mergeBatch(spark, Seq(
-      DocChange("1", 0, "put", "spark merge sort"),
-      DocChange("2", 1, "put", "spark spill merge"),
-      DocChange("3", 2, "put", "scan filter")).toDF(), root)
+    IncrementalPostings.mergeBatch(spark, corpus.zipWithIndex.map {
+      case ((id, t), i) => DocChange(id, i.toLong, "put", t) }.toDF(), root)
     def sugg(prefix: String): Seq[(String, Long)] =
       IncrementalPostings.suggest(spark, root, prefix)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    // df-ranked completions; ties break lexicographically
-    assert(sugg("sp") === Seq("spark" -> 2L, "spill" -> 1L))
-    assert(sugg("s") === Seq("spark" -> 2L, "scan" -> 1L, "sort" -> 1L, "spill" -> 1L))
+    // occurrence-ranked: 'spill' (4 occurrences over 2 docs) outranks
+    // 'spark' (2 over 2) — document-frequency ranking would tie them
+    assert(sugg("sp") === Seq("spill" -> 4L, "spark" -> 2L))
     assert(sugg("zz").isEmpty)
+    // parity: the corpus-scoped suggester (materialized postings' n) over
+    // the SAME corpus returns the identical ranking
+    val viaCorpusPostings = Index.postings(corpus.toDF("doc_id", "text"))
+      .filter(col("tok").startsWith("sp"))
+      .select(col("tok"), col("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(sugg("sp") === viaCorpusPostings)
     val spell = IncrementalPostings.spellCorrect(spark, root, "spork")
       .collect().map(_.getString(0)).toSeq
     assert(spell === Seq("spark")) // edit distance 1; 'sort'/'spill' are further
-    // vocabulary follows deletes: doc 2's terms lose df, unique ones vanish
+    // vocabulary follows deletes: doc 4's occurrences vanish, doc 2 keeps
+    // spill at 1 — and the ranking reorders accordingly
     IncrementalPostings.mergeBatch(spark,
-      Seq(DocChange("2", 3, "delete", "")).toDF(), root)
-    assert(sugg("sp") === Seq("spark" -> 1L))
+      Seq(DocChange("4", 9, "delete", "")).toDF(), root)
+    assert(sugg("sp") === Seq("spark" -> 2L, "spill" -> 1L))
+  }
+
+  test("maintained BM25 equals the corpus-scoped ranking on converged state; stats are a sidecar read") {
+    val fixtureDir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft_postB").toString + "/postings"
+    val changes = Tables.documents(spark, fixtureDir)
+      .select(col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
+    // chunked puts, then an update and a delete: the stats sidecar and the
+    // tf-carrying entries must track all three mutation kinds
+    IncrementalPostings.mergeBatch(spark, changes.filter(col("event_id") < 25), root)
+    IncrementalPostings.mergeBatch(spark, changes.filter(col("event_id") >= 25), root)
+    val updText = "merge sort merge shuffle"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("3", 1000, "put", updText),
+      DocChange("7", 1001, "delete", "")).toDF(), root)
+    // the converged corpus, as a plain DataFrame
+    val fin = Tables.documents(spark, fixtureDir)
+      .filter(col("doc_id") =!= 7L)
+      .select(col("doc_id").cast("string").as("doc_id"),
+        when(col("doc_id") === 3L, lit(updText)).otherwise(col("text")).as("text"))
+    // corpus-level stats come from the per-bucket sidecar and match the
+    // direct aggregate over the converged corpus
+    val gotStats = IncrementalPostings.docStats(spark, root).head()
+    val wantStats = fin.agg(count(lit(1)),
+      avg(size(split(col("text"), " ")))).head()
+    assert(gotStats.getLong(0) === wantStats.getLong(0))
+    assert(math.abs(gotStats.getDouble(1) - wantStats.getDouble(1)) < 1e-12)
+    // maintained BM25 == the corpus-scoped pipeline (same formula over the
+    // batch-built postings of the converged corpus), rank for rank
+    val maintained = IncrementalPostings.bm25Search(spark, root, Seq("merge", "sort"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val p = Index.postings(fin).filter(col("tok").isin("merge", "sort"))
+      .select(col("df"), explode(col("hits")).as("h"))
+      .select(col("h.doc_id").as("doc_id"), col("h.tf").as("tf"), col("df"))
+    val lens = fin.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val expected = lens.join(p, "doc_id").crossJoin(stats)
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (lit(2.2) * col("tf")) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(maintained === expected)
+    assert(maintained.nonEmpty)
+    // the updated doc's doubled 'merge' tf is visible; the deleted doc is not
+    assert(maintained.map(_._1).contains("3"))
+    assert(!maintained.map(_._1).contains("7"))
+    // the entries read behind the ranking opened only the query terms'
+    // buckets (plus docs + the dstats sidecar)
+    val entryFiles = IncrementalPostings.bm25Search(spark, root, Seq("merge", "sort"))
+      .inputFiles.filter(_.contains("/entries/"))
+    def bucketOf(key: String): String = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(key.getBytes("UTF-8"))
+      s"b=${java.lang.Math.floorMod(crc.getValue, graft.streaming.IncrementalIndex.DefaultBuckets.toLong)}"
+    }
+    val wanted = Set("merge", "sort").map(bucketOf)
+    assert(entryFiles.nonEmpty)
+    for (f <- entryFiles)
+      assert(wanted.exists(b => f.contains(s"/$b/")),
+        s"bm25 read an entry bucket outside the query terms': $f")
   }
 
   test("tombstone GC rewrites only expired doc buckets; entries and termSearch unchanged") {
