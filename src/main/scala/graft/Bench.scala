@@ -33,9 +33,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
-    val buildSec = graft.operators.Materialize.buildSeconds
-    val buildMap = graft.operators.Materialize.buildBreakdown.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val warmupBuildSec = graft.operators.Materialize.buildSeconds
     // Timed: min of 3 trials per query — the standard way to report the
     // query's cost rather than transient GC/load noise on a shared box.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -55,7 +53,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap}""")
+    // Build attribution is read AFTER the timed loop: a build whose warmup
+    // run failed (exceptions are swallowed above) re-runs inside a timed
+    // trial — it must still appear in artifact_build_sec, and the clock
+    // advancing during timing is flagged so the affected query's number is
+    // read with that in mind.
+    val buildSec = graft.operators.Materialize.buildSeconds
+    if (buildSec > warmupBuildSec + 0.01)
+      System.err.println(f"WARNING: artifact builds ran during timed trials " +
+        f"(${buildSec - warmupBuildSec}%.2f s after a $warmupBuildSec%.2f s warmup) — " +
+        "some query timing includes a one-time build")
+    val buildMap = graft.operators.Materialize.buildBreakdown.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap}"""
+    println(json)
+    // Stdout of driver runs has been truncated before (BENCH_r06 lost 16
+    // per-query numbers to a clipped capture) — persist the full line too.
+    try {
+      val out = java.nio.file.Paths.get(".tmp")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.write(out.resolve("bench.json"),
+        (json + "\n").getBytes("UTF-8")): Unit
+    } catch { case e: Throwable => System.err.println(s"bench.json write failed: $e") }
     spark.stop()
   }
 }

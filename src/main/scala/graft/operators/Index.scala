@@ -229,7 +229,17 @@ object Index {
     * oracle gate against genuinely maintained state, not a session cache. */
   private val maintainedFixtures =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-  Materialize.onSessionFreed(s => maintainedFixtures.keySet.removeIf(_._1 eq s): Unit)
+  Materialize.onSessionFreed { s =>
+    val it = maintainedFixtures.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        // the fixture root is "<tempdir>/postings" — drop the whole tempdir
+        Materialize.deleteLocalDir(new java.io.File(e.getValue).getParent)
+        it.remove()
+      }
+    }
+  }
 
   private def maintainedFixture(spark: SparkSession, dir: String): String =
     maintainedFixtures.computeIfAbsent((spark, dir), { case (s, d) =>

@@ -62,10 +62,18 @@ object Materialize {
     * first absorb it. */
   def buildSeconds: Double = buildNanos.get() / 1e9
 
-  /** Raw build-clock reading, for callers that must subtract NESTED
-    * builds from their own wall time before recording (see
-    * [[recordBuild]] — double-counting would corrupt the breakdown). */
-  private[graft] def buildClockNanos: Long = buildNanos.get()
+  /** THIS thread's cumulative build-clock reading, for callers that must
+    * subtract NESTED builds from their own wall time before recording
+    * (see [[recordBuild]] — double-counting would corrupt the breakdown).
+    * Per-thread rather than global so a concurrent build of an UNRELATED
+    * artifact on another thread is never subtracted from this caller's
+    * span; a nested build always runs on the caller's own thread
+    * ([[artifact]] executes the build inline under its key lock). */
+  private[graft] def threadBuildClockNanos: Long = threadBuildNanos.get().get()
+
+  private val threadBuildNanos =
+    ThreadLocal.withInitial[java.util.concurrent.atomic.AtomicLong](
+      () => new java.util.concurrent.atomic.AtomicLong())
 
   /** Per-name build durations (seconds), for benchmark attribution: which
     * artifact costs what, summed across scopes and sessions. */
@@ -80,6 +88,7 @@ object Materialize {
 
   private def addBuild(name: String, nanos: Long): Unit = {
     buildNanos.addAndGet(nanos)
+    threadBuildNanos.get().addAndGet(nanos)
     builds.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong())
       .addAndGet(nanos): Unit
   }
@@ -199,4 +208,18 @@ object Materialize {
   /** Test seam: the close listener registered for `sc`, if any. */
   private[graft] def closeListener(sc: SparkContext): Option[SparkListener] =
     Option(hooks.get(sc))
+
+  /** Recursively delete a DRIVER-LOCAL directory — for session-scoped
+    * fixture state roots created with `Files.createTempDirectory`, whose
+    * cleaners otherwise only dropped the map keys and left corpus-sized
+    * state directories orphaned on disk. java.io is deliberate here:
+    * fixture roots are always local temp paths, never `hdfs://`. */
+  private[graft] def deleteLocalDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rec)
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
+  }
 }

@@ -121,10 +121,14 @@ object TextAnalysis {
     * shingle count), MATERIALIZED once per session: the same artifact is
     * q_fingerprint's output AND the contamination check's match key, and
     * at scale it is a standing per-doc index column maintained alongside
-    * the corpus, not a per-query recompute. */
+    * the corpus, not a per-query recompute. A scope registered against a
+    * maintained state is fed from the live docs the changelog keeps
+    * current (`IncrementalShingles.liveDocs`) — the fingerprint is a pure
+    * per-doc function of `text`, and each state merge invalidates the
+    * artifact, so no corpus rescan AND no staleness. */
   private[graft] def sharedFingerprints(spark: SparkSession, dir: String): DataFrame =
     Materialize.artifact(spark, "doc_fingerprints", dir)(
-      shingles(Tables.documents(spark, dir))
+      shingles(graft.streaming.IncrementalShingles.liveDocs(spark, dir))
         .groupBy("doc_id")
         .agg(min(md5(col("s"))).as("fp"), countDistinct(col("s")).as("n_shingles")))
 

@@ -83,6 +83,20 @@ object IncrementalShingles {
   private[graft] def maintainedRoot(spark: SparkSession, corpusDir: String): Option[String] =
     Option(registry.get((spark, corpusDir)))
 
+  /** The scope's LIVE documents as (doc_id, text): the maintained docs
+    * state when `corpusDir` is [[register]]ed — so per-doc derived
+    * artifacts (SimHash fingerprints, min-shingle fingerprints) are fed
+    * from the state the changelog keeps current, with no corpus scan —
+    * otherwise the corpus table itself. Every maintained-state merge
+    * invalidates the scope's session artifacts ([[mergeBatch]]), so a
+    * registered scope's fingerprint tables can never lag the state.
+    * Rowkeys are the decimal doc_id strings (the class contract). */
+  private[graft] def liveDocs(spark: SparkSession, corpusDir: String): DataFrame =
+    maintainedRoot(spark, corpusDir)
+      .map(root => IncrementalPostings.docsState(spark, root)
+        .select(col("rowkey").cast("long").as("doc_id"), col("text")))
+      .getOrElse(graft.Tables.documents(spark, corpusDir).select("doc_id", "text"))
+
   /** Every artifact derived from the scope's corpus must drop when its
     * source changes (registration or a maintained-state merge) — the whole
     * scope, not a name list: fingerprints, postings, and any artifact

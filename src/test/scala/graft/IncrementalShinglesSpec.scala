@@ -132,6 +132,54 @@ class IncrementalShinglesSpec extends SparkSpec {
     } finally IncrementalShingles.unregister(spark, dir)
   }
 
+  test("registered scopes feed per-doc fingerprint artifacts from the maintained docs state") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val root = Files.createTempDirectory("graft_shingFp").toString + "/shingles"
+    merge(root,
+      DocChange("1", 0, "put", "merge sort spill disk io"),
+      DocChange("2", 1, "put", "hash join probe build side"),
+      DocChange("3", 2, "put", "scan filter project columns"))
+    merge(root,
+      DocChange("2", 3, "put", "broadcast join exchange shuffle"), // update
+      DocChange("3", 4, "delete", ""))
+    val finalDocs = Seq(
+      (1L, "merge sort spill disk io"),
+      (2L, "broadcast join exchange shuffle")).toDF("doc_id", "text")
+    val scope = "spec-fp-scope"
+    IncrementalShingles.register(spark, scope, root)
+    try {
+      // liveDocs serves the maintained state — converged content, and the
+      // plan reads state files, not a corpus table
+      val lv = IncrementalShingles.liveDocs(spark, scope)
+      assert(lv.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+        Map(1L -> "merge sort spill disk io", 2L -> "broadcast join exchange shuffle"))
+      assert(!lv.queryExecution.analyzed.collectLeaves().toString
+        .contains("documents.parquet"))
+      // the min-shingle fingerprint ARTIFACT (q_fingerprint /
+      // q_contamination's match key) equals the batch build over the
+      // converged corpus
+      def fpSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = fpSet(TextAnalysis.shingles(finalDocs).groupBy("doc_id")
+        .agg(min(md5(col("s"))).as("fp"), countDistinct(col("s")).as("n_shingles")))
+      assert(fpSet(TextAnalysis.sharedFingerprints(spark, scope)) === want)
+      assert(want.nonEmpty)
+      // the SimHash fingerprint table likewise (puts, the update's new
+      // tokens, and the delete all reflected)
+      def shSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(shSet(Dedup.simhashFingerprints(IncrementalShingles.liveDocs(spark, scope)))
+        === shSet(Dedup.simhashFingerprints(finalDocs)))
+      // a further maintained-state merge invalidates the cached artifact,
+      // so the next read reflects the new doc
+      val cached = TextAnalysis.sharedFingerprints(spark, scope)
+      merge(root, DocChange("4", 9, "put", "fresh novel document arrives now"))
+      assert(cached.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+        "stale fingerprint artifact must be dropped by the merge")
+      assert(TextAnalysis.sharedFingerprints(spark, scope).count() === 3L)
+    } finally IncrementalShingles.unregister(spark, scope)
+  }
+
   test("query-time near-dup probe: capped candidates, exact Jaccard, live fetch, pruned I/O") {
     val root = Files.createTempDirectory("graft_shingQ").toString + "/shingles"
     merge(root,
