@@ -134,6 +134,16 @@ class Graft(spark: SparkSession, dir: String,
   def bm25Maintained(rootPath: String, terms: Seq[String], k: Int = 20): DataFrame =
     IncrementalPostings.bm25Search(spark, rootPath, terms, k)
 
+  /** TF-IDF top-k over the MAINTAINED index — entries plus one metadata
+    * row; no docs read. */
+  def tfidfMaintained(rootPath: String, terms: Seq[String], k: Int = 20): DataFrame =
+    IncrementalPostings.tfidfSearch(spark, rootPath, terms, k)
+
+  /** More-like-this over the MAINTAINED index: seed terms by key-fetch,
+    * overlap ranking from their pruned posting entries. */
+  def moreLikeThisMaintained(rootPath: String, seedKey: String, k: Int = 10): DataFrame =
+    IncrementalPostings.moreLikeThis(spark, rootPath, seedKey, k)
+
   /** Drop tombstones older than the source's replay horizon from a
     * maintained index state ([[startIndexMaintenance]]'s `statePath`) —
     * the compacted-topic/LSM retention discipline; only buckets holding

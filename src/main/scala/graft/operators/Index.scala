@@ -280,10 +280,24 @@ object Index {
     graft.streaming.IncrementalPostings
       .bm25Search(spark, maintainedFixture(spark, dir), Seq("merge", "sort"))
 
+  private def qTfidfMaintained(spark: SparkSession, dir: String): DataFrame =
+    // TF-IDF over MAINTAINED state: answered from the bucket-pruned
+    // entries plus the stats sidecar's doc count — no docs read at all.
+    graft.streaming.IncrementalPostings
+      .tfidfSearch(spark, maintainedFixture(spark, dir), Seq("merge", "sort"))
+
+  private def qMltMaintained(spark: SparkSession, dir: String): DataFrame =
+    // Solr MLT over MAINTAINED state: seed terms by key-fetch, overlap
+    // from the seed terms' pruned posting entries (zero corpus scans).
+    graft.streaming.IncrementalPostings
+      .moreLikeThis(spark, maintainedFixture(spark, dir), "0")
+
   val queries: Map[String, Q] = Map(
     "q_search_maintained" -> qSearchMaintained,
     "q_suggest_maintained" -> qSuggestMaintained,
     "q_bm25_maintained" -> qBm25Maintained,
+    "q_tfidf_maintained" -> qTfidfMaintained,
+    "q_mlt_maintained" -> qMltMaintained,
     "q_inverted_search" -> qInvertedSearch,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_bm25_topk" -> qBm25Topk,
@@ -325,6 +339,33 @@ object Index {
         |  GROUP BY doc_id)
         |SELECT rk AS doc_id, score FROM scored
         |ORDER BY score DESC, rk LIMIT 20""".stripMargin,
+    "q_tfidf_maintained" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('merge', 'sort')
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS rk,
+        |         round(sum(tf.tf * ln(n_docs * 1.0 / df.df)), 4) AS score
+        |  FROM tf JOIN df USING (tok), n
+        |  GROUP BY doc_id)
+        |SELECT rk AS doc_id, score FROM scored
+        |ORDER BY score DESC, rk LIMIT 20""".stripMargin,
+    "q_mlt_maintained" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |seed AS (SELECT tok FROM toks WHERE doc_id = 0),
+        |scored AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS rk, count(*) AS overlap
+        |  FROM toks JOIN seed USING (tok)
+        |  WHERE doc_id <> 0
+        |  GROUP BY doc_id)
+        |SELECT rk AS doc_id, overlap FROM scored
+        |ORDER BY overlap DESC, rk LIMIT 10""".stripMargin,
     "q_inverted_search" ->
       """WITH postings AS (
         |  SELECT tok, list_sort(list(DISTINCT doc_id)) AS ids

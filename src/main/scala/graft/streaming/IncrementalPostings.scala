@@ -408,6 +408,49 @@ object IncrementalPostings {
       .limit(k)
   }
 
+  /** TF-IDF ranked retrieval from the maintained state — same read shape
+    * as [[bm25Search]] (bucket-pruned entries for tf/df, N from the stats
+    * sidecar), same arithmetic as the corpus-scoped `q_tfidf_topk`
+    * (score = Σ tf·ln(N/df), one round at the end), so a converged corpus
+    * ranks identically. No docs read at all: unlike BM25 there is no
+    * length normalization, so the whole query is answered from the
+    * entries plus one metadata row. */
+  def tfidfSearch(spark: SparkSession, rootPath: String, terms: Seq[String],
+                  k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "tfidfSearch needs at least one term")
+    val uniq = terms.distinct
+    val ent = prunedEntries(spark, rootPath, uniq).select("tok", "doc_id", "tf")
+    val dfs = ent.groupBy("tok").agg(count(lit(1)).as("df"))
+    ent.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(docStats(spark, rootPath).select("n_docs")))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** More-like-this over the MAINTAINED state — Solr's MLT served with
+    * zero corpus scans: the seed document's distinct terms are fetched by
+    * key (one [[prunedDocs]] Get — a single doc's vocabulary is driver
+    * metadata, the same bound as the probe's query shingles), then the
+    * overlap count per candidate comes from the bucket-pruned entries of
+    * exactly those terms. Returns (doc_id, overlap), best first, seed
+    * excluded. `tokenize` must match the state's merge tokenizer. */
+  def moreLikeThis(spark: SparkSession, rootPath: String, seedKey: String,
+                   k: Int = 10,
+                   tokenize: Column => Column = split(_, " ")): DataFrame = {
+    val seedToks = prunedDocs(spark, rootPath, Seq(seedKey))
+      .select(explode(array_distinct(tokenize(col("text")))).as("tok"))
+      .collect().map(_.getString(0)).toSeq.distinct
+    if (seedToks.isEmpty) // unknown or deleted seed: empty, not an error
+      return spark.range(0).select(lit("").as("doc_id"), lit(0L).as("overlap"))
+    prunedEntries(spark, rootPath, seedToks)
+      .filter(col("doc_id") =!= seedKey)
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Wire a streaming document changelog into the postings merge sink.
     * `firstDelaySeconds` mirrors the reference's `first_delay`
     * (application.properties:10) — see [[IncrementalIndex.start]]. */

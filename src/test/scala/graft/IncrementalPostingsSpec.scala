@@ -333,6 +333,29 @@ class IncrementalPostingsSpec extends SparkSpec {
     // the updated doc's doubled 'merge' tf is visible; the deleted doc is not
     assert(maintained.map(_._1).contains("3"))
     assert(!maintained.map(_._1).contains("7"))
+    // tf-idf from the same maintained surfaces equals the corpus-scoped
+    // formula over the converged corpus
+    val mTfidf = IncrementalPostings.tfidfSearch(spark, root, Seq("merge", "sort"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val eTfidf = p.crossJoin(stats.select("n_docs"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(mTfidf === eTfidf && mTfidf.nonEmpty)
+    // more-like-this: seed terms key-fetched, overlap from pruned entries
+    val mMlt = IncrementalPostings.moreLikeThis(spark, root, "0")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val toks = fin.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val seed = toks.filter(col("doc_id") === "0").select("tok")
+    val eMlt = toks.join(seed, "tok").filter(col("doc_id") =!= "0")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+      .orderBy(col("overlap").desc, col("doc_id")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(mMlt === eMlt && mMlt.nonEmpty)
+    // MLT of a deleted seed is empty, not an error
+    assert(IncrementalPostings.moreLikeThis(spark, root, "7").count() === 0L)
     // the entries read behind the ranking opened only the query terms'
     // buckets (plus docs + the dstats sidecar)
     val entryFiles = IncrementalPostings.bm25Search(spark, root, Seq("merge", "sort"))
