@@ -244,6 +244,17 @@ class PlanSpec extends SparkSpec {
       df.collect(); df.queryExecution.executedPlan.toString }
     assert(!pp.contains("SortMergeJoin"), pp.take(800))
     assert(pp.contains("PushedFilters"), pp.take(800)) // candidate filter reaches the scan
+    // maintained ranked retrieval opens NO corpus file — entries, docs
+    // state, and the dstats sidecar only — and BM25's hit list broadcasts
+    // into the length fetch (never a shuffle of the docs)
+    for (q <- Seq("q_bm25_maintained", "q_tfidf_maintained", "q_mlt_maintained"))
+      assert(!SparkEntry.queries(q)(spark, dir).inputFiles
+        .exists(_.contains("documents.parquet")),
+        s"$q reads the corpus instead of the maintained state")
+    val pb = { val df = SparkEntry.queries("q_bm25_maintained")(spark, dir)
+      df.collect(); df.queryExecution.executedPlan.toString }
+    assert(pb.contains("BroadcastHashJoin"), pb.take(800))
+    assert(!pb.contains("SortMergeJoin"), pb.take(800))
   }
 
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
