@@ -155,12 +155,22 @@ object IncrementalPostings {
 
     mergedDocs.count(); newEntries.count() // decouple from the input files
     try {
+      // Bucket files are written CLUSTERED by their read key (entries by
+      // tok, docs by rowkey) — Lucene's sorted term dictionary expressed
+      // as parquet page statistics: a term/key predicate pushed into the
+      // scan then skips the pages (and at scale, row groups) outside the
+      // key's range instead of decoding the whole bucket. The sort runs
+      // over the already-cached delta (batch-sized); [b, key] ordering
+      // satisfies the partitioned writer's required [b] prefix, so no
+      // order-destroying re-sort is inserted.
       if (entryDirs.nonEmpty)
         StateStore.commitBuckets(spark, entriesRoot, entryDirs) { tmp =>
-          newEntries.write.partitionBy("b").mode("overwrite").parquet(tmp)
+          newEntries.sortWithinPartitions("b", "tok")
+            .write.partitionBy("b").mode("overwrite").parquet(tmp)
         }
       StateStore.commitBuckets(spark, docsRoot, docDirs) { tmp =>
-        mergedDocs.write.partitionBy("b").mode("overwrite").parquet(tmp)
+        mergedDocs.sortWithinPartitions("b", "rowkey")
+          .write.partitionBy("b").mode("overwrite").parquet(tmp)
       }
       StateStore.commitBuckets(spark, statsRoot, docDirs) { tmp =>
         stats.write.partitionBy("b").mode("overwrite").parquet(tmp)

@@ -372,6 +372,32 @@ class IncrementalPostingsSpec extends SparkSpec {
         s"bm25 read an entry bucket outside the query terms': $f")
   }
 
+  test("bucket files are clustered by their read key (entries by tok, docs by rowkey)") {
+    // The sorted-term-dictionary property: within every written file, rows
+    // are ordered by the key term/rowkey predicates push down on, so
+    // parquet page statistics can skip the pages outside a query key's
+    // range instead of decoding the whole bucket.
+    val root = Files.createTempDirectory("graft_postO").toString + "/postings"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
+    IncrementalPostings.mergeBatch(spark, docs, root)
+    def assertClustered(sub: String, key: String): Unit = {
+      val dirs = graft.streaming.StateStore.liveBuckets(spark, s"$root/$sub")
+      assert(dirs.nonEmpty)
+      val rows = spark.read.parquet(dirs.map(d => s"$root/$sub/$d"): _*)
+        .select(col(key), input_file_name().as("f"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length > 10)
+      for ((f, rs) <- rows.groupBy(_._2)) {
+        val ks = rs.map(_._1).toSeq
+        assert(ks === ks.sorted, s"$sub file $f is not clustered by $key")
+      }
+    }
+    assertClustered("entries", "tok")
+    assertClustered("docs", "rowkey")
+  }
+
   test("tombstone GC rewrites only expired doc buckets; entries and termSearch unchanged") {
     val root = Files.createTempDirectory("graft_postG").toString + "/postings"
     IncrementalPostings.mergeBatch(spark, Seq(

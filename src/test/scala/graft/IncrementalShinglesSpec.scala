@@ -376,6 +376,15 @@ class IncrementalShinglesSpec extends SparkSpec {
       source.addData(DocChange("5", 5, "put", "alpha beta gamma delta"))
       query.processAllAvailable()
       assert(corpus().keySet === Set("2", "4", "5"))
+      // batch 4: two novel near-identical docs in ONE batch — the
+      // intra-batch pass admits only the smaller rowkey, and the state
+      // stays near-dup-free without any per-doc sequencing
+      source.addData(
+        DocChange("6", 6, "put", "quick brown fox jumps high"),
+        DocChange("7", 7, "put", "quick brown fox jumps low"))
+      query.processAllAvailable()
+      assert(corpus().keySet === Set("2", "4", "5", "6"),
+        "intra-batch near-dup must keep only the smaller rowkey")
     } finally query.stop()
   }
 
