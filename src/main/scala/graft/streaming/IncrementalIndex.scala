@@ -105,8 +105,11 @@ object IncrementalIndex {
     val merged = compactAll(oldTouched.unionByName(withB))
       .repartition(col("b")).cache()
     merged.count() // materialize before the swap touches the input paths
+    // written clustered by rowkey: point lookups push a key predicate that
+    // parquet page stats can then prune (see IncrementalPostings' write)
     try StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>
-      merged.write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
+      merged.sortWithinPartitions("b", "rowkey")
+        .write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
     } finally merged.unpersist(): Unit
   }
 
@@ -137,7 +140,8 @@ object IncrementalIndex {
       .cache()
     kept.count()
     try StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>
-      kept.write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
+      kept.sortWithinPartitions("b", "rowkey") // GC preserves the clustering
+        .write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
     } finally kept.unpersist(): Unit
   }
 
