@@ -68,7 +68,12 @@ object Materialize {
     * Per-thread rather than global so a concurrent build of an UNRELATED
     * artifact on another thread is never subtracted from this caller's
     * span; a nested build always runs on the caller's own thread
-    * ([[artifact]] executes the build inline under its key lock). */
+    * ([[artifact]] executes the build inline under its key lock). Known
+    * residual: if ANOTHER thread wins the key lock for the same artifact,
+    * this thread's span includes that build's wall time without the
+    * subtraction — acceptable for the benchmark's single-driver-thread
+    * protocol (graft.Bench runs queries sequentially), where it cannot
+    * occur. */
   private[graft] def threadBuildClockNanos: Long = threadBuildNanos.get().get()
 
   private val threadBuildNanos =

@@ -60,6 +60,15 @@ object IncrementalPostings {
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Adopt entries written before the tf column existed ((tok, doc_id)
+    * rows): default tf to 1, so pre-upgrade state roots keep merging and
+    * reading — occurrence counts degrade to document counts for legacy
+    * rows until their buckets are naturally rewritten by later merges
+    * (each rewrite recomputes the bucket's rows with true tf). */
+  private def withTf(entries: DataFrame): DataFrame =
+    if (entries.columns.contains("tf")) entries
+    else entries.withColumn("tf", lit(1L))
+
   private def docBucket(numBuckets: Int): Column =
     pmod(crc32(col("rowkey")), lit(numBuckets)).cast("int")
   private def tokBucket(numBuckets: Int): Column =
@@ -127,9 +136,9 @@ object IncrementalPostings {
       .unionByName(additions.select(tokBucket(numBuckets).as("b")))
       .distinct().collect().map(_.getInt(0)).sorted
     val entryDirs = touchedTokB.toSeq.map(b => s"b=$b")
-    val oldEntries = readBuckets(spark, entriesRoot, entryDirs,
+    val oldEntries = withTf(readBuckets(spark, entriesRoot, entryDirs,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        entriesSchema).drop("b"))
+        entriesSchema).drop("b")))
     // Double anti-join (see crash protocol in the class doc): removals for
     // the delta, additions so replay over an already-promoted bucket
     // cannot duplicate them.
@@ -175,6 +184,22 @@ object IncrementalPostings {
       StateStore.commitBuckets(spark, statsRoot, docDirs) { tmp =>
         stats.write.partitionBy("b").mode("overwrite").parquet(tmp)
       }
+      // Adopt pre-sidecar roots: any committed docs bucket still missing
+      // its stats row gets one now (one-time, legacy buckets only), so a
+      // partially-adopted sidecar can never under-count the corpus.
+      val missing = (StateStore.liveBuckets(spark, docsRoot).toSet --
+        StateStore.liveBuckets(spark, statsRoot).toSet).toSeq.sorted
+      if (missing.nonEmpty) {
+        val legacy = spark.read.parquet(missing.map(d => s"$docsRoot/$d"): _*)
+          .withColumn("b", docBucket(numBuckets))
+          .groupBy("b").agg(
+            count(when(col("op") =!= "delete", lit(1))).as("n_docs"),
+            coalesce(sum(when(col("op") =!= "delete",
+              size(tokenize(col("text"))).cast("long"))), lit(0L)).as("dl_sum"))
+        StateStore.commitBuckets(spark, statsRoot, missing) { tmp =>
+          legacy.write.partitionBy("b").mode("overwrite").parquet(tmp)
+        }
+      }
     } finally {
       mergedDocs.unpersist(); newEntries.unpersist()
       removals.unpersist(); additions.unpersist(): Unit
@@ -202,9 +227,10 @@ object IncrementalPostings {
   private[streaming] def allEntries(spark: SparkSession, rootPath: String): DataFrame = {
     val root = rootPath + "/entries"
     val dirs = StateStore.liveBuckets(spark, root)
-    if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      entriesSchema).drop("b")
+    withTf(
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        entriesSchema).drop("b"))
   }
 
   /** The maintained inverted index, in `Index.postings` shape:
@@ -282,9 +308,9 @@ object IncrementalPostings {
                                        toks: Seq[String]): DataFrame = {
     val entriesRoot = rootPath + "/entries"
     val dirs = bucketDirsFor(spark, entriesRoot, toks)
-    val entries =
+    val entries = withTf(
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
-      else emptyDf(spark, entriesSchema).drop("b")
+      else emptyDf(spark, entriesSchema).drop("b"))
     entries.filter(col("tok").isin(toks: _*))
   }
 
@@ -308,9 +334,9 @@ object IncrementalPostings {
         live.filter(wanted.contains)
       case None => live
     }
-    val entries =
+    val entries = withTf(
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
-      else emptyDf(spark, entriesSchema).drop("b")
+      else emptyDf(spark, entriesSchema).drop("b"))
     entries.join(toks.select("tok").distinct(), "tok")
   }
 
@@ -378,7 +404,12 @@ object IncrementalPostings {
     val dirs = StateStore.liveBuckets(spark, root)
     val per =
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
-      else spark.range(0).select(lit(0L).as("n_docs"), lit(0L).as("dl_sum"))
+      else
+        // pre-sidecar root: a one-time corpus-sized fallback aggregate
+        // (whitespace token lengths — one merge through the current code
+        // adopts the sidecar for the touched buckets and onward)
+        docsState(spark, rootPath).select(lit(1L).as("n_docs"),
+          size(split(col("text"), " ")).cast("long").as("dl_sum"))
     per.agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
       .select(col("n_docs"), (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
   }
@@ -404,7 +435,11 @@ object IncrementalPostings {
     val dfs = ent.groupBy("tok").agg(count(lit(1)).as("df"))
     val hits = ent.join(broadcast(dfs), "tok")
     val stats = docStats(spark, rootPath)
-    docsState(spark, rootPath)
+    // the length fetch opens only the hit docs' own buckets: the hit KEYS
+    // stay distributed, but their distinct bucket ids are collectable
+    // metadata (prunedDocsForKeys) — same O(touched buckets) discipline
+    // as the probe's fetch, instead of scanning every doc bucket for dl
+    prunedDocsForKeys(spark, rootPath, hits.select(col("doc_id").as("rowkey")))
       .select(col("rowkey").as("doc_id"), size(tokenize(col("text"))).cast("long").as("dl"))
       .join(broadcast(hits), "doc_id")
       .crossJoin(broadcast(stats))

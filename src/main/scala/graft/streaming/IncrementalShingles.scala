@@ -90,11 +90,19 @@ object IncrementalShingles {
     * otherwise the corpus table itself. Every maintained-state merge
     * invalidates the scope's session artifacts ([[mergeBatch]]), so a
     * registered scope's fingerprint tables can never lag the state.
-    * Rowkeys are the decimal doc_id strings (the class contract). */
+    * Rowkeys are the decimal doc_id strings (the class contract) — a
+    * non-decimal rowkey fails loudly here rather than becoming a null
+    * doc_id that the fingerprint groupBys would silently merge into one
+    * garbage row. */
   private[graft] def liveDocs(spark: SparkSession, corpusDir: String): DataFrame =
     maintainedRoot(spark, corpusDir)
       .map(root => IncrementalPostings.docsState(spark, root)
-        .select(col("rowkey").cast("long").as("doc_id"), col("text")))
+        .select(
+          when(col("rowkey").cast("long").isNull,
+            raise_error(concat(lit("non-decimal rowkey in maintained docs state "),
+              lit(root), lit(": "), col("rowkey"))))
+            .otherwise(col("rowkey").cast("long")).as("doc_id"),
+          col("text")))
       .getOrElse(graft.Tables.documents(spark, corpusDir).select("doc_id", "text"))
 
   /** Every artifact derived from the scope's corpus must drop when its
@@ -233,19 +241,25 @@ object IncrementalShingles {
       .select("qid", "rowkey", "jaccard")
   }
 
-  /** Rowkeys to DROP among one batch's own documents: near-dup pairs at
+  /** Rowkeys to DROP among one batch's own documents. Near-dup pairs at
     * `threshold` are generated within the batch (df-capped shingle
     * buckets → posting-list pair expansion — `Dedup.pairsFromBuckets`'s
-    * shape, batch-sized), and a rowkey is dropped iff it has a near-dup
-    * partner with a SMALLER rowkey. Pairs are emitted ordered (da < db
-    * lexicographically, from the sorted bucket arrays), so the drop set
-    * is just the distinct `db` side — and the admitted set is pairwise
-    * near-dup-free by construction: if two admitted keys were near-dups,
-    * the larger would appear as some pair's `db`. Keeping every local
-    * minimum (rather than only each connected component's global minimum)
-    * admits strictly more data under the same invariant — near-dup is not
-    * transitive, so two docs that merely share a common near-dup are not
-    * themselves duplicates and both belong in the corpus. */
+    * shape, batch-sized); per-doc shingle counts come from the SAME
+    * capped buckets, so the score is exactly the batch family's
+    * (`Dedup.nearDupPairs`) capped Jaccard — intersection and set sizes
+    * measured over the same shingle universe, never a capped numerator
+    * against uncapped denominators. `docs` carries an `exists` flag (the
+    * rowkey is already live in the maintained state — i.e. the put is an
+    * UPDATE): an update is never dropped in favor of a novel arrival —
+    * dropping it would discard the changelog's newer content and leave
+    * the stale version live — so for each pair the NOVEL member goes
+    * (the larger-keyed one when both are novel; neither when both are
+    * updates, since both documents are already in the corpus and the
+    * state pass with its self-exemption admitted them). Among novel
+    * members this keeps every local minimum — a maximal-independent-set
+    * rule that admits strictly more data than component-minimum under
+    * the same pairwise-near-dup-free invariant (near-dup is not
+    * transitive). */
   private def intraBatchDrops(docs: DataFrame, threshold: Double,
                               dfCap: Int): DataFrame = {
     val sh = docs.select(col("rowkey"),
@@ -255,49 +269,71 @@ object IncrementalShingles {
       .filter(size(col("ids")) <= dfCap)
     val co = graft.operators.Dedup.pairsFromBuckets(buckets, "ids")
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    val cnt = sh.groupBy("rowkey").agg(count(lit(1)).as("nsh"))
-    co
+    // per-doc counts over the CAPPED buckets — same universe as c
+    val cnt = buckets.select(explode(col("ids")).as("rowkey"))
+      .groupBy("rowkey").agg(count(lit(1)).as("nsh"))
+    val ex = docs.select("rowkey", "exists")
+    val pairs = co
       .join(cnt.select(col("rowkey").as("da"), col("nsh").as("na")), "da")
       .join(cnt.select(col("rowkey").as("db"), col("nsh").as("nb")), "db")
       .filter(round(col("c") / (col("na") + col("nb") - col("c")), 4) >= threshold)
-      .select(col("db").as("rowkey")).distinct()
+      .join(ex.select(col("rowkey").as("da"), col("exists").as("ea")), "da")
+      .join(ex.select(col("rowkey").as("db"), col("exists").as("eb")), "db")
+    // pairs are ordered da < db (sorted bucket arrays): drop db unless it
+    // is an update; drop da when it is novel and db is the update
+    pairs.filter(!col("eb")).select(col("db").as("rowkey"))
+      .unionByName(pairs.filter(!col("ea") && col("eb")).select(col("da").as("rowkey")))
+      .distinct()
   }
 
   /** The ingestion-time admission filter — the dedup gate an LLM-data
-    * pipeline runs before letting a batch into the corpus. Two passes:
+    * pipeline runs before letting a batch into the corpus. Decisions are
+    * per ROWKEY over the batch's LATEST event (the version the merge
+    * would keep — an early superseded version must not veto its own
+    * rewrite). Two passes:
     *
-    *   1. AGAINST THE MAINTAINED STATE: puts whose text already has a
-    *      near-duplicate in the state (at `threshold`) are dropped — via
-    *      the bucket-pruned [[nearDuplicatesBatch]], so the per-batch I/O
-    *      is O(touched buckets), never the index;
-    *   2. WITHIN THE BATCH: two novel near-identical documents arriving
-    *      in the SAME micro-batch (invisible to pass 1 — neither is in
-    *      the state yet) are deduped against each other: each near-dup
-    *      pair keeps its smaller rowkey ([[intraBatchDrops]]), so the
-    *      admitted set is pairwise near-dup-free and the gated corpus
-    *      invariant holds across AND within batches.
+    *   1. AGAINST THE MAINTAINED STATE: rowkeys whose latest text already
+    *      has a near-duplicate in the state (at `threshold`) are dropped
+    *      — via the bucket-pruned [[nearDuplicatesBatch]], so the
+    *      per-batch I/O is O(touched buckets), never the index;
+    *   2. WITHIN THE BATCH: two near-identical documents arriving in the
+    *      SAME micro-batch (invisible to pass 1 when both are novel) are
+    *      deduped against each other ([[intraBatchDrops]]): the novel
+    *      member of each pair is dropped (the larger-keyed one when both
+    *      are novel; updates to already-stored documents are never
+    *      sacrificed for a novel arrival), so the admitted set adds no
+    *      near-dup pair to the corpus.
     *
     * Deletes always pass through unchanged, ready for the merge sinks. */
   def dedupGate(spark: SparkSession, rootPath: String, batch: DataFrame,
                 threshold: Double = 0.8): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
+    // document granularity first: the latest event per rowkey is what the
+    // merge would keep, so it alone decides admission for the rowkey
+    val latest = puts.groupBy("rowkey")
+      .agg(max_by(col("text"), col("event_id")).as("text")).localCheckpoint()
     // a put whose only near-dup is its OWN stored version is an UPDATE,
     // not a duplicate — qid = rowkey matches must not gate it out, or
     // every minor edit to an existing document would be silently lost
     val dupIds = nearDuplicatesBatch(spark, rootPath,
-        puts.select(col("rowkey").as("qid"), col("text")), threshold)
+        latest.select(col("rowkey").as("qid"), col("text")), threshold)
       .filter(col("qid") =!= col("rowkey"))
       .select(col("qid").as("rowkey")).distinct()
-    // checkpointed: state-pass survivors feed both the intra-batch pair
-    // generation and the final anti-join — one probe, not two
-    val survivors = puts.join(dupIds, Seq("rowkey"), "left_anti").localCheckpoint()
-    // intra-batch pairing operates at document granularity: latest event
-    // per rowkey (the version the merge would keep)
-    val latest = survivors.groupBy("rowkey")
-      .agg(max_by(col("text"), col("event_id")).as("text"))
-    val drops = intraBatchDrops(latest, threshold, graft.operators.Dedup.DfCap)
+    // checkpointed: state-pass survivors feed the existence probe, the
+    // intra-batch pair generation, and the final anti-join — one probe
+    val survivors = latest.join(dupIds, Seq("rowkey"), "left_anti").localCheckpoint()
+    // which survivors are UPDATES of already-stored docs: a key-fetch
+    // against only the batch keys' own doc buckets (metadata-bounded,
+    // same shape as the probe's fetch)
+    val existing = IncrementalPostings
+      .prunedDocsForKeys(spark, rootPath, survivors.select("rowkey"))
+      .select(col("rowkey"), lit(true).as("exists"))
+    val flagged = survivors.join(existing, Seq("rowkey"), "left_outer")
+      .select(col("rowkey"), col("text"), coalesce(col("exists"), lit(false)).as("exists"))
+    val drops = intraBatchDrops(flagged, threshold, graft.operators.Dedup.DfCap)
+    val admitted = survivors.join(drops, Seq("rowkey"), "left_anti").select("rowkey")
     batch.filter(col("op") === "delete")
-      .unionByName(survivors.join(drops, Seq("rowkey"), "left_anti"))
+      .unionByName(puts.join(admitted, Seq("rowkey"), "left_semi"))
   }
 
   /** Wire a streaming document changelog into the shingle-state merge —

@@ -370,6 +370,19 @@ class IncrementalPostingsSpec extends SparkSpec {
     for (f <- entryFiles)
       assert(wanted.exists(b => f.contains(s"/$b/")),
         s"bm25 read an entry bucket outside the query terms': $f")
+    // ... and the length fetch opened only the HIT docs' buckets
+    val hitDocs = fin
+      .filter(array_contains(split(col("text"), " "), "merge") ||
+        array_contains(split(col("text"), " "), "sort"))
+      .select("doc_id").collect().map(_.getString(0))
+    assert(hitDocs.nonEmpty)
+    val wantedDocB = hitDocs.map(bucketOf).toSet
+    val docFiles = IncrementalPostings.bm25Search(spark, root, Seq("merge", "sort"))
+      .inputFiles.filter(_.contains("/docs/"))
+    assert(docFiles.nonEmpty)
+    for (f <- docFiles)
+      assert(wantedDocB.exists(b => f.contains(s"/$b/")),
+        s"bm25 fetched a doc bucket outside the hits': $f")
   }
 
   test("bucket files are clustered by their read key (entries by tok, docs by rowkey)") {

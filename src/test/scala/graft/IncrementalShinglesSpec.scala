@@ -335,6 +335,44 @@ class IncrementalShinglesSpec extends SparkSpec {
     }
   }
 
+  test("intra-batch pass never sacrifices an update for a novel arrival") {
+    val root = Files.createTempDirectory("graft_shingU").toString + "/shingles"
+    merge(root, DocChange("5", 0, "put", "original content here totally stored"))
+    // one batch: a full REWRITE of stored doc 5 (no overlap with its old
+    // text, so the state pass sees nothing) plus a novel doc near-dupping
+    // the rewrite — with a SMALLER rowkey than the update's. The novel
+    // doc must be the one dropped: dropping the update would discard the
+    // changelog's newer content and leave the stale text live.
+    val batch = Seq(
+      DocChange("5", 10, "put", "rewritten fresh text now appears"),
+      DocChange("0", 11, "put", "rewritten fresh text now shows"))
+    val admitted = IncrementalShingles.dedupGate(spark, root, batch.toDF(), 0.5)
+      .collect().map(r => r.getAs[String]("rowkey")).toSet
+    assert(admitted === Set("5"), "the update must win over the novel near-dup")
+  }
+
+  test("gate decides per rowkey on the LATEST event — a superseded version cannot veto its rewrite") {
+    val root = Files.createTempDirectory("graft_shingL").toString + "/shingles"
+    merge(root, DocChange("1", 0, "put", "alpha beta gamma delta"))
+    // rowkey n1 arrives twice in one batch: an early version that
+    // near-dups the state, then a full novel rewrite. The merge would
+    // keep the rewrite, so the rewrite alone decides admission — and the
+    // rowkey's events all pass through once admitted.
+    val batch = Seq(
+      DocChange("n1", 10, "put", "alpha beta gamma delta"),
+      DocChange("n1", 11, "put", "completely unrelated novel text arrives"))
+    val out = IncrementalShingles.dedupGate(spark, root, batch.toDF(), 0.5).collect()
+    assert(out.map(_.getAs[String]("rowkey")).toSet === Set("n1"))
+    assert(out.length === 2, "all events of an admitted rowkey pass to the merge")
+    // and conversely: when the LATEST version near-dups the state, the
+    // rowkey is dropped even though an earlier novel version exists
+    val batch2 = Seq(
+      DocChange("n2", 20, "put", "totally novel early version text"),
+      DocChange("n2", 21, "put", "alpha beta gamma delta"))
+    assert(IncrementalShingles.dedupGate(spark, root, batch2.toDF(), 0.5)
+      .count() === 0L)
+  }
+
   test("gated ingest end-to-end: the stream dedups itself against its own state") {
     // The full ingestion loop: each micro-batch passes the dedup gate
     // against the CURRENT maintained state, survivors merge into that
