@@ -144,6 +144,81 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupGate semantics hold over random corpora and batches (independent driver-side model)") {
+    // The gate's full rule, recomputed independently with plain Scala
+    // sets: per-rowkey latest-event decisions, exact-Jaccard state dedup
+    // with the self-exemption, intra-batch pairs dropping the novel
+    // member (larger-keyed when both novel, neither when both updates),
+    // deletes passing through. Small vocab → frequent collisions.
+    import graft.streaming.IncrementalShingles
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = for {
+      n <- Gen.choose(2, 7)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    def shingles(t: String): Set[String] = IncrementalShingles.shingleizeLocal(t).toSet
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (shingles(a), shingles(b))
+      val inter = (sa & sb).size
+      if (inter == 0) 0.0
+      else BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val thr = 0.5
+    for (seed <- 1 to 3) {
+      val texts = Gen.listOfN(14, docGen)
+        .pureApply(Gen.Parameters.default, Seed(100L + seed))
+      val stateTexts = texts.take(8).zipWithIndex.map { case (t, i) => i.toString -> t }
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_gateP$seed").toString + "/sh"
+      IncrementalShingles.mergeBatch(spark,
+        stateTexts.map { case (id, t) => DocChange(id, id.toLong, "put", t) }.toDF(), root)
+      // batch: novel ids, updates of existing ids (one with two events),
+      // and a delete
+      val bt = texts.drop(8)
+      val batch = Seq(
+        DocChange("n0", 20, "put", bt(0)),
+        DocChange("n1", 21, "put", bt(1)),
+        DocChange("n2", 22, "put", bt(2)),
+        DocChange("2", 23, "put", bt(3)),   // update
+        DocChange("5", 24, "put", bt(4)),   // update, superseded below
+        DocChange("5", 25, "put", bt(5)),   // update rewrite (latest wins)
+        DocChange("7", 26, "delete", ""))
+      val got = IncrementalShingles.dedupGate(spark, root, batch.toDF(), thr)
+        .collect().map(r => (r.getAs[String]("rowkey"), r.getAs[String]("op"))).toSet
+
+      // ---- independent model ----
+      val state = stateTexts.toMap
+      val latest = batch.filter(_.op == "put").groupBy(_.rowkey)
+        .map { case (k, es) => k -> es.maxBy(_.event_id).text }
+      val stateDup = latest.filter { case (k, t) =>
+        state.exists { case (sk, st) => sk != k && jac(t, st) >= thr }
+      }.keySet
+      val survivors = latest.keySet -- stateDup
+      val existing = survivors.filter(state.contains)
+      val pairs = survivors.toSeq.sorted.combinations(2).filter {
+        case Seq(a, b) => jac(latest(a), latest(b)) >= thr
+        case _ => false
+      }.toSeq
+      val drops = pairs.flatMap { case Seq(da, db) =>
+        if (!existing.contains(db)) Seq(db)
+        else if (!existing.contains(da)) Seq(da)
+        else Seq.empty
+      }.toSet
+      val admitted = survivors -- drops
+      val want = admitted.flatMap(k =>
+        batch.filter(e => e.rowkey == k && e.op == "put").map(e => (k, "put"))) ++
+        batch.filter(_.op == "delete").map(e => (e.rowkey, "delete"))
+      assert(got === want, s"seed $seed: gate disagrees with the model\n" +
+        s"state=$state\nlatest=$latest\nstateDup=$stateDup drops=$drops")
+      // invariant: no admitted pair involving a novel doc is a near-dup
+      for (Seq(a, b) <- admitted.toSeq.sorted.combinations(2)
+           if !(existing.contains(a) && existing.contains(b)))
+        assert(jac(latest(a), latest(b)) < thr,
+          s"seed $seed: admitted near-dup pair ($a,$b)")
+    }
+  }
+
   test("driver-local shingler equals the column expression on random (and degenerate) text") {
     // The per-doc probe shingleizes its one query string on the driver
     // (no Spark job); its output must be byte-identical to the column
