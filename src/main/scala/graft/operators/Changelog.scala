@@ -177,6 +177,51 @@ object Changelog {
       .filter(col("rowkey") === "7")
       .orderBy("rowkey")
 
+  /** Session-scoped maintained event-index fixture: the events changelog
+    * folded once per (session, dir) into the file-backed bucketed state
+    * `IncrementalIndex` keeps current in production — so facet reads over
+    * the MAINTAINED index (Solr's facet-over-standing-index, the
+    * reference's query surface) are oracle-checked against genuinely
+    * maintained state, like the postings fixture in Index.scala. */
+  private val indexFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  Materialize.onSessionFreed { s =>
+    val it = indexFixtures.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        Materialize.deleteLocalDir(new java.io.File(e.getValue).getParent)
+        it.remove()
+      }
+    }
+  }
+
+  private def indexFixture(spark: SparkSession, dir: String): String =
+    indexFixtures.computeIfAbsent((spark, dir), { case (s, d) =>
+      val t0 = System.nanoTime()
+      val root = java.nio.file.Files.createTempDirectory("graft_mindex").toString + "/state"
+      val changes = Tables.events(s, d).select(
+        col("user_id").cast("string").as("rowkey"),
+        col("event_id"),
+        when(col("event_type") === Cfg.deleteClass, "delete")
+          .otherwise("put").as("op"),
+        col("event_type"), col("value"))
+      graft.streaming.IncrementalIndex.mergeBatch(s, changes, root)
+      Materialize.recordBuild("maintained_index_fixture", System.nanoTime() - t0)
+      root
+    })
+
+  private def qFacetMaintained(spark: SparkSession, dir: String): DataFrame =
+    // S6 over MAINTAINED state: the field facet Solr serves from its
+    // standing index, read from the file-backed state the changelog keeps
+    // current — one live-bucket read, partial+final aggregate by field
+    // value; the events table is never re-compacted at query time.
+    graft.streaming.IncrementalIndex
+      .readState(spark, indexFixture(spark, dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "q_scan_events" -> qScanEvents,
     "q_project_rowkey" -> qProjectRowkey,
@@ -187,6 +232,7 @@ object Changelog {
     "q_del_batch_count" -> qDelBatchCount,
     "q_interval_window" -> qIntervalWindow,
     "q_index_state" -> qIndexState,
+    "q_facet_maintained" -> qFacetMaintained,
     "q_point_lookup" -> qPointLookup)
 
   private val indexStateSql =
@@ -240,6 +286,14 @@ object Changelog {
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_index_state" -> (indexStateSql + "\nORDER BY CAST(rowkey AS BIGINT)"),
+    "q_facet_maintained" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_point_lookup" -> (indexStateSql.replace("FROM ranked WHERE rn = 1",
       "FROM ranked WHERE rowkey = '7' AND rn = 1") + "\nORDER BY rowkey"))
 }
