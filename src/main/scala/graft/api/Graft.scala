@@ -115,6 +115,12 @@ class Graft(spark: SparkSession, dir: String,
   def searchMaintained(rootPath: String, terms: Seq[String]): DataFrame =
     IncrementalPostings.termSearch(spark, rootPath, terms)
 
+  /** Point lookup (HBase Get/multi-Get) against a maintained index
+    * state: opens only the keys' own bucket dirs; pages inside prune via
+    * the clustered write order. */
+  def getMaintained(statePath: String, rowkeys: Seq[String]): DataFrame =
+    IncrementalIndex.get(spark, statePath, rowkeys)
+
   /** Prefix completions from the maintained index's vocabulary
     * (occurrence-ranked, Solr-suggester parity with the corpus-scoped
     * suggester; a vocabulary-sized entries scan, no docs). */

@@ -211,6 +211,17 @@ object Changelog {
       root
     })
 
+  private def qGetMaintained(spark: SparkSession, dir: String): DataFrame =
+    // S12's fetch half over MAINTAINED state — the literal HBase Get:
+    // only the key's bucket dir is opened (StateStore.bucketDirsFor), and
+    // the pushed rowkey predicate prunes pages inside it via the
+    // clustered write order.
+    graft.streaming.IncrementalIndex
+      .get(spark, indexFixture(spark, dir), Seq("7"))
+      .select(col("rowkey"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("rowkey")
+
   private def qFacetMaintained(spark: SparkSession, dir: String): DataFrame =
     // S6 over MAINTAINED state: the field facet Solr serves from its
     // standing index, read from the file-backed state the changelog keeps
@@ -233,6 +244,7 @@ object Changelog {
     "q_interval_window" -> qIntervalWindow,
     "q_index_state" -> qIndexState,
     "q_facet_maintained" -> qFacetMaintained,
+    "q_get_maintained" -> qGetMaintained,
     "q_point_lookup" -> qPointLookup)
 
   private val indexStateSql =
@@ -294,6 +306,14 @@ object Changelog {
         |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_get_maintained" ->
+      """WITH ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS rowkey, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT rowkey, event_id, event_type, round(value, 2) AS value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error' AND rowkey = '7'
+        |ORDER BY rowkey""".stripMargin,
     "q_point_lookup" -> (indexStateSql.replace("FROM ranked WHERE rn = 1",
       "FROM ranked WHERE rowkey = '7' AND rn = 1") + "\nORDER BY rowkey"))
 }

@@ -152,6 +152,27 @@ object IncrementalIndex {
       .filter(col("op") =!= "delete")
   }
 
+  /** Point lookup (HBase `Get`/multi-Get — the fetch half of the
+    * reference's search-then-fetch topology) against the maintained
+    * state: opens ONLY the buckets the keys hash to
+    * ([[StateStore.bucketDirsFor]]), and inside each bucket the pushed
+    * rowkey predicate prunes parquet pages via the clustered write order.
+    * Per-call I/O is |touched buckets|, never the state. Tombstoned and
+    * absent keys return no row. */
+  def get(spark: SparkSession, statePath: String, rowkeys: Seq[String]): DataFrame = {
+    require(rowkeys.nonEmpty, "get needs at least one rowkey")
+    val wanted = StateStore.bucketDirsFor(spark, statePath, rowkeys.distinct)
+    // keys hashing only to absent buckets: schema-correct empty frame
+    // (read any one live dir for the schema, return no rows)
+    val (dirs, none) =
+      if (wanted.nonEmpty) (wanted, false)
+      else (StateStore.liveBuckets(spark, statePath).take(1), true)
+    val rows = spark.read.parquet(dirs.map(d => s"$statePath/$d"): _*)
+      .filter(col("op") =!= "delete")
+      .filter(col("rowkey").isin(rowkeys.distinct: _*))
+    if (none) rows.limit(0) else rows
+  }
+
   /** Wire a streaming changelog (schema: rowkey STRING, event_id LONG,
     * op STRING, …) into the merge sink. `firstDelaySeconds` mirrors the
     * reference's `first_delay` (application.properties:10, the timer's

@@ -282,23 +282,9 @@ object IncrementalPostings {
     docs.filter(col("op") =!= "delete")
   }
 
-  /** The live bucket dirs under `root` that `keys` hash into — the same
-    * CRC32-of-UTF-8 as the write-side bucket columns; a missing
-    * `_nbuckets` marker (pre-marker root) falls back to all live dirs. */
   private def bucketDirsFor(spark: SparkSession, root: String,
-                            keys: Seq[String]): Seq[String] = {
-    val live = StateStore.liveBuckets(spark, root)
-    StateStore.bucketCount(spark, root) match {
-      case Some(n) =>
-        val wanted = keys.map { k =>
-          val crc = new java.util.zip.CRC32()
-          crc.update(k.getBytes("UTF-8"))
-          s"b=${java.lang.Math.floorMod(crc.getValue, n.toLong)}"
-        }.toSet
-        live.filter(wanted.contains)
-      case None => live
-    }
-  }
+                            keys: Seq[String]): Seq[String] =
+    StateStore.bucketDirsFor(spark, root, keys)
 
   /** The entries rows for exactly `toks`, reading ONLY the buckets those
     * tokens hash to — per-query I/O is |touched buckets|, not the index.

@@ -194,6 +194,26 @@ object StateStore {
     }
   }
 
+  /** The live bucket dirs under `root` that `keys` hash into — the same
+    * CRC32-of-UTF-8 as the write-side bucket columns, so a key-addressed
+    * read (the HBase-Get shape) opens |touched buckets| dirs, never the
+    * state. A missing `_nbuckets` marker (pre-marker root) falls back to
+    * all live dirs. */
+  def bucketDirsFor(spark: SparkSession, root: String,
+                    keys: Seq[String]): Seq[String] = {
+    val live = liveBuckets(spark, root)
+    bucketCount(spark, root) match {
+      case Some(n) =>
+        val wanted = keys.map { k =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(k.getBytes("UTF-8"))
+          s"b=${java.lang.Math.floorMod(crc.getValue, n.toLong)}"
+        }.toSet
+        live.filter(wanted.contains)
+      case None => live
+    }
+  }
+
   /** Heal every bucket under a bucketed state root (promote interrupted
     * per-bucket swaps) and return the live bucket directory names.
     * `prefix` selects the partition naming scheme — `b=` for the

@@ -120,6 +120,37 @@ class IncrementalMergeSpec extends SparkSpec {
     assert(before(touched) !== after(touched), "touched bucket should be rewritten")
   }
 
+  test("get opens only the key's bucket dir and respects tombstones (the HBase Get)") {
+    val root = Files.createTempDirectory("graft_get").toString + "/state"
+    IncrementalIndex.mergeBatch(spark, changelog, root)
+    def bucketOf(key: String): String = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(key.getBytes("UTF-8"))
+      s"b=${java.lang.Math.floorMod(crc.getValue, IncrementalIndex.DefaultBuckets.toLong)}"
+    }
+    val full = stateMap(IncrementalIndex.readState(spark, root))
+    val someLive = full.keySet.take(2).toSeq
+    val got = IncrementalIndex.get(spark, root, someLive)
+    assert(stateMap(got) === full.view.filterKeys(someLive.contains).toMap)
+    // the Get's lineage opens ONLY the requested keys' bucket dirs
+    val wanted = someLive.map(bucketOf).toSet
+    val files = got.inputFiles
+    assert(files.nonEmpty)
+    for (f <- files)
+      assert(wanted.exists(b => f.contains(s"/$b/")),
+        s"get read a bucket outside the keys': $f")
+    // a tombstoned rowkey returns no row
+    val dead = stateMap(IncrementalIndex.compactAll(changelog)
+      .filter(col("op") === "delete").select("rowkey", "event_id", "payload"))
+      .keySet.headOption
+    for (d <- dead)
+      assert(IncrementalIndex.get(spark, root, Seq(d)).count() === 0L)
+    // absent keys: empty, schema intact
+    val none = IncrementalIndex.get(spark, root, Seq("no-such-key"))
+    assert(none.count() === 0L)
+    assert(none.columns.contains("rowkey"))
+  }
+
   test("a mismatched numBuckets is rejected instead of silently duplicating state") {
     val ev = changelog
     val base = Files.createTempDirectory("graft_incN").toString + "/state"
