@@ -63,6 +63,32 @@ class GraftApiSpec extends SparkSpec {
     assert(viaApi === pinned && viaApi.nonEmpty)
   }
 
+  test("maintained-state facade reads agree with their corpus-scoped twins") {
+    // one maintained root from the fixture corpus, then every maintained
+    // facade read checked against its corpus-scoped counterpart
+    import graft.streaming.IncrementalPostings
+    val root = java.nio.file.Files.createTempDirectory("graft_apiM").toString + "/p"
+    IncrementalPostings.mergeBatch(spark,
+      g.documents.select(col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"), col("text")), root)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.get(0).toString -> r.get(1)).toSeq
+    assert(pairs(g.bm25Maintained(root, Seq("merge", "sort"))) ===
+      pairs(g.bm25TopK(Seq("merge", "sort"), 20) // facade scores are unrounded
+        .select(col("doc_id").cast("string").as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))))
+    assert(pairs(g.tfidfMaintained(root, Seq("merge", "sort"))).nonEmpty)
+    assert(pairs(g.moreLikeThisMaintained(root, "0")).nonEmpty)
+    assert(g.searchMaintained(root, Seq("merge")).count() > 0)
+    // the events Get facade: same row the compaction lookup returns
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_apiG").toString + "/s"
+    graft.streaming.IncrementalIndex.mergeBatch(spark,
+      g.events.select(col("user_id").cast("string").as("rowkey"), col("event_id"),
+        when(col("event_type") === "error", "delete").otherwise("put").as("op"),
+        col("event_type")), idxRoot)
+    assert(g.getMaintained(idxRoot, Seq("7")).count() === g.lookup("7").count())
+  }
+
   test("phrase matches are a subset of the AND search and adjacency-strict") {
     val ph = g.phrase(Seq("merge", "sort")).select("doc_id")
       .collect().map(_.getLong(0)).toSet
