@@ -280,6 +280,13 @@ object Index {
     graft.streaming.IncrementalPostings
       .bm25Search(spark, maintainedFixture(spark, dir), Seq("merge", "sort"))
 
+  private def qSpellMaintained(spark: SparkSession, dir: String): DataFrame =
+    // Solr SpellCheckComponent over the MAINTAINED vocabulary —
+    // occurrence-ranked, identical semantics to the corpus-scoped
+    // q_spell_correct.
+    graft.streaming.IncrementalPostings
+      .spellCorrect(spark, maintainedFixture(spark, dir), "mirge")
+
   private def qTfidfMaintained(spark: SparkSession, dir: String): DataFrame =
     // TF-IDF over MAINTAINED state: answered from the bucket-pruned
     // entries plus the stats sidecar's doc count — no docs read at all.
@@ -298,6 +305,7 @@ object Index {
     "q_bm25_maintained" -> qBm25Maintained,
     "q_tfidf_maintained" -> qTfidfMaintained,
     "q_mlt_maintained" -> qMltMaintained,
+    "q_spell_maintained" -> qSpellMaintained,
     "q_inverted_search" -> qInvertedSearch,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_bm25_topk" -> qBm25Topk,
@@ -354,6 +362,11 @@ object Index {
         |  GROUP BY doc_id)
         |SELECT rk AS doc_id, score FROM scored
         |ORDER BY score DESC, rk LIMIT 20""".stripMargin,
+    "q_spell_maintained" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok HAVING levenshtein(tok, 'mirge') <= 1
+        |ORDER BY n DESC, tok LIMIT 5""".stripMargin,
     "q_mlt_maintained" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
