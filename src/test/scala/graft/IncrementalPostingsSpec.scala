@@ -163,6 +163,40 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(docs(crash) === Map("1" -> "alpha zeta", "3" -> "gamma beta"))
   }
 
+  test("replay heals a crash between the docs commit and the stats sidecar commit") {
+    // dstats commits LAST: a crash after docs promoted but before stats
+    // leaves the sidecar one batch behind. The checkpointed replay
+    // recomputes the touched buckets' stats from the (already-new) docs —
+    // pure function of bucket content, so the sidecar lands exactly where
+    // the uninterrupted merge landed.
+    val base = Files.createTempDirectory("graft_postSt").toString
+    val batch1 = Seq(
+      DocChange("1", 0, "put", "alpha beta gamma"),
+      DocChange("2", 1, "put", "delta epsilon"))
+    val batch2 = Seq(
+      DocChange("1", 2, "put", "alpha zeta eta theta iota"), // longer: dl changes
+      DocChange("3", 3, "delete", ""),
+      DocChange("4", 4, "put", "kappa lambda"))
+    val full = s"$base/full"
+    IncrementalPostings.mergeBatch(spark, batch1.toDF(), full)
+    val crash = s"$base/crash"
+    copyDir(full, crash)
+    IncrementalPostings.mergeBatch(spark, batch2.toDF(), full)
+    // crash state: batch2's entries AND docs promoted, dstats still old
+    for (sub <- Seq("entries", "docs")) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$crash/$sub"))
+      copyDir(s"$full/$sub", s"$crash/$sub")
+    }
+    def stats(root: String): (Long, Double) = {
+      val r = IncrementalPostings.docStats(spark, root).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(stats(crash) !== stats(full), "fixture degenerate: stats unchanged by batch2")
+    IncrementalPostings.mergeBatch(spark, batch2.toDF(), crash) // the replay
+    assert(stats(crash) === stats(full))
+    assert(stats(full)._1 === 3L) // docs 1, 2, 4 live
+  }
+
   test("replay converges from a partially-promoted entries commit") {
     // Within the entries commit itself, per-bucket swaps are sequential:
     // a crash mid-sequence leaves SOME entry buckets new and the rest old
