@@ -70,6 +70,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("char-5-gram near-dup pairs space-free CJK text; unrelated text not paired") {
+    val docs = Seq(
+      (1L, "我爱北京天安门广场"),    // 9 chars → 5 five-grams
+      (2L, "我爱北京天安门广场啊"),  // superset: shares all 5 → j = 5/6 = 0.8333
+      (3L, "完全不同的文本内容这里")) // disjoint
+      .toDF("doc_id", "t")
+    val got = graft.operators.Dedup.charNgramPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 0.8333)))
+    // under 5 chars: no grams, never paired
+    val short = Seq((1L, "我爱北京"), (2L, "我爱北京")).toDF("doc_id", "t")
+    assert(graft.operators.Dedup.charNgramPairs(short, 0.1).count() === 0L)
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs not paired") {
     val rows = SparkEntry.queries("q_dedup_simhash")(spark, dir).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("hamming")))
