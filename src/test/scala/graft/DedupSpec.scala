@@ -84,6 +84,31 @@ class DedupSpec extends SparkSpec {
     assert(graft.operators.Dedup.charNgramPairs(short, 0.1).count() === 0L)
   }
 
+  test("the sketch index has a maintained form: postings merge with charSketch converges to the batch build") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IncrementalPostings
+    val root = Files.createTempDirectory("graft_sketchM").toString + "/sketch"
+    def merge(changes: DocChange*): Unit =
+      IncrementalPostings.mergeBatch(spark, changes.toSeq.toDF(), root,
+        tokenize = graft.operators.Dedup.charSketch)
+    merge(
+      DocChange("1", 0, "put", "我爱北京天安门广场"),
+      DocChange("2", 1, "put", "我爱北京天安门广场啊"),
+      DocChange("3", 2, "put", "完全不同的文本内容这里"))
+    merge(
+      DocChange("2", 3, "put", "换了一段新的内容文字"), // update: old sketch grams leave
+      DocChange("3", 4, "delete", ""))
+    def idxMap(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      df.collect().map(r => r.getAs[String]("s") -> r.getSeq[Long](1).sorted).toMap
+    val maintained = idxMap(IncrementalPostings.postings(spark, root)
+      .select(col("tok").as("s"),
+        sort_array(org.apache.spark.sql.functions.transform(col("ids"), _.cast("long"))).as("ids")))
+    val want = idxMap(graft.operators.Dedup.charSketchIndex(Seq(
+      (1L, "我爱北京天安门广场"), (2L, "换了一段新的内容文字")).toDF("doc_id", "t")))
+    assert(maintained === want)
+    assert(want.nonEmpty)
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs not paired") {
     val rows = SparkEntry.queries("q_dedup_simhash")(spark, dir).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("hamming")))
