@@ -74,6 +74,32 @@ object IncrementalPostings {
   private def tokBucket(numBuckets: Int): Column =
     pmod(crc32(col("tok")), lit(numBuckets)).cast("int")
 
+  /** The live bucket dirs a DataFrame of keys hashes into — the frame
+    * twin of [[StateStore.bucketDirsFor]] for key sets that are DATA
+    * (too many to collect): only the distinct bucket ids (bounded by the
+    * bucket count) come to the driver. A missing `_nbuckets` marker
+    * (pre-marker root) falls back to all live dirs. */
+  private def bucketDirsForFrame(spark: SparkSession, root: String,
+                                 keys: DataFrame, key: String): Seq[String] = {
+    val live = StateStore.liveBuckets(spark, root)
+    StateStore.bucketCount(spark, root) match {
+      case Some(n) =>
+        val wanted = keys.select(pmod(crc32(col(key)), lit(n)).cast("int").as("b"))
+          .distinct().collect().map(r => s"b=${r.getInt(0)}").toSet
+        live.filter(wanted.contains)
+      case None => live
+    }
+  }
+
+  /** Per-doc-bucket stats rows (live doc count + total token length) for
+    * the dstats sidecar — a pure function of each bucket's docs content,
+    * which is what makes the sidecar idempotent under replay. */
+  private def bucketStats(docs: DataFrame, tokenize: Column => Column): DataFrame =
+    docs.groupBy("b").agg(
+      count(when(col("op") =!= "delete", lit(1))).as("n_docs"),
+      coalesce(sum(when(col("op") =!= "delete",
+        size(tokenize(col("text"))).cast("long"))), lit(0L)).as("dl_sum"))
+
   /** Whitespace tokenization by default; pass e.g. `Analyzer.cjk.tokens`
     * for space-free scripts. One row per (tok, doc) carrying the per-doc
     * term frequency — the Lucene-shaped posting entry, so ranked
@@ -157,10 +183,7 @@ object IncrementalPostings {
     // the checkpointed replay recomputes them from the (already-new) docs.
     val statsRoot = rootPath + "/dstats"
     StateStore.ensureBucketCount(spark, statsRoot, numBuckets)
-    val stats = mergedDocs.groupBy("b").agg(
-      count(when(col("op") =!= "delete", lit(1))).as("n_docs"),
-      coalesce(sum(when(col("op") =!= "delete",
-        size(tokenize(col("text"))).cast("long"))), lit(0L)).as("dl_sum"))
+    val stats = bucketStats(mergedDocs, tokenize)
 
     mergedDocs.count(); newEntries.count() // decouple from the input files
     try {
@@ -190,12 +213,9 @@ object IncrementalPostings {
       val missing = (StateStore.liveBuckets(spark, docsRoot).toSet --
         StateStore.liveBuckets(spark, statsRoot).toSet).toSeq.sorted
       if (missing.nonEmpty) {
-        val legacy = spark.read.parquet(missing.map(d => s"$docsRoot/$d"): _*)
-          .withColumn("b", docBucket(numBuckets))
-          .groupBy("b").agg(
-            count(when(col("op") =!= "delete", lit(1))).as("n_docs"),
-            coalesce(sum(when(col("op") =!= "delete",
-              size(tokenize(col("text"))).cast("long"))), lit(0L)).as("dl_sum"))
+        val legacy = bucketStats(
+          spark.read.parquet(missing.map(d => s"$docsRoot/$d"): _*)
+            .withColumn("b", docBucket(numBuckets)), tokenize)
         StateStore.commitBuckets(spark, statsRoot, missing) { tmp =>
           legacy.write.partitionBy("b").mode("overwrite").parquet(tmp)
         }
@@ -282,9 +302,6 @@ object IncrementalPostings {
     docs.filter(col("op") =!= "delete")
   }
 
-  private def bucketDirsFor(spark: SparkSession, root: String,
-                            keys: Seq[String]): Seq[String] =
-    StateStore.bucketDirsFor(spark, root, keys)
 
   /** The entries rows for exactly `toks`, reading ONLY the buckets those
     * tokens hash to — per-query I/O is |touched buckets|, not the index.
@@ -293,7 +310,7 @@ object IncrementalPostings {
   private[graft] def prunedEntries(spark: SparkSession, rootPath: String,
                                        toks: Seq[String]): DataFrame = {
     val entriesRoot = rootPath + "/entries"
-    val dirs = bucketDirsFor(spark, entriesRoot, toks)
+    val dirs = StateStore.bucketDirsFor(spark, entriesRoot, toks)
     val entries = withTf(
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
       else emptyDf(spark, entriesSchema).drop("b"))
@@ -312,14 +329,7 @@ object IncrementalPostings {
   private[graft] def prunedEntriesForTokens(spark: SparkSession, rootPath: String,
                                             toks: DataFrame): DataFrame = {
     val entriesRoot = rootPath + "/entries"
-    val live = StateStore.liveBuckets(spark, entriesRoot)
-    val dirs = StateStore.bucketCount(spark, entriesRoot) match {
-      case Some(n) =>
-        val wanted = toks.select(pmod(crc32(col("tok")), lit(n)).cast("int").as("b"))
-          .distinct().collect().map(r => s"b=${r.getInt(0)}").toSet
-        live.filter(wanted.contains)
-      case None => live
-    }
+    val dirs = bucketDirsForFrame(spark, entriesRoot, toks, "tok")
     val entries = withTf(
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
       else emptyDf(spark, entriesSchema).drop("b"))
@@ -334,14 +344,7 @@ object IncrementalPostings {
   private[graft] def prunedDocsForKeys(spark: SparkSession, rootPath: String,
                                        keys: DataFrame): DataFrame = {
     val docsRoot = rootPath + "/docs"
-    val live = StateStore.liveBuckets(spark, docsRoot)
-    val dirs = StateStore.bucketCount(spark, docsRoot) match {
-      case Some(n) =>
-        val wanted = keys.select(pmod(crc32(col("rowkey")), lit(n)).cast("int").as("b"))
-          .distinct().collect().map(r => s"b=${r.getInt(0)}").toSet
-        live.filter(wanted.contains)
-      case None => live
-    }
+    val dirs = bucketDirsForFrame(spark, docsRoot, keys, "rowkey")
     val docs =
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$docsRoot/$d"): _*)
       else emptyDf(spark, docsSchema)
@@ -356,7 +359,7 @@ object IncrementalPostings {
   private[graft] def prunedDocs(spark: SparkSession, rootPath: String,
                                     rowkeys: Seq[String]): DataFrame = {
     val docsRoot = rootPath + "/docs"
-    val dirs = bucketDirsFor(spark, docsRoot, rowkeys)
+    val dirs = StateStore.bucketDirsFor(spark, docsRoot, rowkeys)
     val docs =
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$docsRoot/$d"): _*)
       else emptyDf(spark, docsSchema)
@@ -413,13 +416,20 @@ object IncrementalPostings {
     * literals, one round at the end), so converged state ranks
     * identically — spec-pinned and oracle-checked (`q_bm25_maintained`).
     * `tokenize` must match the one the state was merged with. */
+  /** The query terms' posting rows with their per-term df joined in —
+    * (tok, doc_id, tf, df) from the bucket-pruned entries; the shared
+    * head of both ranked-retrieval reads. */
+  private def termHits(spark: SparkSession, rootPath: String,
+                       terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "ranked retrieval needs at least one term")
+    val ent = prunedEntries(spark, rootPath, terms.distinct)
+      .select("tok", "doc_id", "tf")
+    ent.join(broadcast(ent.groupBy("tok").agg(count(lit(1)).as("df"))), "tok")
+  }
+
   def bm25Search(spark: SparkSession, rootPath: String, terms: Seq[String],
                  k: Int = 20, tokenize: Column => Column = split(_, " ")): DataFrame = {
-    require(terms.nonEmpty, "bm25Search needs at least one term")
-    val uniq = terms.distinct
-    val ent = prunedEntries(spark, rootPath, uniq).select("tok", "doc_id", "tf")
-    val dfs = ent.groupBy("tok").agg(count(lit(1)).as("df"))
-    val hits = ent.join(broadcast(dfs), "tok")
+    val hits = termHits(spark, rootPath, terms)
     val stats = docStats(spark, rootPath)
     // the length fetch opens only the hit docs' own buckets: the hit KEYS
     // stay distributed, but their distinct bucket ids are collectable
@@ -448,11 +458,7 @@ object IncrementalPostings {
     * entries plus one metadata row. */
   def tfidfSearch(spark: SparkSession, rootPath: String, terms: Seq[String],
                   k: Int = 20): DataFrame = {
-    require(terms.nonEmpty, "tfidfSearch needs at least one term")
-    val uniq = terms.distinct
-    val ent = prunedEntries(spark, rootPath, uniq).select("tok", "doc_id", "tf")
-    val dfs = ent.groupBy("tok").agg(count(lit(1)).as("df"))
-    ent.join(broadcast(dfs), "tok")
+    termHits(spark, rootPath, terms)
       .crossJoin(broadcast(docStats(spark, rootPath).select("n_docs")))
       .groupBy("doc_id")
       .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 4).as("score"))
