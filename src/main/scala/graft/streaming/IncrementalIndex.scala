@@ -158,15 +158,19 @@ object IncrementalIndex {
     * ([[StateStore.bucketDirsFor]]), and inside each bucket the pushed
     * rowkey predicate prunes parquet pages via the clustered write order.
     * Per-call I/O is |touched buckets|, never the state. Tombstoned and
-    * absent keys return no row. */
+    * absent keys return no row; a root with no committed state at all
+    * fails with a clear error (its schema is payload-defined, so there is
+    * nothing to shape an empty result from). */
   def get(spark: SparkSession, statePath: String, rowkeys: Seq[String]): DataFrame = {
     require(rowkeys.nonEmpty, "get needs at least one rowkey")
+    val live = StateStore.liveBuckets(spark, statePath)
+    require(live.nonEmpty, s"no committed index state at $statePath")
     val wanted = StateStore.bucketDirsFor(spark, statePath, rowkeys.distinct)
     // keys hashing only to absent buckets: schema-correct empty frame
     // (read any one live dir for the schema, return no rows)
     val (dirs, none) =
       if (wanted.nonEmpty) (wanted, false)
-      else (StateStore.liveBuckets(spark, statePath).take(1), true)
+      else (live.take(1), true)
     val rows = spark.read.parquet(dirs.map(d => s"$statePath/$d"): _*)
       .filter(col("op") =!= "delete")
       .filter(col("rowkey").isin(rowkeys.distinct: _*))
