@@ -403,6 +403,17 @@ object IncrementalPostings {
       .select(col("n_docs"), (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
   }
 
+  /** The query terms' posting rows with their per-term df joined in —
+    * (tok, doc_id, tf, df) from the bucket-pruned entries; the shared
+    * head of both ranked-retrieval reads. */
+  private def termHits(spark: SparkSession, rootPath: String,
+                       terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "ranked retrieval needs at least one term")
+    val ent = prunedEntries(spark, rootPath, terms.distinct)
+      .select("tok", "doc_id", "tf")
+    ent.join(broadcast(ent.groupBy("tok").agg(count(lit(1)).as("df"))), "tok")
+  }
+
   /** BM25 ranked retrieval served ENTIRELY from the maintained state —
     * Solr's default similarity (BM25Similarity, k1=1.2, b=0.75, the
     * reference's actual ranking) over the incrementally-maintained index:
@@ -416,17 +427,6 @@ object IncrementalPostings {
     * literals, one round at the end), so converged state ranks
     * identically — spec-pinned and oracle-checked (`q_bm25_maintained`).
     * `tokenize` must match the one the state was merged with. */
-  /** The query terms' posting rows with their per-term df joined in —
-    * (tok, doc_id, tf, df) from the bucket-pruned entries; the shared
-    * head of both ranked-retrieval reads. */
-  private def termHits(spark: SparkSession, rootPath: String,
-                       terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "ranked retrieval needs at least one term")
-    val ent = prunedEntries(spark, rootPath, terms.distinct)
-      .select("tok", "doc_id", "tf")
-    ent.join(broadcast(ent.groupBy("tok").agg(count(lit(1)).as("df"))), "tok")
-  }
-
   def bm25Search(spark: SparkSession, rootPath: String, terms: Seq[String],
                  k: Int = 20, tokenize: Column => Column = split(_, " ")): DataFrame = {
     val hits = termHits(spark, rootPath, terms)
