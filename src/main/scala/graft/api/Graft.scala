@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.{GraftConfig, Tables}
 import graft.operators.{Analyzer, Changelog, Index, IvfIndex, TextAnalysis, Tokenizer, Vectors}
-import graft.streaming.{IncrementalIndex, IncrementalPostings, IncrementalShingles}
+import graft.streaming.{IncrementalIndex, IncrementalPostings, IncrementalShingles, IngestPipeline}
 
 /** The user-facing library surface — what a user of the reference system
   * (HBase rows + Solr secondary index, queried with full-text search,
@@ -198,6 +198,29 @@ class Graft(spark: SparkSession, dir: String,
   def dedupGate(rootPath: String, batch: DataFrame,
                 threshold: Double = 0.8): DataFrame =
     IncrementalShingles.dedupGate(spark, rootPath, batch, threshold)
+
+  /** The reference's ENTIRE write path as one stream: each micro-batch is
+    * admission-filtered by the dedup gate, then merged into the row-state
+    * index, the inverted index, and the shingle index under
+    * `pipelineRoot` — with the gate's verdicts committed to a durable
+    * admission log before any merge, so a crash replay applies the SAME
+    * decisions (see [[graft.streaming.IngestPipeline]]). Read the states
+    * with [[getMaintained]]/[[searchMaintained]]/[[nearDuplicatesOf]] at
+    * `IngestPipeline.stateRoot/postingsRoot/shingleRoot(pipelineRoot)`;
+    * audit what the gate dropped with [[admissionLog]]. */
+  def startIngestPipeline(changes: DataFrame, pipelineRoot: String,
+                          checkpoint: String,
+                          threshold: Double = 0.8): StreamingQuery =
+    IngestPipeline.start(changes, pipelineRoot, checkpoint, threshold,
+      intervalSeconds = cfg.commitIntervalSec,
+      firstDelaySeconds = cfg.firstDelaySec,
+      tokenize = tokenizer.tokens)
+
+  /** The pipeline's ingest provenance — every (rowkey, verdict, batch_id)
+    * the gate decided: `admitted`, `state_dup` (near-dup of stored
+    * content), or `batch_dup` (lost an intra-batch pairing). */
+  def admissionLog(pipelineRoot: String): DataFrame =
+    IngestPipeline.admissionLog(spark, pipelineRoot)
 
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the

@@ -286,27 +286,32 @@ object IncrementalShingles {
       .distinct()
   }
 
-  /** The ingestion-time admission filter — the dedup gate an LLM-data
-    * pipeline runs before letting a batch into the corpus. Decisions are
-    * per ROWKEY over the batch's LATEST event (the version the merge
-    * would keep — an early superseded version must not veto its own
-    * rewrite). Two passes:
+  /** The gate's per-rowkey verdicts — (rowkey, verdict) for every put
+    * rowkey in the batch, verdict ∈ {admitted, state_dup, batch_dup}.
+    * Decisions are per ROWKEY over the batch's LATEST event (the version
+    * the merge would keep — an early superseded version must not veto its
+    * own rewrite). Two passes:
     *
-    *   1. AGAINST THE MAINTAINED STATE: rowkeys whose latest text already
-    *      has a near-duplicate in the state (at `threshold`) are dropped
-    *      — via the bucket-pruned [[nearDuplicatesBatch]], so the
-    *      per-batch I/O is O(touched buckets), never the index;
-    *   2. WITHIN THE BATCH: two near-identical documents arriving in the
-    *      SAME micro-batch (invisible to pass 1 when both are novel) are
-    *      deduped against each other ([[intraBatchDrops]]): the novel
-    *      member of each pair is dropped (the larger-keyed one when both
-    *      are novel; updates to already-stored documents are never
-    *      sacrificed for a novel arrival), so the admitted set adds no
-    *      near-dup pair to the corpus.
+    *   1. AGAINST THE MAINTAINED STATE (`state_dup`): rowkeys whose
+    *      latest text already has a near-duplicate in the state (at
+    *      `threshold`) — via the bucket-pruned [[nearDuplicatesBatch]],
+    *      so the per-batch I/O is O(touched buckets), never the index;
+    *   2. WITHIN THE BATCH (`batch_dup`): two near-identical documents
+    *      arriving in the SAME micro-batch (invisible to pass 1 when both
+    *      are novel) are deduped against each other ([[intraBatchDrops]]):
+    *      the novel member of each pair is dropped (the larger-keyed one
+    *      when both are novel; updates to already-stored documents are
+    *      never sacrificed for a novel arrival), so the admitted set adds
+    *      no near-dup pair to the corpus.
     *
-    * Deletes always pass through unchanged, ready for the merge sinks. */
-  def dedupGate(spark: SparkSession, rootPath: String, batch: DataFrame,
-                threshold: Double = 0.8): DataFrame = {
+    * This is the gate's decision procedure split from its filter so the
+    * decisions themselves are a value — [[IngestPipeline]] commits them
+    * durably BEFORE any merge and replays them verbatim after a crash
+    * (the gate reads the very state its pipeline advances, so re-deciding
+    * against half-merged state could admit a different set; a logged
+    * decision cannot). */
+  def gateDecisions(spark: SparkSession, rootPath: String, batch: DataFrame,
+                    threshold: Double = 0.8): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
     // document granularity first: the latest event per rowkey is what the
     // merge would keep, so it alone decides admission for the rowkey
@@ -319,8 +324,8 @@ object IncrementalShingles {
         latest.select(col("rowkey").as("qid"), col("text")), threshold)
       .filter(col("qid") =!= col("rowkey"))
       .select(col("qid").as("rowkey")).distinct()
-    // checkpointed: state-pass survivors feed the existence probe, the
-    // intra-batch pair generation, and the final anti-join — one probe
+    // checkpointed: state-pass survivors feed the existence probe and the
+    // intra-batch pair generation — one probe
     val survivors = latest.join(dupIds, Seq("rowkey"), "left_anti").localCheckpoint()
     // which survivors are UPDATES of already-stored docs: a key-fetch
     // against only the batch keys' own doc buckets (metadata-bounded,
@@ -331,9 +336,32 @@ object IncrementalShingles {
     val flagged = survivors.join(existing, Seq("rowkey"), "left_outer")
       .select(col("rowkey"), col("text"), coalesce(col("exists"), lit(false)).as("exists"))
     val drops = intraBatchDrops(flagged, threshold, graft.operators.Dedup.DfCap)
-    val admitted = survivors.join(drops, Seq("rowkey"), "left_anti").select("rowkey")
+    latest.select("rowkey")
+      .join(dupIds.withColumn("state_dup", lit(true)), Seq("rowkey"), "left_outer")
+      .join(drops.withColumn("batch_dup", lit(true)), Seq("rowkey"), "left_outer")
+      .select(col("rowkey"),
+        when(col("state_dup"), lit("state_dup"))
+          .when(col("batch_dup"), lit("batch_dup"))
+          .otherwise(lit("admitted")).as("verdict"))
+  }
+
+  /** The ingestion-time admission filter — the dedup gate an LLM-data
+    * pipeline runs before letting a batch into the corpus: puts whose
+    * [[gateDecisions]] verdict is `admitted` pass (ALL events of an
+    * admitted rowkey — the merge's latest-wins picks the newest); deletes
+    * always pass through unchanged, ready for the merge sinks. */
+  def dedupGate(spark: SparkSession, rootPath: String, batch: DataFrame,
+                threshold: Double = 0.8): DataFrame =
+    gatedBatch(batch, gateDecisions(spark, rootPath, batch, threshold))
+
+  /** Apply a decisions frame (rowkey, verdict) to a batch: deletes plus
+    * the puts of admitted rowkeys — the filter half of [[dedupGate]],
+    * shared with [[IngestPipeline]]'s logged-decision replay. */
+  private[graft] def gatedBatch(batch: DataFrame, decisions: DataFrame): DataFrame = {
+    val admitted = decisions.filter(col("verdict") === "admitted").select("rowkey")
     batch.filter(col("op") === "delete")
-      .unionByName(puts.join(admitted, Seq("rowkey"), "left_semi"))
+      .unionByName(batch.filter(col("op") =!= "delete")
+        .join(admitted, Seq("rowkey"), "left_semi"))
   }
 
   /** Wire a streaming document changelog into the shingle-state merge —

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The reference's whole write path as ONE pipeline: a changelog
+  * micro-batch is admission-filtered by the dedup gate, then merged into
+  * every maintained state — the row-state index (the coprocessor's Solr
+  * table, HbaseSolrIndexCoprocesser.java:38-61), the inverted index, and
+  * the dedup family's shingle index — in a single `foreachBatch`. The
+  * reference runs exactly one flush path per mutation
+  * (SolrIndexTools.java:93-144); wiring the three maintenance streams
+  * separately would read the source three times and leave the gate to
+  * each caller.
+  *
+  * Crash contract — the part that needs a design, not just composition:
+  * the gate reads the very shingle state this pipeline advances, so a
+  * checkpoint replay that RE-DECIDED admission against half-merged state
+  * could admit a different set than the crashed attempt, stranding the
+  * first attempt's rows in whichever states it had already merged. The
+  * fix is the classic decide-once-durably move: the batch's per-rowkey
+  * verdicts ([[IncrementalShingles.gateDecisions]]) are committed to an
+  * ADMISSION LOG (`<root>/admissions/batch=<id>`, one atomic directory
+  * swap — [[StateStore.commit]]) BEFORE any merge, and a replay that
+  * finds the log entry reuses it verbatim. Every downstream merge is
+  * idempotent under a FIXED admitted set (event_id latest-wins, double
+  * anti-join), so any crash point replays to the logged decision — the
+  * pipeline is deterministic end-to-end.
+  *
+  * The log doubles as the pipeline's audit surface ([[admissionLog]]):
+  * which documents a training-data ingest dropped, when, and why
+  * (`state_dup` vs `batch_dup`) — the provenance record a 100 TB corpus
+  * build keeps next to the corpus. Per-batch log size is |batch rowkeys|
+  * (verdict rows), dwarfed by the batch itself; [[gcAdmissions]] applies
+  * the same replay-horizon retention as tombstone GC.
+  */
+object IngestPipeline {
+
+  /** State roots under one pipeline root — fixed layout so every read
+    * surface (get, search, probe) addresses the pipeline by one path. */
+  def stateRoot(pipelineRoot: String): String = s"$pipelineRoot/state"
+  def postingsRoot(pipelineRoot: String): String = s"$pipelineRoot/postings"
+  def shingleRoot(pipelineRoot: String): String = s"$pipelineRoot/shingles"
+  private def admissionsRoot(pipelineRoot: String): String = s"$pipelineRoot/admissions"
+  private def admissionDir(pipelineRoot: String, batchId: Long): String =
+    s"${admissionsRoot(pipelineRoot)}/batch=$batchId"
+
+  private val decisionSchema = StructType(Seq(
+    StructField("rowkey", StringType),
+    StructField("verdict", StringType),
+    StructField("batch_id", LongType)))
+
+  /** The batch's admission decisions, decided at most once: a logged
+    * batch id returns its committed verdicts untouched (replay); a new
+    * one runs the gate against the CURRENT shingle state and commits the
+    * verdicts atomically before returning. The returned frame always
+    * reads from the log — the decision a merge acts on is by construction
+    * the decision that survives a crash. */
+  private[graft] def decideAndLog(spark: SparkSession, batch: DataFrame,
+                                  pipelineRoot: String, batchId: Long,
+                                  threshold: Double): DataFrame = {
+    val dir = admissionDir(pipelineRoot, batchId)
+    if (!StateStore.nonEmpty(spark, dir)) {
+      val decisions = IncrementalShingles
+        .gateDecisions(spark, shingleRoot(pipelineRoot), batch, threshold)
+        .withColumn("batch_id", lit(batchId))
+      StateStore.commit(spark, dir)(tmp => decisions.write.parquet(tmp))
+    }
+    spark.read.schema(decisionSchema).parquet(dir)
+  }
+
+  /** Fold one changelog micro-batch (rowkey STRING, event_id LONG, op
+    * put|delete, text STRING) through the gate into all three maintained
+    * states. Safe to replay with the same `batchId`: the logged decisions
+    * are reused and every merge is idempotent. The shingle merge runs
+    * last — it is the state the NEXT batch's gate reads, and it triggers
+    * the session-artifact invalidation for registered scopes. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, pipelineRoot: String,
+                 batchId: Long, threshold: Double = 0.8,
+                 numBuckets: Int = IncrementalIndex.DefaultBuckets,
+                 tokenize: Column => Column = split(_, " ")): Unit = {
+    val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold)
+    // checkpointed: three merges read the gated batch; without it each
+    // would re-run the semi-join (and re-read the source batch)
+    val gated = IncrementalShingles.gatedBatch(batch, decisions).localCheckpoint()
+    IncrementalIndex.mergeBatch(spark, gated, stateRoot(pipelineRoot), numBuckets)
+    IncrementalPostings.mergeBatch(spark, gated, postingsRoot(pipelineRoot),
+      tokenize, numBuckets)
+    IncrementalShingles.mergeBatch(spark, gated, shingleRoot(pipelineRoot), numBuckets)
+  }
+
+  /** Every logged admission decision — (rowkey, verdict, batch_id), the
+    * ingest's provenance record. Schema-stable from the first batch on;
+    * empty (with schema) for a fresh root. */
+  def admissionLog(spark: SparkSession, pipelineRoot: String): DataFrame = {
+    val root = admissionsRoot(pipelineRoot)
+    val dirs = StateStore.liveBuckets(spark, root, prefix = "batch=")
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decisionSchema)
+    else spark.read.schema(decisionSchema).parquet(dirs.map(d => s"$root/$d"): _*)
+  }
+
+  /** Drop admission-log entries for batches the stream's checkpoint can no
+    * longer replay (`batchId < horizonBatchId`) — the same retention
+    * discipline as tombstone GC: a log entry must outlive every replay
+    * that could consult it, and no longer. */
+  def gcAdmissions(spark: SparkSession, pipelineRoot: String,
+                   horizonBatchId: Long): Unit = {
+    val root = admissionsRoot(pipelineRoot)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return
+    StateStore.liveBuckets(spark, root, prefix = "batch=")
+      .filter(_.stripPrefix("batch=").toLong < horizonBatchId)
+      .foreach(d => fs.delete(new Path(s"$root/$d"), true): Unit)
+  }
+
+  /** Wire a streaming changelog into the gated three-state pipeline —
+    * the reference's coprocessor-to-index loop as one streaming query,
+    * same knobs as the individual maintenance starts. */
+  def start(changes: DataFrame, pipelineRoot: String, checkpoint: String,
+            threshold: Double = 0.8, intervalSeconds: Int = 30,
+            firstDelaySeconds: Int = 0,
+            numBuckets: Int = IncrementalIndex.DefaultBuckets,
+            tokenize: Column => Column = split(_, " ")): StreamingQuery = {
+    val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
+    changes.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        gate()
+        applyBatch(batch.sparkSession, batch, pipelineRoot, id,
+          threshold, numBuckets, tokenize)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{IncrementalIndex, IncrementalPostings, IncrementalShingles, IngestPipeline}
+
+/** The gated three-state pipeline must (a) advance the row-state index,
+  * the inverted index, and the shingle index consistently under one gate,
+  * (b) record every admission verdict durably, and (c) replay to the SAME
+  * final states from any crash point — the logged decisions, not a fresh
+  * gate run, drive the replay. */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def applyB(root: String, id: Long, changes: Seq[DocChange]): Unit =
+    IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5)
+
+  private def liveKeys(root: String): Set[String] =
+    IncrementalIndex.readState(spark, IngestPipeline.stateRoot(root))
+      .collect().map(_.getAs[String]("rowkey")).toSet
+
+  private def logRows(root: String): Set[(String, String, Long)] =
+    IngestPipeline.admissionLog(spark, root)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  test("one gated batch advances all three states consistently; the log records every verdict") {
+    val root = Files.createTempDirectory("graft_pipe1").toString + "/pipe"
+    applyB(root, 0, Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "totally different words entirely here")))
+    // batch 1 exercises every verdict at once: a state dup, a novel doc,
+    // an intra-batch near-dup pair (smaller key survives), and a delete
+    applyB(root, 1, Seq(
+      DocChange("3", 10, "put", "alpha beta gamma delta zeta"),
+      DocChange("4", 11, "put", "unrelated fresh content nothing shared"),
+      DocChange("5", 12, "put", "red green blue yellow purple"),
+      DocChange("6", 13, "put", "red green blue yellow purple orange"),
+      DocChange("2", 14, "delete", "")))
+    // row state: admitted puts live, the delete applied, drops absent
+    assert(liveKeys(root) === Set("1", "4", "5"))
+    assert(IncrementalIndex.get(spark, IngestPipeline.stateRoot(root), Seq("4"))
+      .count() === 1L)
+    // inverted index: search-then-fetch sees only admitted docs
+    val hits = IncrementalPostings.termSearch(spark,
+        IngestPipeline.postingsRoot(root), Seq("unrelated", "fresh"))
+      .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(hits === Set("4"))
+    assert(IncrementalPostings.docsState(spark, IngestPipeline.postingsRoot(root))
+      .filter(col("rowkey") === "3").count() === 0L)
+    // shingle state: the dropped twin's text probes back to its survivor
+    val probe = IncrementalShingles.nearDuplicates(spark,
+        IngestPipeline.shingleRoot(root),
+        "red green blue yellow purple orange", 0.5)
+      .collect().map(_.getString(0)).toSet
+    assert(probe === Set("5"))
+    // the audit surface: one verdict per put rowkey per batch
+    assert(logRows(root) === Set(
+      ("1", "admitted", 0L), ("2", "admitted", 0L),
+      ("3", "state_dup", 1L), ("4", "admitted", 1L),
+      ("5", "admitted", 1L), ("6", "batch_dup", 1L)))
+  }
+
+  test("replay follows the LOGGED decisions even when a fresh gate would decide differently") {
+    val root = Files.createTempDirectory("graft_pipe2").toString + "/pipe"
+    applyB(root, 0, Seq(DocChange("a", 0, "put", "alpha beta gamma delta")))
+    // batch 1 deletes the stored doc AND puts its near-duplicate: decided
+    // against the pre-batch state, the put is a state_dup; decided against
+    // the post-merge state (a gone), it would be admitted
+    val batch1 = Seq(
+      DocChange("a", 10, "delete", ""),
+      DocChange("b", 11, "put", "alpha beta gamma delta zeta"))
+    applyB(root, 1, batch1)
+    assert(liveKeys(root) === Set.empty)
+    // the counterfactual is real: re-deciding over the moved state admits b
+    val fresh = IncrementalShingles.gateDecisions(spark,
+        IngestPipeline.shingleRoot(root), batch1.toDF(), 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fresh("b") === "admitted")
+    // ...but the checkpoint replay of batch 1 reuses the log: b stays out,
+    // no second decision row appears, and every state is unchanged
+    applyB(root, 1, batch1)
+    assert(liveKeys(root) === Set.empty)
+    assert(logRows(root) === Set(
+      ("a", "admitted", 0L), ("b", "state_dup", 1L)))
+    assert(IncrementalPostings.docsState(spark, IngestPipeline.postingsRoot(root))
+      .count() === 0L)
+  }
+
+  test("a crash between merges replays to the same final states as an uninterrupted run") {
+    val base = Files.createTempDirectory("graft_pipe3").toString
+    val crash = s"$base/crash"
+    val clean = s"$base/clean"
+    val b0 = Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "totally different words entirely here"))
+    val b1 = Seq(
+      DocChange("3", 10, "put", "alpha beta gamma delta zeta"),
+      DocChange("4", 11, "put", "novel unseen sentence with fresh tokens"))
+    applyB(clean, 0, b0); applyB(clean, 1, b1)
+    // crash run: batch 0 lands; batch 1 dies after the log + row-state
+    // merge, before the postings and shingle merges
+    applyB(crash, 0, b0)
+    val decisions = IngestPipeline.decideAndLog(spark, b1.toDF(), crash, 1, 0.5)
+    val gated = IncrementalShingles.gatedBatch(b1.toDF(), decisions).localCheckpoint()
+    IncrementalIndex.mergeBatch(spark, gated, IngestPipeline.stateRoot(crash))
+    // the replay re-runs the whole batch; every merge is idempotent under
+    // the logged admitted set
+    applyB(crash, 1, b1)
+    def stateRows(root: String): Set[String] =
+      IncrementalIndex.readState(spark, IngestPipeline.stateRoot(root))
+        .select("rowkey", "event_id", "op", "text")
+        .collect().map(_.toString).toSet
+    def postingRows(root: String): Set[String] =
+      IncrementalPostings.postings(spark, IngestPipeline.postingsRoot(root))
+        .select(col("tok"), col("ids").cast("string"), col("df"), col("n"))
+        .collect().map(_.toString).toSet
+    def shingleRows(root: String): Set[String] =
+      IncrementalShingles.shingleIndex(spark, IngestPipeline.shingleRoot(root),
+          graft.operators.Dedup.DfCap)
+        .select(col("s"), col("ids").cast("string"))
+        .collect().map(_.toString).toSet
+    assert(stateRows(crash) === stateRows(clean))
+    assert(postingRows(crash) === postingRows(clean))
+    assert(shingleRows(crash) === shingleRows(clean))
+    assert(logRows(crash) === logRows(clean))
+  }
+
+  test("admission-log GC drops only batches behind the replay horizon") {
+    val root = Files.createTempDirectory("graft_pipe4").toString + "/pipe"
+    applyB(root, 0, Seq(DocChange("1", 0, "put", "alpha beta gamma delta")))
+    applyB(root, 1, Seq(DocChange("2", 1, "put", "totally different words entirely here")))
+    IngestPipeline.gcAdmissions(spark, root, horizonBatchId = 1)
+    assert(logRows(root) === Set(("2", "admitted", 1L)))
+    // empty + missing roots are no-ops with schema-stable reads
+    IngestPipeline.gcAdmissions(spark, root, horizonBatchId = 99)
+    assert(IngestPipeline.admissionLog(spark, root).count() === 0L)
+    assert(IngestPipeline.admissionLog(spark, s"$root/never_written").count() === 0L)
+  }
+
+  test("facade: streamed ingest pipeline gates, merges, and serves every read surface") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[DocChange]
+    val base = Files.createTempDirectory("graft_pipeApi").toString
+    val pipe = s"$base/pipe"
+    val fast = api.Graft(spark, "/root/testdata/sf0.001",
+      GraftConfig.default.copy(commitIntervalSec = 1, firstDelaySec = 0))
+    val query = fast.startIngestPipeline(source.toDF(), pipe, s"$base/ckpt",
+      threshold = 0.5)
+    try {
+      source.addData(
+        DocChange("1", 0, "put", "alpha beta gamma delta"),
+        DocChange("2", 1, "put", "totally different words entirely here"))
+      query.processAllAvailable()
+      source.addData(
+        DocChange("3", 10, "put", "alpha beta gamma delta zeta"),
+        DocChange("2", 11, "delete", ""))
+      query.processAllAvailable()
+      assert(fast.getMaintained(IngestPipeline.stateRoot(pipe), Seq("1", "2", "3"))
+        .collect().map(_.getAs[String]("rowkey")).toSet === Set("1"))
+      assert(fast.searchMaintained(IngestPipeline.postingsRoot(pipe),
+          Seq("alpha", "beta"))
+        .select("rowkey").collect().map(_.getString(0)).toSet === Set("1"))
+      val verdicts = fast.admissionLog(pipe)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(verdicts === Set(("1", "admitted"), ("2", "admitted"),
+        ("3", "state_dup")))
+    } finally query.stop()
+  }
+}
