@@ -167,10 +167,13 @@ class Graft(spark: SparkSession, dir: String,
     * artifact kept current by the changelog instead of rebuilt per session;
     * same config knobs as [[startIndexMaintenance]]. */
   def startShingleMaintenance(changes: DataFrame, rootPath: String,
-                              checkpoint: String): StreamingQuery =
+                              checkpoint: String,
+                              scheme: IncrementalShingles.SketchScheme =
+                                IncrementalShingles.WordShingles): StreamingQuery =
     IncrementalShingles.start(changes, rootPath, checkpoint,
       intervalSeconds = cfg.commitIntervalSec,
-      firstDelaySeconds = cfg.firstDelaySec)
+      firstDelaySeconds = cfg.firstDelaySec,
+      scheme = scheme)
 
   /** Serve this corpus's dedup artifacts (shingle index, near-dup pairs)
     * from the maintained shingle state at `rootPath`; each merge into that
@@ -186,6 +189,13 @@ class Graft(spark: SparkSession, dir: String,
                        threshold: Double = 0.8): DataFrame =
     IncrementalShingles.nearDuplicates(spark, rootPath, text, threshold)
 
+  /** [[nearDuplicatesOf]] for SPACE-FREE (CJK) text against a maintained
+    * char-sketch state (merged with `scheme = CharSketch`) — the online
+    * dedup check in the reference's actual language context. */
+  def nearDuplicatesOfChar(rootPath: String, text: String,
+                           threshold: Double = 0.8): DataFrame =
+    IncrementalShingles.nearDuplicatesChar(spark, rootPath, text, threshold)
+
   /** Batch form of [[nearDuplicatesOf]]: `docs` is (qid STRING, text) —
     * one job probes the maintained state for the whole batch. */
   def nearDuplicatesOfBatch(rootPath: String, docs: DataFrame,
@@ -196,8 +206,10 @@ class Graft(spark: SparkSession, dir: String,
     * already near-duplicates the maintained state at `rootPath`; novel
     * puts and all deletes pass through, ready for the merge sinks. */
   def dedupGate(rootPath: String, batch: DataFrame,
-                threshold: Double = 0.8): DataFrame =
-    IncrementalShingles.dedupGate(spark, rootPath, batch, threshold)
+                threshold: Double = 0.8,
+                scheme: IncrementalShingles.SketchScheme =
+                  IncrementalShingles.WordShingles): DataFrame =
+    IncrementalShingles.dedupGate(spark, rootPath, batch, threshold, scheme)
 
   /** The reference's ENTIRE write path as one stream: each micro-batch is
     * admission-filtered by the dedup gate, then merged into the row-state
@@ -209,12 +221,14 @@ class Graft(spark: SparkSession, dir: String,
     * `IngestPipeline.stateRoot/postingsRoot/shingleRoot(pipelineRoot)`;
     * audit what the gate dropped with [[admissionLog]]. */
   def startIngestPipeline(changes: DataFrame, pipelineRoot: String,
-                          checkpoint: String,
-                          threshold: Double = 0.8): StreamingQuery =
+                          checkpoint: String, threshold: Double = 0.8,
+                          scheme: IncrementalShingles.SketchScheme =
+                            IncrementalShingles.WordShingles): StreamingQuery =
     IngestPipeline.start(changes, pipelineRoot, checkpoint, threshold,
       intervalSeconds = cfg.commitIntervalSec,
       firstDelaySeconds = cfg.firstDelaySec,
-      tokenize = tokenizer.tokens)
+      tokenize = tokenizer.tokens,
+      scheme = scheme)
 
   /** The pipeline's ingest provenance — every (rowkey, verdict, batch_id)
     * the gate decided: `admitted`, `state_dup` (near-dup of stored

@@ -61,6 +61,38 @@ object IncrementalShingles {
     else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
   }
 
+  /** A near-dup sketching scheme — the seam that makes the ONLINE dedup
+    * path (per-doc probe, batch probe, admission gate, ingest pipeline)
+    * script-generic: the column expression turning a text into its
+    * comparable token set, a driver-local twin for single-string probes
+    * (identical output, property-tested), and the family's
+    * document-frequency cap. The maintained state must be merged with
+    * the SAME scheme it is probed with ([[mergeBatch]]'s `scheme`). */
+  sealed trait SketchScheme {
+    def sketch: Column => Column
+    def sketchLocal(text: String): Seq[String]
+    def dfCap: Int
+  }
+
+  /** Word 3-gram shingles — whitespace-delimited text (the default
+    * family; [[shingleize]]). */
+  case object WordShingles extends SketchScheme {
+    val sketch: Column => Column = shingleize
+    def sketchLocal(text: String): Seq[String] = shingleizeLocal(text)
+    def dfCap: Int = graft.operators.Dedup.DfCap
+  }
+
+  /** Bottom-k md5 character-5-gram sketch — SPACE-FREE text, the
+    * reference's actual language context (/root/reference/README.md:5-6):
+    * word 3-grams do not exist without whitespace, so the online path
+    * runs over `Dedup.charSketch`'s fixed-footprint sketch instead. */
+  case object CharSketch extends SketchScheme {
+    val sketch: Column => Column = graft.operators.Dedup.charSketch
+    def sketchLocal(text: String): Seq[String] =
+      graft.operators.Dedup.charSketchLocal(text)
+    def dfCap: Int = graft.operators.Dedup.SketchDfCap
+  }
+
   /** corpus scope (session, data dir) → maintained shingle-state root. */
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
@@ -119,8 +151,9 @@ object IncrementalShingles {
     * concern: a corpus mutated through the pipeline cannot keep serving
     * pre-mutation dedup artifacts. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, rootPath: String,
-                 numBuckets: Int = IncrementalIndex.DefaultBuckets): Unit = {
-    IncrementalPostings.mergeBatch(spark, batch, rootPath, shingleize, numBuckets)
+                 numBuckets: Int = IncrementalIndex.DefaultBuckets,
+                 scheme: SketchScheme = WordShingles): Unit = {
+    IncrementalPostings.mergeBatch(spark, batch, rootPath, scheme.sketch, numBuckets)
     registry.forEach { (key, root) =>
       if (root == rootPath) invalidateScope(key._2)
     }
@@ -162,9 +195,26 @@ object IncrementalShingles {
     * ≥ `threshold`, best match first. */
   def nearDuplicates(spark: SparkSession, rootPath: String, text: String,
                      threshold: Double = 0.8,
-                     dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
-    val qsh = shingleizeLocal(text).distinct
-    if (qsh.isEmpty) // under 3 tokens: no shingles, no candidates — empty, not an error
+                     dfCap: Int = graft.operators.Dedup.DfCap): DataFrame =
+    nearDuplicatesWith(spark, rootPath, text, WordShingles, threshold, dfCap)
+
+  /** [[nearDuplicates]] over a SPACE-FREE (CJK) maintained sketch state —
+    * the online ingestion-time check for the reference's actual language:
+    * candidates from the query sketch's bucket-pruned posting entries,
+    * scored by the exact bottom-k sketch Jaccard recomputed from the
+    * fetched live texts (the same score universe as the batch family's
+    * `q_dedup_cjk` pairs). The state must have been merged with
+    * `scheme = CharSketch`. */
+  def nearDuplicatesChar(spark: SparkSession, rootPath: String, text: String,
+                         threshold: Double = 0.8,
+                         dfCap: Int = graft.operators.Dedup.SketchDfCap): DataFrame =
+    nearDuplicatesWith(spark, rootPath, text, CharSketch, threshold, dfCap)
+
+  private def nearDuplicatesWith(spark: SparkSession, rootPath: String,
+                                 text: String, scheme: SketchScheme,
+                                 threshold: Double, dfCap: Int): DataFrame = {
+    val qsh = scheme.sketchLocal(text).distinct
+    if (qsh.isEmpty) // too short to sketch: no candidates — empty, not an error
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
     // one pass over the pruned entries: per-shingle df and posting list
     // together, cap filter, then the union of surviving posting lists.
@@ -182,7 +232,7 @@ object IncrementalShingles {
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
     val qArr = typedlit(qsh)
     IncrementalPostings.prunedDocs(spark, rootPath, candIds)
-      .select(col("rowkey"), array_distinct(shingleize(col("text"))).as("bs"))
+      .select(col("rowkey"), array_distinct(scheme.sketch(col("text"))).as("bs"))
       .withColumn("c", size(array_intersect(col("bs"), qArr)).cast("long"))
       .withColumn("jaccard",
         round(col("c") / (size(col("bs")) + lit(qsh.length) - col("c")), 4))
@@ -210,12 +260,13 @@ object IncrementalShingles {
     * `threshold`. */
   def nearDuplicatesBatch(spark: SparkSession, rootPath: String, docs: DataFrame,
                           threshold: Double = 0.8,
-                          dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
+                          dfCap: Int = graft.operators.Dedup.DfCap,
+                          scheme: SketchScheme = WordShingles): DataFrame = {
     // checkpointed: the shingle set feeds the bucket-id collect, the
     // qid→candidate join, and (via cands) the fetch pruning — one
     // batch-sized materialization instead of three shingleize passes
     val qsh = docs.select(col("qid"),
-      explode(array_distinct(shingleize(col("text")))).as("tok")).localCheckpoint()
+      explode(array_distinct(scheme.sketch(col("text")))).as("tok")).localCheckpoint()
     val hit = IncrementalPostings.prunedEntriesForTokens(spark, rootPath,
         qsh.select("tok").distinct())
       .groupBy("tok")
@@ -228,12 +279,12 @@ object IncrementalShingles {
       .join(qsh, "tok")
       .select(col("qid"), col("rowkey")).distinct().localCheckpoint()
     val qArr = docs.select(col("qid"),
-      array_distinct(shingleize(col("text"))).as("qs"))
+      array_distinct(scheme.sketch(col("text"))).as("qs"))
     IncrementalPostings.prunedDocsForKeys(spark, rootPath, cands.select("rowkey"))
       .join(cands, "rowkey")
       .join(qArr, "qid")
       .select(col("qid"), col("rowkey"),
-        array_distinct(shingleize(col("text"))).as("bs"), col("qs"))
+        array_distinct(scheme.sketch(col("text"))).as("bs"), col("qs"))
       .withColumn("c", size(array_intersect(col("bs"), col("qs"))).cast("long"))
       .withColumn("jaccard",
         round(col("c") / (size(col("bs")) + size(col("qs")) - col("c")), 4))
@@ -261,9 +312,9 @@ object IncrementalShingles {
     * the same pairwise-near-dup-free invariant (near-dup is not
     * transitive). */
   private def intraBatchDrops(docs: DataFrame, threshold: Double,
-                              dfCap: Int): DataFrame = {
+                              dfCap: Int, scheme: SketchScheme): DataFrame = {
     val sh = docs.select(col("rowkey"),
-      explode(array_distinct(shingleize(col("text")))).as("s"))
+      explode(array_distinct(scheme.sketch(col("text")))).as("s"))
     val buckets = sh.groupBy("s")
       .agg(sort_array(collect_set(col("rowkey"))).as("ids"))
       .filter(size(col("ids")) <= dfCap)
@@ -311,7 +362,8 @@ object IncrementalShingles {
     * against half-merged state could admit a different set; a logged
     * decision cannot). */
   def gateDecisions(spark: SparkSession, rootPath: String, batch: DataFrame,
-                    threshold: Double = 0.8): DataFrame = {
+                    threshold: Double = 0.8,
+                    scheme: SketchScheme = WordShingles): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
     // document granularity first: the latest event per rowkey is what the
     // merge would keep, so it alone decides admission for the rowkey
@@ -321,7 +373,8 @@ object IncrementalShingles {
     // not a duplicate — qid = rowkey matches must not gate it out, or
     // every minor edit to an existing document would be silently lost
     val dupIds = nearDuplicatesBatch(spark, rootPath,
-        latest.select(col("rowkey").as("qid"), col("text")), threshold)
+        latest.select(col("rowkey").as("qid"), col("text")), threshold,
+        scheme.dfCap, scheme)
       .filter(col("qid") =!= col("rowkey"))
       .select(col("qid").as("rowkey")).distinct()
     // checkpointed: state-pass survivors feed the existence probe and the
@@ -335,7 +388,7 @@ object IncrementalShingles {
       .select(col("rowkey"), lit(true).as("exists"))
     val flagged = survivors.join(existing, Seq("rowkey"), "left_outer")
       .select(col("rowkey"), col("text"), coalesce(col("exists"), lit(false)).as("exists"))
-    val drops = intraBatchDrops(flagged, threshold, graft.operators.Dedup.DfCap)
+    val drops = intraBatchDrops(flagged, threshold, scheme.dfCap, scheme)
     latest.select("rowkey")
       .join(dupIds.withColumn("state_dup", lit(true)), Seq("rowkey"), "left_outer")
       .join(drops.withColumn("batch_dup", lit(true)), Seq("rowkey"), "left_outer")
@@ -351,8 +404,9 @@ object IncrementalShingles {
     * admitted rowkey — the merge's latest-wins picks the newest); deletes
     * always pass through unchanged, ready for the merge sinks. */
   def dedupGate(spark: SparkSession, rootPath: String, batch: DataFrame,
-                threshold: Double = 0.8): DataFrame =
-    gatedBatch(batch, gateDecisions(spark, rootPath, batch, threshold))
+                threshold: Double = 0.8,
+                scheme: SketchScheme = WordShingles): DataFrame =
+    gatedBatch(batch, gateDecisions(spark, rootPath, batch, threshold, scheme))
 
   /** Apply a decisions frame (rowkey, verdict) to a batch: deletes plus
     * the puts of admitted rowkeys — the filter half of [[dedupGate]],
@@ -368,7 +422,8 @@ object IncrementalShingles {
     * same knobs as [[IncrementalPostings.start]]. */
   def start(changes: DataFrame, rootPath: String, checkpoint: String,
             intervalSeconds: Int = 30, firstDelaySeconds: Int = 0,
-            numBuckets: Int = IncrementalIndex.DefaultBuckets): StreamingQuery = {
+            numBuckets: Int = IncrementalIndex.DefaultBuckets,
+            scheme: SketchScheme = WordShingles): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
@@ -376,7 +431,7 @@ object IncrementalShingles {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         gate()
-        mergeBatch(batch.sparkSession, batch, rootPath, numBuckets)
+        mergeBatch(batch.sparkSession, batch, rootPath, numBuckets, scheme)
       }
       .start()
   }

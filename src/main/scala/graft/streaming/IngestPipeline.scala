@@ -61,11 +61,12 @@ object IngestPipeline {
     * the decision that survives a crash. */
   private[graft] def decideAndLog(spark: SparkSession, batch: DataFrame,
                                   pipelineRoot: String, batchId: Long,
-                                  threshold: Double): DataFrame = {
+                                  threshold: Double,
+                                  scheme: IncrementalShingles.SketchScheme): DataFrame = {
     val dir = admissionDir(pipelineRoot, batchId)
     if (!StateStore.nonEmpty(spark, dir)) {
       val decisions = IncrementalShingles
-        .gateDecisions(spark, shingleRoot(pipelineRoot), batch, threshold)
+        .gateDecisions(spark, shingleRoot(pipelineRoot), batch, threshold, scheme)
         .withColumn("batch_id", lit(batchId))
       StateStore.commit(spark, dir)(tmp => decisions.write.parquet(tmp))
     }
@@ -81,15 +82,18 @@ object IngestPipeline {
   def applyBatch(spark: SparkSession, batch: DataFrame, pipelineRoot: String,
                  batchId: Long, threshold: Double = 0.8,
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
-                 tokenize: Column => Column = split(_, " ")): Unit = {
-    val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold)
+                 tokenize: Column => Column = split(_, " "),
+                 scheme: IncrementalShingles.SketchScheme =
+                   IncrementalShingles.WordShingles): Unit = {
+    val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold, scheme)
     // checkpointed: three merges read the gated batch; without it each
     // would re-run the semi-join (and re-read the source batch)
     val gated = IncrementalShingles.gatedBatch(batch, decisions).localCheckpoint()
     IncrementalIndex.mergeBatch(spark, gated, stateRoot(pipelineRoot), numBuckets)
     IncrementalPostings.mergeBatch(spark, gated, postingsRoot(pipelineRoot),
       tokenize, numBuckets)
-    IncrementalShingles.mergeBatch(spark, gated, shingleRoot(pipelineRoot), numBuckets)
+    IncrementalShingles.mergeBatch(spark, gated, shingleRoot(pipelineRoot),
+      numBuckets, scheme)
   }
 
   /** Every logged admission decision — (rowkey, verdict, batch_id), the
@@ -126,7 +130,9 @@ object IngestPipeline {
             threshold: Double = 0.8, intervalSeconds: Int = 30,
             firstDelaySeconds: Int = 0,
             numBuckets: Int = IncrementalIndex.DefaultBuckets,
-            tokenize: Column => Column = split(_, " ")): StreamingQuery = {
+            tokenize: Column => Column = split(_, " "),
+            scheme: IncrementalShingles.SketchScheme =
+              IncrementalShingles.WordShingles): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
@@ -135,7 +141,7 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         gate()
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
-          threshold, numBuckets, tokenize)
+          threshold, numBuckets, tokenize, scheme)
       }
       .start()
   }

@@ -301,6 +301,36 @@ class IncrementalShinglesSpec extends SparkSpec {
       .count() === 1L, "a self-near-dup update was swallowed by the gate")
   }
 
+  test("space-free (CJK) online path: probe and gate over a maintained char-sketch state") {
+    import IncrementalShingles.CharSketch
+    val root = Files.createTempDirectory("graft_shingC").toString + "/sketch"
+    def mergeC(changes: DocChange*): Unit =
+      IncrementalShingles.mergeBatch(spark, changes.toSeq.toDF(), root,
+        scheme = CharSketch)
+    mergeC(
+      DocChange("1", 0, "put", "我爱北京天安门广场上的人们每天清晨都会聚集"),
+      DocChange("2", 1, "put", "完全不同的文本内容这里没有任何重复的部分存在"))
+    // a near-identical arrival (one char appended) probes back to doc 1
+    // with the exact sketch Jaccard; the unrelated doc never surfaces
+    val probe = IncrementalShingles.nearDuplicatesChar(spark, root,
+        "我爱北京天安门广场上的人们每天清晨都会聚集啊", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(probe.keySet === Set("1"))
+    assert(probe("1") > 0.9) // 16 shared grams of 17
+    // too short to sketch: empty, not an error
+    assert(IncrementalShingles.nearDuplicatesChar(spark, root, "我爱北京").count() === 0L)
+    // the gate, scheme-generic: a state dup drops, a novel doc passes,
+    // and the larger-keyed twin of an intra-batch pair drops
+    val batch = Seq(
+      DocChange("n1", 10, "put", "我爱北京天安门广场上的人们每天清晨都会聚集了"),
+      DocChange("n2", 11, "put", "春江潮水连海平海上明月共潮生滟滟随波千万里"),
+      DocChange("n3", 12, "put", "春江潮水连海平海上明月共潮生滟滟随波千万里何"))
+    val admitted = IncrementalShingles.dedupGate(spark, root, batch.toDF(),
+        0.5, CharSketch)
+      .collect().map(_.getAs[String]("rowkey")).toSet
+    assert(admitted === Set("n2"))
+  }
+
   test("dedupGate dedups WITHIN the batch: state dups, intra-batch pairs, and a self-match update in one scenario") {
     val root = Files.createTempDirectory("graft_shingW").toString + "/shingles"
     merge(root, DocChange("1", 0, "put", "alpha beta gamma delta"))

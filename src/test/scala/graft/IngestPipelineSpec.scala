@@ -101,7 +101,8 @@ class IngestPipelineSpec extends SparkSpec {
     // crash run: batch 0 lands; batch 1 dies after the log + row-state
     // merge, before the postings and shingle merges
     applyB(crash, 0, b0)
-    val decisions = IngestPipeline.decideAndLog(spark, b1.toDF(), crash, 1, 0.5)
+    val decisions = IngestPipeline.decideAndLog(spark, b1.toDF(), crash, 1, 0.5,
+      IncrementalShingles.WordShingles)
     val gated = IncrementalShingles.gatedBatch(b1.toDF(), decisions).localCheckpoint()
     IncrementalIndex.mergeBatch(spark, gated, IngestPipeline.stateRoot(crash))
     // the replay re-runs the whole batch; every merge is idempotent under
@@ -136,6 +137,33 @@ class IngestPipelineSpec extends SparkSpec {
     IngestPipeline.gcAdmissions(spark, root, horizonBatchId = 99)
     assert(IngestPipeline.admissionLog(spark, root).count() === 0L)
     assert(IngestPipeline.admissionLog(spark, s"$root/never_written").count() === 0L)
+  }
+
+  test("the pipeline is scheme-generic: a space-free (CJK) corpus gates and merges end-to-end") {
+    val root = Files.createTempDirectory("graft_pipeC").toString + "/pipe"
+    def applyC(id: Long, changes: Seq[DocChange]): Unit =
+      IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5,
+        tokenize = graft.operators.Analyzer.Cjk.tokens,
+        scheme = IncrementalShingles.CharSketch)
+    applyC(0, Seq(
+      DocChange("1", 0, "put", "我爱北京天安门广场上的人们每天清晨都会聚集"),
+      DocChange("2", 1, "put", "完全不同的文本内容这里没有任何重复的部分存在")))
+    applyC(1, Seq(
+      DocChange("3", 10, "put", "我爱北京天安门广场上的人们每天清晨都会聚集啊")))
+    assert(liveKeys(root) === Set("1", "2"))
+    assert(logRows(root) === Set(
+      ("1", "admitted", 0L), ("2", "admitted", 0L), ("3", "state_dup", 1L)))
+    // the postings state analyzed through the CJK tokenizer: bigram search
+    // finds the admitted doc, and the dropped near-dup was never indexed
+    val hits = IncrementalPostings.termSearch(spark,
+        IngestPipeline.postingsRoot(root), Seq("我爱", "北京"))
+      .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(hits === Set("1"))
+    // the shingle state probes in sketch space
+    assert(IncrementalShingles.nearDuplicatesChar(spark,
+        IngestPipeline.shingleRoot(root),
+        "我爱北京天安门广场上的人们每天清晨都会聚集啊", 0.5)
+      .collect().map(_.getString(0)).toSet === Set("1"))
   }
 
   test("facade: streamed ingest pipeline gates, merges, and serves every read surface") {

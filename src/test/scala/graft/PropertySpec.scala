@@ -242,4 +242,26 @@ class PropertySpec extends SparkSpec {
       assert(viaColumn(i) === IncrementalShingles.shingleizeLocal(t),
         s"shingler drift on text '$t'")
   }
+
+  test("driver-local char sketch equals the column expression on random space-free text") {
+    // The CJK probe's driver-side twin of Dedup.charSketch: byte-identical
+    // output (same gram set, same md5 hex, same sort, same bottom-k), or
+    // probe and maintained sketch state would disagree. Lengths straddle
+    // the bottom-k cap (50 grams = 54 chars) and the 5-char minimum.
+    import graft.operators.Dedup
+    val hanGen = for {
+      n <- Gen.choose(0, 80)
+      cps <- Gen.listOfN(n, Gen.choose(0x4e00, 0x9fff))
+    } yield cps.map(_.toChar).mkString
+    val texts = ((1 to 60).map(i =>
+      hanGen.pureApply(Gen.Parameters.default, Seed(7000L + i)))
+      :+ "" :+ "abcd" :+ "abcde" :+ "我爱北京天安门广场")
+    val viaColumn = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"), Dedup.charSketch(col("text")).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(viaColumn(i) === Dedup.charSketchLocal(t),
+        s"char-sketch drift on text '$t'")
+  }
 }
