@@ -62,9 +62,11 @@ object IncrementalPostings {
 
   /** Adopt entries written before the tf column existed ((tok, doc_id)
     * rows): default tf to 1, so pre-upgrade state roots keep merging and
-    * reading — occurrence counts degrade to document counts for legacy
-    * rows until their buckets are naturally rewritten by later merges
-    * (each rewrite recomputes the bucket's rows with true tf). */
+    * reading. Occurrence counts degrade to document counts for legacy
+    * rows, and the default is PERSISTENT for a document until that
+    * document is itself re-put — a bucket rewrite carries untouched
+    * docs' rows through the anti-join unchanged (it never re-tokenizes
+    * them), so only a new put recomputes true tf. */
   private def withTf(entries: DataFrame): DataFrame =
     if (entries.columns.contains("tf")) entries
     else entries.withColumn("tf", lit(1L))
@@ -388,17 +390,19 @@ object IncrementalPostings {
     * bucket-count rows of metadata, no docs scan. avgdl is the exact
     * integer token-length sum over the exact live count, divided once in
     * double — the same arithmetic as the corpus-scoped BM25's `avg`. */
-  def docStats(spark: SparkSession, rootPath: String): DataFrame = {
+  def docStats(spark: SparkSession, rootPath: String,
+               tokenize: Column => Column = split(_, " ")): DataFrame = {
     val root = rootPath + "/dstats"
     val dirs = StateStore.liveBuckets(spark, root)
     val per =
       if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
       else
-        // pre-sidecar root: a one-time corpus-sized fallback aggregate
-        // (whitespace token lengths — one merge through the current code
-        // adopts the sidecar for the touched buckets and onward)
+        // pre-sidecar root: a one-time corpus-sized fallback aggregate,
+        // measured with the CALLER's tokenizer so dl and avgdl stay in
+        // the same units (one merge through the current code adopts the
+        // sidecar for the touched buckets and onward)
         docsState(spark, rootPath).select(lit(1L).as("n_docs"),
-          size(split(col("text"), " ")).cast("long").as("dl_sum"))
+          size(tokenize(col("text"))).cast("long").as("dl_sum"))
     per.agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
       .select(col("n_docs"), (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
   }
@@ -411,7 +415,11 @@ object IncrementalPostings {
     require(terms.nonEmpty, "ranked retrieval needs at least one term")
     val ent = prunedEntries(spark, rootPath, terms.distinct)
       .select("tok", "doc_id", "tf")
+    // checkpointed: the hit frame feeds the fetch's bucket-id collect AND
+    // the scoring join (bm25 additionally broadcasts it) — one read of
+    // the pruned entry buckets instead of one per consumer
     ent.join(broadcast(ent.groupBy("tok").agg(count(lit(1)).as("df"))), "tok")
+      .localCheckpoint()
   }
 
   /** BM25 ranked retrieval served ENTIRELY from the maintained state —
@@ -430,7 +438,7 @@ object IncrementalPostings {
   def bm25Search(spark: SparkSession, rootPath: String, terms: Seq[String],
                  k: Int = 20, tokenize: Column => Column = split(_, " ")): DataFrame = {
     val hits = termHits(spark, rootPath, terms)
-    val stats = docStats(spark, rootPath)
+    val stats = docStats(spark, rootPath, tokenize)
     // the length fetch opens only the hit docs' own buckets: the hit KEYS
     // stay distributed, but their distinct bucket ids are collectable
     // metadata (prunedDocsForKeys) — same O(touched buckets) discipline

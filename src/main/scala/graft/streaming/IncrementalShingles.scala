@@ -72,6 +72,10 @@ object IncrementalShingles {
     def sketch: Column => Column
     def sketchLocal(text: String): Seq[String]
     def dfCap: Int
+    /** Recorded in the state root's `_scheme` marker: a root merged with
+      * one scheme refuses merges — and probe reads fail loudly — under
+      * another (mixed token universes would quietly return garbage). */
+    def name: String
   }
 
   /** Word 3-gram shingles — whitespace-delimited text (the default
@@ -80,6 +84,7 @@ object IncrementalShingles {
     val sketch: Column => Column = shingleize
     def sketchLocal(text: String): Seq[String] = shingleizeLocal(text)
     def dfCap: Int = graft.operators.Dedup.DfCap
+    val name = "word3"
   }
 
   /** Bottom-k md5 character-5-gram sketch — SPACE-FREE text, the
@@ -91,7 +96,20 @@ object IncrementalShingles {
     def sketchLocal(text: String): Seq[String] =
       graft.operators.Dedup.charSketchLocal(text)
     def dfCap: Int = graft.operators.Dedup.SketchDfCap
+    val name = "char5md5"
   }
+
+  /** A probe/merge against a root whose `_scheme` marker disagrees with
+    * the presented scheme is a silent-garbage generator (word shingles
+    * never match md5 grams) — fail loudly instead. Roots written before
+    * the marker existed validate nothing and adopt on their next merge. */
+  private def requireScheme(spark: SparkSession, rootPath: String,
+                            scheme: SketchScheme): Unit =
+    StateStore.readTag(spark, rootPath, "_scheme").foreach { recorded =>
+      require(recorded == scheme.name,
+        s"shingle state at $rootPath was merged with scheme=$recorded; " +
+          s"refusing to read it as ${scheme.name}")
+    }
 
   /** corpus scope (session, data dir) → maintained shingle-state root. */
   private val registry =
@@ -153,6 +171,7 @@ object IncrementalShingles {
   def mergeBatch(spark: SparkSession, batch: DataFrame, rootPath: String,
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
                  scheme: SketchScheme = WordShingles): Unit = {
+    StateStore.ensureTag(spark, rootPath, "_scheme", scheme.name)
     IncrementalPostings.mergeBatch(spark, batch, rootPath, scheme.sketch, numBuckets)
     registry.forEach { (key, root) =>
       if (root == rootPath) invalidateScope(key._2)
@@ -213,6 +232,7 @@ object IncrementalShingles {
   private def nearDuplicatesWith(spark: SparkSession, rootPath: String,
                                  text: String, scheme: SketchScheme,
                                  threshold: Double, dfCap: Int): DataFrame = {
+    requireScheme(spark, rootPath, scheme)
     val qsh = scheme.sketchLocal(text).distinct
     if (qsh.isEmpty) // too short to sketch: no candidates — empty, not an error
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
@@ -262,6 +282,7 @@ object IncrementalShingles {
                           threshold: Double = 0.8,
                           dfCap: Int = graft.operators.Dedup.DfCap,
                           scheme: SketchScheme = WordShingles): DataFrame = {
+    requireScheme(spark, rootPath, scheme)
     // checkpointed: the shingle set feeds the bucket-id collect, the
     // qid→candidate join, and (via cands) the fetch pruning — one
     // batch-sized materialization instead of three shingleize passes

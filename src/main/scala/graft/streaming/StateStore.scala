@@ -176,6 +176,47 @@ object StateStore {
     }
   }
 
+  /** Pin an immutable string property of a state root in a marker file —
+    * the same discipline as the `_nbuckets` marker ([[ensureBucketCount]])
+    * for properties with no numeric cross-check: the first writer records
+    * `value`; every later writer must present the same value or fail
+    * loudly; a missing marker on an existing root is adopted (recorded on
+    * the next write). Written tmp-then-rename. */
+  def ensureTag(spark: SparkSession, rootPath: String, tag: String,
+                value: String): Unit = {
+    val marker = new Path(s"$rootPath/$tag")
+    val fs = fsOf(spark, marker)
+    readTag(spark, rootPath, tag) match {
+      case Some(recorded) =>
+        if (recorded != value)
+          throw new IOException(
+            s"state at $rootPath was written with $tag=$recorded; " +
+              s"refusing to proceed with $tag=$value")
+      case None =>
+        fs.mkdirs(new Path(rootPath))
+        val tmp = new Path(s"$rootPath/$tag.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, marker)) {
+          fs.delete(tmp, true)
+          // a concurrent/previous writer won the rename — re-validate
+          if (!readTag(spark, rootPath, tag).contains(value))
+            throw new IOException(s"cannot record $tag at $marker")
+        }
+    }
+  }
+
+  /** The recorded value of a [[ensureTag]] marker, if present. */
+  def readTag(spark: SparkSession, rootPath: String, tag: String): Option[String] = {
+    val marker = new Path(s"$rootPath/$tag")
+    val fs = fsOf(spark, marker)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
+    }
+  }
+
   /** The pinned bucket count of a state root, if one has been recorded. */
   def bucketCount(spark: SparkSession, rootPath: String): Option[Int] = {
     val marker = new Path(rootPath + "/_nbuckets")

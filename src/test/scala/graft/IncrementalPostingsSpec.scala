@@ -391,8 +391,11 @@ class IncrementalPostingsSpec extends SparkSpec {
     // MLT of a deleted seed is empty, not an error
     assert(IncrementalPostings.moreLikeThis(spark, root, "7").count() === 0L)
     // the entries read behind the ranking opened only the query terms'
-    // buckets (plus docs + the dstats sidecar)
-    val entryFiles = IncrementalPostings.bm25Search(spark, root, Seq("merge", "sort"))
+    // buckets — checked on the pruned-entries frame the (checkpointed)
+    // hit list is built from; the final ranking frame itself reads NO
+    // entries at all (they fed the checkpoint), only docs + dstats
+    val entryFiles = IncrementalPostings.prunedEntries(spark, root,
+        Seq("merge", "sort"))
       .inputFiles.filter(_.contains("/entries/"))
     def bucketOf(key: String): String = {
       val crc = new java.util.zip.CRC32()
@@ -404,6 +407,9 @@ class IncrementalPostingsSpec extends SparkSpec {
     for (f <- entryFiles)
       assert(wanted.exists(b => f.contains(s"/$b/")),
         s"bm25 read an entry bucket outside the query terms': $f")
+    assert(IncrementalPostings.bm25Search(spark, root, Seq("merge", "sort"))
+      .inputFiles.count(_.contains("/entries/")) === 0,
+      "bm25's final frame re-read the entries instead of the checkpointed hits")
     // ... and the length fetch opened only the HIT docs' buckets
     val hitDocs = fin
       .filter(array_contains(split(col("text"), " "), "merge") ||

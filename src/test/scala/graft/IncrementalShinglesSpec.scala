@@ -329,6 +329,16 @@ class IncrementalShinglesSpec extends SparkSpec {
         0.5, CharSketch)
       .collect().map(_.getAs[String]("rowkey")).toSet
     assert(admitted === Set("n2"))
+    // the root is pinned to its scheme: a word-shingle merge or probe
+    // against the char-sketch state fails loudly, never silently mixes
+    intercept[Exception] {
+      IncrementalShingles.mergeBatch(spark,
+        Seq(DocChange("x", 99, "put", "alpha beta gamma delta")).toDF(), root)
+    }
+    intercept[Exception] {
+      IncrementalShingles.nearDuplicates(spark, root, "alpha beta gamma delta")
+        .collect()
+    }
   }
 
   test("dedupGate dedups WITHIN the batch: state dups, intra-batch pairs, and a self-match update in one scenario") {

@@ -247,15 +247,22 @@ class PropertySpec extends SparkSpec {
     // The CJK probe's driver-side twin of Dedup.charSketch: byte-identical
     // output (same gram set, same md5 hex, same sort, same bottom-k), or
     // probe and maintained sketch state would disagree. Lengths straddle
-    // the bottom-k cap (50 grams = 54 chars) and the 5-char minimum.
+    // the bottom-k cap (50 grams = 54 chars) and the 5-char minimum, and
+    // the alphabet mixes BMP han with SUPPLEMENTARY (Extension-B)
+    // ideographs — two UTF-16 units each — to pin the code-point
+    // semantics both sides must share.
     import graft.operators.Dedup
     val hanGen = for {
       n <- Gen.choose(0, 80)
-      cps <- Gen.listOfN(n, Gen.choose(0x4e00, 0x9fff))
-    } yield cps.map(_.toChar).mkString
+      cps <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.choose(0x4e00, 0x9fff),
+        1 -> Gen.choose(0x20000, 0x2a6df)))
+    } yield cps.flatMap(Character.toChars(_)).mkString
     val texts = ((1 to 60).map(i =>
       hanGen.pureApply(Gen.Parameters.default, Seed(7000L + i)))
-      :+ "" :+ "abcd" :+ "abcde" :+ "我爱北京天安门广场")
+      :+ "" :+ "abcd" :+ "abcde" :+ "我爱北京天安门广场"
+      :+ new String(Array(0x20B9F, 0x20BB7, 0x4E00, 0x20BBF, 0x9FFF, 0x20C00)
+        .flatMap(Character.toChars(_))))
     val viaColumn = texts.zipWithIndex.map { case (t, i) => (i, t) }
       .toDF("i", "text")
       .select(col("i"), Dedup.charSketch(col("text")).as("sk"))
