@@ -230,9 +230,11 @@ class Graft(spark: SparkSession, dir: String,
       tokenize = tokenizer.tokens,
       scheme = scheme)
 
-  /** The pipeline's ingest provenance — every (rowkey, verdict, batch_id)
-    * the gate decided: `admitted`, `state_dup` (near-dup of stored
-    * content), or `batch_dup` (lost an intra-batch pairing). */
+  /** The pipeline's ingest provenance — every (rowkey, verdict, dup_of,
+    * batch_id) the gate decided: `admitted`, `state_dup` (near-dup of
+    * stored content; `dup_of` = the best-matching stored rowkey), or
+    * `batch_dup` (lost an intra-batch pairing; `dup_of` = the surviving
+    * partner). */
   def admissionLog(pipelineRoot: String): DataFrame =
     IngestPipeline.admissionLog(spark, pipelineRoot)
 

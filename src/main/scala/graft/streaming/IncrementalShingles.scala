@@ -352,14 +352,22 @@ object IncrementalShingles {
       .join(ex.select(col("rowkey").as("da"), col("exists").as("ea")), "da")
       .join(ex.select(col("rowkey").as("db"), col("exists").as("eb")), "db")
     // pairs are ordered da < db (sorted bucket arrays): drop db unless it
-    // is an update; drop da when it is novel and db is the update
-    pairs.filter(!col("eb")).select(col("db").as("rowkey"))
-      .unionByName(pairs.filter(!col("ea") && col("eb")).select(col("da").as("rowkey")))
-      .distinct()
+    // is an update; drop da when it is novel and db is the update. Each
+    // dropped key carries the partner it lost to (smallest partner when
+    // several) — the audit trail's `dup_of`.
+    pairs.filter(!col("eb")).select(col("db").as("rowkey"), col("da").as("dup_of"))
+      .unionByName(pairs.filter(!col("ea") && col("eb"))
+        .select(col("da").as("rowkey"), col("db").as("dup_of")))
+      .groupBy("rowkey").agg(min(col("dup_of")).as("dup_of"))
   }
 
-  /** The gate's per-rowkey verdicts — (rowkey, verdict) for every put
-    * rowkey in the batch, verdict ∈ {admitted, state_dup, batch_dup}.
+  /** The gate's per-rowkey verdicts — (rowkey, verdict, dup_of) for every
+    * put rowkey in the batch, verdict ∈ {admitted, state_dup, batch_dup};
+    * `dup_of` names what the drop lost to (the best-matching stored
+    * rowkey for a state_dup — highest Jaccard, smallest key on ties —
+    * or the surviving intra-batch partner for a batch_dup; null for
+    * admitted), so the audit log answers "against WHAT" and not just
+    * "why".
     * Decisions are per ROWKEY over the batch's LATEST event (the version
     * the merge would keep — an early superseded version must not veto its
     * own rewrite). Two passes:
@@ -393,14 +401,19 @@ object IncrementalShingles {
     // a put whose only near-dup is its OWN stored version is an UPDATE,
     // not a duplicate — qid = rowkey matches must not gate it out, or
     // every minor edit to an existing document would be silently lost
-    val dupIds = nearDuplicatesBatch(spark, rootPath,
+    // min_by over (-jaccard, rowkey) is deterministic: the logged dup_of
+    // must not depend on aggregation order (the crash-replay spec
+    // compares two independently computed decision sets)
+    val dupBest = nearDuplicatesBatch(spark, rootPath,
         latest.select(col("rowkey").as("qid"), col("text")), threshold,
         scheme.dfCap, scheme)
       .filter(col("qid") =!= col("rowkey"))
-      .select(col("qid").as("rowkey")).distinct()
+      .groupBy("qid")
+      .agg(min_by(col("rowkey"), struct(-col("jaccard"), col("rowkey"))).as("dup_of"))
+      .select(col("qid").as("rowkey"), col("dup_of"))
     // checkpointed: state-pass survivors feed the existence probe and the
     // intra-batch pair generation — one probe
-    val survivors = latest.join(dupIds, Seq("rowkey"), "left_anti").localCheckpoint()
+    val survivors = latest.join(dupBest, Seq("rowkey"), "left_anti").localCheckpoint()
     // which survivors are UPDATES of already-stored docs: a key-fetch
     // against only the batch keys' own doc buckets (metadata-bounded,
     // same shape as the probe's fetch)
@@ -411,12 +424,17 @@ object IncrementalShingles {
       .select(col("rowkey"), col("text"), coalesce(col("exists"), lit(false)).as("exists"))
     val drops = intraBatchDrops(flagged, threshold, scheme.dfCap, scheme)
     latest.select("rowkey")
-      .join(dupIds.withColumn("state_dup", lit(true)), Seq("rowkey"), "left_outer")
-      .join(drops.withColumn("batch_dup", lit(true)), Seq("rowkey"), "left_outer")
+      .join(dupBest.withColumnRenamed("dup_of", "s_dup_of")
+        .withColumn("state_dup", lit(true)), Seq("rowkey"), "left_outer")
+      .join(drops.withColumnRenamed("dup_of", "b_dup_of")
+        .withColumn("batch_dup", lit(true)), Seq("rowkey"), "left_outer")
       .select(col("rowkey"),
         when(col("state_dup"), lit("state_dup"))
           .when(col("batch_dup"), lit("batch_dup"))
-          .otherwise(lit("admitted")).as("verdict"))
+          .otherwise(lit("admitted")).as("verdict"),
+        when(col("state_dup"), col("s_dup_of"))
+          .when(col("batch_dup"), col("b_dup_of"))
+          .otherwise(lit(null).cast("string")).as("dup_of"))
   }
 
   /** The ingestion-time admission filter — the dedup gate an LLM-data

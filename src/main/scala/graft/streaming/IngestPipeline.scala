@@ -51,6 +51,7 @@ object IngestPipeline {
   private val decisionSchema = StructType(Seq(
     StructField("rowkey", StringType),
     StructField("verdict", StringType),
+    StructField("dup_of", StringType),
     StructField("batch_id", LongType)))
 
   /** The batch's admission decisions, decided at most once: a logged
@@ -96,9 +97,10 @@ object IngestPipeline {
       numBuckets, scheme)
   }
 
-  /** Every logged admission decision — (rowkey, verdict, batch_id), the
-    * ingest's provenance record. Schema-stable from the first batch on;
-    * empty (with schema) for a fresh root. */
+  /** Every logged admission decision — (rowkey, verdict, dup_of,
+    * batch_id), the ingest's provenance record: what arrived, what was
+    * dropped, and what each drop lost to. Schema-stable from the first
+    * batch on; empty (with schema) for a fresh root. */
   def admissionLog(spark: SparkSession, pipelineRoot: String): DataFrame = {
     val root = admissionsRoot(pipelineRoot)
     val dirs = StateStore.liveBuckets(spark, root, prefix = "batch=")

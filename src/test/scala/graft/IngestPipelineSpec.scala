@@ -20,9 +20,11 @@ class IngestPipelineSpec extends SparkSpec {
     IncrementalIndex.readState(spark, IngestPipeline.stateRoot(root))
       .collect().map(_.getAs[String]("rowkey")).toSet
 
-  private def logRows(root: String): Set[(String, String, Long)] =
+  private def logRows(root: String): Set[(String, String, String, Long)] =
     IngestPipeline.admissionLog(spark, root)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
 
   test("one gated batch advances all three states consistently; the log records every verdict") {
     val root = Files.createTempDirectory("graft_pipe1").toString + "/pipe"
@@ -56,9 +58,9 @@ class IngestPipelineSpec extends SparkSpec {
     assert(probe === Set("5"))
     // the audit surface: one verdict per put rowkey per batch
     assert(logRows(root) === Set(
-      ("1", "admitted", 0L), ("2", "admitted", 0L),
-      ("3", "state_dup", 1L), ("4", "admitted", 1L),
-      ("5", "admitted", 1L), ("6", "batch_dup", 1L)))
+      ("1", "admitted", null, 0L), ("2", "admitted", null, 0L),
+      ("3", "state_dup", "1", 1L), ("4", "admitted", null, 1L),
+      ("5", "admitted", null, 1L), ("6", "batch_dup", "5", 1L)))
   }
 
   test("replay follows the LOGGED decisions even when a fresh gate would decide differently") {
@@ -82,7 +84,7 @@ class IngestPipelineSpec extends SparkSpec {
     applyB(root, 1, batch1)
     assert(liveKeys(root) === Set.empty)
     assert(logRows(root) === Set(
-      ("a", "admitted", 0L), ("b", "state_dup", 1L)))
+      ("a", "admitted", null, 0L), ("b", "state_dup", "a", 1L)))
     assert(IncrementalPostings.docsState(spark, IngestPipeline.postingsRoot(root))
       .count() === 0L)
   }
@@ -132,7 +134,7 @@ class IngestPipelineSpec extends SparkSpec {
     applyB(root, 0, Seq(DocChange("1", 0, "put", "alpha beta gamma delta")))
     applyB(root, 1, Seq(DocChange("2", 1, "put", "totally different words entirely here")))
     IngestPipeline.gcAdmissions(spark, root, horizonBatchId = 1)
-    assert(logRows(root) === Set(("2", "admitted", 1L)))
+    assert(logRows(root) === Set(("2", "admitted", null, 1L)))
     // empty + missing roots are no-ops with schema-stable reads
     IngestPipeline.gcAdmissions(spark, root, horizonBatchId = 99)
     assert(IngestPipeline.admissionLog(spark, root).count() === 0L)
@@ -152,7 +154,8 @@ class IngestPipelineSpec extends SparkSpec {
       DocChange("3", 10, "put", "我爱北京天安门广场上的人们每天清晨都会聚集啊")))
     assert(liveKeys(root) === Set("1", "2"))
     assert(logRows(root) === Set(
-      ("1", "admitted", 0L), ("2", "admitted", 0L), ("3", "state_dup", 1L)))
+      ("1", "admitted", null, 0L), ("2", "admitted", null, 0L),
+      ("3", "state_dup", "1", 1L)))
     // the postings state analyzed through the CJK tokenizer: bigram search
     // finds the admitted doc, and the dropped near-dup was never indexed
     val hits = IncrementalPostings.termSearch(spark,

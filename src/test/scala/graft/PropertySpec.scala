@@ -144,19 +144,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("dedupGate semantics hold over random corpora and batches (independent driver-side model)") {
-    // The gate's full rule, recomputed independently with plain Scala
-    // sets: per-rowkey latest-event decisions, exact-Jaccard state dedup
-    // with the self-exemption, intra-batch pairs dropping the novel
-    // member (larger-keyed when both novel, neither when both updates),
-    // deletes passing through. Small vocab → frequent collisions.
+  /** The gate's full rule, recomputed independently with plain Scala
+    * sets: per-rowkey latest-event decisions, exact-Jaccard state dedup
+    * with the self-exemption, intra-batch pairs dropping the novel
+    * member (larger-keyed when both novel, neither when both updates),
+    * deletes passing through — parameterized by the sketch scheme, so
+    * the SAME independent model checks the word and the space-free
+    * families (the model compares sets from `scheme.sketchLocal`, whose
+    * parity with the column expression is pinned separately). */
+  private def gateAgreesWithModel(scheme: graft.streaming.IncrementalShingles.SketchScheme,
+                                  docGen: Gen[String], seedBase: Long): Unit = {
     import graft.streaming.IncrementalShingles
-    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
-    val docGen = for {
-      n <- Gen.choose(2, 7)
-      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
-    } yield ws.mkString(" ")
-    def shingles(t: String): Set[String] = IncrementalShingles.shingleizeLocal(t).toSet
+    def shingles(t: String): Set[String] = scheme.sketchLocal(t).toSet
     def jac(a: String, b: String): Double = {
       val (sa, sb) = (shingles(a), shingles(b))
       val inter = (sa & sb).size
@@ -167,12 +166,13 @@ class PropertySpec extends SparkSpec {
     val thr = 0.5
     for (seed <- 1 to 3) {
       val texts = Gen.listOfN(14, docGen)
-        .pureApply(Gen.Parameters.default, Seed(100L + seed))
+        .pureApply(Gen.Parameters.default, Seed(seedBase + seed))
       val stateTexts = texts.take(8).zipWithIndex.map { case (t, i) => i.toString -> t }
       val root = java.nio.file.Files
-        .createTempDirectory(s"graft_gateP$seed").toString + "/sh"
+        .createTempDirectory(s"graft_gateP${scheme.name}$seed").toString + "/sh"
       IncrementalShingles.mergeBatch(spark,
-        stateTexts.map { case (id, t) => DocChange(id, id.toLong, "put", t) }.toDF(), root)
+        stateTexts.map { case (id, t) => DocChange(id, id.toLong, "put", t) }.toDF(),
+        root, scheme = scheme)
       // batch: novel ids, updates of existing ids (one with two events),
       // and a delete
       val bt = texts.drop(8)
@@ -184,7 +184,7 @@ class PropertySpec extends SparkSpec {
         DocChange("5", 24, "put", bt(4)),   // update, superseded below
         DocChange("5", 25, "put", bt(5)),   // update rewrite (latest wins)
         DocChange("7", 26, "delete", ""))
-      val got = IncrementalShingles.dedupGate(spark, root, batch.toDF(), thr)
+      val got = IncrementalShingles.dedupGate(spark, root, batch.toDF(), thr, scheme)
         .collect().map(r => (r.getAs[String]("rowkey"), r.getAs[String]("op"))).toSet
 
       // ---- independent model ----
@@ -217,6 +217,28 @@ class PropertySpec extends SparkSpec {
         assert(jac(latest(a), latest(b)) < thr,
           s"seed $seed: admitted near-dup pair ($a,$b)")
     }
+  }
+
+  test("dedupGate semantics hold over random corpora and batches (independent driver-side model)") {
+    // Small vocab → frequent collisions.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = for {
+      n <- Gen.choose(2, 7)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    gateAgreesWithModel(graft.streaming.IncrementalShingles.WordShingles, docGen, 100L)
+  }
+
+  test("dedupGate semantics hold for the space-free scheme (same model in sketch space)") {
+    // Random han strings over a SIX-character alphabet, 8–25 chars:
+    // shared 5-grams are frequent, so state dups and intra-batch pairs
+    // both occur — the same independent model, in char-sketch space.
+    val alphabet = "天地玄黄宇宙".toVector
+    val docGen = for {
+      n <- Gen.choose(8, 25)
+      cs <- Gen.listOfN(n, Gen.oneOf(alphabet))
+    } yield cs.mkString
+    gateAgreesWithModel(graft.streaming.IncrementalShingles.CharSketch, docGen, 400L)
   }
 
   test("driver-local shingler equals the column expression on random (and degenerate) text") {
