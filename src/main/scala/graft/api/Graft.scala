@@ -223,12 +223,14 @@ class Graft(spark: SparkSession, dir: String,
   def startIngestPipeline(changes: DataFrame, pipelineRoot: String,
                           checkpoint: String, threshold: Double = 0.8,
                           scheme: IncrementalShingles.SketchScheme =
-                            IncrementalShingles.WordShingles): StreamingQuery =
+                            IncrementalShingles.WordShingles,
+                          admitIf: Option[Column] = None): StreamingQuery =
     IngestPipeline.start(changes, pipelineRoot, checkpoint, threshold,
       intervalSeconds = cfg.commitIntervalSec,
       firstDelaySeconds = cfg.firstDelaySec,
       tokenize = tokenizer.tokens,
-      scheme = scheme)
+      scheme = scheme,
+      admitIf = admitIf)
 
   /** The pipeline's ingest provenance — every (rowkey, verdict, dup_of,
     * batch_id) the gate decided: `admitted`, `state_dup` (near-dup of

@@ -31,9 +31,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * pipeline is deterministic end-to-end.
   *
   * The log doubles as the pipeline's audit surface ([[admissionLog]]):
-  * which documents a training-data ingest dropped, when, and why
-  * (`state_dup` vs `batch_dup`) — the provenance record a 100 TB corpus
-  * build keeps next to the corpus. Per-batch log size is |batch rowkeys|
+  * which documents a training-data ingest dropped, when, why
+  * (`quality_reject` vs `state_dup` vs `batch_dup`), and against what
+  * (`dup_of`) — the provenance record a 100 TB corpus build keeps next
+  * to the corpus. Per-batch log size is |batch rowkeys|
   * (verdict rows), dwarfed by the batch itself; [[gcAdmissions]] applies
   * the same replay-horizon retention as tombstone GC.
   */
@@ -56,20 +57,48 @@ object IngestPipeline {
 
   /** The batch's admission decisions, decided at most once: a logged
     * batch id returns its committed verdicts untouched (replay); a new
-    * one runs the gate against the CURRENT shingle state and commits the
-    * verdicts atomically before returning. The returned frame always
-    * reads from the log — the decision a merge acts on is by construction
-    * the decision that survives a crash. */
+    * one decides — quality first, then the dedup gate against the
+    * CURRENT shingle state — and commits the verdicts atomically before
+    * returning. The returned frame always reads from the log — the
+    * decision a merge acts on is by construction the decision that
+    * survives a crash.
+    *
+    * `admitIf` is the QUALITY gate: a boolean expression over the
+    * batch's columns (length floors, stopword ratios — the
+    * `TextAnalysis` quality family as a predicate), evaluated on each
+    * rowkey's LATEST put (same granularity as the dedup gate). Rejects
+    * get verdict `quality_reject` and never reach the dedup probe — the
+    * cheap pure-function filter runs before the stateful one. */
   private[graft] def decideAndLog(spark: SparkSession, batch: DataFrame,
                                   pipelineRoot: String, batchId: Long,
                                   threshold: Double,
-                                  scheme: IncrementalShingles.SketchScheme): DataFrame = {
+                                  scheme: IncrementalShingles.SketchScheme,
+                                  admitIf: Option[Column]): DataFrame = {
     val dir = admissionDir(pipelineRoot, batchId)
     if (!StateStore.nonEmpty(spark, dir)) {
-      val decisions = IncrementalShingles
-        .gateDecisions(spark, shingleRoot(pipelineRoot), batch, threshold, scheme)
-        .withColumn("batch_id", lit(batchId))
-      StateStore.commit(spark, dir)(tmp => decisions.write.parquet(tmp))
+      val decisions = admitIf match {
+        case None =>
+          IncrementalShingles.gateDecisions(
+            spark, shingleRoot(pipelineRoot), batch, threshold, scheme)
+        case Some(pred) =>
+          val rest = batch.columns.filter(_ != "rowkey").toIndexedSeq
+          val latest = batch.filter(col("op") =!= "delete")
+            .groupBy("rowkey")
+            .agg(max_by(struct(rest.map(col): _*), col("event_id")).as("e"))
+            .select(col("rowkey") +: rest.map(c => col(s"e.$c").as(c)): _*)
+          val rejected = latest.filter(!coalesce(pred, lit(false)))
+            .select(col("rowkey"),
+              lit("quality_reject").as("verdict"),
+              lit(null).cast("string").as("dup_of")).localCheckpoint()
+          val surviving = batch.filter(col("op") === "delete")
+            .unionByName(batch.filter(col("op") =!= "delete")
+              .join(rejected.select("rowkey"), Seq("rowkey"), "left_anti"))
+          IncrementalShingles.gateDecisions(
+              spark, shingleRoot(pipelineRoot), surviving, threshold, scheme)
+            .unionByName(rejected)
+      }
+      StateStore.commit(spark, dir)(tmp =>
+        decisions.withColumn("batch_id", lit(batchId)).write.parquet(tmp))
     }
     spark.read.schema(decisionSchema).parquet(dir)
   }
@@ -85,8 +114,10 @@ object IngestPipeline {
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
                  tokenize: Column => Column = split(_, " "),
                  scheme: IncrementalShingles.SketchScheme =
-                   IncrementalShingles.WordShingles): Unit = {
-    val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold, scheme)
+                   IncrementalShingles.WordShingles,
+                 admitIf: Option[Column] = None): Unit = {
+    val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
+      scheme, admitIf)
     // checkpointed: three merges read the gated batch; without it each
     // would re-run the semi-join (and re-read the source batch)
     val gated = IncrementalShingles.gatedBatch(batch, decisions).localCheckpoint()
@@ -134,7 +165,8 @@ object IngestPipeline {
             numBuckets: Int = IncrementalIndex.DefaultBuckets,
             tokenize: Column => Column = split(_, " "),
             scheme: IncrementalShingles.SketchScheme =
-              IncrementalShingles.WordShingles): StreamingQuery = {
+              IncrementalShingles.WordShingles,
+            admitIf: Option[Column] = None): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
@@ -143,7 +175,7 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         gate()
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
-          threshold, numBuckets, tokenize, scheme)
+          threshold, numBuckets, tokenize, scheme, admitIf)
       }
       .start()
   }

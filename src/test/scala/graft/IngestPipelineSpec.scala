@@ -104,7 +104,7 @@ class IngestPipelineSpec extends SparkSpec {
     // merge, before the postings and shingle merges
     applyB(crash, 0, b0)
     val decisions = IngestPipeline.decideAndLog(spark, b1.toDF(), crash, 1, 0.5,
-      IncrementalShingles.WordShingles)
+      IncrementalShingles.WordShingles, admitIf = None)
     val gated = IncrementalShingles.gatedBatch(b1.toDF(), decisions).localCheckpoint()
     IncrementalIndex.mergeBatch(spark, gated, IngestPipeline.stateRoot(crash))
     // the replay re-runs the whole batch; every merge is idempotent under
@@ -139,6 +139,34 @@ class IngestPipelineSpec extends SparkSpec {
     IngestPipeline.gcAdmissions(spark, root, horizonBatchId = 99)
     assert(IngestPipeline.admissionLog(spark, root).count() === 0L)
     assert(IngestPipeline.admissionLog(spark, s"$root/never_written").count() === 0L)
+  }
+
+  test("the quality gate rejects before the dedup probe and lands in the same audit log") {
+    val root = Files.createTempDirectory("graft_pipeQ").toString + "/pipe"
+    val floor = Some(size(split(col("text"), " ")) >= lit(4))
+    def applyQ(id: Long, changes: Seq[DocChange]): Unit =
+      IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5,
+        admitIf = floor)
+    applyQ(0, Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "too short"), // under the 4-token floor
+      DocChange("3", 2, "put", "totally different words entirely here")))
+    // quality reject is out of every state AND never probed for dedup
+    assert(liveKeys(root) === Set("1", "3"))
+    assert(logRows(root) === Set(
+      ("1", "admitted", null, 0L), ("2", "quality_reject", null, 0L),
+      ("3", "admitted", null, 0L)))
+    // a later batch: quality decided on the LATEST event (a superseded
+    // short version must not veto its own rewrite); deletes untouched
+    applyQ(1, Seq(
+      DocChange("4", 10, "put", "short now"),
+      DocChange("4", 11, "put", "long enough version of this document"),
+      DocChange("1", 12, "delete", "")))
+    assert(liveKeys(root) === Set("3", "4"))
+    assert(IngestPipeline.admissionLog(spark, root)
+      .filter(col("batch_id") === 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("4", "admitted")))
   }
 
   test("the pipeline is scheme-generic: a space-free (CJK) corpus gates and merges end-to-end") {
