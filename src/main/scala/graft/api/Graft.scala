@@ -216,8 +216,12 @@ class Graft(spark: SparkSession, dir: String,
     * index, the inverted index, and the shingle index under
     * `pipelineRoot` — with the gate's verdicts committed to a durable
     * admission log before any merge, so a crash replay applies the SAME
-    * decisions (see [[graft.streaming.IngestPipeline]]). Read the states
-    * with [[getMaintained]]/[[searchMaintained]]/[[nearDuplicatesOf]] at
+    * decisions (see [[graft.streaming.IngestPipeline]]). A changelog
+    * carrying an `embedding` column additionally keeps an IVF vector
+    * index current at `IngestPipeline.vectorsRoot(pipelineRoot)`
+    * (query it with [[ivfSearch]]/[[ivfSearchBatch]]). Read the text
+    * states with [[getMaintained]]/[[searchMaintained]]/
+    * [[nearDuplicatesOf]] at
     * `IngestPipeline.stateRoot/postingsRoot/shingleRoot(pipelineRoot)`;
     * audit what the gate dropped with [[admissionLog]]. */
   def startIngestPipeline(changes: DataFrame, pipelineRoot: String,
@@ -404,6 +408,12 @@ class Graft(spark: SparkSession, dir: String,
     * index — only the landed cells are rewritten. */
   def upsertIvf(path: String, vectors: DataFrame): Unit =
     IvfIndex.upsert(spark, path, vectors)
+
+  /** Remove vectors by id from a persisted IVF index — the changelog-
+    * delete half of [[upsertIvf]]: only the id buckets and cells holding
+    * the ids are rewritten. `vecIds` is a one-column (vec_id) frame. */
+  def deleteIvf(path: String, vecIds: DataFrame): Unit =
+    IvfIndex.delete(spark, path, vecIds)
 
   /** True when drift has skewed the index's cells past `skewThreshold`×
     * their fair share and the quantizer should be retrained

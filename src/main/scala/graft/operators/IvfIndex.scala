@@ -94,7 +94,14 @@ object IvfIndex {
       .localCheckpoint()
     for (_ <- 1 to iters)
       centroids = recompute(assign(e, centroids)).localCheckpoint()
-    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    // atomic: the centroid table is the "index exists" signal the
+    // incremental maintainers key on ([[IngestPipeline]] builds when it is
+    // absent, completes via [[upsert]]/[[delete]] when present), so it must
+    // never exist half-written — a torn table would read as a complete
+    // quantizer with garbage cells
+    val cent = centroids
+    StateStore.commit(spark0, path + "/centroids")(tmp =>
+      cent.write.mode("overwrite").parquet(tmp))
     // repartition by the partition column: one file per cell/id-bucket dir,
     // so a probe opens |probed cells| files, not |cells × writer partitions|
     val assigned = assign(e, centroids).repartition(col("cell")).cache()
@@ -108,9 +115,21 @@ object IvfIndex {
     } finally assigned.unpersist(): Unit
   }
 
-  /** The trained centroid table (cell, centroid). */
-  def centroids(spark: SparkSession, path: String): DataFrame =
+  /** The trained centroid table (cell, centroid). Heals an interrupted
+    * centroid swap first (promotes a stranded `.old` — see
+    * [[StateStore.recover]]), so a crash between [[build]]'s rename steps
+    * never presents the index as missing while the only copy sits aside. */
+  def centroids(spark: SparkSession, path: String): DataFrame = {
+    StateStore.recover(spark, path + "/centroids")
     spark.read.parquet(path + "/centroids")
+  }
+
+  /** True if the index at `path` has a committed centroid table — the
+    * maintainers' build-vs-upsert dispatch signal. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    StateStore.recover(spark, path + "/centroids")
+    StateStore.nonEmpty(spark, path + "/centroids")
+  }
 
   /** Incrementally upsert vectors into a built index: assign against the
     * TRAINED centroids (the quantizer is not retrained — the standard IVF
@@ -193,6 +212,69 @@ object IvfIndex {
         }
       } finally { merged.unpersist(); newIds.unpersist(): Unit }
     } finally { assigned.unpersist(); batch.unpersist(): Unit }
+  }
+
+  /** Remove vectors by id — the changelog-delete half of incremental
+    * maintenance ([[upsert]] being the put half): the id→cell sidecar
+    * locates each id's current cell by reading ONLY the id buckets the ids
+    * hash to, the touched cells are rewritten without those rows, and the
+    * id buckets are rewritten without the ids. Per-call I/O is O(touched
+    * id buckets + touched cells), never the index. Commit order is cells
+    * first, ids second — [[upsert]]'s exact argument: a crash-replay with
+    * the OLD id map re-finds the same cells and the anti-joins no-op, so
+    * replaying a completed (or half-committed) delete converges. Ids absent from the
+    * index are ignored (deletes of never-indexed or already-deleted keys
+    * are no-ops, the changelog contract). A cell or id bucket left empty
+    * is removed ([[graft.streaming.StateStore.swapIn]]'s missing-tmp
+    * path). `vecIds` is a one-column (vec_id) frame; only its distinct
+    * BUCKET ids (≤ [[IdBuckets]]) are collected. */
+  def delete(spark: SparkSession, path: String, vecIds: DataFrame): Unit = {
+    val vecRoot = path + "/vectors"
+    val idsRoot = path + "/ids"
+    val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
+    if (liveIds.isEmpty) {
+      if (StateStore.liveBuckets(spark, vecRoot, "cell=").nonEmpty)
+        throw new IllegalStateException(
+          s"index at $path has vectors but no id map — rebuild it with IvfIndex.build")
+      return // empty index: nothing to delete
+    }
+    val ids = vecIds.select(col("vec_id")).distinct().cache()
+    try {
+      val idB = ids.select(idBucket.as("b")).distinct().collect().map(_.getInt(0)).sorted
+      val idDirs = idB.toSeq.map(b => s"b=$b").filter(liveIds.contains)
+      if (idDirs.isEmpty) return // ids hash only to absent buckets: not indexed
+      val oldIds = spark.read.parquet(idDirs.map(d => s"$idsRoot/$d"): _*)
+      val cells = oldIds.join(broadcast(ids), "vec_id")
+        .select("cell").distinct().collect().map(_.getInt(0)).sorted
+      if (cells.isEmpty) return // none of the ids is indexed
+      val live = StateStore.liveBuckets(spark, vecRoot, "cell=").toSet
+      // a cell listed by the sidecar but already gone on disk is a replay
+      // of a delete that crashed between its two commits — skip the read,
+      // still rewrite the id buckets below so the map catches up
+      val dirs = cells.toSeq.map(c => s"cell=$c").filter(live.contains)
+      val newIds = oldIds.join(broadcast(ids), Seq("vec_id"), "left_anti")
+        .withColumn("b", idBucket)
+        .repartition(col("b")) // one file per rewritten id bucket
+        .cache()
+      try {
+        if (dirs.nonEmpty) {
+          val kept = spark.read.option("basePath", vecRoot)
+            .parquet(dirs.map(d => s"$vecRoot/$d"): _*)
+            .join(broadcast(ids), Seq("vec_id"), "left_anti")
+            .repartition(col("cell")) // one file per rewritten cell dir
+            .cache()
+          try {
+            kept.count(); newIds.count() // decouple from the files before the swaps
+            StateStore.commitBuckets(spark, vecRoot, dirs) { tmpRoot =>
+              kept.write.partitionBy("cell").mode("overwrite").parquet(tmpRoot)
+            }
+          } finally kept.unpersist(): Unit
+        } else newIds.count()
+        StateStore.commitBuckets(spark, idsRoot, idDirs) { tmpRoot =>
+          newIds.write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
+        }
+      } finally newIds.unpersist(): Unit
+    } finally ids.unpersist(): Unit
   }
 
   /** Cell-occupancy skew of a built index: the largest cell's size over

@@ -148,6 +148,67 @@ object Vectors {
       .orderBy("a_id", "b_id")
   }
 
+  /** One maintained-IVF fixture per (session, dir): the index BUILT from
+    * the corpus, then moved forward through the incremental write surface
+    * — an upsert that re-embeds ids 0–9 with the embedding of id+100
+    * (updates that can move a vector between cells), then deletes of a
+    * modulus sweep (vec_id % 37 == 11) plus id 100 itself (the query
+    * text's twin — its absence from the result is the delete proof; the
+    * upserted id 0 carrying its embedding at sim 1.0 is the upsert
+    * proof). Every mutation is expressible in SQL over the embeddings
+    * table, so the ORACLE brute-forces the post-maintenance vector set —
+    * the oracle gate checks the maintenance arithmetic end to end, while
+    * file pruning and crash replay are pinned in IvfIndexSpec. Root is
+    * dropped when the session is freed. */
+  private val annStates =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  Materialize.onSessionFreed { s =>
+    val it = annStates.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        // the fixture root is "<tempdir>/ivf" — drop the whole tempdir
+        Materialize.deleteLocalDir(new java.io.File(e.getValue).getParent)
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] val AnnFixtureNlist = 8
+
+  private def annFixture(spark: SparkSession, dir: String): String =
+    annStates.computeIfAbsent((spark, dir), { case (s, d) =>
+      val t0 = System.nanoTime()
+      val root = java.nio.file.Files.createTempDirectory("graft_annm").toString + "/ivf"
+      val e = Tables.embeddings(s, d)
+      IvfIndex.build(e.select("vec_id", "embedding"), root,
+        nlist = AnnFixtureNlist, iters = 2)
+      val delta = e.as("a")
+        .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 100)
+        .filter(col("a.vec_id") < 10)
+        .select(col("a.vec_id").as("vec_id"), col("b.embedding").as("embedding"))
+      IvfIndex.upsert(s, root, delta)
+      IvfIndex.delete(s, root,
+        e.filter(col("vec_id") % 37 === 11 || col("vec_id") === 100)
+          .select("vec_id"))
+      Materialize.recordBuild("ann_maintained_fixture", System.nanoTime() - t0)
+      root
+    })
+
+  private def qAnnMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // X3 (maintained): exact top-k against the INCREMENTALLY MAINTAINED
+    // index — probes = nlist makes the probe read every cell, so the
+    // result is the brute-force answer over whatever the maintenance left
+    // in the index (the quantizer's quality is irrelevant to correctness
+    // here, which is what lets DuckDB check it). Query = the pre-delete
+    // embedding of id 100, surviving only as id 0's upserted copy.
+    val root = annFixture(spark, dir)
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+      .head().getSeq[Float](1)
+    IvfIndex.search(spark, root, qv, k = 10, probes = AnnFixtureNlist)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+  }
+
   private def qMultimodalJoin(spark: SparkSession, dir: String): DataFrame =
     // X5: one row carrying text metadata + typed vector. doc_id==vec_id by
     // fixture construction; the dimension + norm checks prove the vector
@@ -166,6 +227,7 @@ object Vectors {
     "q_ann_batch" -> qAnnBatch,
     "q_vector_centroid" -> qVectorCentroid,
     "q_ann_multiprobe" -> qAnnMultiprobe,
+    "q_ann_maintained" -> qAnnMaintained,
     "q_embed_lsh_dup" -> qEmbedLshDup,
     "q_multimodal_join" -> qMultimodalJoin)
 
@@ -215,6 +277,20 @@ object Vectors {
         |FROM embeddings, q
         |WHERE vec_id <> 0 AND label IN (SELECT label FROM top2)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_maintained" ->
+      """WITH delta AS (
+        |  SELECT a.vec_id, b.embedding
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id < 10),
+        |final AS (
+        |  SELECT e.vec_id, coalesce(d.embedding, e.embedding) AS embedding
+        |  FROM embeddings e LEFT JOIN delta d ON e.vec_id = d.vec_id
+        |  WHERE e.vec_id % 37 <> 11 AND e.vec_id <> 100),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100)
+        |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+        |FROM final, q
+        |ORDER BY list_dot_product(embedding::DOUBLE[], qv) DESC, vec_id
+        |LIMIT 10""".stripMargin,
     "q_embed_lsh_dup" ->
       (s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,

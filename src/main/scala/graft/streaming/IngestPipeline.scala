@@ -45,6 +45,14 @@ object IngestPipeline {
   def stateRoot(pipelineRoot: String): String = s"$pipelineRoot/state"
   def postingsRoot(pipelineRoot: String): String = s"$pipelineRoot/postings"
   def shingleRoot(pipelineRoot: String): String = s"$pipelineRoot/shingles"
+  def vectorsRoot(pipelineRoot: String): String = s"$pipelineRoot/vectors"
+
+  /** The columns every maintained TEXT state consumes. The pipeline
+    * projects the gated batch to these before the postings/shingle merges,
+    * so payload columns (the vector, multimodal blobs) never bloat the
+    * text-index state — only the row state keeps the full document
+    * record. */
+  private val TextCols = Seq("rowkey", "event_id", "op", "text")
   private def admissionsRoot(pipelineRoot: String): String = s"$pipelineRoot/admissions"
   private def admissionDir(pipelineRoot: String, batchId: Long): String =
     s"${admissionsRoot(pipelineRoot)}/batch=$batchId"
@@ -104,28 +112,72 @@ object IngestPipeline {
   }
 
   /** Fold one changelog micro-batch (rowkey STRING, event_id LONG, op
-    * put|delete, text STRING) through the gate into all three maintained
-    * states. Safe to replay with the same `batchId`: the logged decisions
-    * are reused and every merge is idempotent. The shingle merge runs
-    * last — it is the state the NEXT batch's gate reads, and it triggers
-    * the session-artifact invalidation for registered scopes. */
+    * put|delete, text STRING, and optionally embedding ARRAY<FLOAT>)
+    * through the gate into every maintained state. Safe to replay with
+    * the same `batchId`: the logged decisions are reused and every merge
+    * is idempotent. When the batch carries an `embedding` column, the
+    * pipeline also keeps an IVF vector index current under
+    * [[vectorsRoot]] — admitted puts upsert, deletes remove
+    * ([[mergeVectors]]) — so similarity search stays coherent with the
+    * text surfaces from the same admission decision. The changelog schema
+    * must be stable across batches for one pipeline root (the row state
+    * stores the full record). The shingle merge runs last — it is the
+    * state the NEXT batch's gate reads, and it triggers the
+    * session-artifact invalidation for registered scopes. */
   def applyBatch(spark: SparkSession, batch: DataFrame, pipelineRoot: String,
                  batchId: Long, threshold: Double = 0.8,
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
                  tokenize: Column => Column = split(_, " "),
                  scheme: IncrementalShingles.SketchScheme =
                    IncrementalShingles.WordShingles,
-                 admitIf: Option[Column] = None): Unit = {
+                 admitIf: Option[Column] = None,
+                 annNlist: Int = 16, annIters: Int = 5): Unit = {
     val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
       scheme, admitIf)
-    // checkpointed: three merges read the gated batch; without it each
+    // checkpointed: every merge reads the gated batch; without it each
     // would re-run the semi-join (and re-read the source batch)
     val gated = IncrementalShingles.gatedBatch(batch, decisions).localCheckpoint()
+    val gatedText = gated.select(TextCols.map(col): _*)
     IncrementalIndex.mergeBatch(spark, gated, stateRoot(pipelineRoot), numBuckets)
-    IncrementalPostings.mergeBatch(spark, gated, postingsRoot(pipelineRoot),
+    IncrementalPostings.mergeBatch(spark, gatedText, postingsRoot(pipelineRoot),
       tokenize, numBuckets)
-    IncrementalShingles.mergeBatch(spark, gated, shingleRoot(pipelineRoot),
+    if (gated.columns.contains("embedding"))
+      mergeVectors(spark, gated, vectorsRoot(pipelineRoot), annNlist, annIters)
+    IncrementalShingles.mergeBatch(spark, gatedText, shingleRoot(pipelineRoot),
       numBuckets, scheme)
+  }
+
+  /** Fold the gated batch's vector column into the IVF index: the LATEST
+    * event per rowkey decides (same granularity as every other merge) —
+    * deletes leave the index ([[IvfIndex.delete]]), puts with a non-null
+    * embedding upsert against the trained quantizer
+    * ([[IvfIndex.upsert]]). The first non-empty admitted batch TRAINS the
+    * index ([[IvfIndex.build]] — at scale, pre-build from a hash-sample
+    * instead and let the stream take over). Replay converges from any
+    * crash point: a half-built index (committed centroids, missing
+    * vectors) is completed by the upsert path against the same trained
+    * centroids, and both upsert and delete are idempotent under a fixed
+    * admitted set. Rowkeys must be decimal vec_id strings — the vector
+    * family's numeric-id contract; non-decimal keys fail loudly rather
+    * than silently collapsing into one null id. */
+  private def mergeVectors(spark: SparkSession, gated: DataFrame, vroot: String,
+                           nlist: Int, iters: Int): Unit = {
+    val latest = IncrementalIndex.compactAll(
+      gated.select("rowkey", "event_id", "op", "embedding"))
+    val asId = when(col("rowkey").cast("long").isNull,
+        raise_error(concat(lit("non-decimal rowkey in vector changelog: "),
+          col("rowkey"))))
+      .otherwise(col("rowkey").cast("long"))
+    val puts = latest.filter(col("op") =!= "delete" && col("embedding").isNotNull)
+      .select(asId.as("vec_id"), col("embedding"))
+    if (!graft.operators.IvfIndex.exists(spark, vroot)) {
+      if (!puts.isEmpty) graft.operators.IvfIndex.build(puts, vroot, nlist, iters)
+      // deletes against a not-yet-built index are no-ops by definition
+    } else {
+      val dels = latest.filter(col("op") === "delete").select(asId.as("vec_id"))
+      graft.operators.IvfIndex.delete(spark, vroot, dels)
+      if (!puts.isEmpty) graft.operators.IvfIndex.upsert(spark, vroot, puts)
+    }
   }
 
   /** Every logged admission decision — (rowkey, verdict, dup_of,
@@ -166,7 +218,8 @@ object IngestPipeline {
             tokenize: Column => Column = split(_, " "),
             scheme: IncrementalShingles.SketchScheme =
               IncrementalShingles.WordShingles,
-            admitIf: Option[Column] = None): StreamingQuery = {
+            admitIf: Option[Column] = None,
+            annNlist: Int = 16, annIters: Int = 5): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
@@ -175,7 +228,7 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         gate()
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
-          threshold, numBuckets, tokenize, scheme, admitIf)
+          threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters)
       }
       .start()
   }

@@ -5,6 +5,13 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.streaming.{IncrementalIndex, IncrementalPostings, IncrementalShingles, IngestPipeline}
 
+/** A changelog row that also carries the document's vector — the
+  * multimodal ingest shape ([[IngestPipeline.applyBatch]]'s optional
+  * embedding column). `Nil` for deletes (the op decides; the payload is
+  * ignored). */
+case class VecDocChange(rowkey: String, event_id: Long, op: String,
+                        text: String, embedding: Seq[Float])
+
 /** The gated three-state pipeline must (a) advance the row-state index,
   * the inverted index, and the shingle index consistently under one gate,
   * (b) record every admission verdict durably, and (c) replay to the SAME
@@ -226,5 +233,44 @@ class IngestPipelineSpec extends SparkSpec {
       assert(verdicts === Set(("1", "admitted"), ("2", "admitted"),
         ("3", "state_dup")))
     } finally query.stop()
+  }
+
+  test("an embedding column keeps the IVF vector index current through the gate") {
+    val root = Files.createTempDirectory("graft_pipeV").toString + "/pipe"
+    val vroot = IngestPipeline.vectorsRoot(root)
+    def applyV(id: Long, changes: Seq[VecDocChange]): Unit =
+      IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5,
+        annNlist = 2, annIters = 1)
+    def vecState(): Set[(Long, Seq[Float])] =
+      spark.read.parquet(vroot + "/vectors").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding")))
+        .toSet
+    // batch 0 trains the quantizer on the first admitted puts
+    applyV(0, Seq(
+      VecDocChange("1", 0, "put", "alpha beta gamma delta", Seq(1f, 0f, 0f, 0f)),
+      VecDocChange("2", 1, "put", "totally different words entirely here", Seq(0f, 1f, 0f, 0f)),
+      VecDocChange("3", 2, "put", "a third unrelated document body text", Seq(0f, 0f, 1f, 0f))))
+    assert(vecState().map(_._1) === Set(1L, 2L, 3L))
+    // batch 1: re-embed doc 1 (an update — the gate's self-exemption
+    // admits it), delete doc 2, admit a brand-new doc 4
+    val b1 = Seq(
+      VecDocChange("1", 10, "put", "alpha beta gamma delta", Seq(0f, 0f, 0f, 1f)),
+      VecDocChange("2", 11, "delete", "", Nil),
+      VecDocChange("4", 12, "put", "yet another fully distinct sentence", Seq(0.6f, 0.8f, 0f, 0f)))
+    applyV(1, b1)
+    val expected = Set(
+      (1L, Seq(0f, 0f, 0f, 1f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (4L, Seq(0.6f, 0.8f, 0f, 0f)))
+    assert(vecState() === expected)
+    // the text states saw the same admission decisions
+    assert(liveKeys(root) === Set("1", "3", "4"))
+    // similarity search is coherent with the update: the new embedding's
+    // nearest neighbor is doc 1 itself
+    assert(graft.operators.IvfIndex.search(spark, vroot, Seq(0f, 0f, 0f, 1f),
+      k = 1, probes = 2).head().getLong(0) === 1L)
+    // a replay of the same batch converges to the identical vector state
+    applyV(1, b1)
+    assert(vecState() === expected)
   }
 }

@@ -231,6 +231,76 @@ class IvfIndexSpec extends SparkSpec {
         }.toMap
       }.toMap
 
+  test("delete removes ids from the cells, the id map, and search; replays and absent ids are no-ops") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_ivfdel").toString + "/ivf"
+    val e = Tables.embeddings(spark, dir)
+    IvfIndex.build(e, p, nlist = nlist, iters = 2)
+    val n = e.count()
+    val dels = e.filter(col("vec_id") < 5).select("vec_id")
+    IvfIndex.delete(spark, p, dels)
+    val stored = spark.read.parquet(p + "/vectors")
+    assert(stored.count() === n - 5 && stored.filter(col("vec_id") < 5).isEmpty)
+    val ids = spark.read.parquet(p + "/ids")
+    assert(ids.count() === n - 5 && ids.filter(col("vec_id") < 5).isEmpty)
+    assert(IvfIndex.search(spark, p, query, k = 10, probes = nlist)
+      .filter(col("vec_id") < 5).isEmpty)
+    // a replayed (completed) delete and a delete of never-indexed ids both
+    // no-op before any commit: every state file is untouched
+    val before = snapshot(p + "/vectors")
+    IvfIndex.delete(spark, p, dels)
+    IvfIndex.delete(spark, p, Seq(1000000L, 1000001L).toDF("vec_id"))
+    assert(snapshot(p + "/vectors") === before)
+  }
+
+  test("deleting every vector of a cell removes the cell directory; the index stays queryable") {
+    val p = Files.createTempDirectory("graft_ivfdel2").toString + "/ivf"
+    val e = Tables.embeddings(spark, dir)
+    IvfIndex.build(e, p, nlist = nlist, iters = 2)
+    val victim = spark.read.parquet(p + "/ids")
+      .groupBy("cell").count().orderBy("cell").head().getInt(0)
+    val victimIds = spark.read.parquet(p + "/ids")
+      .filter(col("cell") === victim).select("vec_id")
+    IvfIndex.delete(spark, p, victimIds)
+    assert(!new java.io.File(s"$p/vectors/cell=$victim").exists())
+    // search across all remaining cells still answers
+    assert(IvfIndex.search(spark, p, query, k = 5, probes = nlist).count() === 5)
+  }
+
+  test("a replay against a half-committed delete (cells swapped, id map not) converges") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_ivfdel3").toString + "/ivf"
+    val e = Tables.embeddings(spark, dir)
+    IvfIndex.build(e, p, nlist = nlist, iters = 2)
+    // preserve the pre-delete id map, run the full delete, then restore the
+    // OLD id map — exactly the on-disk state a crash between the cells
+    // commit and the ids commit leaves behind
+    val idsDir = java.nio.file.Paths.get(p + "/ids")
+    val saved = Files.createTempDirectory("graft_ids_save")
+    copyTree(idsDir, saved.resolve("ids"))
+    IvfIndex.delete(spark, p, Seq(7L).toDF("vec_id"))
+    deleteTree(idsDir)
+    copyTree(saved.resolve("ids"), idsDir)
+    assert(spark.read.parquet(p + "/ids").filter(col("vec_id") === 7).count() === 1)
+    // the replayed delete finds id 7 still mapped, re-reads its cell (the
+    // anti-join no-ops — the row is already gone), and catches the map up
+    IvfIndex.delete(spark, p, Seq(7L).toDF("vec_id"))
+    assert(spark.read.parquet(p + "/ids").filter(col("vec_id") === 7).isEmpty)
+    assert(spark.read.parquet(p + "/vectors").filter(col("vec_id") === 7).isEmpty)
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(from).forEach { src =>
+      val dst = to.resolve(from.relativize(src))
+      if (java.nio.file.Files.isDirectory(src)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(src, dst): Unit
+    }
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+
   test("the probed result is a superset-ranked prefix: hits are true similarities") {
     // probe < nlist may lose recall but must never fabricate: every
     // returned (vec_id, sim) must match the brute-force similarity.
