@@ -228,19 +228,23 @@ class Graft(spark: SparkSession, dir: String,
                           checkpoint: String, threshold: Double = 0.8,
                           scheme: IncrementalShingles.SketchScheme =
                             IncrementalShingles.WordShingles,
-                          admitIf: Option[Column] = None): StreamingQuery =
+                          admitIf: Option[Column] = None,
+                          semanticThreshold: Option[Double] = None): StreamingQuery =
     IngestPipeline.start(changes, pipelineRoot, checkpoint, threshold,
       intervalSeconds = cfg.commitIntervalSec,
       firstDelaySeconds = cfg.firstDelaySec,
       tokenize = tokenizer.tokens,
       scheme = scheme,
-      admitIf = admitIf)
+      admitIf = admitIf,
+      semanticThreshold = semanticThreshold)
 
   /** The pipeline's ingest provenance — every (rowkey, verdict, dup_of,
-    * batch_id) the gate decided: `admitted`, `state_dup` (near-dup of
-    * stored content; `dup_of` = the best-matching stored rowkey), or
-    * `batch_dup` (lost an intra-batch pairing; `dup_of` = the surviving
-    * partner). */
+    * batch_id) the gate decided: `admitted`, `quality_reject` (failed the
+    * `admitIf` predicate), `state_dup` (text near-dup of stored content;
+    * `dup_of` = the best-matching stored rowkey), `batch_dup` (lost an
+    * intra-batch text pairing; `dup_of` = the surviving partner), or
+    * `semantic_dup` (embedding cosine ≥ `semanticThreshold` against
+    * stored or co-arriving content). */
   def admissionLog(pipelineRoot: String): DataFrame =
     IngestPipeline.admissionLog(spark, pipelineRoot)
 

@@ -277,6 +277,23 @@ object IvfIndex {
     } finally ids.unpersist(): Unit
   }
 
+  /** The subset of `vecIds` currently present in the index — answered
+    * from the id→cell sidecar alone, reading only the id buckets the ids
+    * hash to (≤ [[IdBuckets]] dirs of two-column metadata, never a vector
+    * read). Empty when the index has no id map. The existence probe the
+    * semantic admission gate runs per batch. */
+  def existingIds(spark: SparkSession, path: String, vecIds: DataFrame): DataFrame = {
+    val idsRoot = path + "/ids"
+    val live = StateStore.liveBuckets(spark, idsRoot).toSet
+    if (live.isEmpty) return vecIds.select(col("vec_id")).limit(0)
+    val idB = vecIds.select(idBucket.as("b")).distinct().collect().map(_.getInt(0)).sorted
+    val dirs = idB.toSeq.map(b => s"b=$b").filter(live.contains)
+    if (dirs.isEmpty) return vecIds.select(col("vec_id")).limit(0)
+    spark.read.parquet(dirs.map(d => s"$idsRoot/$d"): _*)
+      .join(vecIds.select("vec_id").distinct(), "vec_id")
+      .select("vec_id")
+  }
+
   /** Cell-occupancy skew of a built index: the largest cell's size over
     * the mean size across ALL trained cells (empty cells count — drift
     * typically empties cells while overfilling one, and both halves

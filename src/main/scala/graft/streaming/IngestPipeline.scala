@@ -7,14 +7,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The reference's whole write path as ONE pipeline: a changelog
-  * micro-batch is admission-filtered by the dedup gate, then merged into
-  * every maintained state — the row-state index (the coprocessor's Solr
-  * table, HbaseSolrIndexCoprocesser.java:38-61), the inverted index, and
-  * the dedup family's shingle index — in a single `foreachBatch`. The
-  * reference runs exactly one flush path per mutation
-  * (SolrIndexTools.java:93-144); wiring the three maintenance streams
-  * separately would read the source three times and leave the gate to
-  * each caller.
+  * micro-batch is admission-filtered — quality predicate, text dedup
+  * gate, and (when armed) the embedding-cosine semantic gate — then
+  * merged into every maintained state: the row-state index (the
+  * coprocessor's Solr table, HbaseSolrIndexCoprocesser.java:38-61), the
+  * inverted index, the dedup family's shingle index, and (when the
+  * changelog carries an `embedding` column) the IVF vector index — all
+  * in a single `foreachBatch`. The reference runs exactly one flush path
+  * per mutation (SolrIndexTools.java:93-144); wiring the maintenance
+  * streams separately would read the source once per state and leave the
+  * gate to each caller.
   *
   * Crash contract — the part that needs a design, not just composition:
   * the gate reads the very shingle state this pipeline advances, so a
@@ -32,9 +34,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * The log doubles as the pipeline's audit surface ([[admissionLog]]):
   * which documents a training-data ingest dropped, when, why
-  * (`quality_reject` vs `state_dup` vs `batch_dup`), and against what
-  * (`dup_of`) — the provenance record a 100 TB corpus build keeps next
-  * to the corpus. Per-batch log size is |batch rowkeys|
+  * (`quality_reject` vs `state_dup` vs `batch_dup` vs `semantic_dup`),
+  * and against what (`dup_of`) — the provenance record a 100 TB corpus
+  * build keeps next to the corpus. Per-batch log size is |batch rowkeys|
   * (verdict rows), dwarfed by the batch itself; [[gcAdmissions]] applies
   * the same replay-horizon retention as tombstone GC.
   */
@@ -76,15 +78,24 @@ object IngestPipeline {
     * `TextAnalysis` quality family as a predicate), evaluated on each
     * rowkey's LATEST put (same granularity as the dedup gate). Rejects
     * get verdict `quality_reject` and never reach the dedup probe — the
-    * cheap pure-function filter runs before the stateful one. */
+    * cheap pure-function filter runs before the stateful one.
+    *
+    * `semanticThreshold` arms the SEMANTIC gate ([[semanticDrops]]): puts
+    * that survived quality and text dedup are additionally probed by
+    * embedding cosine — against the maintained vector index and within
+    * the batch — and matches ≥ the threshold get verdict `semantic_dup`.
+    * It runs LAST because it is the most expensive and the most
+    * approximate of the three filters. */
   private[graft] def decideAndLog(spark: SparkSession, batch: DataFrame,
                                   pipelineRoot: String, batchId: Long,
                                   threshold: Double,
                                   scheme: IncrementalShingles.SketchScheme,
-                                  admitIf: Option[Column]): DataFrame = {
+                                  admitIf: Option[Column],
+                                  semanticThreshold: Option[Double] = None,
+                                  semanticProbes: Int = 2): DataFrame = {
     val dir = admissionDir(pipelineRoot, batchId)
     if (!StateStore.nonEmpty(spark, dir)) {
-      val decisions = admitIf match {
+      val textDecisions = admitIf match {
         case None =>
           IncrementalShingles.gateDecisions(
             spark, shingleRoot(pipelineRoot), batch, threshold, scheme)
@@ -105,10 +116,110 @@ object IngestPipeline {
               spark, shingleRoot(pipelineRoot), surviving, threshold, scheme)
             .unionByName(rejected)
       }
+      val decisions = semanticThreshold match {
+        case Some(t) if batch.columns.contains("embedding") =>
+          val admitted = textDecisions.filter(col("verdict") === "admitted")
+            .select("rowkey")
+          val latestVec = batch
+            .filter(col("op") =!= "delete" && col("embedding").isNotNull)
+            .groupBy("rowkey")
+            .agg(max_by(col("embedding"), col("event_id")).as("embedding"))
+            .join(admitted, "rowkey")
+          val drops = semanticDrops(spark, vectorsRoot(pipelineRoot),
+            latestVec, t, semanticProbes)
+          textDecisions
+            .join(drops.withColumnRenamed("dup_of", "sem_dup_of"),
+              Seq("rowkey"), "left_outer")
+            .select(col("rowkey"),
+              when(col("sem_dup_of").isNotNull, lit("semantic_dup"))
+                .otherwise(col("verdict")).as("verdict"),
+              coalesce(col("sem_dup_of"), col("dup_of")).as("dup_of"))
+        case _ => textDecisions
+      }
       StateStore.commit(spark, dir)(tmp =>
         decisions.withColumn("batch_id", lit(batchId)).write.parquet(tmp))
     }
     spark.read.schema(decisionSchema).parquet(dir)
+  }
+
+  /** Decimal-rowkey → vec_id, failing loudly on a non-decimal key (the
+    * vector family's numeric-id contract — a silent null would collapse
+    * distinct documents into one garbage id). */
+  private def asVecId: Column =
+    when(col("rowkey").cast("long").isNull,
+      raise_error(concat(lit("non-decimal rowkey in vector changelog: "),
+        col("rowkey"))))
+      .otherwise(col("rowkey").cast("long"))
+
+  /** Rowkeys to drop as SEMANTIC duplicates — the embedding-cosine gate
+    * (the online form of the batch family's `q_embed_lsh_dup`; the check
+    * published corpus builds run as "SemDeDup"): a put whose embedding
+    * matches stored or co-arriving content at ≥ `threshold` cosine is a
+    * duplicate even when its TEXT passed the shingle gate (paraphrases,
+    * translations, re-renders). Two passes, mirroring the text gate:
+    *
+    *   1. AGAINST THE MAINTAINED INDEX: one [[IvfIndex.searchBatch]] over
+    *      the batch's embeddings (k=2 so a vector's own stored copy can
+    *      be skipped), self-matches exempt (an update must not be gated
+    *      out by its own previous embedding), best match per query
+    *      deterministically chosen (highest cosine, smallest id on ties);
+    *   2. WITHIN THE BATCH: sign-LSH-bucketed pair join among the pass-1
+    *      survivors (O(Σ bucket²), never all-pairs), the NOVEL member of
+    *      each ≥-threshold pair dropped (the larger-keyed one when both
+    *      are novel; a vector already in the index is an update and is
+    *      never sacrificed for a novel arrival — the text gate's exact
+    *      rule, with "novel" answered by the id sidecar,
+    *      [[IvfIndex.existingIds]]).
+    *
+    * Both passes are approximate BY DESIGN — probed search can miss a
+    * far-cell match and LSH blocking a cross-bucket pair; `probes` tunes
+    * the recall/cost trade. Per-batch I/O: ≤ probes×|batch| cells (union
+    * bounded by nlist) + the batch's id buckets + a batch-sized pair
+    * join. Returns (rowkey, dup_of). */
+  private def semanticDrops(spark: SparkSession, vroot: String,
+                            latestVec: DataFrame, threshold: Double,
+                            probes: Int): DataFrame = {
+    import graft.operators.IvfIndex
+    val ids = latestVec.select(asVecId.as("vec_id"), col("embedding"))
+      .localCheckpoint() // feeds the existence probe, the search, and the pair join
+    val hasIndex = IvfIndex.exists(spark, vroot) &&
+      StateStore.liveBuckets(spark, vroot + "/vectors", "cell=").nonEmpty
+    val none = ids.select(col("vec_id"), col("vec_id").as("dup_vec")).limit(0)
+    val stateDups =
+      if (!hasIndex) none
+      else IvfIndex.searchBatch(spark, vroot,
+          ids.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          k = 2, probes = probes)
+        .filter(col("vec_id") =!= col("qid") && col("sim") >= threshold)
+        .groupBy("qid")
+        .agg(min_by(col("vec_id"), struct(-col("sim"), col("vec_id"))).as("dup_vec"))
+        .select(col("qid").as("vec_id"), col("dup_vec"))
+    val sd = stateDups.localCheckpoint() // survivors and the union both read it
+    val surv = ids.join(sd, Seq("vec_id"), "left_anti")
+    val indexed =
+      if (!hasIndex) none.select("vec_id")
+      else IvfIndex.existingIds(spark, vroot, surv.select("vec_id"))
+    val e = surv
+      .select(col("vec_id"), col("embedding"),
+        graft.operators.Vectors.signBucket("embedding").as("bucket"))
+      .join(indexed.withColumn("exists", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        coalesce(col("exists"), lit(false)).as("exists"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        graft.functions.VecDotFloat.vec_dot(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        col("a.exists").as("ea"), col("b.exists").as("eb"))
+    val batchDrops = pairs.filter(!col("eb"))
+      .select(col("db").as("vec_id"), col("da").as("dup_vec"))
+      .unionByName(pairs.filter(!col("ea") && col("eb"))
+        .select(col("da").as("vec_id"), col("db").as("dup_vec")))
+      .groupBy("vec_id").agg(min(col("dup_vec")).as("dup_vec"))
+    sd.unionByName(batchDrops)
+      .select(col("vec_id").cast("string").as("rowkey"),
+        col("dup_vec").cast("string").as("dup_of"))
   }
 
   /** Fold one changelog micro-batch (rowkey STRING, event_id LONG, op
@@ -131,9 +242,11 @@ object IngestPipeline {
                  scheme: IncrementalShingles.SketchScheme =
                    IncrementalShingles.WordShingles,
                  admitIf: Option[Column] = None,
-                 annNlist: Int = 16, annIters: Int = 5): Unit = {
+                 annNlist: Int = 16, annIters: Int = 5,
+                 semanticThreshold: Option[Double] = None,
+                 semanticProbes: Int = 2): Unit = {
     val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
-      scheme, admitIf)
+      scheme, admitIf, semanticThreshold, semanticProbes)
     // checkpointed: every merge reads the gated batch; without it each
     // would re-run the semi-join (and re-read the source batch)
     val gated = IncrementalShingles.gatedBatch(batch, decisions).localCheckpoint()
@@ -164,17 +277,13 @@ object IngestPipeline {
                            nlist: Int, iters: Int): Unit = {
     val latest = IncrementalIndex.compactAll(
       gated.select("rowkey", "event_id", "op", "embedding"))
-    val asId = when(col("rowkey").cast("long").isNull,
-        raise_error(concat(lit("non-decimal rowkey in vector changelog: "),
-          col("rowkey"))))
-      .otherwise(col("rowkey").cast("long"))
     val puts = latest.filter(col("op") =!= "delete" && col("embedding").isNotNull)
-      .select(asId.as("vec_id"), col("embedding"))
+      .select(asVecId.as("vec_id"), col("embedding"))
     if (!graft.operators.IvfIndex.exists(spark, vroot)) {
       if (!puts.isEmpty) graft.operators.IvfIndex.build(puts, vroot, nlist, iters)
       // deletes against a not-yet-built index are no-ops by definition
     } else {
-      val dels = latest.filter(col("op") === "delete").select(asId.as("vec_id"))
+      val dels = latest.filter(col("op") === "delete").select(asVecId.as("vec_id"))
       graft.operators.IvfIndex.delete(spark, vroot, dels)
       if (!puts.isEmpty) graft.operators.IvfIndex.upsert(spark, vroot, puts)
     }
@@ -219,7 +328,9 @@ object IngestPipeline {
             scheme: IncrementalShingles.SketchScheme =
               IncrementalShingles.WordShingles,
             admitIf: Option[Column] = None,
-            annNlist: Int = 16, annIters: Int = 5): StreamingQuery = {
+            annNlist: Int = 16, annIters: Int = 5,
+            semanticThreshold: Option[Double] = None,
+            semanticProbes: Int = 2): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
@@ -228,7 +339,8 @@ object IngestPipeline {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         gate()
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
-          threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters)
+          threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters,
+          semanticThreshold, semanticProbes)
       }
       .start()
   }

@@ -273,4 +273,42 @@ class IngestPipelineSpec extends SparkSpec {
     applyV(1, b1)
     assert(vecState() === expected)
   }
+
+  test("the semantic gate drops embedding near-dups the text gate cannot see") {
+    val root = Files.createTempDirectory("graft_pipeS").toString + "/pipe"
+    def applyS(id: Long, changes: Seq[VecDocChange]): Unit =
+      IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5,
+        annNlist = 2, annIters = 1, semanticThreshold = Some(0.9))
+    val e1 = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e3 = Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    // batch 0: docs 1 and 2 are textually unrelated but embedding-identical
+    // (a paraphrase) — the intra-batch semantic pass admits only the
+    // lower-keyed one even before any vector index exists
+    applyS(0, Seq(
+      VecDocChange("1", 0, "put", "alpha beta gamma delta", e1),
+      VecDocChange("2", 1, "put", "totally different words entirely here", e1),
+      VecDocChange("3", 2, "put", "a third unrelated document body text", e3)))
+    assert(logRows(root) === Set(
+      ("1", "admitted", null, 0L), ("2", "semantic_dup", "1", 0L),
+      ("3", "admitted", null, 0L)))
+    assert(liveKeys(root) === Set("1", "3"))
+    // batch 1: doc 4 is textually novel but embedding-matches STORED doc 3
+    // → semantic_dup against the maintained index; doc 1's re-put with its
+    // own embedding is an update — self-exempt, admitted
+    val b1 = Seq(
+      VecDocChange("4", 10, "put", "yet another fully distinct sentence", e3),
+      VecDocChange("1", 11, "put", "alpha beta gamma delta", e1))
+    applyS(1, b1)
+    def batch1Log(): Set[(String, String, String)] =
+      IngestPipeline.admissionLog(spark, root).filter(col("batch_id") === 1)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(batch1Log() === Set(("4", "semantic_dup", "3"), ("1", "admitted", null)))
+    assert(liveKeys(root) === Set("1", "3"))
+    assert(spark.read.parquet(IngestPipeline.vectorsRoot(root) + "/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // a replay of the same batch follows the logged decisions verbatim
+    applyS(1, b1)
+    assert(batch1Log() === Set(("4", "semantic_dup", "3"), ("1", "admitted", null)))
+    assert(liveKeys(root) === Set("1", "3"))
+  }
 }
