@@ -265,6 +265,109 @@ class PropertySpec extends SparkSpec {
         s"shingler drift on text '$t'")
   }
 
+  test("semantic gate semantics hold over random vector batches (independent driver-side model)") {
+    // The embedding-cosine admission gate, driven end-to-end through the
+    // pipeline (batch 0 trains the index AND intra-batch-dedups itself;
+    // batch 1 probes the maintained state) and checked against a
+    // plain-Scala model of the full rule: state dups by max non-self
+    // cosine ≥ τ, sign-LSH-blocked intra-batch pairs among survivors,
+    // novel member dropped (updates never), dup_of = best match /
+    // smallest partner. nlist == probes, so the probed search is exact
+    // and the model needs no recall caveat; the model replicates the
+    // LSH blocking (a cross-bucket pair is invisible to BOTH sides).
+    import graft.streaming.IngestPipeline
+    val dim = 8
+    def unit(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0f); parts.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    // library of unit vectors with cosines in {0, 0.6, 0.8, 0.96, 1.0}:
+    // rich enough for state dups, intra-batch pairs, and non-dups
+    val lib = Vector(
+      unit(0 -> 1f), unit(1 -> 1f), unit(2 -> 1f), unit(3 -> 1f),
+      unit(0 -> 0.6f, 1 -> 0.8f), unit(0 -> 0.8f, 1 -> 0.6f),
+      unit(2 -> 0.6f, 3 -> 0.8f), unit(2 -> 0.8f, 3 -> 0.6f))
+    val thr = 0.9
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    def bucket(v: Seq[Float]): Int =
+      (0 until 8).map(d => if (v(d) > 0f) 1 << d else 0).sum
+    for (seed <- 1 to 3) {
+      val picks = Gen.listOfN(14, Gen.choose(0, lib.size - 1))
+        .pureApply(Gen.Parameters.default, Seed(9000L + seed))
+        .map(lib)
+      // texts pairwise shingle-disjoint: the TEXT gate admits everything,
+      // isolating the semantic verdicts
+      def txt(k: Long) = s"tok${k}a tok${k}b tok${k}c"
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_semP$seed").toString + "/pipe"
+      def applyS(id: Long, changes: Seq[VecDocChange]): Unit =
+        IngestPipeline.applyBatch(spark, changes.toDF(), root, id,
+          threshold = 0.5, annNlist = 2, annIters = 1,
+          semanticThreshold = Some(thr), semanticProbes = 2)
+      // ---- batch 0: ids 0..7, all novel ----
+      val b0ids = (0L to 7L).toSeq
+      applyS(0, b0ids.map(k => VecDocChange(k.toString, k, "put", txt(k), picks(k.toInt))))
+      val v0 = b0ids.map(k => k -> picks(k.toInt)).toMap
+      val drops0 = (for {
+        Seq(da, db) <- b0ids.combinations(2)
+        if bucket(v0(da)) == bucket(v0(db)) && cos(v0(da), v0(db)) >= thr
+      } yield db -> da).toSeq.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).min }
+      val a0 = b0ids.filterNot(drops0.contains).toSet
+      val log0 = IngestPipeline.admissionLog(spark, root)
+        .filter(col("batch_id") === 0).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(log0 === b0ids.map(k =>
+        if (drops0.contains(k)) (k.toString, "semantic_dup", drops0(k).toString)
+        else (k.toString, "admitted", null)).toSet,
+        s"seed $seed batch 0: gate disagrees with the model (picks=$picks)")
+      // ---- batch 1: novel 20..22, updates of 2 and 5, delete of 7 ----
+      val batch1 = Seq(
+        VecDocChange("20", 20, "put", txt(20), picks(8)),
+        VecDocChange("21", 21, "put", txt(21), picks(9)),
+        VecDocChange("22", 22, "put", txt(22), picks(10)),
+        VecDocChange("2", 23, "put", txt(2), picks(11)),
+        VecDocChange("5", 24, "put", txt(5), picks(12)),  // superseded
+        VecDocChange("5", 25, "put", txt(5), picks(13)),  // latest wins
+        VecDocChange("7", 26, "delete", "", Nil))
+      applyS(1, batch1)
+      val latest1 = Map(20L -> picks(8), 21L -> picks(9), 22L -> picks(10),
+        2L -> picks(11), 5L -> picks(13))
+      val stored = a0.map(k => k -> v0(k)).toMap // pre-merge index incl. 7
+      val stateDup1 = latest1.flatMap { case (k, v) =>
+        val best = stored.toSeq.filter(_._1 != k)
+          .map { case (sk, sv) => (sk, cos(v, sv)) }
+          .filter(_._2 >= thr)
+          .sortBy { case (sk, c) => (-c, sk) }.headOption
+        best.map(b => k -> b._1)
+      }
+      val surv1 = latest1.keySet -- stateDup1.keySet
+      val drops1 = (for {
+        Seq(da, db) <- surv1.toSeq.sorted.combinations(2)
+        if bucket(latest1(da)) == bucket(latest1(db)) &&
+          cos(latest1(da), latest1(db)) >= thr
+        dropped <- (stored.contains(da), stored.contains(db)) match {
+          case (_, false)    => Seq(db -> da) // db novel: drop it
+          case (false, true) => Seq(da -> db) // only da novel: drop da
+          case _             => Seq.empty     // both updates: keep both
+        }
+      } yield dropped).toSeq.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).min }
+      val log1 = IngestPipeline.admissionLog(spark, root)
+        .filter(col("batch_id") === 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(log1 === latest1.keySet.map(k =>
+        if (stateDup1.contains(k)) (k.toString, "semantic_dup", stateDup1(k).toString)
+        else if (drops1.contains(k)) (k.toString, "semantic_dup", drops1(k).toString)
+        else (k.toString, "admitted", null)).toSet,
+        s"seed $seed batch 1: gate disagrees with the model (picks=$picks)")
+      // ---- the maintained index holds exactly the admitted live set ----
+      val admitted1 = latest1.keySet -- stateDup1.keySet -- drops1.keySet
+      val wantIds = (a0 - 7L) ++ admitted1
+      assert(spark.read.parquet(IngestPipeline.vectorsRoot(root) + "/vectors")
+        .select("vec_id").collect().map(_.getLong(0)).toSet === wantIds,
+        s"seed $seed: index content diverged")
+    }
+  }
+
   test("driver-local char sketch equals the column expression on random space-free text") {
     // The CJK probe's driver-side twin of Dedup.charSketch: byte-identical
     // output (same gram set, same md5 hex, same sort, same bottom-k), or
