@@ -426,6 +426,26 @@ class Graft(spark: SparkSession, dir: String,
   def ivfNeedsRebuild(path: String, skewThreshold: Double = 4.0): Boolean =
     IvfIndex.needsRebuild(spark, path, skewThreshold)
 
+  /** Retrain a drifted IVF index ONLINE: a complete replacement is built
+    * beside the live index and promoted by one atomic swap — readers see
+    * old or new, never torn; a crash between the renames heals on the
+    * next read. The action [[ivfNeedsRebuild]] calls for. */
+  def ivfRebuild(path: String, nlist: Int = 16, iters: Int = 5): Unit =
+    IvfIndex.rebuild(spark, path, nlist, iters)
+
+  /** One maintenance pass over every state the ingest pipeline maintains:
+    * tombstone GC (row state + both token states) at `horizonEventId`,
+    * admission-log GC at `horizonBatchId`, and a drift-gated online
+    * retrain of the vector index. Run on the maintenance cadence, never
+    * per batch; the horizons come from the source's replay retention. */
+  def maintainPipeline(pipelineRoot: String, horizonEventId: Long,
+                       horizonBatchId: Long,
+                       annNlist: Int = 16, annIters: Int = 5,
+                       annSkewThreshold: Double = 4.0): IngestPipeline.MaintenanceReport =
+    IngestPipeline.maintain(spark, pipelineRoot, horizonEventId, horizonBatchId,
+      annNlist = annNlist, annIters = annIters,
+      annSkewThreshold = annSkewThreshold)
+
   /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
     * aggregation that first dedupes within `buckets` hash-shards of the
     * value space, then sums the shard counts — so a hot key's distinct set

@@ -68,6 +68,15 @@ object IvfIndex {
   private def idBucket: Column =
     pmod(crc32(col("vec_id").cast("string")), lit(IdBuckets)).cast("int")
 
+  /** Heal an interrupted ROOT swap before touching the index. [[rebuild]]
+    * promotes a whole replacement index over `path` with the StateStore
+    * rename pair; a crash between the renames leaves `path` missing and
+    * `path.old` holding the only live copy. Every entrypoint heals first
+    * so that window is invisible — without this, [[upsert]] would see an
+    * "empty" root and initialize fresh state NEXT TO the surviving copy. */
+  private def heal(spark: SparkSession, path: String): Unit =
+    StateStore.recover(spark, path)
+
   /** Train the coarse quantizer and materialize the index. Seeding is the
     * `nlist` smallest vec_ids — deterministic, so rebuilds are stable.
     * Each iteration checkpoints the (tiny) centroid table to truncate the
@@ -83,6 +92,7 @@ object IvfIndex {
     // whose id map describes the PREVIOUS layout — that combination would
     // make later upserts clear the wrong cells silently.
     val spark0 = vectors.sparkSession
+    heal(spark0, path) // resolve any interrupted root swap before replacing
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark0.sessionState.newHadoopConf())
     if (fs.exists(root)) fs.delete(root, true): Unit
@@ -120,6 +130,7 @@ object IvfIndex {
     * [[StateStore.recover]]), so a crash between [[build]]'s rename steps
     * never presents the index as missing while the only copy sits aside. */
   def centroids(spark: SparkSession, path: String): DataFrame = {
+    heal(spark, path)
     StateStore.recover(spark, path + "/centroids")
     spark.read.parquet(path + "/centroids")
   }
@@ -127,6 +138,7 @@ object IvfIndex {
   /** True if the index at `path` has a committed centroid table — the
     * maintainers' build-vs-upsert dispatch signal. */
   def exists(spark: SparkSession, path: String): Boolean = {
+    heal(spark, path)
     StateStore.recover(spark, path + "/centroids")
     StateStore.nonEmpty(spark, path + "/centroids")
   }
@@ -146,6 +158,7 @@ object IvfIndex {
     * touched and re-clears them (idempotent); the reverse order would
     * lose track of a stale copy. */
   def upsert(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    heal(spark, path)
     val vecRoot = path + "/vectors"
     val idsRoot = path + "/ids"
     // Fail loudly on an index whose id map is absent while vectors exist
@@ -229,6 +242,7 @@ object IvfIndex {
     * path). `vecIds` is a one-column (vec_id) frame; only its distinct
     * BUCKET ids (≤ [[IdBuckets]]) are collected. */
   def delete(spark: SparkSession, path: String, vecIds: DataFrame): Unit = {
+    heal(spark, path)
     val vecRoot = path + "/vectors"
     val idsRoot = path + "/ids"
     val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
@@ -283,6 +297,7 @@ object IvfIndex {
     * read). Empty when the index has no id map. The existence probe the
     * semantic admission gate runs per batch. */
   def existingIds(spark: SparkSession, path: String, vecIds: DataFrame): DataFrame = {
+    heal(spark, path)
     val idsRoot = path + "/ids"
     val live = StateStore.liveBuckets(spark, idsRoot).toSet
     if (live.isEmpty) return vecIds.select(col("vec_id")).limit(0)
@@ -300,6 +315,7 @@ object IvfIndex {
     * degrade a probe). Computed from the id→cell sidecar — two columns of
     * metadata, never a vector read. 1.0 = perfectly balanced. */
   def cellSkew(spark: SparkSession, path: String): Double = {
+    heal(spark, path)
     val idsRoot = path + "/ids"
     val live = StateStore.liveBuckets(spark, idsRoot)
     val nlist = centroids(spark, path).count()
@@ -324,6 +340,29 @@ object IvfIndex {
                    skewThreshold: Double = 4.0): Boolean = {
     require(skewThreshold > 1.0, "skewThreshold must exceed 1.0 (perfect balance)")
     cellSkew(spark, path) >= skewThreshold
+  }
+
+  /** Retrain the quantizer ONLINE — the maintenance action [[needsRebuild]]
+    * calls for. [[build]] is REPLACE: it clears the root first, so a
+    * serving index is down for the whole retrain and a crash strands an
+    * obviously-broken one. `rebuild` instead trains a complete replacement
+    * on the CURRENT live vectors under the root's `.tmp` sibling and
+    * promotes it with the [[graft.streaming.StateStore]] swap protocol:
+    * readers address the old index until one rename and the new one after
+    * it, never a torn mix of old centroids and new cells, and a crash
+    * between the rename pair is healed by the root-level recover every
+    * entrypoint runs ([[heal]]). The live set is localCheckpointed before
+    * the swap so no training job reads through the rename. Cost is one
+    * full index rewrite — run it on [[needsRebuild]]'s cadence, not the
+    * batch cadence ([[graft.streaming.IngestPipeline]]'s maintenance
+    * entrypoint wires exactly that). */
+  def rebuild(spark: SparkSession, path: String, nlist: Int = 16,
+              iters: Int = 5): Unit = {
+    heal(spark, path)
+    StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal torn cell swaps
+    val live = spark.read.parquet(path + "/vectors")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    StateStore.commit(spark, path)(tmp => build(live, tmp, nlist, iters))
   }
 
   /** Batched probed search against a persisted index — the pipeline form

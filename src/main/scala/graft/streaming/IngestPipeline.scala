@@ -317,6 +317,66 @@ object IngestPipeline {
       .foreach(d => fs.delete(new Path(s"$root/$d"), true): Unit)
   }
 
+  /** What a [[maintain]] pass did — the numbers an operator alerts on.
+    * `annSkewBefore`/`annSkewAfter` are [[graft.operators.IvfIndex.cellSkew]]
+    * readings (None when the pipeline has no vector index); `annRebuilt`
+    * is whether the drift threshold tripped an online retrain. */
+  final case class MaintenanceReport(annSkewBefore: Option[Double],
+                                     annRebuilt: Boolean,
+                                     annSkewAfter: Option[Double])
+
+  /** The pipeline's MAINTENANCE pass — [[applyBatch]]'s operational
+    * counterpart, run on a maintenance cadence (every N batches, or
+    * nightly), never per batch. One call applies the whole
+    * retention-and-repair story to every maintained state:
+    *
+    *   - tombstone GC at `horizonEventId` on the row state and on both
+    *     token-state docs roots (postings, shingles — the shingle root IS
+    *     a postings root, so the proven rewrite applies verbatim), per
+    *     the LSM delete-retention contract: a tombstone must outlive
+    *     every event the source can still replay, so the horizon is the
+    *     smallest replayable event id;
+    *   - admission-log GC at `horizonBatchId` ([[gcAdmissions]] — the
+    *     same discipline, batch-granular: a verdict must outlive every
+    *     replay that could consult it);
+    *   - quantizer-drift repair on the vector index: when
+    *     [[graft.operators.IvfIndex.needsRebuild]]'s skew threshold
+    *     trips, retrain ONLINE ([[graft.operators.IvfIndex.rebuild]] —
+    *     atomic cutover; concurrent readers and the next micro-batch see
+    *     the old index or the new one, never a torn mix).
+    *
+    * Both horizons come from the SOURCE's retention (checkpointed
+    * offsets / compacted-topic retention), not from the states — the
+    * states cannot know what the source can still replay. Every step is
+    * idempotent and delta-sized except the rebuild, which is index-sized
+    * by design and gated on measured drift. */
+  def maintain(spark: SparkSession, pipelineRoot: String,
+               horizonEventId: Long, horizonBatchId: Long,
+               numBuckets: Int = IncrementalIndex.DefaultBuckets,
+               annNlist: Int = 16, annIters: Int = 5,
+               annSkewThreshold: Double = 4.0): MaintenanceReport = {
+    require(annSkewThreshold > 1.0,
+      "annSkewThreshold must exceed 1.0 (perfect balance)")
+    IncrementalIndex.gcTombstones(spark, stateRoot(pipelineRoot),
+      horizonEventId, numBuckets)
+    IncrementalPostings.gcTombstones(spark, postingsRoot(pipelineRoot),
+      horizonEventId, numBuckets)
+    IncrementalPostings.gcTombstones(spark, shingleRoot(pipelineRoot),
+      horizonEventId, numBuckets)
+    gcAdmissions(spark, pipelineRoot, horizonBatchId)
+    val vroot = vectorsRoot(pipelineRoot)
+    if (!graft.operators.IvfIndex.exists(spark, vroot))
+      MaintenanceReport(None, annRebuilt = false, None)
+    else {
+      val skew = graft.operators.IvfIndex.cellSkew(spark, vroot)
+      if (skew >= annSkewThreshold) {
+        graft.operators.IvfIndex.rebuild(spark, vroot, annNlist, annIters)
+        MaintenanceReport(Some(skew), annRebuilt = true,
+          Some(graft.operators.IvfIndex.cellSkew(spark, vroot)))
+      } else MaintenanceReport(Some(skew), annRebuilt = false, Some(skew))
+    }
+  }
+
   /** Wire a streaming changelog into the gated three-state pipeline —
     * the reference's coprocessor-to-index loop as one streaming query,
     * same knobs as the individual maintenance starts. */

@@ -311,4 +311,67 @@ class IngestPipelineSpec extends SparkSpec {
     assert(batch1Log() === Set(("4", "semantic_dup", "3"), ("1", "admitted", null)))
     assert(liveKeys(root) === Set("1", "3"))
   }
+
+  test("maintain runs the whole retention-and-repair pass in one call") {
+    import graft.streaming.StateStore
+    val root = Files.createTempDirectory("graft_pipeM").toString + "/pipe"
+    def applyM(id: Long, changes: Seq[VecDocChange]): Unit =
+      IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5,
+        annNlist = 2, annIters = 2)
+    def txt(k: Long) = s"tok${k}a tok${k}b tok${k}c"
+    def arc(theta: Double): Seq[Float] =
+      Seq(0f, 0f, math.cos(math.toRadians(theta)).toFloat,
+        math.sin(math.toRadians(theta)).toFloat)
+    // batch 0 trains the quantizer; batch 1 deletes doc 2 (a tombstone in
+    // every keyed state); batch 2 is a drift stream into one trained cell
+    applyM(0, Seq(
+      VecDocChange("1", 0, "put", txt(1), Seq(1f, 0f, 0f, 0f)),
+      VecDocChange("2", 1, "put", txt(2), Seq(0f, 1f, 0f, 0f)),
+      VecDocChange("3", 2, "put", txt(3), Seq(0f, 0f, 1f, 0f))))
+    applyM(1, Seq(VecDocChange("2", 10, "delete", "", Nil)))
+    applyM(2, (0 until 20).map(j =>
+      VecDocChange((10 + j).toString, 20L + j, "put", txt(10 + j), arc(2 + j * 4.0))))
+    val docsRoots = Seq(
+      IngestPipeline.stateRoot(root),
+      IngestPipeline.postingsRoot(root) + "/docs",
+      IngestPipeline.shingleRoot(root) + "/docs")
+    def tombstones(p: String): Seq[String] =
+      StateStore.liveBuckets(spark, p).map(d => s"$p/$d") match {
+        case Nil => Nil
+        case dirs => spark.read.parquet(dirs: _*).filter(col("op") === "delete")
+          .select("rowkey").collect().map(_.getString(0)).toSeq
+      }
+    docsRoots.foreach(p =>
+      assert(tombstones(p) === Seq("2"), s"missing fixture tombstone in $p"))
+    // batch 1 is delete-only: deletes are not gated, so it logs no verdicts
+    assert(logRows(root).map(_._4) === Set(0L, 2L))
+    val wantLive = Set("1", "3") ++ (10 until 30).map(_.toString)
+    assert(liveKeys(root) === wantLive)
+    // one maintenance call: tombstone GC on all three keyed states,
+    // admission-log GC, and the drift-gated online quantizer retrain
+    val report = IngestPipeline.maintain(spark, root,
+      horizonEventId = 100, horizonBatchId = 2,
+      annNlist = 2, annIters = 2, annSkewThreshold = 1.5)
+    docsRoots.foreach(p => assert(tombstones(p).isEmpty, s"tombstone survived in $p"))
+    assert(logRows(root).map(_._4) === Set(2L))
+    assert(report.annRebuilt && report.annSkewBefore.exists(_ >= 1.5))
+    // live views are untouched by the whole pass
+    assert(liveKeys(root) === wantLive)
+    val vroot = IngestPipeline.vectorsRoot(root)
+    assert(spark.read.parquet(vroot + "/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet ===
+      wantLive.map(_.toLong))
+    // the retrained index still answers exactly (probes = nlist)
+    assert(graft.operators.IvfIndex.search(spark, vroot, arc(2), k = 1, probes = 2)
+      .head().getLong(0) === 10L)
+    // at the DEFAULT drift threshold a second pass finds nothing to do
+    val second = IngestPipeline.maintain(spark, root,
+      horizonEventId = 100, horizonBatchId = 2, annNlist = 2, annIters = 2)
+    assert(!second.annRebuilt && second.annSkewAfter === second.annSkewBefore)
+    // and the pipeline keeps ingesting against the maintained states
+    applyM(3, Seq(VecDocChange("40", 50, "put", txt(40), arc(77))))
+    assert(liveKeys(root) === wantLive + "40")
+    assert(graft.operators.IvfIndex.search(spark, vroot, arc(77), k = 1, probes = 2)
+      .head().getLong(0) === 40L)
+  }
 }

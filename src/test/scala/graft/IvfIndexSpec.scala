@@ -301,6 +301,79 @@ class IvfIndexSpec extends SparkSpec {
     java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
       .forEach(f => java.nio.file.Files.delete(f))
 
+  test("rebuild retrains the drifted quantizer online and preserves the live set") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_ivfR").toString + "/ivf"
+    // training corpus: 20 distinct unit vectors on the 0–19° arc of the
+    // (x, y) plane; drift: 80 distinct arrivals on the 80–99.75° arc —
+    // every arrival uniquely quantizes to the trained centroid nearest
+    // 90° (no ties), piling the whole drift into one cell
+    def arc(theta: Double): Seq[Float] =
+      Seq(math.cos(math.toRadians(theta)).toFloat,
+        math.sin(math.toRadians(theta)).toFloat)
+    val trained = (0 until 20).map(i => (1000L + i, arc(i)))
+    val arrivals = (0 until 80).map(j => (1L + j, arc(80.0 + j * 0.25)))
+    IvfIndex.build(trained.toDF("vec_id", "embedding"), p, nlist = 4, iters = 5)
+    IvfIndex.upsert(spark, p, arrivals.toDF("vec_id", "embedding"))
+    val skewBefore = IvfIndex.cellSkew(spark, p)
+    assert(IvfIndex.needsRebuild(spark, p, skewThreshold = 3.0),
+      s"drift fixture did not trip the guard (skew $skewBefore)")
+    IvfIndex.rebuild(spark, p, nlist = 4, iters = 5)
+    // the retrain re-partitions the data: the guard resets
+    val skewAfter = IvfIndex.cellSkew(spark, p)
+    assert(skewAfter < skewBefore, s"rebuild did not reduce skew: $skewBefore -> $skewAfter")
+    assert(!IvfIndex.needsRebuild(spark, p, skewThreshold = 3.0))
+    // the live set survives the cutover bit-for-bit
+    val live = spark.read.parquet(p + "/vectors")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding"))).toMap
+    assert(live.keySet === (trained ++ arrivals).map(_._1).toSet)
+    (trained ++ arrivals).foreach { case (id, v) => assert(live(id) === v) }
+    // exhaustive probe over the new layout is still the exact top-k
+    val q = arc(85.0)
+    val got = IvfIndex.search(spark, p, q, k = 5, probes = 4)
+      .collect().map(_.getLong(0))
+    val want = (trained ++ arrivals)
+      .map { case (id, v) => (id, v.zip(q).map { case (a, b) => a.toDouble * b }.sum) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got.toSeq === want.toSeq)
+    // incremental maintenance keeps working against the new id sidecar
+    IvfIndex.upsert(spark, p, Seq((1L, arc(5.0))).toDF("vec_id", "embedding"))
+    IvfIndex.delete(spark, p, Seq(2L).toDF("vec_id"))
+    val after = spark.read.parquet(p + "/vectors")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding"))).toMap
+    assert(!after.contains(2L) && after(1L) === arc(5.0))
+    assert(after.size === live.size - 1)
+  }
+
+  test("a crash between rebuild's renames heals on the next read") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ivfC")
+    val p = base.toString + "/ivf"
+    def arc(theta: Double): Seq[Float] =
+      Seq(math.cos(math.toRadians(theta)).toFloat,
+        math.sin(math.toRadians(theta)).toFloat)
+    val vecs = (0 until 20).map(i => (i.toLong, arc(i * 4)))
+    IvfIndex.build(vecs.toDF("vec_id", "embedding"), p, nlist = 4, iters = 3)
+    val wantTop = IvfIndex.search(spark, p, arc(10), k = 3, probes = 4)
+      .collect().map(_.getLong(0)).toSeq
+    // crash point: the root was moved aside but the replacement was never
+    // promoted — `<p>` missing, `<p>.old` the only surviving copy (plus a
+    // half-written `.tmp` the next writer must ignore)
+    val root = java.nio.file.Paths.get(p)
+    java.nio.file.Files.move(root, java.nio.file.Paths.get(p + ".old"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p + ".tmp", "garbage"))
+    // every entrypoint heals before reading: the index is simply back
+    assert(IvfIndex.exists(spark, p))
+    assert(IvfIndex.search(spark, p, arc(10), k = 3, probes = 4)
+      .collect().map(_.getLong(0)).toSeq === wantTop)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p + ".old")))
+    // and a subsequent rebuild clears the stale tmp and completes
+    IvfIndex.rebuild(spark, p, nlist = 4, iters = 3)
+    assert(IvfIndex.search(spark, p, arc(10), k = 3, probes = 4)
+      .collect().map(_.getLong(0)).toSeq === wantTop)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p + ".tmp")))
+  }
+
   test("the probed result is a superset-ranked prefix: hits are true similarities") {
     // probe < nlist may lose recall but must never fabricate: every
     // returned (vec_id, sim) must match the brute-force similarity.
