@@ -301,11 +301,16 @@ object IncrementalShingles {
       .select(col("qid"), col("rowkey")).distinct().localCheckpoint()
     val qArr = docs.select(col("qid"),
       array_distinct(scheme.sketch(col("text"))).as("qs"))
-    IncrementalPostings.prunedDocsForKeys(spark, rootPath, cands.select("rowkey"))
-      .join(cands, "rowkey")
+    // sketch ONCE PER DOC on both sides before the pair join: a candidate
+    // row fans out to every query doc it shares a shingle with, and
+    // sketching inside the pair join re-ran the split/gram pipeline per
+    // PAIR — measured 70 s/batch against 263k candidate pairs at sf0.1
+    // (the arrays still ride the join; computing them is what cost)
+    val bArr = IncrementalPostings.prunedDocsForKeys(spark, rootPath,
+        cands.select("rowkey"))
+      .select(col("rowkey"), array_distinct(scheme.sketch(col("text"))).as("bs"))
+    bArr.join(cands, "rowkey")
       .join(qArr, "qid")
-      .select(col("qid"), col("rowkey"),
-        array_distinct(scheme.sketch(col("text"))).as("bs"), col("qs"))
       .withColumn("c", size(array_intersect(col("bs"), col("qs"))).cast("long"))
       .withColumn("jaccard",
         round(col("c") / (size(col("bs")) + size(col("qs")) - col("c")), 4))
@@ -404,6 +409,9 @@ object IncrementalShingles {
     // min_by over (-jaccard, rowkey) is deterministic: the logged dup_of
     // must not depend on aggregation order (the crash-replay spec
     // compares two independently computed decision sets)
+    // checkpointed: dupBest feeds BOTH the survivor anti-join and the
+    // final decisions select — without it the whole state probe (the
+    // batch's most expensive plan) executes twice per gate
     val dupBest = nearDuplicatesBatch(spark, rootPath,
         latest.select(col("rowkey").as("qid"), col("text")), threshold,
         scheme.dfCap, scheme)
@@ -411,6 +419,7 @@ object IncrementalShingles {
       .groupBy("qid")
       .agg(min_by(col("rowkey"), struct(-col("jaccard"), col("rowkey"))).as("dup_of"))
       .select(col("qid").as("rowkey"), col("dup_of"))
+      .localCheckpoint()
     // checkpointed: state-pass survivors feed the existence probe and the
     // intra-batch pair generation — one probe
     val survivors = latest.join(dupBest, Seq("rowkey"), "left_anti").localCheckpoint()
