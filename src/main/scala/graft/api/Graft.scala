@@ -248,6 +248,18 @@ class Graft(spark: SparkSession, dir: String,
   def admissionLog(pipelineRoot: String): DataFrame =
     IngestPipeline.admissionLog(spark, pipelineRoot)
 
+  /** Initial bulk load of an empty pipeline root: one merge pass per
+    * state, quantizer trained on the full admitted corpus, decisions
+    * logged under the reserved bootstrap batch id; the stream then takes
+    * over with a fresh checkpoint. `dedupWithin` arms the intra-corpus
+    * near-dup gate; `None` admits everything (curated corpus). */
+  def bootstrapPipeline(corpus: DataFrame, pipelineRoot: String,
+                        dedupWithin: Option[Double] = None,
+                        annNlist: Int = 16,
+                        annIters: Int = 5): IngestPipeline.BootstrapReport =
+    IngestPipeline.bootstrap(spark, corpus, pipelineRoot, dedupWithin,
+      annNlist = annNlist, annIters = annIters)
+
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the
     * compacted secondary index) and `graft_postings` (the inverted

@@ -247,6 +247,18 @@ object IngestPipeline {
                  semanticProbes: Int = 2): Unit = {
     val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
       scheme, admitIf, semanticThreshold, semanticProbes)
+    mergeAll(spark, batch, decisions, pipelineRoot, numBuckets, tokenize,
+      scheme, annNlist, annIters)
+  }
+
+  /** The merge half of [[applyBatch]] (shared with [[bootstrap]]): apply
+    * a committed decisions frame to the batch and advance every
+    * maintained state. */
+  private def mergeAll(spark: SparkSession, batch: DataFrame,
+                       decisions: DataFrame, pipelineRoot: String,
+                       numBuckets: Int, tokenize: Column => Column,
+                       scheme: IncrementalShingles.SketchScheme,
+                       annNlist: Int, annIters: Int): Unit = {
     // checkpointed: every merge reads the gated batch; without it each
     // would re-run the semi-join (and re-read the source batch)
     val gated = IncrementalShingles.gatedBatch(batch, decisions).localCheckpoint()
@@ -315,6 +327,85 @@ object IngestPipeline {
     StateStore.liveBuckets(spark, root, prefix = "batch=")
       .filter(_.stripPrefix("batch=").toLong < horizonBatchId)
       .foreach(d => fs.delete(new Path(s"$root/$d"), true): Unit)
+  }
+
+  /** The reserved batch id under which [[bootstrap]] logs its admission
+    * decisions: below every streaming batch id, so a stream started after
+    * the bootstrap can never collide with (and wrongly replay) them. */
+  val BootstrapBatchId: Long = -1L
+
+  /** What [[bootstrap]] did: corpus rowkeys seen, admitted, dropped. */
+  final case class BootstrapReport(docs: Long, admitted: Long, dropped: Long)
+
+  /** INITIAL LOAD — the bulk path a 100 TB corpus takes into the
+    * pipeline. Feeding history through [[applyBatch]] would pay, per
+    * micro-batch, a state probe plus a read-and-rewrite of every touched
+    * bucket — O(batches × state) total write volume. `bootstrap` instead
+    * merges the whole corpus in ONE pass per state (every merge against
+    * an empty root is a pure partitioned write), trains the vector
+    * quantizer on the FULL admitted corpus (a stream's first-batch
+    * training sees only that batch's distribution), and then hands off:
+    * start the stream with a fresh checkpoint and the gate reads the
+    * bootstrapped state like any other.
+    *
+    * `dedupWithin` arms the intra-corpus near-dup gate (the batch
+    * family's exact pair machinery via [[IncrementalShingles
+    * .gateDecisions]] — against an empty state the state pass is a
+    * no-op, so the whole gate is the offline corpus-dedup job); `None`
+    * admits everything — the curated-corpus case. Either way the
+    * decisions are committed to the admission log under
+    * [[BootstrapBatchId]] BEFORE any merge — the same
+    * decide-once-durably contract as the stream, so a crashed bootstrap
+    * re-run resumes with the logged decisions and idempotent merges
+    * converge. A re-run is only accepted as a RESUME (its log entry
+    * exists); bootstrapping over an already-populated pipeline fails
+    * loudly instead of silently double-merging. Note [[gcAdmissions]]
+    * drops the bootstrap log entry at any horizon ≥ 0 — correct, since a
+    * completed bootstrap is never replayed — so capture provenance
+    * before the first GC if it matters. */
+  def bootstrap(spark: SparkSession, corpus: DataFrame, pipelineRoot: String,
+                dedupWithin: Option[Double] = None,
+                numBuckets: Int = IncrementalIndex.DefaultBuckets,
+                tokenize: Column => Column = split(_, " "),
+                scheme: IncrementalShingles.SketchScheme =
+                  IncrementalShingles.WordShingles,
+                annNlist: Int = 16, annIters: Int = 5): BootstrapReport = {
+    val dir = admissionDir(pipelineRoot, BootstrapBatchId)
+    if (!StateStore.nonEmpty(spark, dir)) {
+      // fresh bootstrap: every state must be empty — merging a corpus
+      // into live state is applyBatch's job, and doing it here would
+      // bypass the gate the stream's documents went through
+      val populated = Seq(
+        stateRoot(pipelineRoot), postingsRoot(pipelineRoot) + "/docs",
+        shingleRoot(pipelineRoot) + "/docs")
+        .filter(r => StateStore.liveBuckets(spark, r).nonEmpty)
+      if (populated.nonEmpty || graft.operators.IvfIndex.exists(spark,
+          vectorsRoot(pipelineRoot)))
+        throw new IllegalStateException(
+          s"bootstrap requires an empty pipeline root; found live state " +
+            s"under $pipelineRoot — use applyBatch for incremental loads")
+    }
+    val decisions = dedupWithin match {
+      case Some(t) =>
+        decideAndLog(spark, corpus, pipelineRoot, BootstrapBatchId, t,
+          scheme, admitIf = None)
+      case None =>
+        if (!StateStore.nonEmpty(spark, dir)) {
+          val all = corpus.filter(col("op") =!= "delete")
+            .select("rowkey").distinct()
+            .select(col("rowkey"), lit("admitted").as("verdict"),
+              lit(null).cast("string").as("dup_of"),
+              lit(BootstrapBatchId).as("batch_id"))
+          StateStore.commit(spark, dir)(tmp => all.write.parquet(tmp))
+        }
+        spark.read.schema(decisionSchema).parquet(dir)
+    }
+    mergeAll(spark, corpus, decisions, pipelineRoot, numBuckets, tokenize,
+      scheme, annNlist, annIters)
+    val counts = decisions.groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val admitted = counts.getOrElse("admitted", 0L)
+    BootstrapReport(counts.values.sum, admitted, counts.values.sum - admitted)
   }
 
   /** What a [[maintain]] pass did — the numbers an operator alerts on.

@@ -312,6 +312,87 @@ class IngestPipelineSpec extends SparkSpec {
     assert(liveKeys(root) === Set("1", "3"))
   }
 
+  test("bootstrap equals the same corpus through the gated batch path, then hands off to the stream") {
+    val rootA = Files.createTempDirectory("graft_pipeBa").toString + "/pipe"
+    val rootB = Files.createTempDirectory("graft_pipeBb").toString + "/pipe"
+    // a corpus with one exact intra-corpus dup (doc 3 of doc 1) and one
+    // superseded put (doc 2's event 1 loses to event 4)
+    val corpus = Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta epsilon"),
+      DocChange("2", 1, "put", "totally different words entirely here"),
+      DocChange("3", 2, "put", "alpha beta gamma delta epsilon"),
+      DocChange("4", 3, "put", "a third unrelated document body text"),
+      DocChange("2", 4, "put", "the second document rewritten completely anew"))
+    val report = IngestPipeline.bootstrap(spark, corpus.toDF(), rootA,
+      dedupWithin = Some(0.5))
+    assert(report === IngestPipeline.BootstrapReport(4, 3, 1))
+    applyB(rootB, 0, corpus) // the same corpus as one gated stream batch
+    // every maintained state is identical (same decisions, same merges)
+    def state(r: String): Set[(String, String)] =
+      IncrementalIndex.readState(spark, IngestPipeline.stateRoot(r))
+        .select("rowkey", "text").collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+    def postings(r: String, root: String => String): Set[(String, Seq[String])] =
+      IncrementalPostings.postings(spark, root(r))
+        .collect().map(x => (x.getString(0), x.getSeq[String](1))).toSet
+    assert(state(rootA) === state(rootB))
+    assert(postings(rootA, IngestPipeline.postingsRoot) ===
+      postings(rootB, IngestPipeline.postingsRoot))
+    assert(postings(rootA, IngestPipeline.shingleRoot) ===
+      postings(rootB, IngestPipeline.shingleRoot))
+    // same verdicts, logged under the reserved bootstrap batch id
+    assert(logRows(rootA).map(r => (r._1, r._2, r._3)) ===
+      logRows(rootB).map(r => (r._1, r._2, r._3)))
+    assert(logRows(rootA).map(_._4) === Set(IngestPipeline.BootstrapBatchId))
+    // the stream takes over: a near-dup of a bootstrapped doc gates out
+    applyB(rootA, 0, Seq(
+      DocChange("9", 10, "put", "alpha beta gamma delta epsilon")))
+    assert(IngestPipeline.admissionLog(spark, rootA)
+      .filter(col("batch_id") === 0).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ===
+      Set(("9", "state_dup", "1")))
+    // a crashed bootstrap re-runs as a RESUME (logged decisions reused)...
+    val report2 = IngestPipeline.bootstrap(spark, corpus.toDF(), rootA,
+      dedupWithin = Some(0.5))
+    assert(report2 === report && state(rootA) === state(rootB))
+    // ...but bootstrapping a POPULATED root without that log fails loudly
+    val dir = new org.apache.hadoop.fs.Path(
+      rootA + "/admissions/batch=" + IngestPipeline.BootstrapBatchId)
+    dir.getFileSystem(spark.sessionState.newHadoopConf()).delete(dir, true)
+    intercept[IllegalStateException] {
+      IngestPipeline.bootstrap(spark, corpus.toDF(), rootA)
+    }
+  }
+
+  test("bootstrap trains the quantizer on the full corpus and the stream continues it") {
+    val root = Files.createTempDirectory("graft_pipeBv").toString + "/pipe"
+    val vroot = IngestPipeline.vectorsRoot(root)
+    def txt(k: Long) = s"tok${k}a tok${k}b tok${k}c"
+    val corpus = (0 until 12).map(i =>
+      VecDocChange(i.toString, i.toLong, "put", txt(i),
+        Seq(math.cos(math.toRadians(i * 30.0)).toFloat,
+          math.sin(math.toRadians(i * 30.0)).toFloat)))
+    val report = IngestPipeline.bootstrap(spark, corpus.toDF(), root,
+      annNlist = 4, annIters = 3)
+    assert(report === IngestPipeline.BootstrapReport(12, 12, 0))
+    assert(graft.operators.IvfIndex.exists(spark, vroot))
+    assert(spark.read.parquet(vroot + "/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet ===
+      (0L until 12L).toSet)
+    // exhaustive probe over the bootstrapped index is exact
+    val q = Seq(math.cos(math.toRadians(59.0)).toFloat,
+      math.sin(math.toRadians(59.0)).toFloat)
+    assert(graft.operators.IvfIndex.search(spark, vroot, q, k = 1, probes = 4)
+      .head().getLong(0) === 2L)
+    // the stream's next batch upserts into the bootstrapped index
+    IngestPipeline.applyBatch(spark, Seq(
+      VecDocChange("20", 100, "put", txt(20),
+        Seq(0.6f, -0.8f))).toDF(), root, 0, threshold = 0.5,
+      annNlist = 4, annIters = 3)
+    assert(graft.operators.IvfIndex.search(spark, vroot, Seq(0.6f, -0.8f),
+      k = 1, probes = 4).head().getLong(0) === 20L)
+  }
+
   test("maintain runs the whole retention-and-repair pass in one call") {
     import graft.streaming.StateStore
     val root = Files.createTempDirectory("graft_pipeM").toString + "/pipe"
