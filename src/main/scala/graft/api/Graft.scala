@@ -252,12 +252,18 @@ class Graft(spark: SparkSession, dir: String,
     * state, quantizer trained on the full admitted corpus, decisions
     * logged under the reserved bootstrap batch id; the stream then takes
     * over with a fresh checkpoint. `dedupWithin` arms the intra-corpus
-    * near-dup gate; `None` admits everything (curated corpus). */
+    * near-dup gate; `None` admits everything (curated corpus). Uses this
+    * instance's tokenizer — the SAME token universe
+    * [[startIngestPipeline]] merges with, so the stream's delta removals
+    * match the bootstrapped entries; pass the same `scheme` to both. */
   def bootstrapPipeline(corpus: DataFrame, pipelineRoot: String,
                         dedupWithin: Option[Double] = None,
+                        scheme: IncrementalShingles.SketchScheme =
+                          IncrementalShingles.WordShingles,
                         annNlist: Int = 16,
                         annIters: Int = 5): IngestPipeline.BootstrapReport =
     IngestPipeline.bootstrap(spark, corpus, pipelineRoot, dedupWithin,
+      tokenize = tokenizer.tokens, scheme = scheme,
       annNlist = annNlist, annIters = annIters)
 
   /** Register the engine's tables and derived views for `spark.sql(...)`:

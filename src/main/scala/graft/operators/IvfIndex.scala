@@ -347,19 +347,36 @@ object IvfIndex {
     * serving index is down for the whole retrain and a crash strands an
     * obviously-broken one. `rebuild` instead trains a complete replacement
     * on the CURRENT live vectors under the root's `.tmp` sibling and
-    * promotes it with the [[graft.streaming.StateStore]] swap protocol:
-    * readers address the old index until one rename and the new one after
-    * it, never a torn mix of old centroids and new cells, and a crash
-    * between the rename pair is healed by the root-level recover every
-    * entrypoint runs ([[heal]]). The live set is localCheckpointed before
-    * the swap so no training job reads through the rename. Cost is one
-    * full index rewrite — run it on [[needsRebuild]]'s cadence, not the
-    * batch cadence ([[graft.streaming.IngestPipeline]]'s maintenance
-    * entrypoint wires exactly that). */
+    * promotes it with the [[graft.streaming.StateStore]] swap protocol —
+    * the index stays fully readable for the whole retrain (the long
+    * part), disappears only for the instant between two renames, and a
+    * crash at ANY point is healed by the root-level recover every
+    * entrypoint runs ([[heal]]): on-disk state is old or new, never a
+    * torn mix. The live set is localCheckpointed before the swap so no
+    * training job reads through the rename.
+    *
+    * CONCURRENCY CONTRACT — crash-safe is not concurrency-safe: cell ids
+    * are renumbered by the retrain, so an in-flight [[search]] that
+    * collected OLD cell ids and scans after the swap probes the wrong
+    * cells, and an in-flight [[upsert]]/[[delete]] that planned against
+    * the old layout would commit old-layout bucket dirs INTO the new
+    * index (two writers on one root — outside the StateStore contract).
+    * Serialize `rebuild` with the index's readers and writers: in the
+    * pipeline that means running it from the SAME thread that runs
+    * `foreachBatch`, between batches —
+    * [[graft.streaming.IngestPipeline.maintain]]'s documented cadence.
+    * Cost is one full index rewrite — [[needsRebuild]]'s cadence, never
+    * the batch cadence. */
   def rebuild(spark: SparkSession, path: String, nlist: Int = 16,
               iters: Int = 5): Unit = {
     heal(spark, path)
-    StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal torn cell swaps
+    // the liveBuckets listing also heals torn per-cell swaps first;
+    // a build that crashed between its centroid commit and its vectors
+    // write presents exists()=true with nothing to train on — send the
+    // caller to build(), as upsert/delete do for the same torn state
+    if (StateStore.liveBuckets(spark, path + "/vectors", "cell=").isEmpty)
+      throw new IllegalStateException(
+        s"index at $path has no vectors to retrain on — rebuild it with IvfIndex.build")
     val live = spark.read.parquet(path + "/vectors")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     StateStore.commit(spark, path)(tmp => build(live, tmp, nlist, iters))

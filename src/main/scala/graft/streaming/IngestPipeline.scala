@@ -232,9 +232,11 @@ object IngestPipeline {
     * ([[mergeVectors]]) — so similarity search stays coherent with the
     * text surfaces from the same admission decision. The changelog schema
     * must be stable across batches for one pipeline root (the row state
-    * stores the full record). The shingle merge runs last — it is the
-    * state the NEXT batch's gate reads, and it triggers the
-    * session-artifact invalidation for registered scopes. */
+    * stores the full record). The merges run concurrently in any
+    * completion order ([[mergeAll]]) — but all of them, including the
+    * shingle state the NEXT batch's gate reads (and whose merge triggers
+    * the session-artifact invalidation for registered scopes), have
+    * completed before this method returns. */
   def applyBatch(spark: SparkSession, batch: DataFrame, pipelineRoot: String,
                  batchId: Long, threshold: Double = 0.8,
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
@@ -281,15 +283,24 @@ object IngestPipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // fatal throwables (OOM, stack overflow) never complete a Future's
+    // promise — an unwrapped one would hang the Await below forever
+    // instead of failing the batch; wrap them so they propagate
+    def merge(f: => Unit): Future[Unit] = Future {
+      try f catch {
+        case t: Throwable if !scala.util.control.NonFatal(t) =>
+          throw new RuntimeException("fatal error in state merge", t)
+      }
+    }
     val merges = Seq(
-      Future(IncrementalIndex.mergeBatch(spark, gated,
+      merge(IncrementalIndex.mergeBatch(spark, gated,
         stateRoot(pipelineRoot), numBuckets)),
-      Future(IncrementalPostings.mergeBatch(spark, gatedText,
+      merge(IncrementalPostings.mergeBatch(spark, gatedText,
         postingsRoot(pipelineRoot), tokenize, numBuckets)),
-      Future(IncrementalShingles.mergeBatch(spark, gatedText,
+      merge(IncrementalShingles.mergeBatch(spark, gatedText,
         shingleRoot(pipelineRoot), numBuckets, scheme))) ++
       (if (gated.columns.contains("embedding"))
-        Seq(Future(mergeVectors(spark, gated, vectorsRoot(pipelineRoot),
+        Seq(merge(mergeVectors(spark, gated, vectorsRoot(pipelineRoot),
           annNlist, annIters)))
       else Nil)
     // surface the FIRST failure but only after every merge has stopped
@@ -343,7 +354,12 @@ object IngestPipeline {
   /** Drop admission-log entries for batches the stream's checkpoint can no
     * longer replay (`batchId < horizonBatchId`) — the same retention
     * discipline as tombstone GC: a log entry must outlive every replay
-    * that could consult it, and no longer. */
+    * that could consult it, and no longer. The [[bootstrap]] entry
+    * ([[BootstrapBatchId]], below every stream id) is always kept: it is
+    * tiny (one row per corpus rowkey gated), it is the resume record of
+    * a bootstrap that may have crashed mid-merge — GC'ing it would turn
+    * that crash from resumable into stuck — and afterwards it is the
+    * corpus's initial-load provenance. */
   def gcAdmissions(spark: SparkSession, pipelineRoot: String,
                    horizonBatchId: Long): Unit = {
     val root = admissionsRoot(pipelineRoot)
@@ -351,7 +367,10 @@ object IngestPipeline {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return
     StateStore.liveBuckets(spark, root, prefix = "batch=")
-      .filter(_.stripPrefix("batch=").toLong < horizonBatchId)
+      .filter { d =>
+        val id = d.stripPrefix("batch=").toLong
+        id != BootstrapBatchId && id < horizonBatchId
+      }
       .foreach(d => fs.delete(new Path(s"$root/$d"), true): Unit)
   }
 
@@ -385,10 +404,9 @@ object IngestPipeline {
     * re-run resumes with the logged decisions and idempotent merges
     * converge. A re-run is only accepted as a RESUME (its log entry
     * exists); bootstrapping over an already-populated pipeline fails
-    * loudly instead of silently double-merging. Note [[gcAdmissions]]
-    * drops the bootstrap log entry at any horizon ≥ 0 — correct, since a
-    * completed bootstrap is never replayed — so capture provenance
-    * before the first GC if it matters. */
+    * loudly instead of silently double-merging. [[gcAdmissions]] never
+    * drops the bootstrap entry: it is the crashed-bootstrap resume
+    * record and, afterwards, the corpus's initial-load provenance. */
   def bootstrap(spark: SparkSession, corpus: DataFrame, pipelineRoot: String,
                 dedupWithin: Option[Double] = None,
                 numBuckets: Int = IncrementalIndex.DefaultBuckets,
@@ -459,14 +477,22 @@ object IngestPipeline {
     *   - quantizer-drift repair on the vector index: when
     *     [[graft.operators.IvfIndex.needsRebuild]]'s skew threshold
     *     trips, retrain ONLINE ([[graft.operators.IvfIndex.rebuild]] —
-    *     atomic cutover; concurrent readers and the next micro-batch see
-    *     the old index or the new one, never a torn mix).
+    *     the index serves reads for the whole retrain and cuts over in
+    *     one atomic swap).
     *
     * Both horizons come from the SOURCE's retention (checkpointed
     * offsets / compacted-topic retention), not from the states — the
     * states cannot know what the source can still replay. Every step is
     * idempotent and delta-sized except the rebuild, which is index-sized
-    * by design and gated on measured drift. */
+    * by design and gated on measured drift.
+    *
+    * SERIALIZE this call with the ingest loop: every step is crash-safe,
+    * but GC rewriting a bucket a concurrent merge is also rewriting —
+    * or the rebuild's cutover racing an in-flight upsert planned against
+    * the old cell layout — is two writers on one state root, outside the
+    * StateStore contract. The natural home is the `foreachBatch` thread
+    * itself, every N batches (maintenance between batches, merges within
+    * them — one writer at a time by construction). */
   def maintain(spark: SparkSession, pipelineRoot: String,
                horizonEventId: Long, horizonBatchId: Long,
                numBuckets: Int = IncrementalIndex.DefaultBuckets,

@@ -351,6 +351,10 @@ class IngestPipelineSpec extends SparkSpec {
       .filter(col("batch_id") === 0).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ===
       Set(("9", "state_dup", "1")))
+    // admission GC never drops the bootstrap entry (resume record +
+    // initial-load provenance), only stream batches behind the horizon
+    IngestPipeline.gcAdmissions(spark, rootA, horizonBatchId = 100)
+    assert(logRows(rootA).map(_._4) === Set(IngestPipeline.BootstrapBatchId))
     // a crashed bootstrap re-runs as a RESUME (logged decisions reused)...
     val report2 = IngestPipeline.bootstrap(spark, corpus.toDF(), rootA,
       dedupWithin = Some(0.5))
