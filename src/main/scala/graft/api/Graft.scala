@@ -107,7 +107,8 @@ class Graft(spark: SparkSession, dir: String,
     IncrementalPostings.start(changes, rootPath, checkpoint,
       intervalSeconds = cfg.commitIntervalSec,
       tokenize = tokenizer.tokens,
-      firstDelaySeconds = cfg.firstDelaySec)
+      firstDelaySeconds = cfg.firstDelaySec,
+      tokenizerName = Some(tokenizer.name))
 
   /** Query the INCREMENTALLY MAINTAINED index at `rootPath` (multi-term
     * AND, then live-row fetch) — the reference's read path over the state
@@ -236,7 +237,8 @@ class Graft(spark: SparkSession, dir: String,
       tokenize = tokenizer.tokens,
       scheme = scheme,
       admitIf = admitIf,
-      semanticThreshold = semanticThreshold)
+      semanticThreshold = semanticThreshold,
+      tokenizerName = Some(tokenizer.name))
 
   /** The pipeline's ingest provenance — every (rowkey, verdict, dup_of,
     * batch_id) the gate decided: `admitted`, `quality_reject` (failed the
@@ -264,7 +266,8 @@ class Graft(spark: SparkSession, dir: String,
                         annIters: Int = 5): IngestPipeline.BootstrapReport =
     IngestPipeline.bootstrap(spark, corpus, pipelineRoot, dedupWithin,
       tokenize = tokenizer.tokens, scheme = scheme,
-      annNlist = annNlist, annIters = annIters)
+      annNlist = annNlist, annIters = annIters,
+      tokenizerName = Some(tokenizer.name))
 
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the

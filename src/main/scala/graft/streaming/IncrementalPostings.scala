@@ -127,7 +127,18 @@ object IncrementalPostings {
     * metadata, not data. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, rootPath: String,
                  tokenize: Column => Column = split(_, " "),
-                 numBuckets: Int = IncrementalIndex.DefaultBuckets): Unit = {
+                 numBuckets: Int = IncrementalIndex.DefaultBuckets,
+                 tokenizerName: Option[String] = None): Unit = {
+    // the merge computes removals by RE-tokenizing each touched doc's old
+    // text — entries written under one tokenizer and removed under
+    // another never match, stranding stale postings forever. A named
+    // tokenizer pins itself in a `_tokenizer` root marker (the shingle
+    // family's `_scheme` move): the first named merge records, a later
+    // named merge with a different name fails loudly. Anonymous lambdas
+    // (None) can't be checked and validate nothing — name the tokenizer
+    // wherever the root outlives one writer.
+    tokenizerName.foreach(n =>
+      StateStore.ensureTag(spark, rootPath, "_tokenizer", n))
     val docsRoot = rootPath + "/docs"
     val entriesRoot = rootPath + "/entries"
 
@@ -503,7 +514,8 @@ object IncrementalPostings {
             intervalSeconds: Int = 30,
             tokenize: Column => Column = split(_, " "),
             firstDelaySeconds: Int = 0,
-            numBuckets: Int = IncrementalIndex.DefaultBuckets): StreamingQuery = {
+            numBuckets: Int = IncrementalIndex.DefaultBuckets,
+            tokenizerName: Option[String] = None): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
@@ -511,7 +523,8 @@ object IncrementalPostings {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         gate()
-        mergeBatch(batch.sparkSession, batch, rootPath, tokenize, numBuckets)
+        mergeBatch(batch.sparkSession, batch, rootPath, tokenize, numBuckets,
+          tokenizerName)
       }
       .start()
   }

@@ -246,11 +246,12 @@ object IngestPipeline {
                  admitIf: Option[Column] = None,
                  annNlist: Int = 16, annIters: Int = 5,
                  semanticThreshold: Option[Double] = None,
-                 semanticProbes: Int = 2): Unit = {
+                 semanticProbes: Int = 2,
+                 tokenizerName: Option[String] = None): Unit = {
     val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
       scheme, admitIf, semanticThreshold, semanticProbes)
     mergeAll(spark, batch, decisions, pipelineRoot, numBuckets, tokenize,
-      scheme, annNlist, annIters)
+      scheme, annNlist, annIters, tokenizerName)
   }
 
   /** The merge half of [[applyBatch]] (shared with [[bootstrap]]): apply
@@ -275,7 +276,8 @@ object IngestPipeline {
                        decisions: DataFrame, pipelineRoot: String,
                        numBuckets: Int, tokenize: Column => Column,
                        scheme: IncrementalShingles.SketchScheme,
-                       annNlist: Int, annIters: Int): Unit = {
+                       annNlist: Int, annIters: Int,
+                       tokenizerName: Option[String] = None): Unit = {
     // checkpointed: every merge reads the gated batch; without it each
     // would re-run the semi-join (and re-read the source batch)
     val gated = IncrementalShingles.gatedBatch(batch, decisions).localCheckpoint()
@@ -296,7 +298,7 @@ object IngestPipeline {
       merge(IncrementalIndex.mergeBatch(spark, gated,
         stateRoot(pipelineRoot), numBuckets)),
       merge(IncrementalPostings.mergeBatch(spark, gatedText,
-        postingsRoot(pipelineRoot), tokenize, numBuckets)),
+        postingsRoot(pipelineRoot), tokenize, numBuckets, tokenizerName)),
       merge(IncrementalShingles.mergeBatch(spark, gatedText,
         shingleRoot(pipelineRoot), numBuckets, scheme))) ++
       (if (gated.columns.contains("embedding"))
@@ -413,7 +415,8 @@ object IngestPipeline {
                 tokenize: Column => Column = split(_, " "),
                 scheme: IncrementalShingles.SketchScheme =
                   IncrementalShingles.WordShingles,
-                annNlist: Int = 16, annIters: Int = 5): BootstrapReport = {
+                annNlist: Int = 16, annIters: Int = 5,
+                tokenizerName: Option[String] = None): BootstrapReport = {
     val dir = admissionDir(pipelineRoot, BootstrapBatchId)
     if (!StateStore.nonEmpty(spark, dir)) {
       // fresh bootstrap: every state must be empty — merging a corpus
@@ -445,7 +448,7 @@ object IngestPipeline {
         spark.read.schema(decisionSchema).parquet(dir)
     }
     mergeAll(spark, corpus, decisions, pipelineRoot, numBuckets, tokenize,
-      scheme, annNlist, annIters)
+      scheme, annNlist, annIters, tokenizerName)
     val counts = decisions.groupBy("verdict").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val admitted = counts.getOrElse("admitted", 0L)
@@ -533,7 +536,8 @@ object IngestPipeline {
             admitIf: Option[Column] = None,
             annNlist: Int = 16, annIters: Int = 5,
             semanticThreshold: Option[Double] = None,
-            semanticProbes: Int = 2): StreamingQuery = {
+            semanticProbes: Int = 2,
+            tokenizerName: Option[String] = None): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
@@ -543,7 +547,7 @@ object IngestPipeline {
         gate()
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
           threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters,
-          semanticThreshold, semanticProbes)
+          semanticThreshold, semanticProbes, tokenizerName)
       }
       .start()
   }

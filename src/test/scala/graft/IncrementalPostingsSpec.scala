@@ -507,4 +507,22 @@ class IncrementalPostingsSpec extends SparkSpec {
         expected(Seq("b" -> "beta gamma", "c" -> "alpha delta")))
     } finally query.stop()
   }
+
+  test("a named tokenizer pins the root; a different name fails loudly, anonymous merges don't validate") {
+    val root = Files.createTempDirectory("graft_postT").toString + "/postings"
+    def merge(name: Option[String], changes: DocChange*): Unit =
+      IncrementalPostings.mergeBatch(spark, changes.toSeq.toDF(), root,
+        tokenizerName = name)
+    merge(Some("whitespace"), DocChange("1", 0, "put", "alpha beta"))
+    // same name: fine; different name: the silent-corruption guard —
+    // removals re-tokenize old text, so mixed tokenizers strand entries
+    merge(Some("whitespace"), DocChange("2", 1, "put", "gamma delta"))
+    intercept[java.io.IOException] {
+      merge(Some("cjk"), DocChange("3", 2, "put", "epsilon"))
+    }
+    // an anonymous merge can't be checked — documented as unvalidated
+    merge(None, DocChange("4", 3, "put", "zeta eta"))
+    assert(postingsMap(IncrementalPostings.postings(spark, root)) ===
+      expected(Seq("1" -> "alpha beta", "2" -> "gamma delta", "4" -> "zeta eta")))
+  }
 }
