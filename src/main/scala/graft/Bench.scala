@@ -99,9 +99,16 @@ object Bench {
           docs.filter(col("b") === b).drop("b"), pipe, b)
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // what the gate actually did — docs/sec over a gate that drops
+      // nothing would be a hollow number
+      val verdicts = graft.streaming.IngestPipeline.admissionLog(spark, pipe)
+        .groupBy("verdict").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val admitted = verdicts.getOrElse("admitted", 0L)
+      val dropped = verdicts.values.sum - admitted
       try graft.operators.Materialize.deleteLocalDir(root.toString)
       catch { case _: Throwable => }
-      f""","ingest":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"bootstrap_sec":$bootSec%.3f,"bootstrap_docs_per_sec":${nDocs / bootSec}%.1f}"""
+      f""","ingest":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"admitted":$admitted,"dropped":$dropped,"bootstrap_sec":$bootSec%.3f,"bootstrap_docs_per_sec":${nDocs / bootSec}%.1f}"""
     } catch { case e: Throwable =>
       System.err.println(s"ingest bench failed: $e"); ""
     }
