@@ -454,6 +454,13 @@ class Graft(spark: SparkSession, dir: String,
   def ivfRebuild(path: String, nlist: Int = 16, iters: Int = 5): Unit =
     IvfIndex.rebuild(spark, path, nlist, iters)
 
+  /** Operational snapshot of a pipeline root — (state, metric, value):
+    * per-state bucket/row/tombstone counts, ANN cells/rows/skew, and the
+    * admission-verdict histogram. The read that precedes choosing
+    * [[maintainPipeline]]'s horizons. */
+  def describePipeline(pipelineRoot: String): DataFrame =
+    IngestPipeline.describe(spark, pipelineRoot)
+
   /** One maintenance pass over every state the ingest pipeline maintains:
     * tombstone GC (row state + both token states) at `horizonEventId`,
     * admission-log GC at `horizonBatchId`, and a drift-gated online

@@ -455,6 +455,59 @@ object IngestPipeline {
     BootstrapReport(counts.values.sum, admitted, counts.values.sum - admitted)
   }
 
+  /** One operational snapshot of everything the pipeline maintains —
+    * (state, metric, value) rows: per keyed state its live bucket count,
+    * total rows, and tombstone count; the vector index's trained cells,
+    * stored vectors, and cell skew; the admission log's per-verdict
+    * histogram. The read an operator runs BEFORE choosing [[maintain]]'s
+    * horizons (how many tombstones are waiting) or a retrain (what the
+    * skew is). Costs parquet footer reads plus narrow single-column
+    * scans of the op/verdict columns — stats-cheap, not free; run it on
+    * the monitoring cadence, not per batch. */
+  def describe(spark: SparkSession, pipelineRoot: String): DataFrame = {
+    import spark.implicits._
+    def keyedStats(name: String, root: String,
+                   tombstoned: Boolean): Seq[(String, String, Double)] = {
+      val dirs = StateStore.liveBuckets(spark, root)
+      if (dirs.isEmpty) return Seq((name, "buckets", 0.0))
+      val df = spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      val base = Seq((name, "buckets", dirs.size.toDouble))
+      if (tombstoned) {
+        val agg = df.agg(count(lit(1)).as("n"),
+          count(when(col("op") === "delete", 1)).as("t")).head()
+        base ++ Seq((name, "rows", agg.getLong(0).toDouble),
+          (name, "tombstones", agg.getLong(1).toDouble))
+      } else base :+ ((name, "rows", df.count().toDouble))
+    }
+    val vroot = vectorsRoot(pipelineRoot)
+    val vec =
+      if (!graft.operators.IvfIndex.exists(spark, vroot)) Seq.empty
+      else Seq(
+        ("vectors", "cells",
+          graft.operators.IvfIndex.centroids(spark, vroot).count().toDouble),
+        ("vectors", "rows",
+          spark.read.parquet(vroot + "/vectors").count().toDouble),
+        ("vectors", "cell_skew",
+          graft.operators.IvfIndex.cellSkew(spark, vroot)))
+    val adm = admissionLog(spark, pipelineRoot)
+    val admStats = adm.groupBy("verdict").count().collect()
+      .map(r => ("admissions", "verdict_" + r.getString(0), r.getLong(1).toDouble))
+      .toSeq :+ (("admissions", "batches",
+        adm.select("batch_id").distinct().count().toDouble))
+    (keyedStats("row_state", stateRoot(pipelineRoot), tombstoned = true) ++
+      keyedStats("postings_docs", postingsRoot(pipelineRoot) + "/docs",
+        tombstoned = true) ++
+      keyedStats("postings_entries", postingsRoot(pipelineRoot) + "/entries",
+        tombstoned = false) ++
+      keyedStats("shingle_docs", shingleRoot(pipelineRoot) + "/docs",
+        tombstoned = true) ++
+      keyedStats("shingle_entries", shingleRoot(pipelineRoot) + "/entries",
+        tombstoned = false) ++
+      vec ++ admStats)
+      .toDF("state", "metric", "value")
+      .orderBy("state", "metric")
+  }
+
   /** What a [[maintain]] pass did — the numbers an operator alerts on.
     * `annSkewBefore`/`annSkewAfter` are [[graft.operators.IvfIndex.cellSkew]]
     * readings (None when the pipeline has no vector index); `annRebuilt`

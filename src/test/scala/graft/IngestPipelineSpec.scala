@@ -432,6 +432,21 @@ class IngestPipelineSpec extends SparkSpec {
     assert(logRows(root).map(_._4) === Set(0L, 2L))
     val wantLive = Set("1", "3") ++ (10 until 30).map(_.toString)
     assert(liveKeys(root) === wantLive)
+    // the operational snapshot reads the same facts the assertions above
+    // checked from raw state — tombstones waiting, live ANN rows, verdicts
+    def metrics(): Map[(String, String), Double] =
+      IngestPipeline.describe(spark, root).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val m0 = metrics()
+    assert(m0(("row_state", "tombstones")) === 1.0)
+    assert(m0(("postings_docs", "tombstones")) === 1.0)
+    assert(m0(("shingle_docs", "tombstones")) === 1.0)
+    assert(m0(("row_state", "rows")) === wantLive.size + 1.0) // live + tombstone
+    assert(m0(("vectors", "rows")) === wantLive.size.toDouble)
+    assert(m0(("vectors", "cells")) === 2.0)
+    assert(m0(("vectors", "cell_skew")) >= 1.5)
+    assert(m0(("admissions", "verdict_admitted")) === 23.0)
+    assert(m0(("admissions", "batches")) === 2.0)
     // one maintenance call: tombstone GC on all three keyed states,
     // admission-log GC, and the drift-gated online quantizer retrain
     val report = IngestPipeline.maintain(spark, root,
@@ -440,6 +455,11 @@ class IngestPipelineSpec extends SparkSpec {
     docsRoots.foreach(p => assert(tombstones(p).isEmpty, s"tombstone survived in $p"))
     assert(logRows(root).map(_._4) === Set(2L))
     assert(report.annRebuilt && report.annSkewBefore.exists(_ >= 1.5))
+    // the snapshot reflects the pass: tombstones gone, skew re-read
+    val m1 = metrics()
+    assert(m1(("row_state", "tombstones")) === 0.0)
+    assert(m1(("row_state", "rows")) === wantLive.size.toDouble)
+    assert(m1(("vectors", "cell_skew")) === report.annSkewAfter.get)
     // live views are untouched by the whole pass
     assert(liveKeys(root) === wantLive)
     val vroot = IngestPipeline.vectorsRoot(root)
