@@ -396,4 +396,57 @@ class PropertySpec extends SparkSpec {
       assert(viaColumn(i) === Dedup.charSketchLocal(t),
         s"char-sketch drift on text '$t'")
   }
+
+  test("bootstrap equals one gated batch on random corpora (every state, every verdict)") {
+    // Pins the initial-load path to the stream's semantics: bootstrap
+    // with the gate armed must produce the SAME admission verdicts and
+    // the SAME three-state content as the identical corpus pushed
+    // through one gated applyBatch on an empty root — so 'bulk then
+    // stream' can never diverge from 'stream from the start'. Random
+    // corpora over a colliding vocab with repeated rowkeys (updates)
+    // and sprinkled deletes.
+    import graft.streaming.{IncrementalIndex, IncrementalPostings, IngestPipeline}
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = for {
+      n <- Gen.choose(2, 6)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    for (seed <- 1 to 3) {
+      val texts = Gen.listOfN(18, docGen)
+        .pureApply(Gen.Parameters.default, Seed(7000L + seed))
+      val keys = Gen.listOfN(18, Gen.choose(1, 9))
+        .pureApply(Gen.Parameters.default, Seed(7100L + seed))
+      val ops = Gen.listOfN(18, Gen.frequency(8 -> "put", 2 -> "delete"))
+        .pureApply(Gen.Parameters.default, Seed(7200L + seed))
+      val corpus = texts.lazyZip(keys).lazyZip(ops).toList.zipWithIndex.map {
+        case ((t, k, op), i) =>
+          DocChange(k.toString, i.toLong, op, if (op == "delete") "" else t)
+      }
+      val rootA = java.nio.file.Files
+        .createTempDirectory(s"graft_bootP$seed").toString + "/pipe"
+      val rootB = java.nio.file.Files
+        .createTempDirectory(s"graft_bootQ$seed").toString + "/pipe"
+      IngestPipeline.bootstrap(spark, corpus.toDF(), rootA, dedupWithin = Some(0.5))
+      IngestPipeline.applyBatch(spark, corpus.toDF(), rootB, 0, threshold = 0.5)
+      def state(r: String): Set[(String, String)] =
+        IncrementalIndex.readState(spark, IngestPipeline.stateRoot(r))
+          .select("rowkey", "text").collect()
+          .map(x => (x.getString(0), x.getString(1))).toSet
+      def postings(r: String, root: String => String): Set[(String, Seq[String])] =
+        IncrementalPostings.postings(spark, root(r))
+          .collect().map(x => (x.getString(0), x.getSeq[String](1))).toSet
+      def verdicts(r: String): Set[(String, String, String)] =
+        IngestPipeline.admissionLog(spark, r).collect()
+          .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+      assert(verdicts(rootA) === verdicts(rootB),
+        s"seed $seed: bootstrap and gated batch decided differently")
+      assert(state(rootA) === state(rootB), s"seed $seed: row state diverged")
+      assert(postings(rootA, IngestPipeline.postingsRoot) ===
+        postings(rootB, IngestPipeline.postingsRoot),
+        s"seed $seed: postings diverged")
+      assert(postings(rootA, IngestPipeline.shingleRoot) ===
+        postings(rootB, IngestPipeline.shingleRoot),
+        s"seed $seed: shingle index diverged")
+    }
+  }
 }
