@@ -230,7 +230,10 @@ class Graft(spark: SparkSession, dir: String,
                           scheme: IncrementalShingles.SketchScheme =
                             IncrementalShingles.WordShingles,
                           admitIf: Option[Column] = None,
-                          semanticThreshold: Option[Double] = None): StreamingQuery =
+                          semanticThreshold: Option[Double] = None,
+                          maintainEvery: Int = 0,
+                          maintainHorizons: Long => (Long, Long) =
+                            _ => (Long.MinValue, Long.MinValue)): StreamingQuery =
     IngestPipeline.start(changes, pipelineRoot, checkpoint, threshold,
       intervalSeconds = cfg.commitIntervalSec,
       firstDelaySeconds = cfg.firstDelaySec,
@@ -238,7 +241,9 @@ class Graft(spark: SparkSession, dir: String,
       scheme = scheme,
       admitIf = admitIf,
       semanticThreshold = semanticThreshold,
-      tokenizerName = Some(tokenizer.name))
+      tokenizerName = Some(tokenizer.name),
+      maintainEvery = maintainEvery,
+      maintainHorizons = maintainHorizons)
 
   /** The pipeline's ingest provenance — every (rowkey, verdict, dup_of,
     * batch_id) the gate decided: `admitted`, `quality_reject` (failed the

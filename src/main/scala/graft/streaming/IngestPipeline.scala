@@ -578,7 +578,17 @@ object IngestPipeline {
 
   /** Wire a streaming changelog into the gated three-state pipeline —
     * the reference's coprocessor-to-index loop as one streaming query,
-    * same knobs as the individual maintenance starts. */
+    * same knobs as the individual maintenance starts.
+    *
+    * `maintainEvery` wires [[maintain]] into its documented home: after
+    * every Nth batch's merges complete, the SAME `foreachBatch` thread
+    * runs the maintenance pass — one writer at a time by construction,
+    * which is exactly the serialization the maintenance contract
+    * requires (0 = never, the default). `maintainHorizons` maps the
+    * just-completed batch id to the (event, batch) replay horizons the
+    * SOURCE guarantees — only the source's retention knows them. Its
+    * default sits below everything, so maintenance GCs nothing but
+    * still runs the drift-gated quantizer retrain. */
   def start(changes: DataFrame, pipelineRoot: String, checkpoint: String,
             threshold: Double = 0.8, intervalSeconds: Int = 30,
             firstDelaySeconds: Int = 0,
@@ -590,7 +600,11 @@ object IngestPipeline {
             annNlist: Int = 16, annIters: Int = 5,
             semanticThreshold: Option[Double] = None,
             semanticProbes: Int = 2,
-            tokenizerName: Option[String] = None): StreamingQuery = {
+            tokenizerName: Option[String] = None,
+            maintainEvery: Int = 0,
+            maintainHorizons: Long => (Long, Long) =
+              _ => (Long.MinValue, Long.MinValue),
+            annSkewThreshold: Double = 4.0): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     changes.writeStream
       .outputMode("append")
@@ -601,6 +615,11 @@ object IngestPipeline {
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
           threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters,
           semanticThreshold, semanticProbes, tokenizerName)
+        if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0) {
+          val (he, hb) = maintainHorizons(id)
+          maintain(batch.sparkSession, pipelineRoot, he, hb, numBuckets,
+            annNlist, annIters, annSkewThreshold): Unit
+        }
       }
       .start()
   }

@@ -235,6 +235,50 @@ class IngestPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("maintainEvery runs the maintenance pass inside the stream's own loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[DocChange]
+    val base = Files.createTempDirectory("graft_pipeMS").toString
+    val pipe = s"$base/pipe"
+    val fast = api.Graft(spark, "/root/testdata/sf0.001",
+      GraftConfig.default.copy(commitIntervalSec = 1, firstDelaySec = 0))
+    // maintenance after every 2nd batch; the source vouches that
+    // everything is beyond replay (events) and batches < 1 are gone
+    val query = fast.startIngestPipeline(source.toDF(), pipe, s"$base/ckpt",
+      threshold = 0.5, maintainEvery = 2,
+      maintainHorizons = _ => (Long.MaxValue, 1L))
+    try {
+      def tombstones(): Seq[String] = {
+        val root = IngestPipeline.stateRoot(pipe)
+        graft.streaming.StateStore.liveBuckets(spark, root)
+          .map(d => s"$root/$d") match {
+          case Nil => Nil
+          case dirs => spark.read.parquet(dirs: _*)
+            .filter(col("op") === "delete")
+            .select("rowkey").collect().map(_.getString(0)).toSeq
+        }
+      }
+      source.addData(
+        DocChange("1", 0, "put", "alpha beta gamma delta"),
+        DocChange("2", 1, "put", "totally different words entirely here"))
+      query.processAllAvailable() // batch 0: no maintenance (id 0)
+      source.addData(DocChange("2", 10, "delete", ""))
+      query.processAllAvailable() // batch 1: tombstone lands, id odd
+      assert(tombstones() === Seq("2"))
+      source.addData(DocChange("3", 20, "put", "a third unrelated document body"))
+      query.processAllAvailable() // batch 2: merges, THEN maintenance
+      // the in-loop pass GC'd the tombstone and the batch-0 log entries
+      assert(tombstones().isEmpty)
+      assert(liveKeys(pipe) === Set("1", "3"))
+      assert(logRows(pipe).map(_._4) === Set(2L))
+      // and the stream keeps going against the maintained state
+      source.addData(DocChange("9", 30, "put", "alpha beta gamma delta"))
+      query.processAllAvailable() // near-dup of doc 1 → gated out
+      assert(liveKeys(pipe) === Set("1", "3"))
+    } finally query.stop()
+  }
+
   test("an embedding column keeps the IVF vector index current through the gate") {
     val root = Files.createTempDirectory("graft_pipeV").toString + "/pipe"
     val vroot = IngestPipeline.vectorsRoot(root)
