@@ -12,6 +12,12 @@ import graft.streaming.{IncrementalIndex, IncrementalPostings, IncrementalShingl
 case class VecDocChange(rowkey: String, event_id: Long, op: String,
                         text: String, embedding: Seq[Float])
 
+/** A changelog row carrying an opaque MULTIMODAL payload (image/audio
+  * bytes) beside the text — the full-record ingest shape: the row state
+  * keeps the payload, the token states never see it. */
+case class BinDocChange(rowkey: String, event_id: Long, op: String,
+                        text: String, payload: Array[Byte])
+
 /** The gated three-state pipeline must (a) advance the row-state index,
   * the inverted index, and the shingle index consistently under one gate,
   * (b) record every admission verdict durably, and (c) replay to the SAME
@@ -233,6 +239,34 @@ class IngestPipelineSpec extends SparkSpec {
       assert(verdicts === Set(("1", "admitted"), ("2", "admitted"),
         ("3", "state_dup")))
     } finally query.stop()
+  }
+
+  test("a multimodal payload column rides the gate into the row state and ONLY the row state") {
+    val root = Files.createTempDirectory("graft_pipeBin").toString + "/pipe"
+    val blob1 = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val blob2 = Array.tabulate[Byte](96)(i => (255 - i * 3).toByte)
+    val batch = Seq(
+      BinDocChange("1", 0, "put", "alpha beta gamma delta", blob1),
+      // textually near-identical to doc 1 — the gate must drop it, so
+      // its payload must never be stored anywhere
+      BinDocChange("2", 1, "put", "alpha beta gamma delta eps", blob2),
+      BinDocChange("3", 2, "put", "totally different words entirely here", blob2))
+    IngestPipeline.applyBatch(spark, batch.toDF(), root, 0, threshold = 0.5)
+    // the row state keeps the admitted payloads byte-identical
+    val stored = IncrementalIndex.readState(spark, IngestPipeline.stateRoot(root))
+      .select("rowkey", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(stored.keySet === Set("1", "3"))
+    assert(stored("1").toSeq === blob1.toSeq && stored("3").toSeq === blob2.toSeq)
+    // the token states carry no payload column at all — the TextCols
+    // projection keeps blobs out of every inverted/shingle bucket
+    Seq(IngestPipeline.postingsRoot(root) + "/docs",
+        IngestPipeline.shingleRoot(root) + "/docs").foreach { p =>
+      val dirs = graft.streaming.StateStore.liveBuckets(spark, p).map(d => s"$p/$d")
+      val cols = spark.read.parquet(dirs: _*).columns.toSet
+      assert(!cols.contains("payload"), s"payload leaked into $p")
+    }
+    // (doc 2's absence from the keySet above IS the dropped-blob proof)
   }
 
   test("maintainEvery runs the maintenance pass inside the stream's own loop") {
