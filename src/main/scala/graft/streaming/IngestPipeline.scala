@@ -85,7 +85,14 @@ object IngestPipeline {
     * embedding cosine — against the maintained vector index and within
     * the batch — and matches ≥ the threshold get verdict `semantic_dup`.
     * It runs LAST because it is the most expensive and the most
-    * approximate of the three filters. */
+    * approximate of the three filters.
+    *
+    * A text `threshold` above 1.0 DISABLES the text dedup pass (Jaccard
+    * never exceeds 1, so nothing could trip it) — and the gate skips the
+    * shingle probe entirely instead of running a corpus-sized sketch
+    * pass that drops nothing: the semantic-only configuration
+    * ([[bootstrap]]'s embedding-corpus case) pays only for the gate it
+    * armed. */
   private[graft] def decideAndLog(spark: SparkSession, batch: DataFrame,
                                   pipelineRoot: String, batchId: Long,
                                   threshold: Double,
@@ -95,10 +102,17 @@ object IngestPipeline {
                                   semanticProbes: Int = 2): DataFrame = {
     val dir = admissionDir(pipelineRoot, batchId)
     if (!StateStore.nonEmpty(spark, dir)) {
+      // threshold > 1.0: text gate disarmed — every put rowkey is
+      // text-admitted without probing the shingle state
+      def textGate(b: DataFrame): DataFrame =
+        if (threshold > 1.0)
+          b.filter(col("op") =!= "delete").select("rowkey").distinct()
+            .select(col("rowkey"), lit("admitted").as("verdict"),
+              lit(null).cast("string").as("dup_of"))
+        else IncrementalShingles.gateDecisions(
+          spark, shingleRoot(pipelineRoot), b, threshold, scheme)
       val textDecisions = admitIf match {
-        case None =>
-          IncrementalShingles.gateDecisions(
-            spark, shingleRoot(pipelineRoot), batch, threshold, scheme)
+        case None => textGate(batch)
         case Some(pred) =>
           val rest = batch.columns.filter(_ != "rowkey").toIndexedSeq
           val latest = batch.filter(col("op") =!= "delete")
@@ -112,9 +126,7 @@ object IngestPipeline {
           val surviving = batch.filter(col("op") === "delete")
             .unionByName(batch.filter(col("op") =!= "delete")
               .join(rejected.select("rowkey"), Seq("rowkey"), "left_anti"))
-          IncrementalShingles.gateDecisions(
-              spark, shingleRoot(pipelineRoot), surviving, threshold, scheme)
-            .unionByName(rejected)
+          textGate(surviving).unionByName(rejected)
       }
       val decisions = semanticThreshold match {
         case Some(t) if batch.columns.contains("embedding") =>
@@ -142,13 +154,23 @@ object IngestPipeline {
     spark.read.schema(decisionSchema).parquet(dir)
   }
 
-  /** Decimal-rowkey → vec_id, failing loudly on a non-decimal key (the
-    * vector family's numeric-id contract — a silent null would collapse
-    * distinct documents into one garbage id). */
+  /** Decimal-rowkey → vec_id, failing loudly on any key that is not the
+    * CANONICAL decimal form of a long — not just non-numeric keys. A
+    * non-canonical decimal ('01', ' 1', '+1') casts to the same long as
+    * '1', so accepting it would (a) collapse two distinct rowkeys onto
+    * one vec_id — one doc's upsert/delete silently clobbering the
+    * other's vector while both live in the row state — and (b) break the
+    * semantic gate's verdict join, which casts the vec_id BACK to string
+    * to meet the text decisions' rowkey ('1' never joins '01', so the
+    * semantic_dup verdict would be silently lost and the doc admitted).
+    * The round-trip check `string(long(rowkey)) == rowkey` admits exactly
+    * the canonical forms. */
   private def asVecId: Column =
-    when(col("rowkey").cast("long").isNull,
-      raise_error(concat(lit("non-decimal rowkey in vector changelog: "),
-        col("rowkey"))))
+    when(col("rowkey").cast("long").isNull ||
+        col("rowkey").cast("long").cast("string") =!= col("rowkey"),
+      raise_error(concat(
+        lit("non-canonical rowkey in vector changelog (need the canonical "),
+        lit("decimal form of a long): '"), col("rowkey"), lit("'"))))
       .otherwise(col("rowkey").cast("long"))
 
   /** Rowkeys to drop as SEMANTIC duplicates — the embedding-cosine gate
@@ -323,14 +345,27 @@ object IngestPipeline {
     * centroids, and both upsert and delete are idempotent under a fixed
     * admitted set. Rowkeys must be decimal vec_id strings — the vector
     * family's numeric-id contract; non-decimal keys fail loudly rather
-    * than silently collapsing into one null id. */
+    * than silently collapsing into one null id.
+    *
+    * One crash shape needs an explicit repair rather than dispatch: a
+    * crash inside [[graft.operators.IvfIndex.build]] between the vectors
+    * write and the ids write leaves centroids+vectors with no id map.
+    * On replay `exists()` is true, so the upsert/delete path would run —
+    * and both fail loudly on the missing map ("rebuild it with
+    * IvfIndex.build"), wedging the stream until manual repair. Since
+    * `build` only ever runs on the FIRST non-empty admitted batch, every
+    * vector in the torn index came from THIS logged batch — re-running
+    * `build` from the replayed admitted set reproduces it completely. */
   private def mergeVectors(spark: SparkSession, gated: DataFrame, vroot: String,
                            nlist: Int, iters: Int): Unit = {
     val latest = IncrementalIndex.compactAll(
       gated.select("rowkey", "event_id", "op", "embedding"))
     val puts = latest.filter(col("op") =!= "delete" && col("embedding").isNotNull)
       .select(asVecId.as("vec_id"), col("embedding"))
-    if (!graft.operators.IvfIndex.exists(spark, vroot)) {
+    val torn = graft.operators.IvfIndex.exists(spark, vroot) &&
+      StateStore.liveBuckets(spark, vroot + "/ids").isEmpty &&
+      StateStore.liveBuckets(spark, vroot + "/vectors", "cell=").nonEmpty
+    if (!graft.operators.IvfIndex.exists(spark, vroot) || torn) {
       if (!puts.isEmpty) graft.operators.IvfIndex.build(puts, vroot, nlist, iters)
       // deletes against a not-yet-built index are no-ops by definition
     } else {
@@ -398,8 +433,14 @@ object IngestPipeline {
     * `dedupWithin` arms the intra-corpus near-dup gate (the batch
     * family's exact pair machinery via [[IncrementalShingles
     * .gateDecisions]] — against an empty state the state pass is a
-    * no-op, so the whole gate is the offline corpus-dedup job); `None`
-    * admits everything — the curated-corpus case. Either way the
+    * no-op, so the whole gate is the offline corpus-dedup job);
+    * `semanticThreshold` arms the intra-corpus SEMANTIC gate (the
+    * embedding-cosine pass [[applyBatch]] runs — no vector state exists
+    * yet at bootstrap, so it is exactly the sign-LSH-blocked intra-batch
+    * pair pass over the whole corpus), so "bulk then stream" admits the
+    * same set as "stream from the start" for embedding corpora too, not
+    * just for the text gate. Leaving both `None` admits everything —
+    * the curated-corpus case. Either way the
     * decisions are committed to the admission log under
     * [[BootstrapBatchId]] BEFORE any merge — the same
     * decide-once-durably contract as the stream, so a crashed bootstrap
@@ -416,7 +457,9 @@ object IngestPipeline {
                 scheme: IncrementalShingles.SketchScheme =
                   IncrementalShingles.WordShingles,
                 annNlist: Int = 16, annIters: Int = 5,
-                tokenizerName: Option[String] = None): BootstrapReport = {
+                tokenizerName: Option[String] = None,
+                semanticThreshold: Option[Double] = None,
+                semanticProbes: Int = 2): BootstrapReport = {
     val dir = admissionDir(pipelineRoot, BootstrapBatchId)
     if (!StateStore.nonEmpty(spark, dir)) {
       // fresh bootstrap: every state must be empty — merging a corpus
@@ -432,11 +475,13 @@ object IngestPipeline {
           s"bootstrap requires an empty pipeline root; found live state " +
             s"under $pipelineRoot — use applyBatch for incremental loads")
     }
-    val decisions = dedupWithin match {
-      case Some(t) =>
-        decideAndLog(spark, corpus, pipelineRoot, BootstrapBatchId, t,
-          scheme, admitIf = None)
-      case None =>
+    val decisions = (dedupWithin, semanticThreshold) match {
+      case (t, st) if t.isDefined || st.isDefined =>
+        // 2.0 > any Jaccard: disarms the text pass when only the
+        // semantic gate was requested (decideAndLog's fast path)
+        decideAndLog(spark, corpus, pipelineRoot, BootstrapBatchId,
+          t.getOrElse(2.0), scheme, admitIf = None, st, semanticProbes)
+      case _ =>
         if (!StateStore.nonEmpty(spark, dir)) {
           val all = corpus.filter(col("op") =!= "delete")
             .select("rowkey").distinct()
@@ -482,13 +527,24 @@ object IngestPipeline {
     val vroot = vectorsRoot(pipelineRoot)
     val vec =
       if (!graft.operators.IvfIndex.exists(spark, vroot)) Seq.empty
-      else Seq(
-        ("vectors", "cells",
-          graft.operators.IvfIndex.centroids(spark, vroot).count().toDouble),
-        ("vectors", "rows",
-          spark.read.parquet(vroot + "/vectors").count().toDouble),
-        ("vectors", "cell_skew",
-          graft.operators.IvfIndex.cellSkew(spark, vroot)))
+      else {
+        // list cells via liveBuckets, not raw partition discovery: the
+        // listing heals interrupted per-cell swaps and skips stranded
+        // `.old`/`.tmp` dirs, so a crash mid-upsert can't double-count
+        // rows or pollute the inferred partition column — the snapshot
+        // must be trustworthy exactly when an operator is diagnosing a
+        // crash (exists() above already ran the root-level heal)
+        val cells = StateStore.liveBuckets(spark, vroot + "/vectors", "cell=")
+        Seq(
+          ("vectors", "cells",
+            graft.operators.IvfIndex.centroids(spark, vroot).count().toDouble),
+          ("vectors", "rows",
+            if (cells.isEmpty) 0.0
+            else spark.read.parquet(cells.map(c => s"$vroot/vectors/$c"): _*)
+              .count().toDouble),
+          ("vectors", "cell_skew",
+            graft.operators.IvfIndex.cellSkew(spark, vroot)))
+      }
     val adm = admissionLog(spark, pipelineRoot)
     val admStats = adm.groupBy("verdict").count().collect()
       .map(r => ("admissions", "verdict_" + r.getString(0), r.getLong(1).toDouble))

@@ -557,4 +557,117 @@ class IngestPipelineSpec extends SparkSpec {
     assert(graft.operators.IvfIndex.search(spark, vroot, arc(77), k = 1, probes = 2)
       .head().getLong(0) === 40L)
   }
+
+  test("a non-canonical decimal rowkey fails the vector merge loudly") {
+    val root = Files.createTempDirectory("graft_pipeCanon").toString + "/pipe"
+    // '01' casts to the same long as '1': accepting it would collapse two
+    // distinct rowkeys onto one vec_id (one doc's upsert clobbering the
+    // other's vector) and break the semantic gate's string-join on the
+    // verdict path — so the vector family rejects anything that is not
+    // the canonical decimal form of a long
+    val bad = intercept[Exception] {
+      IngestPipeline.applyBatch(spark, Seq(
+        VecDocChange("01", 0, "put", "alpha beta gamma delta", Seq(1f, 0f))).toDF(),
+        root, 0, threshold = 0.5, annNlist = 2, annIters = 1)
+    }
+    val chain = Iterator.iterate[Throwable](bad)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain.contains("non-canonical rowkey"), s"unexpected failure: $chain")
+    // the canonical form of the same number is accepted
+    val root2 = Files.createTempDirectory("graft_pipeCanon2").toString + "/pipe"
+    IngestPipeline.applyBatch(spark, Seq(
+      VecDocChange("1", 0, "put", "alpha beta gamma delta", Seq(1f, 0f))).toDF(),
+      root2, 0, threshold = 0.5, annNlist = 2, annIters = 1)
+    assert(spark.read.parquet(IngestPipeline.vectorsRoot(root2) + "/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("replay repairs a build crash that left vectors without the id map") {
+    val root = Files.createTempDirectory("graft_pipeTorn").toString + "/pipe"
+    val vroot = IngestPipeline.vectorsRoot(root)
+    def txt(k: Long) = s"tok${k}a tok${k}b tok${k}c"
+    val b0 = Seq(
+      VecDocChange("1", 0, "put", txt(1), Seq(1f, 0f)),
+      VecDocChange("2", 1, "put", txt(2), Seq(0f, 1f)))
+    def applyT(id: Long, changes: Seq[VecDocChange]): Unit =
+      IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5,
+        annNlist = 2, annIters = 1)
+    applyT(0, b0)
+    // simulate a crash inside IvfIndex.build between the vectors write and
+    // the ids write: centroids + vectors committed, id map missing
+    val ids = new org.apache.hadoop.fs.Path(vroot + "/ids")
+    ids.getFileSystem(spark.sessionState.newHadoopConf()).delete(ids, true)
+    // the checkpoint replay must converge, not wedge: exists() is true but
+    // the index is torn, so the merge re-runs build from the logged
+    // admitted set (every vector in the torn index came from this batch)
+    applyT(0, b0)
+    assert(graft.operators.IvfIndex
+      .existingIds(spark, vroot, Seq(1L, 2L).toDF("vec_id"))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(spark.read.parquet(vroot + "/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the repaired index serves the normal incremental path again
+    applyT(1, Seq(VecDocChange("3", 10, "put", txt(3), Seq(0.6f, 0.8f))))
+    assert(spark.read.parquet(vroot + "/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(graft.operators.IvfIndex.search(spark, vroot, Seq(0.6f, 0.8f),
+      k = 1, probes = 2).head().getLong(0) === 3L)
+  }
+
+  test("bootstrap's semantic gate admits the same set as the streamed semantic gate") {
+    val rootA = Files.createTempDirectory("graft_pipeSBa").toString + "/pipe"
+    val rootB = Files.createTempDirectory("graft_pipeSBb").toString + "/pipe"
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e3 = Seq(0f, 0f, 1f, 0f)
+    // texts pairwise disjoint (the text gate sees nothing); docs 1 and 2
+    // are embedding-identical, so only the semantic gate can catch 2
+    val corpus = Seq(
+      VecDocChange("1", 0, "put", "alpha beta gamma delta", e1),
+      VecDocChange("2", 1, "put", "totally different words entirely here", e1),
+      VecDocChange("3", 2, "put", "a third unrelated document body text", e3))
+    // semantic-only configuration: no text threshold requested at all
+    val report = IngestPipeline.bootstrap(spark, corpus.toDF(), rootA,
+      annNlist = 2, annIters = 1, semanticThreshold = Some(0.9))
+    assert(report === IngestPipeline.BootstrapReport(3, 2, 1))
+    IngestPipeline.applyBatch(spark, corpus.toDF(), rootB, 0, threshold = 2.0,
+      annNlist = 2, annIters = 1, semanticThreshold = Some(0.9))
+    // same verdicts (bulk-then-stream == stream-from-the-start), same
+    // maintained states
+    assert(logRows(rootA).map(r => (r._1, r._2, r._3)) ===
+      logRows(rootB).map(r => (r._1, r._2, r._3)))
+    assert(logRows(rootA).map(r => (r._1, r._2, r._3)) === Set(
+      ("1", "admitted", null), ("2", "semantic_dup", "1"),
+      ("3", "admitted", null)))
+    assert(liveKeys(rootA) === liveKeys(rootB))
+    def vecs(r: String): Set[Long] =
+      spark.read.parquet(IngestPipeline.vectorsRoot(r) + "/vectors")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(vecs(rootA) === Set(1L, 3L) && vecs(rootB) === Set(1L, 3L))
+  }
+
+  test("describe reports live vector cells even with stranded swap leftovers") {
+    import graft.streaming.StateStore
+    val root = Files.createTempDirectory("graft_pipeDesc").toString + "/pipe"
+    val vroot = IngestPipeline.vectorsRoot(root)
+    def txt(k: Long) = s"tok${k}a tok${k}b tok${k}c"
+    IngestPipeline.applyBatch(spark, Seq(
+      VecDocChange("1", 0, "put", txt(1), Seq(1f, 0f)),
+      VecDocChange("2", 1, "put", txt(2), Seq(0f, 1f)),
+      VecDocChange("3", 2, "put", txt(3), Seq(0.6f, 0.8f))).toDF(),
+      root, 0, threshold = 0.5, annNlist = 2, annIters = 2)
+    val liveRows = spark.read.parquet(
+      StateStore.liveBuckets(spark, vroot + "/vectors", "cell=")
+        .map(c => s"$vroot/vectors/$c"): _*).count()
+    // plant the crash-window leftovers a raw partition-discovery read
+    // would trip over: a stranded backup dir (double-counts) and a torn
+    // tmp dir (pollutes the inferred partition column)
+    Seq(2L -> "cell=0.old", 9L -> "cell=9.tmp").foreach { case (id, d) =>
+      Seq((id, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+        .write.parquet(s"$vroot/vectors/$d")
+    }
+    val m = IngestPipeline.describe(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("vectors", "rows")) === liveRows.toDouble)
+    assert(m(("vectors", "cells")) === 2.0)
+  }
 }
