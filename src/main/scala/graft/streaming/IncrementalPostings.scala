@@ -50,7 +50,9 @@ object IncrementalPostings {
 
   private val entriesSchema = StructType(Seq(
     StructField("tok", StringType), StructField("doc_id", StringType),
-    StructField("tf", LongType), StructField("b", IntegerType)))
+    StructField("tf", LongType),
+    StructField("positions", org.apache.spark.sql.types.ArrayType(IntegerType)),
+    StructField("b", IntegerType)))
 
   /** The documented merge-batch schema — the shape of the docs state. */
   private val docsSchema = StructType(Seq(
@@ -66,10 +68,18 @@ object IncrementalPostings {
     * rows, and the default is PERSISTENT for a document until that
     * document is itself re-put — a bucket rewrite carries untouched
     * docs' rows through the anti-join unchanged (it never re-tokenizes
-    * them), so only a new put recomputes true tf. */
-  private def withTf(entries: DataFrame): DataFrame =
-    if (entries.columns.contains("tf")) entries
-    else entries.withColumn("tf", lit(1L))
+    * them), so only a new put recomputes true tf. The positions column
+    * (the payload [[phraseSearch]] intersects) likewise defaults — to
+    * NULL, not an empty array: a legacy row has UNKNOWN positions, and
+    * phrase search fails loudly on null rather than silently never
+    * matching the doc ([[phraseSearch]]'s contract). */
+  private def withTf(entries: DataFrame): DataFrame = {
+    val tf =
+      if (entries.columns.contains("tf")) entries
+      else entries.withColumn("tf", lit(1L))
+    if (tf.columns.contains("positions")) tf
+    else tf.withColumn("positions", lit(null).cast("array<int>"))
+  }
 
   private def docBucket(numBuckets: Int): Column =
     pmod(crc32(col("rowkey")), lit(numBuckets)).cast("int")
@@ -104,15 +114,31 @@ object IncrementalPostings {
 
   /** Whitespace tokenization by default; pass e.g. `Analyzer.cjk.tokens`
     * for space-free scripts. One row per (tok, doc) carrying the per-doc
-    * term frequency — the Lucene-shaped posting entry, so ranked
-    * retrieval (BM25/tf-idf) and occurrence-ranked vocabulary reads are
-    * served from the maintained entries alone. The aggregate is
-    * batch-sized (it feeds the delta, never the state) and
-    * partial-aggregates map-side. */
-  private def docToks(docs: DataFrame, tokenize: Column => Column): DataFrame =
-    docs.filter(col("op") =!= "delete")
-      .select(col("rowkey").as("doc_id"), explode(tokenize(col("text"))).as("tok"))
-      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    * term frequency AND the token's sorted position list — the full
+    * Lucene-shaped posting entry (frequencies + positions), so ranked
+    * retrieval (BM25/tf-idf), occurrence-ranked vocabulary reads, and
+    * phrase queries ([[phraseSearch]]'s adjacency intersection) are all
+    * served from the maintained entries alone. `keepPositions = false`
+    * stores NULL instead (the shingle family's root: a shingle's offsets
+    * carry no query semantics, so the array would be dead weight in every
+    * bucket rewrite). The aggregate is batch-sized (it feeds the delta,
+    * never the state) and partial-aggregates map-side; positions are a
+    * pure function of the doc's text, so replay reproduces identical
+    * rows — the merge stays idempotent. */
+  private def docToks(docs: DataFrame, tokenize: Column => Column,
+                      keepPositions: Boolean = true): DataFrame = {
+    val base = docs.filter(col("op") =!= "delete")
+    if (keepPositions)
+      base.select(col("rowkey").as("doc_id"),
+          posexplode(tokenize(col("text"))).as(Seq("pos", "tok")))
+        .groupBy("tok", "doc_id")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+    else
+      base.select(col("rowkey").as("doc_id"), explode(tokenize(col("text"))).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"),
+          lit(null).cast("array<int>").as("positions"))
+  }
 
   private def readBuckets(spark: SparkSession, root: String, dirs: Seq[String],
                           fallback: => DataFrame): DataFrame = {
