@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  // `ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects as a
-  // timestamp; it is read as raw INT64 epoch-nanos (requires
-  // spark.sql.legacy.parquet.nanosAsLong=true in the session) and converted
-  // with integer division — `ts div 1000` truncates exactly like DuckDB's
-  // CAST(ns-timestamp AS TIMESTAMP).
+  // `ts` is read as a raw INT64 and normalized to epoch-MICROS by
+  // `events()` below. The driver has generated it as both parquet
+  // TIMESTAMP(NANOS) (requires spark.sql.legacy.parquet.nanosAsLong=true
+  // in the session, harmless otherwise) and TIMESTAMP(MICROS); the declared
+  // LongType schema reads the underlying INT64 either way, and the unit is
+  // disambiguated by magnitude (epoch-nanos ≥ 1e17 from 1973 on; epoch-µs
+  // stays below 1e17 until year ~5138) — a codegen'd per-row `when`, no
+  // footer inspection, robust to a mixed-unit file set.
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -97,7 +100,10 @@ object Tables {
                    schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events", eventsSchema)
+  def events(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events", eventsSchema)
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "CASE WHEN abs(ts) >= 100000000000000000L THEN ts div 1000 ELSE ts END"))
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", lineitemSchema)

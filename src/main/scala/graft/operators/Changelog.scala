@@ -51,7 +51,7 @@ object Changelog {
       .filter(col("rn") === 1 && col("event_type") =!= cfg.deleteClass)
       .select(
         col("rowkey"),
-        expr("ts div 1000").as("ts_us"),
+        col("ts").as("ts_us"),
         col("event_type"),
         round(col("value"), 2).as("value"),
         get_json_object(col("props"), "$.k").as("k"))
@@ -66,7 +66,7 @@ object Changelog {
 
   private def qScanEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
-      col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+      col("event_id"), col("ts").as("ts_us"), col("user_id"),
       col("event_type"), round(col("value"), 2).as("value"), col("props"))
       .orderBy("event_id")
 
@@ -157,9 +157,9 @@ object Changelog {
   private def qIntervalWindow(spark: SparkSession, dir: String): DataFrame =
     // O8: interval flush (interval_commit_index=30,
     // application.properties:12; SolrIndexTools.java:46-49) as time-window
-    // bucketing over the nanos timestamp.
+    // bucketing over the epoch-µs timestamp (normalized in Tables.events).
     Tables.events(spark, dir)
-      .groupBy(expr(s"(ts div ${Cfg.commitIntervalSec.toLong * 1000000000L}) " +
+      .groupBy(expr(s"(ts div ${Cfg.commitIntervalSec.toLong * 1000000L}) " +
         s"* ${Cfg.commitIntervalSec}").cast("long").as("win_start"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("win_start")

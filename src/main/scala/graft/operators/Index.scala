@@ -293,6 +293,17 @@ object Index {
     graft.streaming.IncrementalPostings
       .tfidfSearch(spark, maintainedFixture(spark, dir), Seq("merge", "sort"))
 
+  private def qPhraseMaintained(spark: SparkSession, dir: String): DataFrame =
+    // Solr phrase query over MAINTAINED state — adjacency intersection of
+    // the entries' position lists (the positional-index algorithm), then
+    // the live-row fetch from only the hit docs' buckets. Same semantics
+    // as the corpus-scoped q_phrase_search: for the whitespace analyzer,
+    // position adjacency ≡ padded-substring containment, which is what the
+    // oracle checks.
+    graft.streaming.IncrementalPostings
+      .phraseSearch(spark, maintainedFixture(spark, dir), Seq("merge", "sort"))
+      .orderBy("event_id")
+
   private def qMltMaintained(spark: SparkSession, dir: String): DataFrame =
     // Solr MLT over MAINTAINED state: seed terms by key-fetch, overlap
     // from the seed terms' pruned posting entries (zero corpus scans).
@@ -306,6 +317,7 @@ object Index {
     "q_tfidf_maintained" -> qTfidfMaintained,
     "q_mlt_maintained" -> qMltMaintained,
     "q_spell_maintained" -> qSpellMaintained,
+    "q_phrase_maintained" -> qPhraseMaintained,
     "q_inverted_search" -> qInvertedSearch,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_bm25_topk" -> qBm25Topk,
@@ -367,6 +379,12 @@ object Index {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok HAVING levenshtein(tok, 'mirge') <= 1
         |ORDER BY n DESC, tok LIMIT 5""".stripMargin,
+    "q_phrase_maintained" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
+        |       'put' AS op, text
+        |FROM documents
+        |WHERE contains(' ' || text || ' ', ' merge sort ')
+        |ORDER BY event_id""".stripMargin,
     "q_mlt_maintained" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (

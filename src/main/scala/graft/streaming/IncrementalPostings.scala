@@ -154,7 +154,8 @@ object IncrementalPostings {
   def mergeBatch(spark: SparkSession, batch: DataFrame, rootPath: String,
                  tokenize: Column => Column = split(_, " "),
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
-                 tokenizerName: Option[String] = None): Unit = {
+                 tokenizerName: Option[String] = None,
+                 keepPositions: Boolean = true): Unit = {
     // the merge computes removals by RE-tokenizing each touched doc's old
     // text — entries written under one tokenizer and removed under
     // another never match, stranding stale postings forever. A named
@@ -193,9 +194,13 @@ object IncrementalPostings {
     // Both are cached: each feeds the touched-bucket collect AND the
     // entries rewrite, and the tokenize explode is the merge's dominant
     // cost — recomputing it doubled the batch time.
-    val removals = docToks(oldDocs.join(broadcast(touched), "rowkey"), tokenize).cache()
-    val additions = docToks(mergedDocs.drop("b").join(broadcast(touched), "rowkey"), tokenize)
-      .cache()
+    // removals never need positions — they are pure (tok, doc_id) anti-join
+    // keys — so they always take the cheap explode path regardless of the
+    // root's positions setting
+    val removals = docToks(oldDocs.join(broadcast(touched), "rowkey"), tokenize,
+      keepPositions = false).cache()
+    val additions = docToks(mergedDocs.drop("b").join(broadcast(touched), "rowkey"),
+      tokenize, keepPositions).cache()
 
     val touchedTokB = removals.select(tokBucket(numBuckets).as("b"))
       .unionByName(additions.select(tokBucket(numBuckets).as("b")))
@@ -531,6 +536,45 @@ object IncrementalPostings {
       .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
       .orderBy(col("overlap").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Phrase query over the MAINTAINED state — Solr's `"t0 t1 …"~0` served
+    * from the entries' position lists by adjacency intersection, the
+    * classic positional-index algorithm: an occurrence of slot-i's term at
+    * position p witnesses a phrase START at p − i, and a document matches
+    * iff some start is witnessed by EVERY slot (`countDistinct(slot) ==
+    * phrase length` — repeated terms in the phrase are distinct slots, so
+    * "a a" requires two adjacent positions, not one counted twice).
+    * Read shape is [[termSearch]]'s: the entries read is bucket-pruned to
+    * the phrase's distinct terms, per-query work is Σ tf(term) position
+    * rows, and the matched rows are key-fetched from only their own doc
+    * buckets ([[prunedDocsForKeys]]) — no corpus scan anywhere.
+    *
+    * Positions are NULL on rows written before the positions payload (or
+    * under `keepPositions = false` — the shingle family); a phrase query
+    * over such a root fails loudly rather than silently never matching
+    * the affected docs — re-put the docs (any put recomputes its rows) or
+    * keep phrase queries on the corpus-scoped path for legacy roots. */
+  def phraseSearch(spark: SparkSession, rootPath: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.toDF("tok", "slot")
+    val starts = prunedEntries(spark, rootPath, phrase.distinct)
+      .select(col("tok"), col("doc_id"),
+        when(col("positions").isNull, raise_error(concat(
+          lit("no position payload for term '"), col("tok"),
+          lit("' of doc "), col("doc_id"),
+          lit(" (pre-positions row or keepPositions=false root); "),
+          lit("re-put the doc or use the corpus-scoped phrase query"))))
+          .otherwise(col("positions")).as("positions"))
+      .join(broadcast(slots), "tok")
+      .select(col("doc_id"), col("slot"), explode(col("positions")).as("pos"))
+      .groupBy(col("doc_id"), (col("pos") - col("slot")).as("start"))
+      .agg(countDistinct(col("slot")).as("nslots"))
+      .filter(col("nslots") === phrase.length)
+    prunedDocsForKeys(spark, rootPath,
+      starts.select(col("doc_id").as("rowkey")).distinct())
   }
 
   /** Wire a streaming document changelog into the postings merge sink.

@@ -172,7 +172,11 @@ object IncrementalShingles {
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
                  scheme: SketchScheme = WordShingles): Unit = {
     StateStore.ensureTag(spark, rootPath, "_scheme", scheme.name)
-    IncrementalPostings.mergeBatch(spark, batch, rootPath, scheme.sketch, numBuckets)
+    // keepPositions = false: a shingle's offsets carry no query semantics
+    // (no phrase queries over sketches), so the position payload would be
+    // dead weight rewritten in every touched bucket forever
+    IncrementalPostings.mergeBatch(spark, batch, rootPath, scheme.sketch, numBuckets,
+      keepPositions = false)
     registry.forEach { (key, root) =>
       if (root == rootPath) invalidateScope(key._2)
     }

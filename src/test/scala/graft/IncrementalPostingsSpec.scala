@@ -508,6 +508,87 @@ class IncrementalPostingsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("phraseSearch: position adjacency over maintained state, through puts, updates, deletes") {
+    val root = Files.createTempDirectory("graft_postPh").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "quick merge sort pass"),
+      DocChange("2", 1, "put", "merge then sort"), // both terms, not adjacent
+      DocChange("3", 2, "put", "sort merge sort merge sort"),
+      DocChange("4", 3, "put", "merge sort merge sort")).toDF(), root)
+    def hits(phrase: String*): Set[String] =
+      IncrementalPostings.phraseSearch(spark, root, phrase.toSeq)
+        .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(hits("merge", "sort") === Set("1", "3", "4"))
+    // a three-term phrase, with the first term repeated
+    assert(hits("merge", "sort", "merge") === Set("3", "4"))
+    // repeated-term phrase requires two DISTINCT adjacent positions — a
+    // slot-count that double-counted one occurrence would match doc 1
+    assert(hits("sort", "sort") === Set.empty)
+    assert(hits("merge") === Set("1", "2", "3", "4")) // 1-term phrase = term query
+    assert(hits("absent", "merge") === Set.empty)
+    // an update retires the doc's old adjacencies and adds its new ones; a
+    // delete drops the doc from phrase hits entirely
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 10, "put", "quick sort merge pass"),
+      DocChange("4", 11, "delete", "")).toDF(), root)
+    assert(hits("merge", "sort") === Set("3"))
+    assert(hits("sort", "merge") === Set("1", "3"))
+  }
+
+  test("phraseSearch equals the corpus-scoped padded-contains form; reads stay bucket-pruned") {
+    val fixtureDir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft_postPc").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark,
+      Tables.documents(spark, fixtureDir)
+        .select(col("doc_id").cast("string").as("rowkey"),
+          col("doc_id").as("event_id"), lit("put").as("op"), col("text")), root)
+    val got = IncrementalPostings.phraseSearch(spark, root, Seq("merge", "sort"))
+      .select("rowkey").collect().map(_.getString(0)).toSet
+    // whitespace analyzer: position adjacency ≡ substring containment of
+    // the space-joined phrase in the space-padded text (q_phrase_search)
+    val want = Tables.documents(spark, fixtureDir)
+      .filter(concat(lit(" "), col("text"), lit(" ")).contains(" merge sort "))
+      .select(col("doc_id").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the entries read opened only the phrase terms' buckets; the fetch
+    // opened only the hit docs' buckets — no corpus scan anywhere
+    def bucketOf(key: String): String = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(key.getBytes("UTF-8"))
+      s"b=${java.lang.Math.floorMod(crc.getValue, graft.streaming.IncrementalIndex.DefaultBuckets.toLong)}"
+    }
+    val frame = IncrementalPostings.phraseSearch(spark, root, Seq("merge", "sort"))
+    val entryFiles = frame.inputFiles.filter(_.contains("/entries/"))
+    val wantedTokB = Set("merge", "sort").map(bucketOf)
+    assert(entryFiles.nonEmpty)
+    for (f <- entryFiles)
+      assert(wantedTokB.exists(b => f.contains(s"/$b/")),
+        s"phraseSearch read an entry bucket outside the phrase terms': $f")
+    val docFiles = frame.inputFiles.filter(_.contains("/docs/"))
+    val wantedDocB = want.map(bucketOf)
+    assert(docFiles.nonEmpty)
+    for (f <- docFiles)
+      assert(wantedDocB.exists(b => f.contains(s"/$b/")),
+        s"phraseSearch fetched a doc bucket outside the hits': $f")
+  }
+
+  test("phraseSearch fails loudly on positions-free rows instead of silently missing docs") {
+    val root = Files.createTempDirectory("graft_postPn").toString + "/postings"
+    // a keepPositions=false root (the shingle family's setting) stores NULL
+    IncrementalPostings.mergeBatch(spark,
+      Seq(DocChange("1", 0, "put", "merge sort")).toDF(), root,
+      keepPositions = false)
+    val ex = intercept[Exception] {
+      IncrementalPostings.phraseSearch(spark, root, Seq("merge", "sort")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("no position payload")))
+  }
+
   test("a named tokenizer pins the root; a different name fails loudly, anonymous merges don't validate") {
     val root = Files.createTempDirectory("graft_postT").toString + "/postings"
     def merge(name: Option[String], changes: DocChange*): Unit =
