@@ -285,6 +285,52 @@ object IncrementalPostings {
                    numBuckets: Int = IncrementalIndex.DefaultBuckets): Unit =
     IncrementalIndex.gcTombstones(spark, rootPath + "/docs", horizonEventId, numBuckets)
 
+  /** Re-bucket the whole postings root to `newBuckets` — the planned
+    * resize when doc/entry buckets outgrow their rewrite unit (see
+    * [[StateStore.rescale]] for the protocol and the shuffle-free
+    * integer-multiple growth path). Docs re-hash by `rowkey`, entries by
+    * `tok`, each under its own atomic whole-root swap; the dstats sidecar
+    * is a per-docs-bucket AGGREGATE (its rows are keyed by the bucket id
+    * itself), so it cannot be re-hashed — it is recomputed from the
+    * rescaled docs, the same pure-function-of-bucket-content derivation
+    * the merge writes, and committed with its own swap. A crash between
+    * the three swaps leaves a mixed-count root whose next writer fails
+    * [[StateStore.ensureBucketCount]] loudly (counts are pinned per
+    * subroot) — re-running `rescale` converges: done subroots no-op.
+    *
+    * `tokenize` must be the root's own analyzer (it feeds the dstats
+    * dl_sum recompute); a `tokenizerName` is validated against the
+    * `_tokenizer` marker exactly as the merge validates it. Single-writer
+    * contract: stop the stream first. */
+  def rescale(spark: SparkSession, rootPath: String, newBuckets: Int,
+              tokenize: Column => Column = split(_, " "),
+              tokenizerName: Option[String] = None): Unit = {
+    tokenizerName.foreach(n => StateStore.ensureTag(spark, rootPath, "_tokenizer", n))
+    StateStore.rescale(spark, rootPath + "/docs", "rowkey", newBuckets)
+    StateStore.rescale(spark, rootPath + "/entries", "tok", newBuckets)
+    val docsRoot = rootPath + "/docs"
+    val statsRoot = rootPath + "/dstats"
+    val dirs = StateStore.liveBuckets(spark, docsRoot)
+    if (dirs.nonEmpty) {
+      val stats = bucketStats(
+        spark.read.parquet(dirs.map(d => s"$docsRoot/$d"): _*)
+          .withColumn("b", docBucket(newBuckets)), tokenize)
+        .cache()
+      stats.count() // decouple from the old dstats files before the swap
+      try StateStore.commit(spark, statsRoot)(tmp =>
+        stats.write.partitionBy("b").mode("overwrite").parquet(tmp))
+      finally stats.unpersist(): Unit
+    }
+    else if (StateStore.nonEmpty(spark, statsRoot)) {
+      // docs gone but a stale sidecar remains: clear it so the re-pin
+      // below cannot collide with the old count's marker
+      val p = new org.apache.hadoop.fs.Path(statsRoot)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+    }
+    // the swap replaced the sidecar root, marker included — re-pin
+    StateStore.ensureBucketCount(spark, statsRoot, newBuckets)
+  }
+
   /** All live entries rows (tok, doc_id) — the full-index read behind the
     * vocabulary and batch-probe paths (per-TERM reads use the bucket-
     * pruned [[prunedEntries]] instead). */

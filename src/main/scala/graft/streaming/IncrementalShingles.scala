@@ -182,6 +182,21 @@ object IncrementalShingles {
     }
   }
 
+  /** Re-bucket the maintained shingle root to `newBuckets` — the sketch
+    * family's [[IncrementalPostings.rescale]]: same swaps, with the
+    * scheme's own sketch column feeding the dstats recompute and the
+    * `_scheme` marker validated first so a rescale can never re-derive
+    * the sidecar under the wrong scheme. Derived session artifacts are
+    * invalidated exactly as a merge invalidates them. */
+  def rescale(spark: SparkSession, rootPath: String, newBuckets: Int,
+              scheme: SketchScheme = WordShingles): Unit = {
+    StateStore.ensureTag(spark, rootPath, "_scheme", scheme.name)
+    IncrementalPostings.rescale(spark, rootPath, newBuckets, scheme.sketch)
+    registry.forEach { (key, root) =>
+      if (root == rootPath) invalidateScope(key._2)
+    }
+  }
+
   /** The maintained shingle inverted index in the batch builder's shape:
     * (s, sorted numeric doc ids), shingles over the DF cap dropped at
     * read. */

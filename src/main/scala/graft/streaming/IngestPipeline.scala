@@ -632,6 +632,40 @@ object IngestPipeline {
     }
   }
 
+  /** Re-bucket every hash-bucketed state under the pipeline to
+    * `newBuckets` — the 100×-growth move: bucket count is the rewrite-
+    * unit knob ([[IncrementalIndex]]'s layout doc), and a corpus that
+    * grew 100× needs proportionally more buckets or every merge rewrites
+    * gigabyte directories for kilobyte deltas. Row state re-hashes by
+    * rowkey, postings and shingles through their own rescales (docs +
+    * entries + recomputed dstats; see [[IncrementalPostings.rescale]]),
+    * each under an atomic whole-root swap. Prefer integer multiples of
+    * the current count — that path is shuffle-free per state
+    * ([[StateStore.rescale]]).
+    *
+    * The vector index is NOT here: its layout is cell-partitioned by the
+    * quantizer (not key-hashed), and it already has its own resize —
+    * [[maintain]]'s drift-gated online [[graft.operators.IvfIndex
+    * .rebuild]] with a larger `annNlist`.
+    *
+    * STOP THE STREAM FIRST (or call between batches from the
+    * `foreachBatch` thread): rescale is a writer on every root at once.
+    * A crash between the per-state swaps leaves earlier states at the
+    * new count and later ones at the old — every writer fails its
+    * `_nbuckets` check loudly rather than mis-hashing, and re-running
+    * `rescale` converges (done states no-op). After the cutover, restart
+    * the stream passing the new `numBuckets`. */
+  def rescale(spark: SparkSession, pipelineRoot: String, newBuckets: Int,
+              tokenize: Column => Column = split(_, " "),
+              scheme: IncrementalShingles.SketchScheme =
+                IncrementalShingles.WordShingles): Unit = {
+    StateStore.rescale(spark, stateRoot(pipelineRoot), "rowkey", newBuckets)
+    IncrementalPostings.rescale(spark, postingsRoot(pipelineRoot), newBuckets,
+      tokenize)
+    IncrementalShingles.rescale(spark, shingleRoot(pipelineRoot), newBuckets,
+      scheme)
+  }
+
   /** Wire a streaming changelog into the gated three-state pipeline —
     * the reference's coprocessor-to-index loop as one streaming query,
     * same knobs as the individual maintenance starts.

@@ -235,6 +235,78 @@ object StateStore {
     }
   }
 
+  /** Re-bucket a hash-bucketed state root to `newBuckets` — the planned
+    * resize a growing deployment runs when buckets outgrow their rewrite
+    * unit (the LSM-compaction-granularity knob named in
+    * [[IncrementalIndex]]'s state-layout doc). The bucket id is
+    * `pmod(crc32(keyCol), n)`, a pure function of the key and the count,
+    * so changing the count moves rows between directories and is
+    * fundamentally an O(state) rewrite — `rescale` does it in ONE pass:
+    * read every live bucket, recompute the bucket column under
+    * `newBuckets`, write the whole new layout beside the root, and cut
+    * over with the standard whole-root swap ([[commit]] — the same
+    * protocol every merge uses, so a crash at any point leaves either the
+    * old layout or the new one, never a mix; a half-written attempt is a
+    * `.tmp` the next commit clears).
+    *
+    * GROWING BY AN INTEGER MULTIPLE IS SHUFFLE-FREE: when `newBuckets =
+    * k × oldBuckets`, `b_new mod oldBuckets == b_old` — every new bucket
+    * is fed by exactly one old bucket, so each scan task (which holds rows
+    * of a single old bucket; bucket files never mix) fans out to its own
+    * k new directories and the partitioned write needs no exchange. That
+    * makes ×2/×4 doubling the preferred growth step at 100 TB: a pure
+    * map-side rewrite, parallel per old bucket, one file per new bucket.
+    * Any other count (shrink, non-multiple) repartitions by the new
+    * bucket — one batch-state-sized exchange.
+    *
+    * The root's `_nbuckets` marker is replaced under the same swap, and
+    * every other top-level marker/sidecar FILE in the root (`_tokenizer`,
+    * `_scheme`, …) is carried over byte-for-byte — after the cutover the
+    * root is the same state pinned at the new count, and a writer still
+    * presenting the old count fails [[ensureBucketCount]] loudly instead
+    * of hashing into the wrong directories.
+    *
+    * Single-writer contract: rescale IS a writer — stop the stream (or
+    * run it from the stream's own maintenance slot) before calling.
+    * Rows are re-clustered by `keyCol` inside each new bucket, preserving
+    * the page-pruning sort order the merges write. */
+  def rescale(spark: SparkSession, rootPath: String, keyCol: String,
+              newBuckets: Int): Unit = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    import org.apache.spark.sql.functions.{col, crc32, lit, pmod}
+    val dirs = liveBuckets(spark, rootPath) // heals interrupted swaps first
+    val oldCount = bucketCount(spark, rootPath)
+    if (oldCount.contains(newBuckets)) return // already at the target count
+    val root = new Path(rootPath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) {
+      // fresh root: pin the count for the first writer and stop
+      ensureBucketCount(spark, rootPath, newBuckets)
+      return
+    }
+    val carry = fs.listStatus(root).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n == "_nbuckets" || n.endsWith(".tmp")).toSeq
+    commit(spark, rootPath) { tmp =>
+      fs.mkdirs(new Path(tmp))
+      if (dirs.nonEmpty) {
+        val all = spark.read.parquet(dirs.map(d => s"$rootPath/$d"): _*)
+          .withColumn("b", pmod(crc32(col(keyCol)), lit(newBuckets)).cast("int"))
+        val placed = oldCount match {
+          case Some(n) if newBuckets % n == 0 => all // map-side fan-out, no exchange
+          case _ => all.repartition(col("b"))
+        }
+        placed.sortWithinPartitions("b", keyCol)
+          .write.partitionBy("b").mode("overwrite").parquet(tmp)
+      }
+      carry.foreach { name =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$rootPath/$name"),
+          fs, new Path(s"$tmp/$name"), false, spark.sessionState.newHadoopConf())
+      }
+      val out = fs.create(new Path(s"$tmp/_nbuckets"), true)
+      try out.write(newBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The live bucket dirs under `root` that `keys` hash into — the same
     * CRC32-of-UTF-8 as the write-side bucket columns, so a key-addressed
     * read (the HBase-Get shape) opens |touched buckets| dirs, never the
