@@ -38,10 +38,14 @@ object Vectors {
   def dot(a: String, b: String): Column =
     graft.functions.VecDotFloat.vec_dot(col(a), col(b))
 
-  /** 8-bit sign-LSH bucket of an embedding column (dims 1..8). */
+  /** 8-bit sign-LSH bucket of an embedding column (dims 1..8). Vectors
+    * shorter than 8 dims contribute 0-bits for their missing dims
+    * (`try_element_at` — fewer hyperplanes, coarser blocking, still
+    * correct: bucketing only GROUPS candidates, it never scores them). */
   def signBucket(embCol: String): Column =
     (0 until 8).map(d =>
-      when(element_at(col(embCol), d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
+      when(try_element_at(col(embCol), lit(d + 1)) > 0f, lit(1 << d))
+        .otherwise(lit(0)))
       .reduce(_ + _).cast("int")
 
   private def qVectorTopk(spark: SparkSession, dir: String): DataFrame = {

@@ -189,12 +189,16 @@ object IncrementalIndex {
             intervalSeconds: Int = 30, firstDelaySeconds: Int = 0,
             numBuckets: Int = DefaultBuckets): StreamingQuery = {
     val gate = firstBatchGate(firstDelaySeconds)
+    // cross-process single-writer fence (see WriterFence): a later
+    // claimant on this root fences every subsequent batch here out
+    val fence = WriterFence.claim(changes.sparkSession, statePath)
     changes.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         gate()
+        fence.check(batch.sparkSession)
         mergeBatch(batch.sparkSession, batch, statePath, numBuckets)
       }
       .start()

@@ -633,12 +633,14 @@ object IncrementalPostings {
             numBuckets: Int = IncrementalIndex.DefaultBuckets,
             tokenizerName: Option[String] = None): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
+    val fence = WriterFence.claim(changes.sparkSession, rootPath)
     changes.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         gate()
+        fence.check(batch.sparkSession)
         mergeBatch(batch.sparkSession, batch, rootPath, tokenize, numBuckets,
           tokenizerName)
       }

@@ -492,12 +492,14 @@ object IncrementalShingles {
             numBuckets: Int = IncrementalIndex.DefaultBuckets,
             scheme: SketchScheme = WordShingles): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
+    val fence = WriterFence.claim(changes.sparkSession, rootPath)
     changes.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         gate()
+        fence.check(batch.sparkSession)
         mergeBatch(batch.sparkSession, batch, rootPath, numBuckets, scheme)
       }
       .start()

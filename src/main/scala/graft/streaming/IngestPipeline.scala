@@ -460,6 +460,9 @@ object IngestPipeline {
                 tokenizerName: Option[String] = None,
                 semanticThreshold: Option[Double] = None,
                 semanticProbes: Int = 2): BootstrapReport = {
+    // bootstrap is a writer on every state at once — claim the root so a
+    // prematurely-started stream (or a second bootstrap) fences out
+    val fence = WriterFence.claim(spark, pipelineRoot)
     val dir = admissionDir(pipelineRoot, BootstrapBatchId)
     if (!StateStore.nonEmpty(spark, dir)) {
       // fresh bootstrap: every state must be empty — merging a corpus
@@ -492,6 +495,7 @@ object IngestPipeline {
         }
         spark.read.schema(decisionSchema).parquet(dir)
     }
+    fence.check(spark) // last look before the merges start
     mergeAll(spark, corpus, decisions, pipelineRoot, numBuckets, tokenize,
       scheme, annNlist, annIters, tokenizerName)
     val counts = decisions.groupBy("verdict").count().collect()
@@ -659,9 +663,14 @@ object IngestPipeline {
               tokenize: Column => Column = split(_, " "),
               scheme: IncrementalShingles.SketchScheme =
                 IncrementalShingles.WordShingles): Unit = {
+    // claiming the root fences out a still-running stream: its next batch
+    // fails its epoch check instead of merging against a half-moved layout
+    val fence = WriterFence.claim(spark, pipelineRoot)
     StateStore.rescale(spark, stateRoot(pipelineRoot), "rowkey", newBuckets)
+    fence.check(spark)
     IncrementalPostings.rescale(spark, postingsRoot(pipelineRoot), newBuckets,
       tokenize)
+    fence.check(spark)
     IncrementalShingles.rescale(spark, shingleRoot(pipelineRoot), newBuckets,
       scheme)
   }
@@ -696,12 +705,18 @@ object IngestPipeline {
               _ => (Long.MinValue, Long.MinValue),
             annSkewThreshold: Double = 4.0): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
+    // cross-process single-writer fence: this start() claims the root;
+    // any later claimant (second stream, rescale, replacement driver)
+    // makes every subsequent batch here fail loudly instead of
+    // interleaving writes — see WriterFence
+    val fence = WriterFence.claim(changes.sparkSession, pipelineRoot)
     changes.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         gate()
+        fence.check(batch.sparkSession)
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
           threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters,
           semanticThreshold, semanticProbes, tokenizerName)

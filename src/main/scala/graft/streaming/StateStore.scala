@@ -284,8 +284,13 @@ object StateStore {
       ensureBucketCount(spark, rootPath, newBuckets)
       return
     }
-    val carry = fs.listStatus(root).filter(_.isFile).map(_.getPath.getName)
-      .filterNot(n => n == "_nbuckets" || n.endsWith(".tmp")).toSeq
+    // carry every non-bucket entry — marker files (_tokenizer, _scheme, …)
+    // AND directories like the writer-fence epochs (_writers): dropping
+    // those in the swap would erase the fence history and let a fenced-out
+    // zombie writer pass its next epoch check
+    val carry = fs.listStatus(root).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("b=") || n == "_nbuckets" ||
+        n.endsWith(".tmp") || n.endsWith(".old")).toSeq
     commit(spark, rootPath) { tmp =>
       fs.mkdirs(new Path(tmp))
       if (dirs.nonEmpty) {
