@@ -75,11 +75,19 @@ object Bench {
     // query numbers. Measured after the timed query loop so ingest GC
     // debt never pollutes query latency. 4M docs/day ≈ 46 docs/s is the
     // reference's envelope; this number is the engine's answer to it.
-    val ingestJson = try {
+    // Two flush sizes: 1000-doc micro-batches (5 batches at sf0.1 — the
+    // growing-state path) and ONE bulk batch of the whole table (the
+    // reference's add_batchCount=10000 envelope, capped by the table's row
+    // count) — the pair shows how the per-batch fixed cost (state probe +
+    // touched-bucket listings + checkpoint-shaped overheads) amortizes
+    // with flush size, which is the reference's own tuning knob.
+    def ingestAt(label: String, batchSizeOf: Long => Long,
+                 withBootstrap: Boolean): String = try {
       import org.apache.spark.sql.functions._
-      val root = java.nio.file.Files.createTempDirectory("graft_benchIngest")
+      val root = java.nio.file.Files.createTempDirectory(s"graft_benchIngest_$label")
       val pipe = root.toString + "/pipe"
-      val batchSize = 1000L // sf0.1 has 5k docs; 5 batches exercises the growing-state path
+      val total = Tables.documents(spark, sfDir).count()
+      val batchSize = batchSizeOf(total)
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("string").as("rowkey"),
           col("doc_id").as("event_id"), lit("put").as("op"), col("text"),
@@ -89,10 +97,13 @@ object Bench {
       val nBatches = docs.agg(max(col("b"))).head().getLong(0) + 1
       // initial load first: the same corpus through the one-pass bootstrap
       // (gate-free — the curated-corpus case) into its own root
-      val tb = System.nanoTime()
-      graft.streaming.IngestPipeline.bootstrap(spark, docs.drop("b"),
-        root.toString + "/boot")
-      val bootSec = (System.nanoTime() - tb) / 1e9
+      val bootJson = if (!withBootstrap) "" else {
+        val tb = System.nanoTime()
+        graft.streaming.IngestPipeline.bootstrap(spark, docs.drop("b"),
+          root.toString + "/boot")
+        val bootSec = (System.nanoTime() - tb) / 1e9
+        f""","bootstrap_sec":$bootSec%.3f,"bootstrap_docs_per_sec":${nDocs / bootSec}%.1f"""
+      }
       val t0 = System.nanoTime()
       (0L until nBatches).foreach { b =>
         graft.streaming.IngestPipeline.applyBatch(spark,
@@ -108,10 +119,13 @@ object Bench {
       val dropped = verdicts.values.sum - admitted
       try graft.operators.Materialize.deleteLocalDir(root.toString)
       catch { case _: Throwable => }
-      f""","ingest":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"admitted":$admitted,"dropped":$dropped,"bootstrap_sec":$bootSec%.3f,"bootstrap_docs_per_sec":${nDocs / bootSec}%.1f}"""
+      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"admitted":$admitted,"dropped":$dropped$bootJson}"""
     } catch { case e: Throwable =>
-      System.err.println(s"ingest bench failed: $e"); ""
+      System.err.println(s"$label bench failed: $e"); ""
     }
+    val ingestJson = ingestAt("ingest", _ => 1000L, withBootstrap = true) +
+      ingestAt("ingest_bulk", total => math.min(total, 10000L),
+        withBootstrap = false)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap$ingestJson}"""
     println(json)

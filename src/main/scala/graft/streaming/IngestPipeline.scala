@@ -381,11 +381,18 @@ object IngestPipeline {
     * batch on; empty (with schema) for a fresh root. */
   def admissionLog(spark: SparkSession, pipelineRoot: String): DataFrame = {
     val root = admissionsRoot(pipelineRoot)
-    val dirs = StateStore.liveBuckets(spark, root, prefix = "batch=")
+    val dirs = StateStore.liveBuckets(spark, root, prefix = "batch=") ++
+      StateStore.liveBuckets(spark, root, prefix = "batches=")
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decisionSchema)
-    else spark.read.schema(decisionSchema).parquet(dirs.map(d => s"$root/$d"): _*)
+    else
+      // distinct: a crash between a compaction's swap and its source
+      // deletes can leave a batch's rows in both a range dir and its
+      // original dir — decisions are deterministic per (rowkey, batch),
+      // so the duplicates are exact and distinct() restores the truth
+      spark.read.schema(decisionSchema).parquet(dirs.map(d => s"$root/$d"): _*)
+        .distinct()
   }
 
   /** Drop admission-log entries for batches the stream's checkpoint can no
@@ -408,6 +415,67 @@ object IngestPipeline {
         val id = d.stripPrefix("batch=").toLong
         id != BootstrapBatchId && id < horizonBatchId
       }
+      .foreach(d => fs.delete(new Path(s"$root/$d"), true): Unit)
+    // compacted range dirs wholly below the horizon go too — GC is the
+    // operator's explicit provenance-deletion choice
+    StateStore.liveBuckets(spark, root, prefix = "batches=")
+      .filter(d => rangeSpan(d).exists(_._2 < horizonBatchId))
+      .foreach(d => fs.delete(new Path(s"$root/$d"), true): Unit)
+  }
+
+  private def rangeSpan(dirName: String): Option[(Long, Long)] =
+    dirName.stripPrefix("batches=").split("-", 2) match {
+      case Array(lo, hi) =>
+        scala.util.Try((lo.toLong, hi.toLong)).toOption
+      case _ => None
+    }
+
+  /** Compact the admission log's per-batch directories behind the replay
+    * horizon into ONE range directory `batches=<lo>-<hi>` — the listing-
+    * bound fix for a log that otherwise accumulates one directory per
+    * micro-batch forever (at a 30 s trigger, ~2900/day): after
+    * compaction the listing is O(live batches + 1), while every verdict
+    * row SURVIVES — the log is the pipeline's provenance record, and
+    * provenance-deletion is [[gcAdmissions]]'s explicit, separate call.
+    *
+    * Only batches the stream can no longer replay (`id < horizonBatchId`)
+    * are folded in: a replayable batch's per-directory lookup
+    * (`decideAndLog`'s decide-once-durably read) must keep finding its
+    * own directory. The [[bootstrap]] entry stays in place for the same
+    * reason it survives GC. Existing range dirs are folded into the new
+    * one (the invariant is a single range dir, spanning min..max), the
+    * combined dir commits under the standard atomic swap, and only then
+    * are the sources deleted — a crash between swap and deletes leaves
+    * exact-duplicate rows that [[admissionLog]]'s distinct() suppresses,
+    * and a re-run converges. */
+  def compactAdmissions(spark: SparkSession, pipelineRoot: String,
+                        horizonBatchId: Long): Unit = {
+    val root = admissionsRoot(pipelineRoot)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return
+    val batchDirs = StateStore.liveBuckets(spark, root, prefix = "batch=")
+      .filter { d =>
+        val id = d.stripPrefix("batch=").toLong
+        id != BootstrapBatchId && id < horizonBatchId
+      }
+    if (batchDirs.isEmpty) return // nothing newly behind the horizon
+    val rangeDirs = StateStore.liveBuckets(spark, root, prefix = "batches=")
+    val ids = batchDirs.map(_.stripPrefix("batch=").toLong)
+    val spans = rangeDirs.flatMap(rangeSpan)
+    val lo = (ids ++ spans.map(_._1)).min
+    val hi = (ids ++ spans.map(_._2)).max
+    val target = s"batches=$lo-$hi"
+    val combined = spark.read.schema(decisionSchema)
+      .parquet((batchDirs ++ rangeDirs).map(d => s"$root/$d"): _*)
+      .distinct()
+      .coalesce(1) // one small audit file per compaction epoch
+      .cache()
+    combined.count() // decouple from the source dirs before any delete/swap
+    try StateStore.commit(spark, s"$root/$target")(tmp =>
+      combined.write.parquet(tmp))
+    finally combined.unpersist(): Unit
+    (batchDirs ++ rangeDirs.filterNot(_ == target))
       .foreach(d => fs.delete(new Path(s"$root/$d"), true): Unit)
   }
 
@@ -587,9 +655,14 @@ object IngestPipeline {
     *     the LSM delete-retention contract: a tombstone must outlive
     *     every event the source can still replay, so the horizon is the
     *     smallest replayable event id;
-    *   - admission-log GC at `horizonBatchId` ([[gcAdmissions]] — the
-    *     same discipline, batch-granular: a verdict must outlive every
-    *     replay that could consult it);
+    *   - admission-log retention at `horizonBatchId`: by default the
+    *     below-horizon batch directories are COMPACTED into one range
+    *     directory ([[compactAdmissions]] — the listing stays bounded
+    *     and every verdict survives as provenance); pass
+    *     `compactAdmissionLog = false` to delete them instead
+    *     ([[gcAdmissions]] — the explicit provenance-deletion choice).
+    *     Either way a verdict outlives every replay that could consult
+    *     it: only unreplayable batches are touched;
     *   - quantizer-drift repair on the vector index: when
     *     [[graft.operators.IvfIndex.needsRebuild]]'s skew threshold
     *     trips, retrain ONLINE ([[graft.operators.IvfIndex.rebuild]] —
@@ -613,7 +686,8 @@ object IngestPipeline {
                horizonEventId: Long, horizonBatchId: Long,
                numBuckets: Int = IncrementalIndex.DefaultBuckets,
                annNlist: Int = 16, annIters: Int = 5,
-               annSkewThreshold: Double = 4.0): MaintenanceReport = {
+               annSkewThreshold: Double = 4.0,
+               compactAdmissionLog: Boolean = true): MaintenanceReport = {
     require(annSkewThreshold > 1.0,
       "annSkewThreshold must exceed 1.0 (perfect balance)")
     IncrementalIndex.gcTombstones(spark, stateRoot(pipelineRoot),
@@ -622,7 +696,8 @@ object IngestPipeline {
       horizonEventId, numBuckets)
     IncrementalPostings.gcTombstones(spark, shingleRoot(pipelineRoot),
       horizonEventId, numBuckets)
-    gcAdmissions(spark, pipelineRoot, horizonBatchId)
+    if (compactAdmissionLog) compactAdmissions(spark, pipelineRoot, horizonBatchId)
+    else gcAdmissions(spark, pipelineRoot, horizonBatchId)
     val vroot = vectorsRoot(pipelineRoot)
     if (!graft.operators.IvfIndex.exists(spark, vroot))
       MaintenanceReport(None, annRebuilt = false, None)

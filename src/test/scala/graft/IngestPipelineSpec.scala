@@ -302,10 +302,15 @@ class IngestPipelineSpec extends SparkSpec {
       assert(tombstones() === Seq("2"))
       source.addData(DocChange("3", 20, "put", "a third unrelated document body"))
       query.processAllAvailable() // batch 2: merges, THEN maintenance
-      // the in-loop pass GC'd the tombstone and the batch-0 log entries
+      // the in-loop pass GC'd the tombstone and COMPACTED the batch-0 log
+      // entries (the default preserves provenance; only the listing shrank)
       assert(tombstones().isEmpty)
       assert(liveKeys(pipe) === Set("1", "3"))
-      assert(logRows(pipe).map(_._4) === Set(2L))
+      assert(logRows(pipe).map(_._4) === Set(0L, 2L))
+      val admDirs = new java.io.File(pipe + "/admissions").listFiles()
+        .map(_.getName).filter(_.startsWith("batch")).toSet
+      // batch=1 (delete-only, zero rows) is still replayable at horizon 1
+      assert(admDirs === Set("batches=0-0", "batch=1", "batch=2"))
       // and the stream keeps going against the maintained state
       source.addData(DocChange("9", 30, "put", "alpha beta gamma delta"))
       query.processAllAvailable() // near-dup of doc 1 → gated out
@@ -526,12 +531,17 @@ class IngestPipelineSpec extends SparkSpec {
     assert(m0(("admissions", "verdict_admitted")) === 23.0)
     assert(m0(("admissions", "batches")) === 2.0)
     // one maintenance call: tombstone GC on all three keyed states,
-    // admission-log GC, and the drift-gated online quantizer retrain
+    // admission-log compaction (the default — provenance survives, the
+    // listing shrinks), and the drift-gated online quantizer retrain
+    val preMaintain = logRows(root)
     val report = IngestPipeline.maintain(spark, root,
       horizonEventId = 100, horizonBatchId = 2,
       annNlist = 2, annIters = 2, annSkewThreshold = 1.5)
     docsRoots.foreach(p => assert(tombstones(p).isEmpty, s"tombstone survived in $p"))
-    assert(logRows(root).map(_._4) === Set(2L))
+    assert(logRows(root) === preMaintain) // compaction preserves every verdict
+    val admDirs = new java.io.File(root + "/admissions").listFiles()
+      .map(_.getName).filter(n => n.startsWith("batch")).toSet
+    assert(admDirs === Set("batches=0-1", "batch=2")) // below-horizon dirs folded
     assert(report.annRebuilt && report.annSkewBefore.exists(_ >= 1.5))
     // the snapshot reflects the pass: tombstones gone, skew re-read
     val m1 = metrics()
@@ -556,6 +566,56 @@ class IngestPipelineSpec extends SparkSpec {
     assert(liveKeys(root) === wantLive + "40")
     assert(graft.operators.IvfIndex.search(spark, vroot, arc(77), k = 1, probes = 2)
       .head().getLong(0) === 40L)
+  }
+
+  test("admission-log compaction bounds the listing, keeps every verdict, converges after a crash") {
+    val root = Files.createTempDirectory("graft_pipeCompact").toString + "/pipe"
+    // bootstrap first — its reserved entry must survive every compaction
+    IngestPipeline.bootstrap(spark,
+      Seq(("100", 0L, "put", "bootstrap corpus document one"),
+        ("101", 1L, "put", "bootstrap corpus document two"))
+        .toDF("rowkey", "event_id", "op", "text"), root)
+    (0L until 6L).foreach { b =>
+      IngestPipeline.applyBatch(spark,
+        Seq(((200 + b).toString, 10L + b, "put", s"stream doc body $b"))
+          .toDF("rowkey", "event_id", "op", "text"), root, b)
+    }
+    def admDirs(): Set[String] = new java.io.File(root + "/admissions")
+      .listFiles().map(_.getName).filter(_.startsWith("batch")).toSet
+    assert(admDirs() === (0L until 6L).map(b => s"batch=$b").toSet + "batch=-1")
+    val allRows = logRows(root)
+    assert(allRows.map(_._4) === (-1L until 6L).toSet)
+
+    // first compaction: batches 0-2 behind the horizon fold into one dir
+    IngestPipeline.compactAdmissions(spark, root, horizonBatchId = 3)
+    assert(admDirs() === Set("batch=-1", "batches=0-2", "batch=3", "batch=4", "batch=5"))
+    assert(logRows(root) === allRows)
+    // a second compaction folds the existing range AND the newly-eligible
+    // batches into a single wider range — the listing stays O(live + 1)
+    IngestPipeline.compactAdmissions(spark, root, horizonBatchId = 5)
+    assert(admDirs() === Set("batch=-1", "batches=0-4", "batch=5"))
+    assert(logRows(root) === allRows)
+    // a still-replayable batch kept its own directory, so the
+    // decide-once-durably replay read still finds its logged verdicts
+    IngestPipeline.applyBatch(spark,
+      Seq(("205", 15L, "put", "stream doc body 5"))
+        .toDF("rowkey", "event_id", "op", "text"), root, 5L)
+    assert(logRows(root) === allRows) // replay reused the logged decision
+
+    // crash window: the swap committed but a source delete didn't happen —
+    // plant the duplicate by re-creating a folded batch dir's content
+    val dup = IngestPipeline.admissionLog(spark, root)
+      .filter(col("batch_id") === 2L)
+    dup.write.parquet(root + "/admissions/batch=2")
+    assert(logRows(root) === allRows) // distinct() suppresses the exact dups
+    IngestPipeline.compactAdmissions(spark, root, horizonBatchId = 5)
+    assert(admDirs() === Set("batch=-1", "batches=0-4", "batch=5")) // re-run converged
+    assert(logRows(root) === allRows)
+
+    // explicit provenance deletion stays available and takes the range dir
+    IngestPipeline.gcAdmissions(spark, root, horizonBatchId = 5)
+    assert(admDirs() === Set("batch=-1", "batch=5"))
+    assert(logRows(root).map(_._4) === Set(-1L, 5L))
   }
 
   test("a non-canonical decimal rowkey fails the vector merge loudly") {
