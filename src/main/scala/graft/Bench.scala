@@ -105,9 +105,14 @@ object Bench {
         f""","bootstrap_sec":$bootSec%.3f,"bootstrap_docs_per_sec":${nDocs / bootSec}%.1f"""
       }
       val t0 = System.nanoTime()
+      // phase split: gate (admission decision + durable log commit) vs the
+      // four state merges — WHICH half of the per-batch fixed cost binds
+      // is the question the dual-flush-size comparison raises
+      var gateSec = 0.0; var mergeSec = 0.0
       (0L until nBatches).foreach { b =>
-        graft.streaming.IngestPipeline.applyBatch(spark,
+        val (g, m) = graft.streaming.IngestPipeline.applyBatchTimed(spark,
           docs.filter(col("b") === b).drop("b"), pipe, b)
+        gateSec += g; mergeSec += m
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // what the gate actually did — docs/sec over a gate that drops
@@ -119,7 +124,7 @@ object Bench {
       val dropped = verdicts.values.sum - admitted
       try graft.operators.Materialize.deleteLocalDir(root.toString)
       catch { case _: Throwable => }
-      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"admitted":$admitted,"dropped":$dropped$bootJson}"""
+      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"gate_sec":$gateSec%.3f,"merge_sec":$mergeSec%.3f,"admitted":$admitted,"dropped":$dropped$bootJson}"""
     } catch { case e: Throwable =>
       System.err.println(s"$label bench failed: $e"); ""
     }

@@ -117,6 +117,92 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Share of word-bigram slots taken by the most frequent bigram of a
+    * token-array column — the Gopher top-2-gram repetition signal as a
+    * reusable PURE per-row expression, so it composes into
+    * [[graft.streaming.IngestPipeline]]'s `admitIf` quality gate the same
+    * way [[stopRatio]] does. NULL for texts of fewer than two tokens
+    * (no bigram exists; a gate should decide short texts by length, not
+    * by repetition). */
+  def topBigramFrac(tokens: Column): Column = {
+    val bg = transform(sequence(lit(1), size(tokens) - 1),
+      i => concat_ws(" ", slice(tokens, i, lit(2))))
+    when(size(tokens) >= 2,
+      longestRun(array_sort(bg)) * lit(1.0) / (size(tokens) - 1))
+  }
+
+  /** Share of tokens taken by the most frequent token — the companion
+    * single-word repetition signal. NULL for empty token arrays. */
+  def topWordFrac(tokens: Column): Column =
+    when(size(tokens) >= 1,
+      longestRun(array_sort(tokens)) * lit(1.0) / size(tokens))
+
+  /** Longest run in a sorted string array = its top element's count —
+    * the Column-native twin of [[runStats]]'s `best` half (one linear
+    * aggregate pass; same reasoning). */
+  private def longestRun(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best")),
+      (a, x) => {
+        val run = when(a.getField("prev") <=> x, a.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+
+  /** (longest run, number of runs) over a SORTED array — one linear
+    * `aggregate` pass. On a sorted array equal elements are adjacent, so
+    * the longest run is the top element's count and the run count is the
+    * distinct count: max-frequency and cardinality in O(n log n) per row
+    * (the sort) instead of the naive O(distinct × n) count-per-element.
+    * At sf0.1 the naive form cost 4.4 s; this one is an order cheaper. */
+  private def runStats(sortedArr: String): Column = expr(
+    s"""aggregate($sortedArr,
+       |  named_struct('prev', cast(null as string),
+       |               'run', cast(0 as bigint),
+       |               'best', cast(0 as bigint),
+       |               'runs', cast(0 as bigint)),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run',  if(a.prev <=> x, a.run + 1, cast(1 as bigint)),
+       |    'best', greatest(a.best, if(a.prev <=> x, a.run + 1, cast(1 as bigint))),
+       |    'runs', a.runs + if(a.prev <=> x, cast(0 as bigint), cast(1 as bigint))),
+       |  a -> named_struct('best', a.best, 'runs', a.runs))""".stripMargin)
+
+  private def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    // Repetition signals (the Gopher/MassiveText repetition filters): the
+    // fraction of a document occupied by its most frequent word bigram,
+    // the fraction of bigram occurrences that are repeats, and the most
+    // frequent single word's share of all tokens. Excessive repetition is
+    // the canonical generated/boilerplate-text tell a corpus build filters
+    // on. All three are PURE PER-ROW array expressions — no explode, no
+    // exchange, no shuffle: each document computes its own signal and the
+    // plan is a single scan-project, the shape that scales to 100 TB by
+    // adding executors. Frequency stats come from one sorted-run pass per
+    // array ([[runStats]]), so per-doc cost is O(len log len).
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
+      .withColumn("bs", runStats("array_sort(bg)"))
+      .withColumn("ws", runStats("array_sort(t)"))
+      .select(col("doc_id"),
+        (size(col("t")) - 1).cast("long").as("n_bigrams"),
+        col("bs.best").as("top_bigram_n"),
+        col("bs.runs").as("n_distinct_bigrams"),
+        col("ws.best").as("top_word_n"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("top_bigram_frac",
+        round(col("top_bigram_n") * lit(1.0) / col("n_bigrams"), 4))
+      .withColumn("dup_bigram_frac",
+        round(lit(1.0) - col("n_distinct_bigrams") * lit(1.0) / col("n_bigrams"), 4))
+      .withColumn("top_word_frac",
+        round(col("top_word_n") * lit(1.0) / col("n_tokens"), 4))
+      .orderBy("doc_id")
+
   /** Per-document min-shingle fingerprints (winnowing anchor + distinct
     * shingle count), MATERIALIZED once per session: the same artifact is
     * q_fingerprint's output AND the contamination check's match key, and
@@ -146,6 +232,7 @@ object TextAnalysis {
     "q_lang_id" -> qLangId,
     "q_quality_score" -> qQualityScore,
     "q_unigram_logprob" -> qUnigramLogprob,
+    "q_repetition" -> qRepetition,
     "q_fingerprint" -> qFingerprint)
 
   /** DuckDB-side shingle CTE shared by the oracle strings (mirrors
@@ -199,6 +286,27 @@ object TextAnalysis {
         |SELECT doc_id, round(-sum(ln(cnt / tot)) / count(*), 4) AS nll
         |FROM toks JOIN freq USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')) AS bg
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |c AS (
+        |  SELECT doc_id,
+        |         len(bg) AS n_bigrams,
+        |         list_max(list_transform(list_distinct(bg),
+        |                                 x -> len(list_filter(bg, y -> y = x)))) AS top_bigram_n,
+        |         len(list_distinct(bg)) AS n_distinct_bigrams,
+        |         list_max(list_transform(list_distinct(t),
+        |                                 x -> len(list_filter(t, y -> y = x)))) AS top_word_n,
+        |         len(t) AS n_tokens
+        |  FROM b)
+        |SELECT doc_id, n_bigrams, top_bigram_n, n_distinct_bigrams, top_word_n, n_tokens,
+        |       round(top_bigram_n * 1.0 / n_bigrams, 4) AS top_bigram_frac,
+        |       round(1.0 - n_distinct_bigrams * 1.0 / n_bigrams, 4) AS dup_bigram_frac,
+        |       round(top_word_n * 1.0 / n_tokens, 4) AS top_word_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_fingerprint" -> (shingleCte +
       """
         |SELECT doc_id, min(md5(s)) AS fp, count(*) AS n_shingles
