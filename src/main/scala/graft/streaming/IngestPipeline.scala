@@ -270,10 +270,34 @@ object IngestPipeline {
                  semanticThreshold: Option[Double] = None,
                  semanticProbes: Int = 2,
                  tokenizerName: Option[String] = None): Unit = {
+    applyBatchTimed(spark, batch, pipelineRoot, batchId, threshold, numBuckets,
+      tokenize, scheme, admitIf, annNlist, annIters, semanticThreshold,
+      semanticProbes, tokenizerName): Unit
+  }
+
+  /** [[applyBatch]] returning (gateSeconds, mergeSeconds) — the per-batch
+    * cost split between the admission decision (probe + durable log
+    * commit) and the four state merges. Bench-facing: the per-batch fixed
+    * cost is the ingest path's scaling knob, and a docs/s number alone
+    * cannot say WHICH half stopped amortizing. */
+  private[graft] def applyBatchTimed(spark: SparkSession, batch: DataFrame,
+                 pipelineRoot: String, batchId: Long, threshold: Double = 0.8,
+                 numBuckets: Int = IncrementalIndex.DefaultBuckets,
+                 tokenize: Column => Column = split(_, " "),
+                 scheme: IncrementalShingles.SketchScheme =
+                   IncrementalShingles.WordShingles,
+                 admitIf: Option[Column] = None,
+                 annNlist: Int = 16, annIters: Int = 5,
+                 semanticThreshold: Option[Double] = None,
+                 semanticProbes: Int = 2,
+                 tokenizerName: Option[String] = None): (Double, Double) = {
+    val t0 = System.nanoTime()
     val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
       scheme, admitIf, semanticThreshold, semanticProbes)
+    val t1 = System.nanoTime()
     mergeAll(spark, batch, decisions, pipelineRoot, numBuckets, tokenize,
       scheme, annNlist, annIters, tokenizerName)
+    ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
   }
 
   /** The merge half of [[applyBatch]] (shared with [[bootstrap]]): apply
@@ -748,6 +772,133 @@ object IngestPipeline {
     fence.check(spark)
     IncrementalShingles.rescale(spark, shingleRoot(pipelineRoot), newBuckets,
       scheme)
+  }
+
+  /** Consistent point-in-time copy of a pipeline root — the operational
+    * surface Solr gives the reference for free (index replication /
+    * backup): hand a serving replica its own root, keep a restore point
+    * before a risky migration, or fork a corpus build. The copy is a
+    * NEW root, immediately usable by every read surface and by a fresh
+    * pipeline start on top of it.
+    *
+    * What is copied: every state family and the admission log, healed
+    * first (interrupted per-bucket swaps are promoted via the same
+    * [[StateStore.recover]] every reader runs), with swap garbage
+    * (`.tmp`/`.old`/`.tmpbatch` at any depth) excluded. The `_writers`
+    * fence history is NOT copied: the snapshot is a new root identity,
+    * and its first writer should claim epoch 1 rather than inherit the
+    * source's epoch history (a restore that wants to resurrect the OLD
+    * root copies the snapshot back and then claims — the claim takes
+    * max+1 of whatever fence history the target holds).
+    *
+    * Consistency contract — same as every other whole-root operation
+    * here: snapshot reads multiple directories non-atomically, so it
+    * must not race a writer. Run it from the maintenance slot (the
+    * `foreachBatch` thread between batches) or against a stopped
+    * pipeline. It deliberately does NOT claim the writer fence: a
+    * backup should never fence out the live ingest.
+    *
+    * Scale shape: the file list is driver-side metadata (bounded by
+    * bucket count × files per bucket — the merges write one file per
+    * bucket); the BYTES move executor-side, one task per file
+    * (distcp's shape), so a 100 TB snapshot copies at cluster width,
+    * not through the driver. */
+  def snapshot(spark: SparkSession, pipelineRoot: String,
+               destRoot: String): Unit =
+    snapshotInto(spark, pipelineRoot, destRoot, allowFenceOnly = false)
+
+  private def snapshotInto(spark: SparkSession, pipelineRoot: String,
+                           destRoot: String, allowFenceOnly: Boolean): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new Path(pipelineRoot)
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"no pipeline root at $pipelineRoot")
+    val dest = new Path(destRoot)
+    val dfs = dest.getFileSystem(conf)
+    val existing =
+      if (!dfs.exists(dest)) Array.empty[String]
+      else dfs.listStatus(dest).map(_.getPath.getName)
+    val blocking =
+      if (allowFenceOnly) existing.filter(_ != WriterFence.FenceDir)
+      else existing
+    if (blocking.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot destination $destRoot already holds data; " +
+          "refusing to overwrite — delete it first or pick a fresh path")
+    def garbage(n: String): Boolean =
+      n.endsWith(".tmp") || n.endsWith(".old") || n.endsWith(".tmpbatch")
+    // heal pass: promote any interrupted swap (`X.old` with no `X`)
+    // before listing, so the snapshot captures the surviving copy
+    def heal(p: Path): Unit = {
+      fs.listStatus(p).foreach { c =>
+        val n = c.getPath.getName
+        if (n.endsWith(".old"))
+          StateStore.recover(spark, new Path(p, n.stripSuffix(".old")).toString)
+      }
+      // recurse over the post-recovery listing, so a just-promoted
+      // directory's own subtree is healed too
+      fs.listStatus(p).foreach { c =>
+        if (c.isDirectory && !garbage(c.getPath.getName)) heal(c.getPath)
+      }
+    }
+    heal(src)
+    // driver-side recursive listing of live files (metadata-bounded);
+    // empty dirs are recreated so family roots survive even when empty
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { c =>
+      val n = c.getPath.getName
+      if (!garbage(n) && n != WriterFence.FenceDir) {
+        val childRel = if (rel.isEmpty) n else s"$rel/$n"
+        if (c.isDirectory) { dfs.mkdirs(new Path(dest, childRel)); walk(c.getPath, childRel) }
+        else files += ((c.getPath.toString, new Path(dest, childRel).toString))
+      }
+    }
+    dfs.mkdirs(dest)
+    walk(src, "")
+    // bytes move executor-side, one task per file — executors resolve
+    // their filesystems from the cluster's Hadoop configuration
+    if (files.nonEmpty)
+      spark.sparkContext.parallelize(files.toSeq, math.min(files.size, 64))
+        .foreach { case (s, d) =>
+          val hc = new org.apache.hadoop.conf.Configuration()
+          val sp = new Path(s); val dp = new Path(d)
+          org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(hc), sp, dp.getFileSystem(hc), dp, false, hc): Unit
+        }
+  }
+
+  /** Roll a pipeline root back to a [[snapshot]] — the restore half of
+    * the backup story (bad deploy, corrupted state, operator error).
+    * Claims the WRITER FENCE on the target first: restore replaces the
+    * root, so a zombie stream still writing it must fail its next epoch
+    * check rather than merge into the restored state; the caller then
+    * restarts the stream with a FRESH checkpoint (the old checkpoint's
+    * offsets describe batches the restored state never saw — replaying
+    * them through applyBatch is safe only back to the snapshot's own
+    * admission log, which the snapshot carries).
+    *
+    * The target's previous state directories are deleted and replaced by
+    * the snapshot's content; the fence history is preserved across the
+    * restore (the point of fencing the root is that it KEEPS its
+    * identity — contrast with [[snapshot]], which starts a new one). */
+  def restore(spark: SparkSession, snapshotRoot: String,
+              pipelineRoot: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new Path(snapshotRoot)
+    require(src.getFileSystem(conf).exists(src), s"no snapshot at $snapshotRoot")
+    val fence = WriterFence.claim(spark, pipelineRoot)
+    val root = new Path(pipelineRoot)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { c =>
+        if (c.getPath.getName != WriterFence.FenceDir)
+          fs.delete(c.getPath, true): Unit
+      }
+    fence.check(spark)
+    // the target now holds only its fence dir — snapshot's own copy
+    // machinery (heal + prune + executor-side bytes) does the rest;
+    // its non-empty check passes because _writers is all that remains
+    snapshotInto(spark, snapshotRoot, pipelineRoot, allowFenceOnly = true)
   }
 
   /** Wire a streaming changelog into the gated three-state pipeline —

@@ -66,7 +66,10 @@ object WriterFence {
     }
   }
 
-  private def writersDir(rootPath: String) = s"$rootPath/_writers"
+  /** Name of the per-root fence directory (claimed epochs live under it). */
+  val FenceDir = "_writers"
+
+  private def writersDir(rootPath: String) = s"$rootPath/$FenceDir"
 
   /** The highest claimed epoch, if any writer ever claimed this root. */
   def maxEpoch(spark: SparkSession, rootPath: String): Option[Long] = {
