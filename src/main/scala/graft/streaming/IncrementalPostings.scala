@@ -94,6 +94,7 @@ object IncrementalPostings {
   private def bucketDirsForFrame(spark: SparkSession, root: String,
                                  keys: DataFrame, key: String): Seq[String] = {
     val live = StateStore.liveBuckets(spark, root)
+    if (live.isEmpty) return Seq.empty // no state: skip the bucket-id job
     StateStore.bucketCount(spark, root) match {
       case Some(n) =>
         val wanted = keys.select(pmod(crc32(col(key)), lit(n)).cast("int").as("b"))

@@ -300,13 +300,32 @@ object IncrementalShingles {
   def nearDuplicatesBatch(spark: SparkSession, rootPath: String, docs: DataFrame,
                           threshold: Double = 0.8,
                           dfCap: Int = graft.operators.Dedup.DfCap,
-                          scheme: SketchScheme = WordShingles): DataFrame = {
+                          scheme: SketchScheme = WordShingles): DataFrame =
+    nearDuplicatesBatchSketched(spark, rootPath,
+      docs.select(col("qid"),
+        array_distinct(scheme.sketch(col("text"))).as("qs")).localCheckpoint(),
+      threshold, dfCap, scheme)
+
+  /** [[nearDuplicatesBatch]] over PRE-SKETCHED queries — `sk` is (qid,
+    * qs ARRAY<STRING>), the distinct sketch set per doc. The gate computes
+    * one sketch pass per batch and threads it through this probe AND the
+    * intra-batch pass; sketching here again would triple the per-batch
+    * sketch cost ([[gateDecisions]]). The checkpoint contract moves to
+    * the caller: `sk` should be materialized (localCheckpoint) since it
+    * feeds the bucket-id collect, the candidate join, and the score join.
+    *
+    * Short-circuit: a root with NO live entry buckets (fresh pipeline,
+    * bootstrap) has no candidates by definition — answered from the
+    * bucket listing alone, no jobs, which is what keeps the first
+    * batches of a new pipeline gate-overhead-free. */
+  private[graft] def nearDuplicatesBatchSketched(spark: SparkSession,
+      rootPath: String, sk: DataFrame, threshold: Double, dfCap: Int,
+      scheme: SketchScheme): DataFrame = {
     requireScheme(spark, rootPath, scheme)
-    // checkpointed: the shingle set feeds the bucket-id collect, the
-    // qid→candidate join, and (via cands) the fetch pruning — one
-    // batch-sized materialization instead of three shingleize passes
-    val qsh = docs.select(col("qid"),
-      explode(array_distinct(scheme.sketch(col("text")))).as("tok")).localCheckpoint()
+    if (StateStore.liveBuckets(spark, rootPath + "/entries").isEmpty)
+      return spark.range(0).select(lit("").as("qid"), lit("").as("rowkey"),
+        lit(0.0).as("jaccard"))
+    val qsh = sk.select(col("qid"), explode(col("qs")).as("tok"))
     val hit = IncrementalPostings.prunedEntriesForTokens(spark, rootPath,
         qsh.select("tok").distinct())
       .groupBy("tok")
@@ -318,8 +337,6 @@ object IncrementalShingles {
     val cands = hit.select(col("tok"), explode(col("ids")).as("rowkey"))
       .join(qsh, "tok")
       .select(col("qid"), col("rowkey")).distinct().localCheckpoint()
-    val qArr = docs.select(col("qid"),
-      array_distinct(scheme.sketch(col("text"))).as("qs"))
     // sketch ONCE PER DOC on both sides before the pair join: a candidate
     // row fans out to every query doc it shares a shingle with, and
     // sketching inside the pair join re-ran the split/gram pipeline per
@@ -329,7 +346,7 @@ object IncrementalShingles {
         cands.select("rowkey"))
       .select(col("rowkey"), array_distinct(scheme.sketch(col("text"))).as("bs"))
     bArr.join(cands, "rowkey")
-      .join(qArr, "qid")
+      .join(sk, "qid")
       .withColumn("c", size(array_intersect(col("bs"), col("qs"))).cast("long"))
       .withColumn("jaccard",
         round(col("c") / (size(col("bs")) + size(col("qs")) - col("c")), 4))
@@ -356,10 +373,11 @@ object IncrementalShingles {
     * rule that admits strictly more data than component-minimum under
     * the same pairwise-near-dup-free invariant (near-dup is not
     * transitive). */
-  private def intraBatchDrops(docs: DataFrame, threshold: Double,
-                              dfCap: Int, scheme: SketchScheme): DataFrame = {
-    val sh = docs.select(col("rowkey"),
-      explode(array_distinct(scheme.sketch(col("text")))).as("s"))
+  private[graft] def intraBatchDrops(docs: DataFrame, threshold: Double,
+                                     dfCap: Int): DataFrame = {
+    // docs is (rowkey, qs ARRAY<STRING>, exists) — qs is the doc's
+    // distinct sketch set, computed ONCE by the gate and threaded here
+    val sh = docs.select(col("rowkey"), explode(col("qs")).as("s"))
     val buckets = sh.groupBy("s")
       .agg(sort_array(collect_set(col("rowkey"))).as("ids"))
       .filter(size(col("ids")) <= dfCap)
@@ -419,9 +437,15 @@ object IncrementalShingles {
                     scheme: SketchScheme = WordShingles): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
     // document granularity first: the latest event per rowkey is what the
-    // merge would keep, so it alone decides admission for the rowkey
+    // merge would keep, so it alone decides admission for the rowkey.
+    // The sketch set is computed HERE, once — the state probe, the
+    // intra-batch pass, and the score join all read the same
+    // materialized arrays (sketching used to run three times per gate)
     val latest = puts.groupBy("rowkey")
-      .agg(max_by(col("text"), col("event_id")).as("text")).localCheckpoint()
+      .agg(max_by(col("text"), col("event_id")).as("text"))
+      .select(col("rowkey"),
+        array_distinct(scheme.sketch(col("text"))).as("qs"))
+      .localCheckpoint()
     // a put whose only near-dup is its OWN stored version is an UPDATE,
     // not a duplicate — qid = rowkey matches must not gate it out, or
     // every minor edit to an existing document would be silently lost
@@ -431,8 +455,8 @@ object IncrementalShingles {
     // checkpointed: dupBest feeds BOTH the survivor anti-join and the
     // final decisions select — without it the whole state probe (the
     // batch's most expensive plan) executes twice per gate
-    val dupBest = nearDuplicatesBatch(spark, rootPath,
-        latest.select(col("rowkey").as("qid"), col("text")), threshold,
+    val dupBest = nearDuplicatesBatchSketched(spark, rootPath,
+        latest.select(col("rowkey").as("qid"), col("qs")), threshold,
         scheme.dfCap, scheme)
       .filter(col("qid") =!= col("rowkey"))
       .groupBy("qid")
@@ -449,8 +473,8 @@ object IncrementalShingles {
       .prunedDocsForKeys(spark, rootPath, survivors.select("rowkey"))
       .select(col("rowkey"), lit(true).as("exists"))
     val flagged = survivors.join(existing, Seq("rowkey"), "left_outer")
-      .select(col("rowkey"), col("text"), coalesce(col("exists"), lit(false)).as("exists"))
-    val drops = intraBatchDrops(flagged, threshold, scheme.dfCap, scheme)
+      .select(col("rowkey"), col("qs"), coalesce(col("exists"), lit(false)).as("exists"))
+    val drops = intraBatchDrops(flagged, threshold, scheme.dfCap)
     latest.select("rowkey")
       .join(dupBest.withColumnRenamed("dup_of", "s_dup_of")
         .withColumn("state_dup", lit(true)), Seq("rowkey"), "left_outer")
