@@ -53,6 +53,70 @@ object GateProfile {
           array_distinct(scheme.sketch(col("text"))).as("qs"))
         .localCheckpoint()
     }
+    // sub-step breakdown of the probe (mirrors nearDuplicatesBatchSketched)
+    locally {
+      val sk = latest.select(col("rowkey").as("qid"), col("qs"))
+      val qsh = sk.select(col("qid"), explode(col("qs")).as("tok"))
+      val toks = qsh.select("tok").distinct()
+      val entries = t("  probe.pruned_entries_read") {
+        val e = IncrementalPostings.prunedEntriesForTokens(spark, sroot, toks)
+        println(s"  entries_rows=${e.count()}")
+        e
+      }
+      val hit = t("  probe.hit_agg") {
+        val h = entries.groupBy("tok")
+          .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
+          .filter(col("df") <= scheme.dfCap)
+        println(s"  hit_toks=${h.count()}")
+        h
+      }
+      val cands = t("  probe.cands_checkpoint") {
+        hit.select(col("tok"), explode(col("ids")).as("rowkey"))
+          .join(qsh, "tok")
+          .select(col("qid"), col("rowkey")).distinct().localCheckpoint()
+      }
+      println(s"  cands_rows=${cands.count()}")
+      val fetched = t("  probe.fetch_only") {
+        val f = IncrementalPostings.prunedDocsForKeys(spark, sroot,
+          cands.select("rowkey"))
+        println(s"  fetched_rows=${f.count()}")
+        f
+      }
+      val bArr = t("  probe.sketch_cands") {
+        val b = fetched
+          .select(col("rowkey"), array_distinct(scheme.sketch(col("text"))).as("bs"))
+          .localCheckpoint()
+        println(s"  bArr_rows=${b.count()}")
+        b
+      }
+      t("  probe.join_no_intersect") {
+        val n = bArr.join(cands, "rowkey")
+          .join(sk, "qid")
+          .withColumn("c", (size(col("bs")) + size(col("qs"))).cast("long"))
+          .filter(col("c") >= 0).count()
+        println(s"  joined_pairs=$n")
+      }
+      t("  probe.score_sorted_intersect") {
+        val sbArr = bArr.select(col("rowkey"), array_sort(col("bs")).as("bs"))
+        val ssk = sk.select(col("qid"), array_sort(col("qs")).as("qs"))
+        val n = sbArr.join(cands, "rowkey")
+          .join(ssk, "qid")
+          .withColumn("c", size(array_intersect(col("bs"), col("qs"))).cast("long"))
+          .withColumn("jaccard",
+            round(col("c") / (size(col("bs")) + size(col("qs")) - col("c")), 4))
+          .filter(col("jaccard") >= threshold).count()
+        println(s"  sorted_scored=$n")
+      }
+      t("  probe.score_join") {
+        val n = bArr.join(cands, "rowkey")
+          .join(sk, "qid")
+          .withColumn("c", size(array_intersect(col("bs"), col("qs"))).cast("long"))
+          .withColumn("jaccard",
+            round(col("c") / (size(col("bs")) + size(col("qs")) - col("c")), 4))
+          .filter(col("jaccard") >= threshold).count()
+        println(s"  scored_hits=$n")
+      }
+    }
     val dupBest = t("state_probe(sketched)+dupBest") {
       IncrementalShingles.nearDuplicatesBatchSketched(spark, sroot,
           latest.select(col("rowkey").as("qid"), col("qs")), threshold,
