@@ -479,6 +479,18 @@ class Graft(spark: SparkSession, dir: String,
       annNlist = annNlist, annIters = annIters,
       annSkewThreshold = annSkewThreshold)
 
+  /** Consistent point-in-time copy of a pipeline root to a fresh root —
+    * the replication/backup surface (Solr's replication in the
+    * reference's stack). Run from the maintenance slot or against a
+    * stopped pipeline; it never fences out live ingest. */
+  def snapshotPipeline(pipelineRoot: String, destRoot: String): Unit =
+    IngestPipeline.snapshot(spark, pipelineRoot, destRoot)
+
+  /** Roll a pipeline root back to a snapshot, fencing out any zombie
+    * writer first; restart the stream with a fresh checkpoint after. */
+  def restorePipeline(snapshotRoot: String, pipelineRoot: String): Unit =
+    IngestPipeline.restore(spark, snapshotRoot, pipelineRoot)
+
   /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
     * aggregation that first dedupes within `buckets` hash-shards of the
     * value space, then sums the shard counts — so a hot key's distinct set

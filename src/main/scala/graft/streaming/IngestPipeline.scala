@@ -802,26 +802,34 @@ object IngestPipeline {
     * bucket count × files per bucket — the merges write one file per
     * bucket); the BYTES move executor-side, one task per file
     * (distcp's shape), so a 100 TB snapshot copies at cluster width,
-    * not through the driver. */
+    * not through the driver.
+    *
+    * Atomic visibility: the copy lands under `<dest>.tmp` and is
+    * promoted by one rename ([[StateStore.commit]]) — a destination that
+    * EXISTS is a complete snapshot; a crashed attempt leaves only a
+    * `.tmp` the retry clears. A backup that could be partial yet look
+    * complete is worse than no backup. */
   def snapshot(spark: SparkSession, pipelineRoot: String,
                destRoot: String): Unit =
-    snapshotInto(spark, pipelineRoot, destRoot, allowFenceOnly = false)
+    snapshotInto(spark, pipelineRoot, destRoot, preserveFence = false)
 
+  /** The copy itself, under [[StateStore.commit]]'s tmp-then-swap: the
+    * destination becomes visible ATOMICALLY and only when complete — a
+    * crashed snapshot leaves a `.tmp` the retry clears, never a partial
+    * root that passes for a backup. `preserveFence = true` (restore)
+    * additionally carries the TARGET's existing fence history into the
+    * new root before the swap, and replaces a populated target wholesale
+    * (the swap's move-aside makes even that window crash-safe: old root
+    * or new, never a mix). */
   private def snapshotInto(spark: SparkSession, pipelineRoot: String,
-                           destRoot: String, allowFenceOnly: Boolean): Unit = {
+                           destRoot: String, preserveFence: Boolean): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val src = new Path(pipelineRoot)
     val fs = src.getFileSystem(conf)
     require(fs.exists(src), s"no pipeline root at $pipelineRoot")
     val dest = new Path(destRoot)
     val dfs = dest.getFileSystem(conf)
-    val existing =
-      if (!dfs.exists(dest)) Array.empty[String]
-      else dfs.listStatus(dest).map(_.getPath.getName)
-    val blocking =
-      if (allowFenceOnly) existing.filter(_ != WriterFence.FenceDir)
-      else existing
-    if (blocking.nonEmpty)
+    if (!preserveFence && dfs.exists(dest) && dfs.listStatus(dest).nonEmpty)
       throw new IllegalStateException(
         s"snapshot destination $destRoot already holds data; " +
           "refusing to overwrite — delete it first or pick a fresh path")
@@ -842,29 +850,40 @@ object IngestPipeline {
       }
     }
     heal(src)
-    // driver-side recursive listing of live files (metadata-bounded);
-    // empty dirs are recreated so family roots survive even when empty
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { c =>
-      val n = c.getPath.getName
-      if (!garbage(n) && n != WriterFence.FenceDir) {
-        val childRel = if (rel.isEmpty) n else s"$rel/$n"
-        if (c.isDirectory) { dfs.mkdirs(new Path(dest, childRel)); walk(c.getPath, childRel) }
-        else files += ((c.getPath.toString, new Path(dest, childRel).toString))
-      }
-    }
-    dfs.mkdirs(dest)
-    walk(src, "")
-    // bytes move executor-side, one task per file — executors resolve
-    // their filesystems from the cluster's Hadoop configuration
-    if (files.nonEmpty)
-      spark.sparkContext.parallelize(files.toSeq, math.min(files.size, 64))
-        .foreach { case (s, d) =>
-          val hc = new org.apache.hadoop.conf.Configuration()
-          val sp = new Path(s); val dp = new Path(d)
-          org.apache.hadoop.fs.FileUtil.copy(
-            sp.getFileSystem(hc), sp, dp.getFileSystem(hc), dp, false, hc): Unit
+    StateStore.commit(spark, destRoot) { tmp =>
+      val tmpPath = new Path(tmp)
+      // driver-side recursive listing of live files (metadata-bounded);
+      // empty dirs are recreated so family roots survive even when empty
+      val files = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { c =>
+        val n = c.getPath.getName
+        if (!garbage(n) && n != WriterFence.FenceDir) {
+          val childRel = if (rel.isEmpty) n else s"$rel/$n"
+          if (c.isDirectory) {
+            dfs.mkdirs(new Path(tmpPath, childRel)); walk(c.getPath, childRel)
+          } else files += ((c.getPath.toString, new Path(tmpPath, childRel).toString))
         }
+      }
+      dfs.mkdirs(tmpPath)
+      walk(src, "")
+      // restore keeps the target root's identity: its claimed fence
+      // epochs ride the swap so the restorer stays the newest writer and
+      // a zombie still fails its next check against the restored root
+      if (preserveFence && dfs.exists(new Path(dest, WriterFence.FenceDir)))
+        org.apache.hadoop.fs.FileUtil.copy(dfs,
+          new Path(dest, WriterFence.FenceDir), dfs,
+          new Path(tmpPath, WriterFence.FenceDir), false, conf): Unit
+      // bytes move executor-side, one task per file — executors resolve
+      // their filesystems from the cluster's Hadoop configuration
+      if (files.nonEmpty)
+        spark.sparkContext.parallelize(files.toSeq, math.min(files.size, 64))
+          .foreach { case (s, d) =>
+            val hc = new org.apache.hadoop.conf.Configuration()
+            val sp = new Path(s); val dp = new Path(d)
+            org.apache.hadoop.fs.FileUtil.copy(
+              sp.getFileSystem(hc), sp, dp.getFileSystem(hc), dp, false, hc): Unit
+          }
+    }
   }
 
   /** Roll a pipeline root back to a [[snapshot]] — the restore half of
@@ -877,28 +896,21 @@ object IngestPipeline {
     * them through applyBatch is safe only back to the snapshot's own
     * admission log, which the snapshot carries).
     *
-    * The target's previous state directories are deleted and replaced by
-    * the snapshot's content; the fence history is preserved across the
-    * restore (the point of fencing the root is that it KEEPS its
-    * identity — contrast with [[snapshot]], which starts a new one). */
+    * The target is replaced in ONE atomic swap (the copy lands beside it
+    * under [[StateStore.commit]]'s tmp-then-rename): at every instant the
+    * root is either the old state or the restored one, never a partial
+    * mix — a crashed restore is simply re-run. The fence history is
+    * preserved across the restore (the point of fencing the root is that
+    * it KEEPS its identity — contrast with [[snapshot]], which starts a
+    * new one). */
   def restore(spark: SparkSession, snapshotRoot: String,
               pipelineRoot: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val src = new Path(snapshotRoot)
     require(src.getFileSystem(conf).exists(src), s"no snapshot at $snapshotRoot")
     val fence = WriterFence.claim(spark, pipelineRoot)
-    val root = new Path(pipelineRoot)
-    val fs = root.getFileSystem(conf)
-    if (fs.exists(root))
-      fs.listStatus(root).foreach { c =>
-        if (c.getPath.getName != WriterFence.FenceDir)
-          fs.delete(c.getPath, true): Unit
-      }
+    snapshotInto(spark, snapshotRoot, pipelineRoot, preserveFence = true)
     fence.check(spark)
-    // the target now holds only its fence dir — snapshot's own copy
-    // machinery (heal + prune + executor-side bytes) does the rest;
-    // its non-empty check passes because _writers is all that remains
-    snapshotInto(spark, snapshotRoot, pipelineRoot, allowFenceOnly = true)
   }
 
   /** Wire a streaming changelog into the gated three-state pipeline —

@@ -90,6 +90,22 @@ class SnapshotSpec extends SparkSpec {
       .count() === 2L)
   }
 
+  test("a crashed snapshot attempt (stale dest .tmp) is cleared by the retry") {
+    val root = build()
+    val destBase = Files.createTempDirectory("graft_snapdst6").toString
+    val dest = destBase + "/copy"
+    // simulate a snapshot that died mid-copy: a partial .tmp beside the
+    // (never-created) destination
+    Files.createDirectories(java.nio.file.Paths.get(s"$dest.tmp/state/b=0"))
+    Files.writeString(java.nio.file.Paths.get(s"$dest.tmp/state/b=0/partial"), "junk")
+    IngestPipeline.snapshot(spark, root, dest)
+    // the retry produced a complete snapshot; the stale partial is gone
+    assert(IncrementalIndex.readState(spark, IngestPipeline.stateRoot(dest))
+      .count() === 2L)
+    assert(!new java.io.File(s"$dest.tmp").exists())
+    assert(!new java.io.File(s"$dest/state/b=0/partial").exists())
+  }
+
   test("snapshot refuses a non-empty destination") {
     val root = build()
     val dest = Files.createTempDirectory("graft_snapdst3").toString
