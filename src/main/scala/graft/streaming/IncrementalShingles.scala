@@ -269,10 +269,16 @@ object IncrementalShingles {
       .collect().map(_.getString(0)).toSeq
     if (candIds.isEmpty)
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
-    val qArr = typedlit(qsh)
+    // array_sort at plan time (foldable literal → constant-folded once);
+    // NOT Scala's .sorted — JVM UTF-16 order diverges from Spark's
+    // UTF8String byte order beyond the BMP, and the merge scan needs the
+    // engine's own order on both sides
+    val qArr = array_sort(typedlit(qsh))
     IncrementalPostings.prunedDocs(spark, rootPath, candIds)
-      .select(col("rowkey"), array_distinct(scheme.sketch(col("text"))).as("bs"))
-      .withColumn("c", size(array_intersect(col("bs"), qArr)).cast("long"))
+      .select(col("rowkey"),
+        array_sort(array_distinct(scheme.sketch(col("text")))).as("bs"))
+      .withColumn("c", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("bs"), qArr).cast("long"))
       .withColumn("jaccard",
         round(col("c") / (size(col("bs")) + lit(qsh.length) - col("c")), 4))
       .filter(col("jaccard") >= threshold)

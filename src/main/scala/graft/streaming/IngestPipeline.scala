@@ -902,7 +902,14 @@ object IngestPipeline {
     * mix — a crashed restore is simply re-run. The fence history is
     * preserved across the restore (the point of fencing the root is that
     * it KEEPS its identity — contrast with [[snapshot]], which starts a
-    * new one). */
+    * new one).
+    *
+    * Residual window (the fence's own CAS-less limit, restated for the
+    * swap): a BRAND-NEW claim racing the restore's final rename lands in
+    * the directory the swap retires and is lost — the zombie case is
+    * covered (its epoch rides the copied history and stays below the
+    * restorer's), but a writer STARTING during the restore must re-claim
+    * after it. Operationally: restore with the pipeline stopped. */
   def restore(spark: SparkSession, snapshotRoot: String,
               pipelineRoot: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
