@@ -86,14 +86,15 @@ object Bench {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files.createTempDirectory(s"graft_benchIngest_$label")
       val pipe = root.toString + "/pipe"
-      val total = Tables.documents(spark, sfDir).count()
-      val batchSize = batchSizeOf(total)
-      val docs = Tables.documents(spark, sfDir)
+      // one count serves both the batch-size function and nDocs — the
+      // checkpoint materializes the frame either way
+      val docsRaw = Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("string").as("rowkey"),
-          col("doc_id").as("event_id"), lit("put").as("op"), col("text"),
-          floor(col("doc_id") / batchSize).as("b"))
+          col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
         .localCheckpoint() // decouple the source read from the timed loop
-      val nDocs = docs.count()
+      val nDocs = docsRaw.count()
+      val batchSize = batchSizeOf(nDocs)
+      val docs = docsRaw.withColumn("b", floor(col("event_id") / batchSize))
       val nBatches = docs.agg(max(col("b"))).head().getLong(0) + 1
       // initial load first: the same corpus through the one-pass bootstrap
       // (gate-free — the curated-corpus case) into its own root

@@ -138,38 +138,33 @@ object TextAnalysis {
       longestRun(array_sort(tokens)) * lit(1.0) / size(tokens))
 
   /** Longest run in a sorted string array = its top element's count —
-    * the Column-native twin of [[runStats]]'s `best` half (one linear
-    * aggregate pass; same reasoning). */
+    * [[runStats]]'s `best` field. */
   private def longestRun(sorted: Column): Column =
+    runStats(sorted).getField("best")
+
+  /** (longest run `best`, number of runs `runs`) over a SORTED string
+    * array — one linear `aggregate` pass. On a sorted array equal
+    * elements are adjacent, so the longest run is the top element's
+    * count and the run count is the distinct count: max-frequency and
+    * cardinality in O(n log n) per row (the sort) instead of the naive
+    * O(distinct × n) count-per-element. At sf0.1 the naive form cost
+    * 4.4 s; this one is an order cheaper. The ONE run-length fold in
+    * this file — `q_repetition` and the gate predicates
+    * ([[topBigramFrac]]/[[topWordFrac]]) both read it, so the signal
+    * cannot fork. */
+  private def runStats(sorted: Column): Column =
     aggregate(sorted,
-      struct(lit(null).cast("string").as("prev"),
-        lit(0L).as("run"), lit(0L).as("best")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("runs")),
       (a, x) => {
         val run = when(a.getField("prev") <=> x, a.getField("run") + 1)
           .otherwise(lit(1L))
         struct(x.as("prev"), run.as("run"),
-          greatest(a.getField("best"), run).as("best"))
+          greatest(a.getField("best"), run).as("best"),
+          (a.getField("runs") + when(a.getField("prev") <=> x, lit(0L))
+            .otherwise(lit(1L))).as("runs"))
       },
-      a => a.getField("best"))
-
-  /** (longest run, number of runs) over a SORTED array — one linear
-    * `aggregate` pass. On a sorted array equal elements are adjacent, so
-    * the longest run is the top element's count and the run count is the
-    * distinct count: max-frequency and cardinality in O(n log n) per row
-    * (the sort) instead of the naive O(distinct × n) count-per-element.
-    * At sf0.1 the naive form cost 4.4 s; this one is an order cheaper. */
-  private def runStats(sortedArr: String): Column = expr(
-    s"""aggregate($sortedArr,
-       |  named_struct('prev', cast(null as string),
-       |               'run', cast(0 as bigint),
-       |               'best', cast(0 as bigint),
-       |               'runs', cast(0 as bigint)),
-       |  (a, x) -> named_struct(
-       |    'prev', x,
-       |    'run',  if(a.prev <=> x, a.run + 1, cast(1 as bigint)),
-       |    'best', greatest(a.best, if(a.prev <=> x, a.run + 1, cast(1 as bigint))),
-       |    'runs', a.runs + if(a.prev <=> x, cast(0 as bigint), cast(1 as bigint))),
-       |  a -> named_struct('best', a.best, 'runs', a.runs))""".stripMargin)
+      a => struct(a.getField("best").as("best"), a.getField("runs").as("runs")))
 
   private def qRepetition(spark: SparkSession, dir: String): DataFrame =
     // Repetition signals (the Gopher/MassiveText repetition filters): the
@@ -187,8 +182,8 @@ object TextAnalysis {
       .filter(size(col("t")) >= 2)
       .withColumn("bg", expr(
         "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
-      .withColumn("bs", runStats("array_sort(bg)"))
-      .withColumn("ws", runStats("array_sort(t)"))
+      .withColumn("bs", runStats(array_sort(col("bg"))))
+      .withColumn("ws", runStats(array_sort(col("t"))))
       .select(col("doc_id"),
         (size(col("t")) - 1).cast("long").as("n_bigrams"),
         col("bs.best").as("top_bigram_n"),

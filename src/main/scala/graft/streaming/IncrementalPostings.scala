@@ -141,11 +141,22 @@ object IncrementalPostings {
           lit(null).cast("array<int>").as("positions"))
   }
 
+  /** Multi-bucket state read with schema MERGE across files: bucket
+    * files written before a payload column existed (tf, positions — the
+    * upgrade paths [[withTf]] adopts) must surface the column as null
+    * for THEIR rows only. Schema-less inference reads ONE file's footer
+    * and, on a root mixing pre- and post-upgrade buckets, can drop the
+    * column for every row — a merge would then rewrite real positions
+    * as null, permanent data loss masquerading as a clean upgrade.
+    * Footer-merge cost is bounded by the touched files. */
+  private def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   private def readBuckets(spark: SparkSession, root: String, dirs: Seq[String],
                           fallback: => DataFrame): DataFrame = {
     val live = StateStore.liveBuckets(spark, root).toSet
     val paths = dirs.filter(live.contains).map(d => s"$root/$d")
-    if (paths.nonEmpty) spark.read.parquet(paths: _*) else fallback
+    if (paths.nonEmpty) readMerged(spark, paths) else fallback
   }
 
   /** Fold one micro-batch (rowkey STRING, event_id LONG, op put|delete,
@@ -339,7 +350,7 @@ object IncrementalPostings {
     val root = rootPath + "/entries"
     val dirs = StateStore.liveBuckets(spark, root)
     withTf(
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$root/$d"))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         entriesSchema).drop("b"))
   }
@@ -403,7 +414,7 @@ object IncrementalPostings {
     val entriesRoot = rootPath + "/entries"
     val dirs = StateStore.bucketDirsFor(spark, entriesRoot, toks)
     val entries = withTf(
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
+      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$entriesRoot/$d"))
       else emptyDf(spark, entriesSchema).drop("b"))
     entries.filter(col("tok").isin(toks: _*))
   }
@@ -422,7 +433,7 @@ object IncrementalPostings {
     val entriesRoot = rootPath + "/entries"
     val dirs = bucketDirsForFrame(spark, entriesRoot, toks, "tok")
     val entries = withTf(
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$entriesRoot/$d"): _*)
+      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$entriesRoot/$d"))
       else emptyDf(spark, entriesSchema).drop("b"))
     entries.join(toks.select("tok").distinct(), "tok")
   }
@@ -437,7 +448,7 @@ object IncrementalPostings {
     val docsRoot = rootPath + "/docs"
     val dirs = bucketDirsForFrame(spark, docsRoot, keys, "rowkey")
     val docs =
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$docsRoot/$d"): _*)
+      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$docsRoot/$d"))
       else emptyDf(spark, docsSchema)
     docs.filter(col("op") =!= "delete").join(keys.select("rowkey").distinct(), "rowkey")
   }
@@ -452,7 +463,7 @@ object IncrementalPostings {
     val docsRoot = rootPath + "/docs"
     val dirs = StateStore.bucketDirsFor(spark, docsRoot, rowkeys)
     val docs =
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$docsRoot/$d"): _*)
+      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$docsRoot/$d"))
       else emptyDf(spark, docsSchema)
     docs.filter(col("op") =!= "delete").filter(col("rowkey").isin(rowkeys: _*))
   }

@@ -761,14 +761,19 @@ object IngestPipeline {
   def rescale(spark: SparkSession, pipelineRoot: String, newBuckets: Int,
               tokenize: Column => Column = split(_, " "),
               scheme: IncrementalShingles.SketchScheme =
-                IncrementalShingles.WordShingles): Unit = {
+                IncrementalShingles.WordShingles,
+              tokenizerName: Option[String] = None): Unit = {
     // claiming the root fences out a still-running stream: its next batch
     // fails its epoch check instead of merging against a half-moved layout
     val fence = WriterFence.claim(spark, pipelineRoot)
     StateStore.rescale(spark, stateRoot(pipelineRoot), "rowkey", newBuckets)
     fence.check(spark)
+    // tokenizerName validates against the postings root's _tokenizer
+    // marker BEFORE the dstats recompute — a wrong-tokenizer rescale must
+    // fail the loud marker check, not silently rewrite dl_sum in the
+    // wrong units (the marker exists precisely for this call's benefit)
     IncrementalPostings.rescale(spark, postingsRoot(pipelineRoot), newBuckets,
-      tokenize)
+      tokenize, tokenizerName)
     fence.check(spark)
     IncrementalShingles.rescale(spark, shingleRoot(pipelineRoot), newBuckets,
       scheme)
@@ -873,16 +878,28 @@ object IngestPipeline {
         org.apache.hadoop.fs.FileUtil.copy(dfs,
           new Path(dest, WriterFence.FenceDir), dfs,
           new Path(tmpPath, WriterFence.FenceDir), false, conf): Unit
-      // bytes move executor-side, one task per file — executors resolve
-      // their filesystems from the cluster's Hadoop configuration
-      if (files.nonEmpty)
+      // bytes move executor-side, one task per file. The SESSION's Hadoop
+      // conf rides along as plain properties — a bare Configuration() on
+      // the executor would see only classpath XML and drop everything
+      // injected via spark.hadoop.* (object-store credentials, the
+      // standard Spark-on-S3 setup), failing the copy with auth errors
+      if (files.nonEmpty) {
+        val confProps = {
+          val it = conf.iterator()
+          val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+          b.toArray
+        }
+        val bcConf = spark.sparkContext.broadcast(confProps)
         spark.sparkContext.parallelize(files.toSeq, math.min(files.size, 64))
           .foreach { case (s, d) =>
-            val hc = new org.apache.hadoop.conf.Configuration()
+            val hc = new org.apache.hadoop.conf.Configuration(false)
+            bcConf.value.foreach { case (k, v) => hc.set(k, v) }
             val sp = new Path(s); val dp = new Path(d)
             org.apache.hadoop.fs.FileUtil.copy(
               sp.getFileSystem(hc), sp, dp.getFileSystem(hc), dp, false, hc): Unit
           }
+      }
     }
   }
 

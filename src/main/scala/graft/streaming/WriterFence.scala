@@ -20,14 +20,16 @@ import org.apache.spark.sql.SparkSession
   * exactly the corruption the single-writer rule exists to prevent.
   *
   * PROTOCOL (all through the Hadoop FileSystem API, like the swaps):
-  *   - claim: list `<root>/_writers/e=<n>`, take `max + 1`, write a tmp
-  *     file and RENAME it to `e=<mine>` — rename-if-absent is the
-  *     filesystem's atomic arbiter (HDFS semantics; same primitive as
-  *     every marker here), so of two racing claimants exactly one owns
-  *     each epoch and the loser retries on the next number. Epochs only
-  *     grow; stale epoch FILES below the claimed one are garbage-collected
-  *     by the claimant (owning the max means owning the root).
-  *   - check: re-list; if any epoch exceeds mine, throw [[FencedException]].
+  *   - claim: list `<root>/_writers/e=<n>`, take `max + 1`, EXCLUSIVE-
+  *     CREATE `e=<mine>` with a unique token and verify the token by
+  *     read-back (see [[claim]] — atomic create arbitrates on
+  *     HDFS/object stores; the read-back closes RawLocalFileSystem's
+  *     check-then-act create). Epochs only grow; stale epoch FILES below
+  *     the claimed one are garbage-collected by the claimant (owning the
+  *     max means owning the root).
+  *   - check: re-list; if any epoch exceeds mine — or the fence history
+  *     is GONE (the root was replaced wholesale, e.g. a restore) — throw
+  *     [[FencedException]].
   *     Run it at every writer entrypoint — batch start, maintenance pass,
   *     rescale — so a fenced-out writer dies at the next boundary.
   *
@@ -56,13 +58,22 @@ object WriterFence {
   /** A claimed writer epoch on `rootPath`. `check` is cheap (one
     * directory listing) — run it at every writer entrypoint. */
   final class Fence private[WriterFence] (val rootPath: String, val epoch: Long) {
-    def check(spark: SparkSession): Unit = {
-      val newest = maxEpoch(spark, rootPath)
-      if (newest.exists(_ > epoch))
+    def check(spark: SparkSession): Unit = maxEpoch(spark, rootPath) match {
+      case Some(newest) if newest > epoch =>
         throw new FencedException(
-          s"writer epoch $epoch on $rootPath fenced out by epoch ${newest.get}: " +
+          s"writer epoch $epoch on $rootPath fenced out by epoch $newest: " +
             "a newer writer claimed this root (second stream, rescale, or " +
             "replacement driver); this writer must stop")
+      case Some(_) => // still the newest claim — proceed
+      case None =>
+        // the fence history this writer claimed into no longer exists:
+        // the root was replaced wholesale (restore, manual surgery).
+        // Whatever now lives here is NOT the state this writer was
+        // advancing — absent history must fence, not grant a free pass
+        throw new FencedException(
+          s"writer epoch $epoch on $rootPath found no fence history: the " +
+            "root was replaced since this claim (restore or manual " +
+            "replacement); this writer must stop and re-claim")
     }
   }
 
@@ -83,9 +94,24 @@ object WriterFence {
   }
 
   /** Claim the next writer epoch on `rootPath`. Returns the fence the
-    * claimant must `check` at every subsequent writer entrypoint. Racing
-    * claimants are serialized by rename-if-absent; the loser retries on
-    * the next epoch number. */
+    * claimant must `check` at every subsequent writer entrypoint.
+    *
+    * Arbitration: EXCLUSIVE CREATE of the epoch file (`create` with
+    * `overwrite = false`) — atomic on HDFS and object stores, where a
+    * losing racer gets `FileAlreadyExistsException` and steps to the
+    * next number. Rename-if-absent was the previous arbiter and is WRONG
+    * off-HDFS: POSIX rename (RawLocalFileSystem, and S3A's copy-based
+    * rename) silently overwrites an existing destination, so two racers
+    * could both "own" one epoch. On `file://`, where Hadoop's exclusive
+    * create is itself check-then-act, the claim drops to NIO
+    * `createFile` (O_EXCL — the kernel's atomic arbiter; a race spec
+    * caught two owners of one epoch before this). Elsewhere a READ-BACK
+    * VERIFICATION backstops create: each claimant writes a unique token
+    * and re-reads — the file holds one token, so at most one claimant
+    * verifies. (On object stores without conditional puts the residual
+    * is the store's own create semantics — the same caveat as every
+    * rename-based commit here; SCALE.md points those deployments at a
+    * table format / lock service.) */
   def claim(spark: SparkSession, rootPath: String): Fence = {
     val dir = new Path(writersDir(rootPath))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -93,16 +119,40 @@ object WriterFence {
     val token = java.util.UUID.randomUUID().toString
     var attempt = maxEpoch(spark, rootPath).getOrElse(0L) + 1
     var claimed = -1L
+    var failures = 0
     while (claimed < 0) {
-      val tmp = new Path(dir, s"e=$attempt.tmp-$token")
-      val out = fs.create(tmp, true)
-      try out.write(token.getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, new Path(dir, s"e=$attempt"))) claimed = attempt
-      else {
-        // another claimant owns this epoch — step past it
-        fs.delete(tmp, true)
-        attempt = math.max(attempt + 1, maxEpoch(spark, rootPath).getOrElse(0L) + 1)
-      }
+      val target = new Path(dir, s"e=$attempt")
+      val won =
+        try {
+          if (fs.getScheme == "file") {
+            // RawLocalFileSystem's create(overwrite = false) is
+            // check-then-act — a race spec produced two owners of one
+            // epoch through it. O_EXCL (NIO createFile) is the local
+            // filesystem's REAL atomic arbiter; the content write after
+            // it is informational only
+            val local = java.nio.file.Paths.get(target.toUri.getPath)
+            java.nio.file.Files.createFile(local)
+            java.nio.file.Files.write(local, token.getBytes("UTF-8"))
+            true
+          } else {
+            val out = fs.create(target, false)
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+            val in = fs.open(target)
+            val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            content == token
+          }
+        } catch {
+          case e: IOException =>
+            // exists / racing — step past; but a persistently failing
+            // filesystem must surface, not spin epochs forever
+            failures += 1
+            if (failures > 100)
+              throw new IOException(
+                s"cannot claim a writer epoch under $dir after $failures attempts", e)
+            false
+        }
+      if (won) claimed = attempt
+      else attempt = math.max(attempt + 1, maxEpoch(spark, rootPath).getOrElse(0L) + 1)
     }
     // owning the max epoch means owning the root: clear stale epoch files
     // and dead claim tmps (an e= name that doesn't parse is a tmp whose

@@ -64,6 +64,51 @@ class WriterFenceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("absent fence history fences: a root replaced wholesale grants no free pass") {
+    val root = Files.createTempDirectory("graft_wfA").toString + "/state"
+    val fence = WriterFence.claim(spark, root)
+    fence.check(spark) // normal: history exists, we are the max
+    // simulate a restore/manual replacement that dropped _writers
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      java.nio.file.Files.delete(f.toPath)
+    }
+    rm(new java.io.File(s"$root/_writers"))
+    val e = intercept[WriterFence.FencedException] { fence.check(spark) }
+    assert(e.getMessage.contains("no fence history"))
+  }
+
+  test("racing claimants never share an epoch (exclusive create + read-back)") {
+    val root = Files.createTempDirectory("graft_wfC").toString + "/state"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val claims = (1 to 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = WriterFence.claim(spark, root).epoch
+        })
+      }.map(_.get())
+      assert(claims.distinct.size === claims.size, claims.sorted)
+      assert(WriterFence.maxEpoch(spark, root).contains(claims.max))
+    } finally pool.shutdown()
+  }
+
+  test("a zombie subroot stream is fenced after a pipeline restore (fence dir gone)") {
+    val root = Files.createTempDirectory("graft_wfZ").toString + "/pipe"
+    IngestPipeline.applyBatch(spark,
+      Seq(("1", 0L, "put", "alpha beta gamma")).toDF("rowkey", "event_id", "op", "text"),
+      root, batchId = 0L, numBuckets = 4)
+    val dest = Files.createTempDirectory("graft_wfZd").toString + "/snap"
+    IngestPipeline.snapshot(spark, root, dest)
+    // a stream holds a fence on the POSTINGS subroot (IncrementalPostings
+    // .start's claim) — restore swaps the whole pipeline root, and only
+    // the pipeline root's own fence history is preserved
+    val zombie = WriterFence.claim(spark, IngestPipeline.postingsRoot(root))
+    IngestPipeline.restore(spark, dest, root)
+    // the subroot's fence dir is gone; absent history must fence the
+    // zombie rather than let it merge into the restored state
+    intercept[WriterFence.FencedException] { zombie.check(spark) }
+  }
+
   test("pipeline rescale fences out the stream's fence; state rescale keeps fence history") {
     val root = Files.createTempDirectory("graft_wfR").toString + "/pipe"
     IngestPipeline.applyBatch(spark,
