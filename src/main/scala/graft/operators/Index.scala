@@ -304,6 +304,17 @@ object Index {
       .phraseSearch(spark, maintainedFixture(spark, dir), Seq("merge", "sort"))
       .orderBy("event_id")
 
+  private def qHighlightMaintained(spark: SparkSession, dir: String): DataFrame =
+    // Solr highlighting over MAINTAINED state: the hit positions come off
+    // the entries' position payload (one entry bucket of I/O), not from
+    // re-tokenizing the corpus — same 1-based comma-joined encoding as
+    // the corpus-scoped q_highlight, so one oracle checks both surfaces.
+    graft.streaming.IncrementalPostings
+      .highlight(spark, maintainedFixture(spark, dir), "merge")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("positions"), col("n_hits"))
+      .orderBy("doc_id")
+
   private def qMltMaintained(spark: SparkSession, dir: String): DataFrame =
     // Solr MLT over MAINTAINED state: seed terms by key-fetch, overlap
     // from the seed terms' pruned posting entries (zero corpus scans).
@@ -318,6 +329,7 @@ object Index {
     "q_mlt_maintained" -> qMltMaintained,
     "q_spell_maintained" -> qSpellMaintained,
     "q_phrase_maintained" -> qPhraseMaintained,
+    "q_highlight_maintained" -> qHighlightMaintained,
     "q_inverted_search" -> qInvertedSearch,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_bm25_topk" -> qBm25Topk,
@@ -385,6 +397,14 @@ object Index {
         |FROM documents
         |WHERE contains(' ' || text || ' ', ' merge sort ')
         |ORDER BY event_id""".stripMargin,
+    "q_highlight_maintained" ->
+      """SELECT doc_id, array_to_string(pos_arr, ',') AS positions,
+        |       len(pos_arr) AS n_hits FROM (
+        |  SELECT doc_id,
+        |         list_filter(generate_series(1, len(string_split(text, ' '))),
+        |                     i -> string_split(text, ' ')[i] = 'merge') AS pos_arr
+        |  FROM documents)
+        |WHERE len(pos_arr) > 0 ORDER BY doc_id""".stripMargin,
     "q_mlt_maintained" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal / event-sequence family — the operations a training-data or
+  * clickstream pipeline runs over the same changelog the reference tails
+  * (reference: HbaseSolrIndexCoprocesser.java:38 captures the mutation
+  * stream; its README's "统计" use case stops at plain aggregation — this
+  * family is the sequence-aware tier above it, SURVEY.md §2.C scope).
+  *
+  * Spark-first shapes, chosen for the 100 TB plan:
+  *
+  * - [[sessions]] (gap sessionization): ONE shuffle on `user_id`; the
+  *   window functions and the per-session aggregate all reuse that same
+  *   hash partitioning (`HashPartitioning(user_id)` satisfies the
+  *   clustered distribution of `groupBy(user_id, sess_no)`), so the plan
+  *   is scan → exchange → sort → window → partial/final agg with no
+  *   second exchange — pinned in TemporalSpec.
+  *
+  * - [[asofJoin]]: the UNION-TAG pattern, not a per-row subquery and not
+  *   a range join. Both sides are tagged and unioned, then one window
+  *   pass per key carries the latest right-side row forward
+  *   (`last(..., ignoreNulls)` over rows-unbounded-preceding). Cost is
+  *   one shuffle of |L|+|R| rows — the classic scalable as-of; a
+  *   correlated "max ts ≤ t per row" oracle shape would be O(L×R) per
+  *   key and a non-equi join would fall off the hash-join path entirely.
+  *
+  * - [[activeIntervalCounts]] (range/interval join): GRID BUCKETING.
+  *   Intervals explode to the fixed-width time cells they cover, points
+  *   map to their one cell, and the match becomes an EQUI-join on the
+  *   cell id followed by the exact containment filter. Spark plans a
+  *   plain shuffled hash join — no BroadcastNestedLoopJoin, no cartesian
+  *   (pinned). A point's cell is covered at most once by each matching
+  *   interval, so the join is duplicate-free by construction (no
+  *   dedup pass). Cell width trades explode factor against join
+  *   selectivity; one hour over month-long data keeps both small.
+  *
+  * - [[qJsonField]]: Solr's dynamic-field story for semi-structured
+  *   payloads — `get_json_object` is a codegen'd path expression over
+  *   the `props` column, evaluated inside the scan's project (no UDF,
+  *   no shuffle beyond the final aggregate's).
+  */
+object Temporal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap: a new session starts after 30 idle minutes (µs). */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Grid cell width for the interval join: one hour in µs. */
+  val CellUs: Long = 3600L * 1000000
+
+  /** Gap-based sessionization: one row per (user, session) with event
+    * count, span, and value sum. `events` needs `user_id`, `event_id`,
+    * `ts` (epoch-µs long), `value`. Deterministic under ts ties via the
+    * `event_id` tiebreak. */
+  def sessions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > lit(SessionGapUs), 1L).otherwise(0L))
+      .withColumn("sess_no", sum("is_new").over(w))
+      .groupBy("user_id", "sess_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("start_us"),
+        max("ts").as("end_us"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** As-of join (backward, inclusive): each left row picks the right row
+    * with the greatest `(ts, tieCol)` such that `right.ts <= left.ts`
+    * within the same `keyCol` group, or nulls when none precedes it.
+    * Right-side columns come back as `asof_<payload col>`.
+    *
+    * Left rows keep all their columns. `rightPayload` columns must exist
+    * on the right side; at equal `ts` the right row sorts BEFORE the left
+    * row (inclusive semantics) and later `tieCol` wins among right ties. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val payloadAs = rightPayload.map(c => col(c).as(s"asof_$c"))
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select(
+      (Seq(col(keyCol), col(tsCol), col(tieCol).as("_rtie")) ++ payloadAs): _*)
+      .withColumn("_side", lit(0))
+    // at equal ts: right (side 0) sorts first = visible to the left row;
+    // among right ties the largest tie value is the one carried forward
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_ord", coalesce(col("_rtie"), col(tieCol)))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("_side"), col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("_side") === 0, col(s"asof_$c")), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .drop("_side", "_rtie", "_ord")
+  }
+
+  /** For each point row, the number of intervals containing its `ts`
+    * (inclusive bounds), via the grid-cell equi-join. `points` needs
+    * `ts`; `intervals` needs `start_us`/`end_us`. Returns the point's
+    * `idCol` + `n_active`. Points contained by no interval are absent
+    * (inner-join semantics). */
+  def activeIntervalCounts(points: DataFrame, intervals: DataFrame,
+                           idCol: String): DataFrame = {
+    val cells = intervals
+      .withColumn("cell",
+        explode(sequence(expr(s"start_us div $CellUs"), expr(s"end_us div $CellUs"))))
+      .select(col("cell"), col("start_us"), col("end_us"))
+    points
+      .withColumn("cell", expr(s"ts div $CellUs"))
+      .join(cells, "cell")
+      .filter(col("ts") >= col("start_us") && col("ts") <= col("end_us"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  private def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessions(Tables.events(spark, dir)).orderBy("user_id", "sess_no")
+
+  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    asofJoin(purchases, clicks, "user_id", "ts", "event_id",
+      Seq("event_id", "ts"))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("asof_event_id").as("click_id"),
+        (col("ts") - col("asof_ts")).as("lag_us"))
+      .orderBy("purchase_id")
+  }
+
+  private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sess = sessions(ev).select("start_us", "end_us")
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "ts")
+    activeIntervalCounts(errors, sess, "event_id").orderBy("event_id")
+  }
+
+  private def qJsonField(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("k"), 2).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q_sessionize" -> qSessionize,
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
+    "q_json_field" -> qJsonField)
+
+  // the sessionization CTE, shared by the q_sessionize and q_range_join
+  // oracles — DuckDB reads ts as TIMESTAMP, so epoch_us() lands on the
+  // same epoch-µs longs the Spark reader normalizes to
+  private val sessionsCte =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+      |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ts_us, value,
+      |         sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      |  FROM o),
+      |sess AS (
+      |  SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+      |         count(*) AS n_events, min(ts_us) AS start_us,
+      |         max(ts_us) AS end_us, round(sum(value), 2) AS sum_value
+      |  FROM s GROUP BY 1, 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      (sessionsCte + "\nSELECT * FROM sess ORDER BY user_id, sess_no"),
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |         c.event_id AS click_id,
+        |         epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, user_id, click_id, lag_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "q_range_join" ->
+      (sessionsCte +
+        """,
+          |err AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          |        FROM events WHERE event_type = 'error')
+          |SELECT e.event_id, count(*) AS n_active
+          |FROM err e JOIN sess s ON e.ts_us BETWEEN s.start_us AND s.end_us
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_json_field" ->
+      """SELECT event_type, count(*) AS n, round(avg(k), 2) AS avg_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

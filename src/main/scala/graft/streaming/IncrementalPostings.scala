@@ -635,6 +635,27 @@ object IncrementalPostings {
       starts.select(col("doc_id").as("rowkey")).distinct())
   }
 
+  /** Solr highlighting served from MAINTAINED state: each live doc's
+    * sorted position list for `term`, straight from the entries' position
+    * payload — no corpus scan and no re-tokenization at read time; I/O is
+    * the term's single entry bucket (deletes already anti-joined their
+    * entries away, so every row here is a live doc). Positions come back
+    * 1-based and comma-joined — the corpus-scoped q_highlight's canonical
+    * encoding, so the two surfaces are directly comparable. Fails loudly
+    * on a positions-free root, like [[phraseSearch]]. */
+  def highlight(spark: SparkSession, rootPath: String, term: String): DataFrame =
+    prunedEntries(spark, rootPath, Seq(term))
+      .select(col("doc_id"),
+        when(col("positions").isNull, raise_error(concat(
+          lit(s"no position payload for term '$term' of doc "), col("doc_id"),
+          lit(" (pre-positions row or keepPositions=false root); "),
+          lit("re-put the doc or use the corpus-scoped highlight"))))
+          .otherwise(col("positions")).as("positions"))
+      .select(col("doc_id"),
+        array_join(transform(col("positions"),
+          p => (p + 1).cast("string")), ",").as("positions"),
+        size(col("positions")).cast("long").as("n_hits"))
+
   /** Wire a streaming document changelog into the postings merge sink.
     * `firstDelaySeconds` mirrors the reference's `first_delay`
     * (application.properties:10) — see [[IncrementalIndex.start]]. */

@@ -535,6 +535,29 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(hits("sort", "merge") === Set("1", "3"))
   }
 
+  test("highlight: 1-based positions from maintained entries, through puts, updates, deletes") {
+    val root = Files.createTempDirectory("graft_postHl").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "merge the merge pass"),
+      DocChange("2", 1, "put", "no hits here"),
+      DocChange("3", 2, "put", "merge first")).toDF(), root)
+    def hl(): Map[String, (String, Long)] =
+      IncrementalPostings.highlight(spark, root, "merge")
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(hl() === Map("1" -> ("1,3", 2L), "3" -> ("1", 1L)))
+    // an update replaces the doc's positions; a delete drops the doc
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 10, "put", "now merge last"),
+      DocChange("3", 11, "delete", "")).toDF(), root)
+    assert(hl() === Map("1" -> ("2", 1L)))
+    // the read opened only the term's entry bucket
+    val files = IncrementalPostings.highlight(spark, root, "merge").inputFiles
+    val crc = new java.util.zip.CRC32()
+    crc.update("merge".getBytes("UTF-8"))
+    val b = s"b=${java.lang.Math.floorMod(crc.getValue, graft.streaming.IncrementalIndex.DefaultBuckets.toLong)}"
+    assert(files.nonEmpty && files.forall(f => f.contains(s"/entries/") && f.contains(s"/$b/")), files.mkString("\n"))
+  }
+
   test("phraseSearch equals the corpus-scoped padded-contains form; reads stay bucket-pruned") {
     val fixtureDir = "/root/testdata/sf0.001"
     val root = Files.createTempDirectory("graft_postPc").toString + "/postings"

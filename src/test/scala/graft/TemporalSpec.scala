@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Temporal family: gap sessionization, union-tag as-of join, grid-cell
+  * interval join, JSON field extraction — crafted-data correctness plus
+  * the plan shapes the Scaladoc promises. */
+class TemporalSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private val M = 60L * 1000000 // one minute in µs
+
+  private def ev(rows: (Long, Long, Long, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "ts", "value")
+  }
+
+  test("sessions split at gaps > 30 min and aggregate per session") {
+    // user 1: events at 0, 10, 50 min (10→50 is a 40-min gap → split);
+    // user 2: single event
+    val df = Temporal.sessions(ev(
+      (1L, 1L, 0L, 1.0), (1L, 2L, 10 * M, 2.0), (1L, 3L, 50 * M, 4.0),
+      (2L, 4L, 5 * M, 8.0)))
+      .orderBy("user_id", "sess_no")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(df.toSeq == Seq(
+      (1L, 1L, 2L, 0L, 10 * M, 3.0),
+      (1L, 2L, 1L, 50 * M, 50 * M, 4.0),
+      (2L, 1L, 1L, 5 * M, 5 * M, 8.0)))
+  }
+
+  test("a gap of exactly 30 minutes does NOT split (strictly-greater rule)") {
+    val df = Temporal.sessions(ev(
+      (1L, 1L, 0L, 1.0), (1L, 2L, Temporal.SessionGapUs, 1.0)))
+      .collect()
+    assert(df.length == 1 && df(0).getAs[Long]("n_events") == 2L)
+  }
+
+  test("asofJoin picks the latest right row at-or-before, per key") {
+    val left = ev((1L, 10L, 100 * M, 0.0), (1L, 11L, 5 * M, 0.0),
+      (2L, 12L, 50 * M, 0.0))
+    val right = ev((1L, 1L, 20 * M, 0.0), (1L, 2L, 90 * M, 0.0),
+      (1L, 3L, 200 * M, 0.0)) // user 2 has no right rows
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", "event_id", Seq("event_id"))
+      .select("event_id", "asof_event_id").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (10L, Some(2L)),  // 90 min ≤ 100 min, latest
+      (11L, None),      // nothing at-or-before 5 min
+      (12L, None)))     // user 2: no clicks at all
+  }
+
+  test("asofJoin: equal-ts right row is visible (inclusive) and max tie wins") {
+    val left = ev((1L, 10L, 50 * M, 0.0))
+    val right = ev((1L, 1L, 50 * M, 0.0), (1L, 2L, 50 * M, 0.0), (1L, 3L, 10 * M, 0.0))
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", "event_id", Seq("event_id"))
+      .select("asof_event_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L)) // equal ts included; tie → max event_id
+  }
+
+  test("activeIntervalCounts: inclusive bounds, multi-cell intervals count once") {
+    import spark.implicits._
+    // interval A spans 3 grid cells; point P sits in its middle cell —
+    // grid join must yield exactly one match, not one per covered cell
+    val intervals = Seq(
+      (0L, 3 * Temporal.CellUs),                       // A: wide
+      (Temporal.CellUs, Temporal.CellUs + 10 * M),     // B: overlaps P's cell
+      (10 * Temporal.CellUs, 11 * Temporal.CellUs))    // C: far away
+      .toDF("start_us", "end_us")
+    val points = Seq(
+      (100L, Temporal.CellUs + 5 * M),   // inside A and B
+      (101L, 3 * Temporal.CellUs),       // exactly at A's inclusive end
+      (102L, 20 * Temporal.CellUs))      // inside nothing → absent
+      .toDF("event_id", "ts")
+    val out = Temporal.activeIntervalCounts(points, intervals, "event_id")
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((100L, 2L), (101L, 1L)))
+  }
+
+  test("sessionize plans ONE exchange: window and agg share the user_id partitioning") {
+    val df = Temporal.sessions(ev((1L, 1L, 0L, 1.0), (2L, 2L, 0L, 1.0)))
+    df.collect()
+    // the AQE plan string prints Final and Initial sections — count the final only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("range join is an equi-join on the grid cell — no nested-loop, no cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_range_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_asof_join returns one row per purchase at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val n = SparkEntry.queries("q_asof_join")(spark, dir).count()
+    val purchases = Tables.events(spark, dir).filter(col("event_type") === "purchase").count()
+    assert(n == purchases && n > 0)
+  }
+
+  test("q_json_field extracts props.k without a UDF and aggregates per type") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_json_field")(spark, dir).collect()
+    assert(rows.length == 5) // the five event types
+    assert(rows.forall(r => r.getAs[Long]("min_k") >= 0))
+  }
+}
