@@ -407,16 +407,28 @@ object IngestPipeline {
     val root = admissionsRoot(pipelineRoot)
     val dirs = StateStore.liveBuckets(spark, root, prefix = "batch=") ++
       StateStore.liveBuckets(spark, root, prefix = "batches=")
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decisionSchema)
-    else
-      // distinct: a crash between a compaction's swap and its source
-      // deletes can leave a batch's rows in both a range dir and its
-      // original dir — decisions are deterministic per (rowkey, batch),
-      // so the duplicates are exact and distinct() restores the truth
-      spark.read.schema(decisionSchema).parquet(dirs.map(d => s"$root/$d"): _*)
-        .distinct()
+    val decisions =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decisionSchema)
+      else
+        // distinct: a crash between a compaction's swap and its source
+        // deletes can leave a batch's rows in both a range dir and its
+        // original dir — decisions are deterministic per (rowkey, batch),
+        // so the duplicates are exact and distinct() restores the truth
+        spark.read.schema(decisionSchema).parquet(dirs.map(d => s"$root/$d"): _*)
+          .distinct()
+    // [[forget]] takedowns are part of the same provenance record: each
+    // forget=<id> dir surfaces as verdict `forgotten` under batch_id=<id>
+    // (written once, atomically — no distinct needed)
+    StateStore.liveBuckets(spark, root, prefix = "forget=")
+      .foldLeft(decisions) { (acc, d) =>
+        val id = d.stripPrefix("forget=").toLong
+        acc.unionByName(spark.read.schema(forgetSchema).parquet(s"$root/$d")
+          .select(col("rowkey"), lit("forgotten").as("verdict"),
+            lit(null).cast("string").as("dup_of"),
+            lit(id).as("batch_id")))
+      }
   }
 
   /** Drop admission-log entries for batches the stream's checkpoint can no
@@ -777,6 +789,82 @@ object IngestPipeline {
     fence.check(spark)
     IncrementalShingles.rescale(spark, shingleRoot(pipelineRoot), newBuckets,
       scheme)
+  }
+
+  private def forgetDir(pipelineRoot: String, forgetId: Long): String =
+    s"${admissionsRoot(pipelineRoot)}/forget=$forgetId"
+
+  private val forgetSchema = StructType(Seq(
+    StructField("rowkey", StringType),
+    StructField("event_id", LongType)))
+
+  /** Targeted deletion across every maintained state — the retention /
+    * right-to-be-forgotten surface a long-lived corpus needs (drop one
+    * user's documents, expire a source, honor a takedown). `predicate`
+    * is a boolean Column over the LIVE row state's columns
+    * ([[IncrementalIndex.readState]]: rowkey, event_id, payload); every
+    * matching key gets a synthesized delete event that dominates its
+    * live event (`event_id + 1`) and flows through the SAME four-state
+    * merge path as a streamed tombstone — row state, postings, shingles,
+    * and the vector index retire the doc exactly as if the changelog had
+    * delivered the delete.
+    *
+    * Decide-once-durably, like every other write here: the matched keys
+    * (with their synthesized event ids) commit to
+    * `<admissions>/forget=<forgetId>` BEFORE any state is touched, so a
+    * crash mid-forget re-runs as a RESUME — the logged set replays
+    * through the idempotent merges and converges. Re-evaluating the
+    * predicate instead would see a partially-deleted row state and leave
+    * orphan entries in the states that had already merged. A re-run with
+    * the same `forgetId` is therefore always safe (and never re-decides);
+    * a NEW forget takes a fresh id. The log entry doubles as the
+    * takedown's audit record ([[admissionLog]] surfaces it with verdict
+    * `forgotten`), and the `forget=` namespace is exempt from the batch-
+    * horizon GC/compaction — deleting it is the operator's explicit
+    * provenance-deletion choice.
+    *
+    * This is a WRITER: it claims the writer fence (a live stream fails
+    * its next epoch check) — run it from the maintenance slot or against
+    * a stopped pipeline, like [[rescale]]. A replayed source batch still
+    * carrying the forgotten doc's put is dominated by the synthesized
+    * tombstone; a genuinely NEW put for the key after the forget
+    * re-creates the doc — changelog semantics, not a leak. Returns the
+    * number of keys forgotten. */
+  def forget(spark: SparkSession, pipelineRoot: String, predicate: Column,
+             forgetId: Long,
+             numBuckets: Int = IncrementalIndex.DefaultBuckets,
+             tokenize: Column => Column = split(_, " "),
+             scheme: IncrementalShingles.SketchScheme =
+               IncrementalShingles.WordShingles,
+             tokenizerName: Option[String] = None): Long = {
+    WriterFence.claim(spark, pipelineRoot): Unit
+    val dir = forgetDir(pipelineRoot, forgetId)
+    if (!StateStore.nonEmpty(spark, dir)) {
+      val sroot = stateRoot(pipelineRoot)
+      val doomed =
+        if (StateStore.liveBuckets(spark, sroot).isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], forgetSchema)
+        else IncrementalIndex.readState(spark, sroot)
+          .filter(predicate)
+          .select(col("rowkey"), (col("event_id") + 1).as("event_id"))
+      StateStore.commit(spark, dir)(tmp => doomed.write.parquet(tmp))
+    }
+    val logged = spark.read.schema(forgetSchema).parquet(dir)
+    val dels0 = logged.select(col("rowkey"), col("event_id"),
+      lit("delete").as("op"), lit("").as("text"))
+    // only carry an embedding column when a vector state exists: its
+    // presence is what routes the batch through the vector merge, and a
+    // non-vector pipeline's rowkeys need not be numeric vec_ids
+    val dels =
+      if (graft.operators.IvfIndex.exists(spark, vectorsRoot(pipelineRoot)))
+        dels0.withColumn("embedding", lit(null).cast("array<float>"))
+      else dels0
+    val noDecisions = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decisionSchema)
+    mergeAll(spark, dels, noDecisions, pipelineRoot, numBuckets, tokenize,
+      scheme, annNlist = 16, annIters = 5, tokenizerName)
+    logged.count()
   }
 
   /** Consistent point-in-time copy of a pipeline root — the operational

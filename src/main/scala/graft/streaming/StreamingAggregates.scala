@@ -34,6 +34,27 @@ object StreamingAggregates {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Event-time SESSION windows — the streaming face of
+    * [[graft.operators.Temporal.sessions]]: a per-user window extends
+    * while events keep arriving within `gap` of the previous one and
+    * closes once the watermark passes last-event + gap. Same gap rule as
+    * the batch operator (strictly-greater splits); the window's `end` is
+    * last-event + gap (Spark's session_window contract), where the batch
+    * form reports the last event itself — both identify the same event
+    * sets. State is one open session per active user, watermark-evicted:
+    * bounded by concurrently-ACTIVE users, not by history — the property
+    * that lets this run forever at 100 TB/day. Expects `ts TIMESTAMP`,
+    * `user_id`, `value`. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   case class Ev(rowkey: String, event_id: Long, op: String, payload: String)
   case class KeyState(rowkey: String, event_id: Long, op: String, payload: String)
 

@@ -730,4 +730,54 @@ class IngestPipelineSpec extends SparkSpec {
     assert(m(("vectors", "rows")) === liveRows.toDouble)
     assert(m(("vectors", "cells")) === 2.0)
   }
+
+  test("forget retires matching docs from every state and logs the takedown") {
+    val root = Files.createTempDirectory("graft_pipeFg").toString + "/pipe"
+    val vroot = IngestPipeline.vectorsRoot(root)
+    IngestPipeline.applyBatch(spark, Seq(
+      VecDocChange("1", 0, "put", "alpha beta gamma delta", Seq(0f, 1f)),
+      VecDocChange("2", 1, "put", "totally different words entirely here", Seq(1f, 0f)),
+      VecDocChange("3", 2, "put", "unrelated fresh content nothing shared", Seq(0.6f, 0.8f))).toDF(),
+      root, 0, threshold = 0.5, annNlist = 2, annIters = 2)
+    val n = IngestPipeline.forget(spark, root,
+      col("text").contains("different"), forgetId = 100L)
+    assert(n === 1L)
+    assert(liveKeys(root) === Set("1", "3"))
+    // the inverted index no longer returns the doc
+    assert(IncrementalPostings.termSearch(spark,
+      IngestPipeline.postingsRoot(root), Seq("different")).count() === 0L)
+    // the vector index no longer serves its embedding
+    val nn = graft.operators.IvfIndex.search(spark, vroot, Seq(1f, 0f),
+      k = 3, probes = 4).collect().map(_.getLong(0)).toSet
+    assert(!nn.contains(2L))
+    // the shingle state dropped its sketch too: a re-put of the SAME text
+    // gates as novel instead of drawing a state-dup verdict
+    IngestPipeline.applyBatch(spark, Seq(
+      VecDocChange("9", 10, "put", "totally different words entirely here", Seq(1f, 0f))).toDF(),
+      root, 1, threshold = 0.5, annNlist = 2, annIters = 2)
+    assert(liveKeys(root) === Set("1", "3", "9"))
+    // and the takedown is part of the provenance record
+    assert(logRows(root).contains(("2", "forgotten", null, 100L)))
+  }
+
+  test("forget re-run with the same id replays the log — it never re-decides") {
+    val root = Files.createTempDirectory("graft_pipeFg2").toString + "/pipe"
+    applyB(root, 0, Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "red green blue yellow")))
+    assert(IngestPipeline.forget(spark, root,
+      col("text").contains("red"), forgetId = 7L) === 1L)
+    assert(liveKeys(root) === Set("1"))
+    // a NEW doc matching the predicate, ingested after the takedown
+    applyB(root, 1, Seq(DocChange("5", 10, "put", "red orange crimson maroon")))
+    // same id = crash-resume semantics: the LOGGED set replays; the new
+    // doc survives because the predicate is never re-evaluated
+    assert(IngestPipeline.forget(spark, root,
+      col("text").contains("red"), forgetId = 7L) === 1L)
+    assert(liveKeys(root) === Set("1", "5"))
+    // a fresh id decides anew and takes the new doc down
+    assert(IngestPipeline.forget(spark, root,
+      col("text").contains("red"), forgetId = 8L) === 1L)
+    assert(liveKeys(root) === Set("1"))
+  }
 }

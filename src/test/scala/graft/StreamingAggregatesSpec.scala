@@ -35,6 +35,42 @@ class StreamingAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap and split across it, per user") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, Double)]
+    val df = source.toDF().toDF("ts", "user_id", "value")
+    // session windows are append-only: a session emits exactly once, when
+    // the watermark passes its end — the contract that bounds state
+    val q = StreamingAggregates.sessionCounts(df, gap = "10 minutes").writeStream
+      .format("memory").queryName("sess_counts").outputMode("append").start()
+    try {
+      // user 1: 00:00 and 00:05 chain into one session; 00:30 starts a new
+      // one. user 2: a lone event. Split across two micro-batches so the
+      // chaining happens through the state store, not within one batch.
+      source.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:05:00"), 1L, 2.0))
+      q.processAllAvailable()
+      source.addData(
+        (ts("2024-01-01 00:30:00"), 1L, 4.0),
+        (ts("2024-01-01 00:31:00"), 2L, 8.0))
+      q.processAllAvailable()
+      // a far-future sentinel pushes the watermark past every session's
+      // end + gap, closing and emitting them (its own session stays open)
+      source.addData((ts("2024-01-01 02:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, sess_start, sess_end, n_events, sum_value
+          |FROM sess_counts ORDER BY user_id, sess_start""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      assert(rows.toSeq === Seq(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:15:00.0", 2L, 3.0),
+        (1L, "2024-01-01 00:30:00.0", "2024-01-01 00:40:00.0", 1L, 4.0),
+        (2L, "2024-01-01 00:31:00.0", "2024-01-01 00:41:00.0", 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits only keys a batch actually changed") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Ev]
