@@ -151,6 +151,17 @@ class Graft(spark: SparkSession, dir: String,
   def moreLikeThisMaintained(rootPath: String, seedKey: String, k: Int = 10): DataFrame =
     IncrementalPostings.moreLikeThis(spark, rootPath, seedKey, k)
 
+  /** Phrase query over the MAINTAINED index: adjacency intersection of
+    * the entries' position lists, hits fetched from their own buckets. */
+  def phraseSearchMaintained(rootPath: String, phrase: Seq[String]): DataFrame =
+    IncrementalPostings.phraseSearch(spark, rootPath, phrase)
+
+  /** Highlighting over the MAINTAINED index: each live doc's 1-based hit
+    * positions for `term`, from the entries' position payload — one entry
+    * bucket of I/O, no corpus re-tokenization. */
+  def highlightMaintained(rootPath: String, term: String): DataFrame =
+    IncrementalPostings.highlight(spark, rootPath, term)
+
   /** Drop tombstones older than the source's replay horizon from a
     * maintained index state ([[startIndexMaintenance]]'s `statePath`) —
     * the compacted-topic/LSM retention discipline; only buckets holding
@@ -490,6 +501,43 @@ class Graft(spark: SparkSession, dir: String,
     * writer first; restart the stream with a fresh checkpoint after. */
   def restorePipeline(snapshotRoot: String, pipelineRoot: String): Unit =
     IngestPipeline.restore(spark, snapshotRoot, pipelineRoot)
+
+  /** Retention / right-to-be-forgotten: delete every doc matching
+    * `predicate` (over the live row state's columns) from ALL pipeline
+    * states via synthesized dominating tombstones. The matched set is
+    * durably logged under `forget=<forgetId>` before any merge — a
+    * same-id re-run resumes from the log, never re-decides — and shows
+    * in [[admissionLog]] as verdict `forgotten`. Claims the writer
+    * fence; run from the maintenance slot or a stopped pipeline.
+    * Returns the number of keys forgotten. */
+  def forgetPipeline(pipelineRoot: String, predicate: Column,
+                     forgetId: Long): Long =
+    IngestPipeline.forget(spark, pipelineRoot, predicate, forgetId,
+      tokenize = tokenizer.tokens, tokenizerName = Some(tokenizer.name))
+
+  /** Re-bucket every hash-bucketed pipeline state to `newBuckets` — the
+    * growth move when buckets outgrow their rewrite unit. Stop the
+    * stream first (the claim fences a zombie out); restart it passing
+    * the new count. Integer multiples of the current count re-bucket
+    * shuffle-free. */
+  def rescalePipeline(pipelineRoot: String, newBuckets: Int,
+                      scheme: IncrementalShingles.SketchScheme =
+                        IncrementalShingles.WordShingles): Unit =
+    IngestPipeline.rescale(spark, pipelineRoot, newBuckets,
+      tokenize = tokenizer.tokens, scheme = scheme,
+      tokenizerName = Some(tokenizer.name))
+
+  /** Gap-based sessionization of [[events]] (30-minute idle split): one
+    * row per (user, session) — count, span, value sum. */
+  def sessions: DataFrame = graft.operators.Temporal.sessions(events)
+
+  /** As-of join: each `left` row picks the latest `right` row at-or-
+    * before its `ts` within the same key ([[graft.operators.Temporal.asofJoin]]
+    * — the one-shuffle union-tag shape). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String,
+               rightPayload: Seq[String]): DataFrame =
+    graft.operators.Temporal.asofJoin(left, right, keyCol, tsCol, tieCol, rightPayload)
 
   /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
     * aggregation that first dedupes within `buckets` hash-shards of the

@@ -236,6 +236,40 @@ class GraftApiSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getDouble(0) === 1.0)) // unit-norm
   }
 
+  test("temporal + maintained-highlight facade surfaces work end to end") {
+    // sessions: covers every event exactly once
+    assert(g.sessions.agg(sum("n_events")).head().getLong(0) === g.events.count())
+    // asofJoin: one output row per left row
+    val purchases = g.events.filter(col("event_type") === "purchase")
+    val clicks = g.events.filter(col("event_type") === "click")
+    val aj = g.asofJoin(purchases, clicks, "user_id", "ts", "event_id", Seq("event_id"))
+    assert(aj.count() === purchases.count())
+    // maintained phrase + highlight against a fixture root
+    import graft.streaming.IncrementalPostings
+    val root = java.nio.file.Files.createTempDirectory("graft_apiT").toString + "/p"
+    IncrementalPostings.mergeBatch(spark,
+      g.documents.select(col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"), col("text")), root)
+    assert(g.phraseSearchMaintained(root, Seq("merge", "sort")).count() > 0)
+    val hl = g.highlightMaintained(root, "merge")
+    assert(hl.count() > 0 && hl.columns.toSeq === Seq("doc_id", "positions", "n_hits"))
+  }
+
+  test("forgetPipeline takes down matching docs and logs them") {
+    import graft.streaming.IngestPipeline
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_apiF").toString + "/pipe"
+    IngestPipeline.applyBatch(spark, Seq(
+      ("1", 0L, "put", "alpha beta gamma delta"),
+      ("2", 1L, "put", "totally different words entirely here"))
+      .toDF("rowkey", "event_id", "op", "text"), root, 0, threshold = 0.5)
+    assert(g.forgetPipeline(root, col("text").contains("different"), 1L) === 1L)
+    assert(graft.streaming.IncrementalIndex
+      .readState(spark, IngestPipeline.stateRoot(root))
+      .collect().map(_.getAs[String]("rowkey")).toSet === Set("1"))
+    assert(g.admissionLog(root).filter(col("verdict") === "forgotten").count() === 1L)
+  }
+
   test("GraftExtensions injects the function via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
