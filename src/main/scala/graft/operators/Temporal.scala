@@ -52,11 +52,12 @@ object Temporal {
   /** Grid cell width for the interval join: one hour in µs. */
   val CellUs: Long = 3600L * 1000000
 
-  /** Gap-based sessionization: one row per (user, session) with event
-    * count, span, and value sum. `events` needs `user_id`, `event_id`,
-    * `ts` (epoch-µs long), `value`. Deterministic under ts ties via the
-    * `event_id` tiebreak. */
-  def sessions(events: DataFrame): DataFrame = {
+  /** Each event annotated with its gap-session ordinal `sess_no`
+    * (1-based per user): the shared sessionization core — two window
+    * passes over ONE `user_id` exchange. Deterministic under ts ties via
+    * the `event_id` tiebreak. `events` needs `user_id`, `event_id`,
+    * `ts` (epoch-µs long). */
+  def withSessionIds(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .withColumn("prev_ts", lag("ts", 1).over(w))
@@ -64,13 +65,20 @@ object Temporal {
         when(col("prev_ts").isNull ||
           col("ts") - col("prev_ts") > lit(SessionGapUs), 1L).otherwise(0L))
       .withColumn("sess_no", sum("is_new").over(w))
+      .drop("prev_ts", "is_new")
+  }
+
+  /** Gap-based sessionization: one row per (user, session) with event
+    * count, span, and value sum. The aggregate reuses
+    * [[withSessionIds]]'s `user_id` partitioning — still one shuffle. */
+  def sessions(events: DataFrame): DataFrame =
+    withSessionIds(events)
       .groupBy("user_id", "sess_no")
       .agg(
         count(lit(1)).as("n_events"),
         min("ts").as("start_us"),
         max("ts").as("end_us"),
         round(sum("value"), 2).as("sum_value"))
-  }
 
   /** As-of join (backward, inclusive): each left row picks the right row
     * with the greatest `(ts, tieCol)` such that `right.ts <= left.ts`
@@ -146,6 +154,50 @@ object Temporal {
     activeIntervalCounts(errors, sess, "event_id").orderBy("event_id")
   }
 
+  /** Funnel stage order for [[qFunnel]] — the classic view → click →
+    * purchase conversion ladder. */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  private def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // Conversion-funnel analysis (the MATCH_RECOGNIZE shape): per
+    // session, the furthest stage of view → click → purchase reached IN
+    // ORDER — an ordered-subsequence test, not a bag-of-types one. The
+    // greedy automaton runs as ONE codegen'd `aggregate` lambda over the
+    // session's time-sorted events (greedy = first view arms the click
+    // check, etc. — correct for subsequence existence), so per-session
+    // work is linear and the whole query stays on the sessionizer's
+    // single user_id exchange until the tiny per-stage rollup.
+    val caseArms = FunnelSteps.zipWithIndex
+      .map { case (s, i) => s"WHEN st = $i AND e.event_type = '$s' THEN ${i + 1}" }
+      .mkString(" ")
+    withSessionIds(Tables.events(spark, dir))
+      .groupBy("user_id", "sess_no")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(expr(
+        s"aggregate(evs, 0, (st, e) -> CASE $caseArms ELSE st END)").as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("stage")
+  }
+
+  private def qRollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    // 7-day rolling average of daily revenue — the trailing-window KPI
+    // every monitoring surface draws. Two-step shape: the corpus-sized
+    // work is the partial-aggregated daily rollup (one exchange on day);
+    // the RANGE window then runs over ~|days| rows — a final reduction,
+    // not a corpus pass (at 100 TB one would partition the window by
+    // series key; the single-series case is deliberately the one row
+    // group). round() applies once per output column, never twice.
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr(s"ts div ${24L * 3600 * 1000000}").as("day"))
+      .agg(sum("value").as("rev"))
+    val w = Window.orderBy("day").rangeBetween(-6, 0)
+    daily.select(col("day"), round(col("rev"), 2).as("revenue"),
+        round(avg(col("rev")).over(w), 2).as("avg7"))
+      .orderBy("day")
+  }
+
   private def qJsonField(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -161,6 +213,8 @@ object Temporal {
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
+    "q_funnel" -> qFunnel,
+    "q_rolling_avg" -> qRollingAvg,
     "q_json_field" -> qJsonField)
 
   // the sessionization CTE, shared by the q_sessionize and q_range_join
@@ -168,12 +222,12 @@ object Temporal {
   // same epoch-µs longs the Spark reader normalizes to
   private val sessionsCte =
     """WITH o AS (
-      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value, event_type,
       |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
       |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |  FROM events),
       |s AS (
-      |  SELECT user_id, event_id, ts_us, value,
+      |  SELECT user_id, event_id, ts_us, value, event_type,
       |         sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
       |                  THEN 1 ELSE 0 END)
       |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
@@ -208,6 +262,39 @@ object Temporal {
           |SELECT e.event_id, count(*) AS n_active
           |FROM err e JOIN sess s ON e.ts_us BETWEEN s.start_us AND s.end_us
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_funnel" ->
+      (sessionsCte +
+        """,
+          |w1 AS (
+          |  SELECT user_id, sess_no, ts_us, event_id, event_type,
+          |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id, sess_no ORDER BY ts_us, event_id
+          |                 ROWS UNBOUNDED PRECEDING) AS s1
+          |  FROM s),
+          |w2 AS (
+          |  SELECT *, max(CASE WHEN event_type = 'click' AND s1 = 1 THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id, sess_no ORDER BY ts_us, event_id
+          |                 ROWS UNBOUNDED PRECEDING) AS s2
+          |  FROM w1),
+          |w3 AS (
+          |  SELECT *, max(CASE WHEN event_type = 'purchase' AND s2 = 1 THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id, sess_no ORDER BY ts_us, event_id
+          |                 ROWS UNBOUNDED PRECEDING) AS s3
+          |  FROM w2),
+          |f AS (
+          |  SELECT user_id, sess_no,
+          |         CAST(max(s1) + max(s2) + max(s3) AS INTEGER) AS stage
+          |  FROM w3 GROUP BY 1, 2)
+          |SELECT stage, count(*) AS n_sessions FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_rolling_avg" ->
+      """WITH d AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |         sum(value) AS rev
+        |  FROM events GROUP BY 1)
+        |SELECT day, round(rev, 2) AS revenue,
+        |       round(avg(rev) OVER (ORDER BY day
+        |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg7
+        |FROM d ORDER BY day""".stripMargin,
     "q_json_field" ->
       """SELECT event_type, count(*) AS n, round(avg(k), 2) AS avg_k,
         |       min(k) AS min_k, max(k) AS max_k

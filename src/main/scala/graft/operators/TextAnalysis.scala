@@ -221,7 +221,24 @@ object TextAnalysis {
       .select("doc_id", "fp", "n_shingles")
       .orderBy("doc_id")
 
+  private def qBoilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
+    // Corpus-level boilerplate detection — the C4/RefinedWeb "most common
+    // n-grams" pass: 3-grams ranked by DOCUMENT frequency, i.e. how many
+    // distinct docs carry the gram (within-doc spam is q_repetition's
+    // signal, not this one's). Two-phase distinct aggregation: the
+    // shuffle carries each (gram, doc) pair once, the final top-k is a
+    // TakeOrdered — no corpus-sized sort. The output is the removal list
+    // a corpus build subtracts, the same way the repetition signals feed
+    // the ingest gate's admitIf.
+    shingles(Tables.documents(spark, dir))
+      .groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("s").as("gram"), col("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
+    "q_boilerplate_ngrams" -> qBoilerplateNgrams,
     "q_text_tokens" -> qTextTokens,
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
@@ -241,6 +258,11 @@ object TextAnalysis {
       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_boilerplate_ngrams" ->
+      (shingleCte +
+        """
+          |SELECT s AS gram, count(*) AS n_docs
+          |FROM sh GROUP BY 1 ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin),
     "q_text_tokens" ->
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

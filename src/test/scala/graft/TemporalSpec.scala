@@ -79,6 +79,30 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 2L), (101L, 1L)))
   }
 
+  test("funnel stage requires the steps IN ORDER, not as a bag of types") {
+    import spark.implicits._
+    // user 1: purchase → click → view (all types present, wrong order) = stage 1
+    // user 2: view → purchase → click → purchase = stage 3 (subsequence)
+    // user 3: click only = stage 0
+    val events = Seq(
+      (1L, 1L, 1 * M, "purchase"), (1L, 2L, 2 * M, "click"), (1L, 3L, 3 * M, "view"),
+      (2L, 4L, 1 * M, "view"), (2L, 5L, 2 * M, "purchase"), (2L, 6L, 3 * M, "click"),
+      (2L, 7L, 4 * M, "purchase"),
+      (3L, 8L, 1 * M, "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val staged = Temporal.withSessionIds(events)
+      .groupBy("user_id", "sess_no")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(col("user_id"), expr(
+        """aggregate(evs, 0, (st, e) -> CASE
+          | WHEN st = 0 AND e.event_type = 'view' THEN 1
+          | WHEN st = 1 AND e.event_type = 'click' THEN 2
+          | WHEN st = 2 AND e.event_type = 'purchase' THEN 3
+          | ELSE st END)""".stripMargin).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(staged === Map(1L -> 1, 2L -> 3, 3L -> 0))
+  }
+
   test("sessionize plans ONE exchange: window and agg share the user_id partitioning") {
     val df = Temporal.sessions(ev((1L, 1L, 0L, 1.0), (2L, 2L, 0L, 1.0)))
     df.collect()
