@@ -87,10 +87,15 @@ object Temporal {
     *
     * Left rows keep all their columns. `rightPayload` columns must exist
     * on the right side; at equal `ts` the right row sorts BEFORE the left
-    * row (inclusive semantics) and later `tieCol` wins among right ties. */
+    * row (inclusive semantics) and later `tieCol` wins among right ties.
+    * `toleranceUs` bounds how stale a match may be: a right row older
+    * than `left.ts - toleranceUs` nulls out instead of matching (the
+    * pandas merge_asof / kdb aj tolerance contract) — applied AFTER the
+    * window pass, so it costs a per-row comparison, not a second join. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, tieCol: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               toleranceUs: Option[Long] = None): DataFrame = {
     val payloadAs = rightPayload.map(c => col(c).as(s"asof_$c"))
     val l = left.withColumn("_side", lit(1))
     val r = right.select(
@@ -103,12 +108,23 @@ object Temporal {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("_side"), col("_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(u) { (df, c) =>
+    val withMatchTs = u.withColumn("_match_ts",
+      last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    val carried = rightPayload.foldLeft(withMatchTs) { (df, c) =>
       df.withColumn(s"asof_$c",
         last(when(col("_side") === 0, col(s"asof_$c")), ignoreNulls = true).over(w))
     }
-    carried.filter(col("_side") === 1)
-      .drop("_side", "_rtie", "_ord")
+    val bounded = toleranceUs match {
+      case None => carried
+      case Some(tol) =>
+        val fresh = col("_match_ts").isNotNull &&
+          col(tsCol) - col("_match_ts") <= lit(tol)
+        rightPayload.foldLeft(carried) { (df, c) =>
+          df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+        }
+    }
+    bounded.filter(col("_side") === 1)
+      .drop("_side", "_rtie", "_ord", "_match_ts")
   }
 
   /** For each point row, the number of intervals containing its `ts`

@@ -39,6 +39,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_comment") && !p.contains("l_tax"), p)
   }
 
+  test("q_star_join: dimension chain broadcasts; the date range pushes to the orders scan") {
+    val p = plan("q_star_join")
+    // customer→nation→region must ride broadcast joins, never shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    // the fact-fact join is the ONLY join allowed to exchange its inputs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the o_orderdate range predicate reaches the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("q_stats_agg: aggregation is partial (map-side) then final — two HashAggregates") {
     val p = plan("q_stats_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)

@@ -60,6 +60,18 @@ class TemporalSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(2L)) // equal ts included; tie → max event_id
   }
 
+  test("asofJoin tolerance nulls matches staler than the bound") {
+    val left = ev((1L, 10L, 100 * M, 0.0), (1L, 11L, 25 * M, 0.0))
+    val right = ev((1L, 1L, 20 * M, 0.0))
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("event_id"), toleranceUs = Some(10 * M))
+      .select("event_id", "asof_event_id").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (10L, None),      // 80 min stale > 10 min tolerance
+      (11L, Some(1L)))) // 5 min stale, inside tolerance
+  }
+
   test("activeIntervalCounts: inclusive bounds, multi-cell intervals count once") {
     import spark.implicits._
     // interval A spans 3 grid cells; point P sits in its middle cell —
