@@ -163,6 +163,23 @@ object Temporal {
       .orderBy("purchase_id")
   }
 
+  private def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    // The bounded-staleness as-of: same join as q_asof_join but a match
+    // older than one hour nulls out (pandas merge_asof's tolerance /
+    // kdb aj's window) — the gate proving the tolerance path end to end.
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    asofJoin(purchases, clicks, "user_id", "ts", "event_id",
+      Seq("event_id", "ts"), toleranceUs = Some(3600L * 1000000))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("asof_event_id").as("click_id"),
+        (col("ts") - col("asof_ts")).as("lag_us"))
+      .orderBy("purchase_id")
+  }
+
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val sess = sessions(ev).select("start_us", "end_us")
@@ -228,6 +245,7 @@ object Temporal {
   val queries: Map[String, Q] = Map(
     "q_sessionize" -> qSessionize,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_tolerance" -> qAsofTolerance,
     "q_range_join" -> qRangeJoin,
     "q_funnel" -> qFunnel,
     "q_rolling_avg" -> qRollingAvg,
@@ -278,6 +296,20 @@ object Temporal {
           |SELECT e.event_id, count(*) AS n_active
           |FROM err e JOIN sess s ON e.ts_us BETWEEN s.start_us AND s.end_us
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |         c.event_id AS click_id,
+        |         epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, user_id,
+        |       CASE WHEN lag_us <= 3600000000 THEN click_id END AS click_id,
+        |       CASE WHEN lag_us <= 3600000000 THEN lag_us END AS lag_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "q_funnel" ->
       (sessionsCte +
         """,
