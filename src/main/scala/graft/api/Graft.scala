@@ -151,6 +151,13 @@ class Graft(spark: SparkSession, dir: String,
   def moreLikeThisMaintained(rootPath: String, seedKey: String, k: Int = 10): DataFrame =
     IncrementalPostings.moreLikeThis(spark, rootPath, seedKey, k)
 
+  /** Fuzzy term query (`term~maxEdits`) over the MAINTAINED index: the
+    * edit-distance expansion scans the vocabulary only, then termSearch
+    * mechanics serve the expansion set. */
+  def fuzzySearchMaintained(rootPath: String, term: String,
+                            maxEdits: Int = 1): DataFrame =
+    IncrementalPostings.fuzzySearch(spark, rootPath, term, maxEdits)
+
   /** Phrase query over the MAINTAINED index: adjacency intersection of
     * the entries' position lists, hits fetched from their own buckets. */
   def phraseSearchMaintained(rootPath: String, phrase: Seq[String]): DataFrame =

@@ -315,6 +315,15 @@ object Index {
         col("positions"), col("n_hits"))
       .orderBy("doc_id")
 
+  private def qFuzzyMaintained(spark: SparkSession, dir: String): DataFrame =
+    // Solr fuzzy (term~1) over MAINTAINED state: the edit-distance
+    // expansion runs against the maintained VOCABULARY (entries only,
+    // bounded by |vocab|), then termSearch mechanics serve the expansion
+    // — same semantics as the corpus-scoped q_fuzzy_search.
+    graft.streaming.IncrementalPostings
+      .fuzzySearch(spark, maintainedFixture(spark, dir), "merge", maxEdits = 1)
+      .orderBy("event_id")
+
   private def qMltMaintained(spark: SparkSession, dir: String): DataFrame =
     // Solr MLT over MAINTAINED state: seed terms by key-fetch, overlap
     // from the seed terms' pruned posting entries (zero corpus scans).
@@ -330,6 +339,7 @@ object Index {
     "q_spell_maintained" -> qSpellMaintained,
     "q_phrase_maintained" -> qPhraseMaintained,
     "q_highlight_maintained" -> qHighlightMaintained,
+    "q_fuzzy_maintained" -> qFuzzyMaintained,
     "q_inverted_search" -> qInvertedSearch,
     "q_tfidf_topk" -> qTfidfTopk,
     "q_bm25_topk" -> qBm25Topk,
@@ -396,6 +406,15 @@ object Index {
         |       'put' AS op, text
         |FROM documents
         |WHERE contains(' ' || text || ' ', ' merge sort ')
+        |ORDER BY event_id""".stripMargin,
+    "q_fuzzy_maintained" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
+        |       'put' AS op, text
+        |FROM documents
+        |WHERE doc_id IN (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE levenshtein(tok, 'merge') <= 1)
         |ORDER BY event_id""".stripMargin,
     "q_highlight_maintained" ->
       """SELECT doc_id, array_to_string(pos_arr, ',') AS positions,

@@ -393,6 +393,24 @@ object IncrementalPostings {
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
 
+  /** Fuzzy term query over MAINTAINED state — Solr's `term~maxEdits`:
+    * live docs containing ANY vocabulary term within the edit bound.
+    * Two-phase, like the corpus-scoped q_fuzzy_search: the edit-distance
+    * scan runs once per distinct VOCABULARY term (the same entries-only
+    * read suggest/spellCorrect use — bounded by |vocab|, never the
+    * corpus), then the expansion set is served exactly like termSearch —
+    * entries bucket-pruned to the expansion's buckets, hits key-fetched
+    * from only their own doc buckets. */
+  def fuzzySearch(spark: SparkSession, rootPath: String, term: String,
+                  maxEdits: Int = 1): DataFrame = {
+    val expansion = vocabulary(spark, rootPath)
+      .filter(levenshtein(col("tok"), lit(term)) <= maxEdits)
+      .select("tok")
+    val hits = prunedEntriesForTokens(spark, rootPath, expansion)
+      .select(col("doc_id").as("rowkey"))
+    prunedDocsForKeys(spark, rootPath, hits)
+  }
+
   /** Live view of the maintained document state (tombstones filtered);
     * empty with the documented schema before the first merge. */
   def docsState(spark: SparkSession, rootPath: String): DataFrame = {

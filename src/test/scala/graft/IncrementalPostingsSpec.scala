@@ -558,6 +558,21 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(f => f.contains(s"/entries/") && f.contains(s"/$b/")), files.mkString("\n"))
   }
 
+  test("fuzzySearch: vocabulary expansion over maintained state, through deletes") {
+    val root = Files.createTempDirectory("graft_postFz").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "merge conflict resolved"),
+      DocChange("2", 1, "put", "marge likes donuts"),
+      DocChange("3", 2, "put", "nothing related at all")).toDF(), root)
+    def hits(): Set[String] =
+      IncrementalPostings.fuzzySearch(spark, root, "merge", maxEdits = 1)
+        .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(hits() === Set("1", "2")) // 'merge' exact + 'marge' at distance 1
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("2", 10, "delete", "")).toDF(), root)
+    assert(hits() === Set("1"))
+  }
+
   test("phraseSearch equals the corpus-scoped padded-contains form; reads stay bucket-pruned") {
     val fixtureDir = "/root/testdata/sf0.001"
     val root = Files.createTempDirectory("graft_postPc").toString + "/postings"
