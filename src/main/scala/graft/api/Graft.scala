@@ -514,13 +514,15 @@ class Graft(spark: SparkSession, dir: String,
     * states via synthesized dominating tombstones. The matched set is
     * durably logged under `forget=<forgetId>` before any merge — a
     * same-id re-run resumes from the log, never re-decides — and shows
-    * in [[admissionLog]] as verdict `forgotten`. Claims the writer
-    * fence; run from the maintenance slot or a stopped pipeline.
-    * Returns the number of keys forgotten. */
+    * in [[admissionLog]] as verdict `forgotten`. `forgetId` must be
+    * below the reserved bootstrap id (-2, -3, …) so it can never collide
+    * with a stream batch id; bucket count / scheme / tokenizer are read
+    * from the pipeline's own markers. Claims the writer fence; run from
+    * the maintenance slot or a stopped pipeline. Returns the number of
+    * keys forgotten. */
   def forgetPipeline(pipelineRoot: String, predicate: Column,
                      forgetId: Long): Long =
-    IngestPipeline.forget(spark, pipelineRoot, predicate, forgetId,
-      tokenize = tokenizer.tokens, tokenizerName = Some(tokenizer.name))
+    IngestPipeline.forget(spark, pipelineRoot, predicate, forgetId)
 
   /** Re-bucket every hash-bucketed pipeline state to `newBuckets` — the
     * growth move when buckets outgrow their rewrite unit. Stop the

@@ -149,12 +149,15 @@ object Temporal {
   private def qSessionize(spark: SparkSession, dir: String): DataFrame =
     sessions(Tables.events(spark, dir)).orderBy("user_id", "sess_no")
 
-  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+  // one builder serves q_asof_join and q_asof_tolerance — the pair must
+  // never drift apart except in the staleness bound
+  private def asofQuery(spark: SparkSession, dir: String,
+                        toleranceUs: Option[Long]): DataFrame = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
     val clicks = ev.filter(col("event_type") === "click")
     asofJoin(purchases, clicks, "user_id", "ts", "event_id",
-      Seq("event_id", "ts"))
+      Seq("event_id", "ts"), toleranceUs)
       .select(
         col("event_id").as("purchase_id"),
         col("user_id"),
@@ -163,22 +166,14 @@ object Temporal {
       .orderBy("purchase_id")
   }
 
-  private def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofQuery(spark, dir, None)
+
+  private def qAsofTolerance(spark: SparkSession, dir: String): DataFrame =
     // The bounded-staleness as-of: same join as q_asof_join but a match
     // older than one hour nulls out (pandas merge_asof's tolerance /
     // kdb aj's window) — the gate proving the tolerance path end to end.
-    val ev = Tables.events(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-    val clicks = ev.filter(col("event_type") === "click")
-    asofJoin(purchases, clicks, "user_id", "ts", "event_id",
-      Seq("event_id", "ts"), toleranceUs = Some(3600L * 1000000))
-      .select(
-        col("event_id").as("purchase_id"),
-        col("user_id"),
-        col("asof_event_id").as("click_id"),
-        (col("ts") - col("asof_ts")).as("lag_us"))
-      .orderBy("purchase_id")
-  }
+    asofQuery(spark, dir, Some(3600L * 1000000))
 
   private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -251,6 +246,19 @@ object Temporal {
     "q_rolling_avg" -> qRollingAvg,
     "q_json_field" -> qJsonField)
 
+  // the as-of CTE shared by the q_asof_join / q_asof_tolerance oracles —
+  // `j` ranks each purchase's candidate clicks by (ts, event_id) DESC
+  private val asofCte =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id,
+      |         c.event_id AS click_id,
+      |         epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)""".stripMargin
+
   // the sessionization CTE, shared by the q_sessionize and q_range_join
   // oracles — DuckDB reads ts as TIMESTAMP, so epoch_us() lands on the
   // same epoch-µs longs the Spark reader normalizes to
@@ -277,17 +285,9 @@ object Temporal {
     "q_sessionize" ->
       (sessionsCte + "\nSELECT * FROM sess ORDER BY user_id, sess_no"),
     "q_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-        |j AS (
-        |  SELECT p.event_id AS purchase_id, p.user_id,
-        |         c.event_id AS click_id,
-        |         epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
-        |         row_number() OVER (PARTITION BY p.event_id
-        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
-        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      (asofCte + """
         |SELECT purchase_id, user_id, click_id, lag_us
-        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
     "q_range_join" ->
       (sessionsCte +
         """,
@@ -297,19 +297,11 @@ object Temporal {
           |FROM err e JOIN sess s ON e.ts_us BETWEEN s.start_us AND s.end_us
           |GROUP BY 1 ORDER BY 1""".stripMargin),
     "q_asof_tolerance" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-        |j AS (
-        |  SELECT p.event_id AS purchase_id, p.user_id,
-        |         c.event_id AS click_id,
-        |         epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
-        |         row_number() OVER (PARTITION BY p.event_id
-        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
-        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      (asofCte + """
         |SELECT purchase_id, user_id,
         |       CASE WHEN lag_us <= 3600000000 THEN click_id END AS click_id,
         |       CASE WHEN lag_us <= 3600000000 THEN lag_us END AS lag_us
-        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
     "q_funnel" ->
       (sessionsCte +
         """,

@@ -99,6 +99,18 @@ object IncrementalShingles {
     val name = "char5md5"
   }
 
+  /** The scheme a root's `_scheme` marker names — for operators that
+    * must merge against an EXISTING root without being handed its scheme
+    * (e.g. [[IngestPipeline.forget]]'s delete-only merges). Unknown
+    * names fail loudly rather than default. */
+  def schemeNamed(name: String): SketchScheme = name match {
+    case WordShingles.name => WordShingles
+    case CharSketch.name => CharSketch
+    case other => throw new IllegalArgumentException(
+      s"unknown sketch scheme '$other' in a _scheme marker (known: " +
+        s"${WordShingles.name}, ${CharSketch.name})")
+  }
+
   /** A probe/merge against a root whose `_scheme` marker disagrees with
     * the presented scheme is a silent-garbage generator (word shingles
     * never match md5 grams) — fail loudly instead. Roots written before

@@ -824,23 +824,41 @@ object IngestPipeline {
     * provenance-deletion choice.
     *
     * This is a WRITER: it claims the writer fence (a live stream fails
-    * its next epoch check) — run it from the maintenance slot or against
-    * a stopped pipeline, like [[rescale]]. A replayed source batch still
+    * its next epoch check) and re-checks it before the merges, so a
+    * forget presumed dead cannot wake up beside a replacement writer —
+    * the same discipline as [[rescale]]. Run it from the maintenance
+    * slot or against a stopped pipeline. A replayed source batch still
     * carrying the forgotten doc's put is dominated by the synthesized
     * tombstone; a genuinely NEW put for the key after the forget
     * re-creates the doc — changelog semantics, not a leak. Returns the
-    * number of keys forgotten. */
+    * number of keys forgotten.
+    *
+    * `forgetId` must lie BELOW [[BootstrapBatchId]] (choose -2, -3, …):
+    * stream batch ids are non-negative and the bootstrap owns -1, so the
+    * takedown's provenance rows can never collide with a real batch's
+    * under one `batch_id` in [[admissionLog]]. The merge configuration
+    * (bucket count, sketch scheme, tokenizer) is READ FROM THE ROOT
+    * MARKERS, not taken as parameters — a forget must match whatever the
+    * pipeline actually is, including one rescaled after creation. */
   def forget(spark: SparkSession, pipelineRoot: String, predicate: Column,
-             forgetId: Long,
-             numBuckets: Int = IncrementalIndex.DefaultBuckets,
-             tokenize: Column => Column = split(_, " "),
-             scheme: IncrementalShingles.SketchScheme =
-               IncrementalShingles.WordShingles,
-             tokenizerName: Option[String] = None): Long = {
-    WriterFence.claim(spark, pipelineRoot): Unit
+             forgetId: Long): Long = {
+    require(forgetId < BootstrapBatchId,
+      s"forgetId must be below the reserved bootstrap id $BootstrapBatchId " +
+        s"(got $forgetId): stream batch ids are non-negative, and a forget's " +
+        "provenance must never share a batch_id with a real batch")
+    val fence = WriterFence.claim(spark, pipelineRoot)
+    val sroot = stateRoot(pipelineRoot)
+    // the roots themselves say how they are laid out — a forget against a
+    // rescaled or CJK pipeline must follow its markers, not defaults
+    val numBuckets = StateStore.bucketCount(spark, sroot)
+      .getOrElse(IncrementalIndex.DefaultBuckets)
+    val scheme = StateStore.readTag(spark, shingleRoot(pipelineRoot), "_scheme")
+      .map(IncrementalShingles.schemeNamed)
+      .getOrElse(IncrementalShingles.WordShingles)
+    val tokenizerName =
+      StateStore.readTag(spark, postingsRoot(pipelineRoot), "_tokenizer")
     val dir = forgetDir(pipelineRoot, forgetId)
     if (!StateStore.nonEmpty(spark, dir)) {
-      val sroot = stateRoot(pipelineRoot)
       val doomed =
         if (StateStore.liveBuckets(spark, sroot).isEmpty)
           spark.createDataFrame(
@@ -862,8 +880,13 @@ object IngestPipeline {
       else dels0
     val noDecisions = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decisionSchema)
-    mergeAll(spark, dels, noDecisions, pipelineRoot, numBuckets, tokenize,
-      scheme, annNlist = 16, annIters = 5, tokenizerName)
+    // a forget that stalled long enough for an operator to start another
+    // writer must die HERE, not interleave its bucket swaps with the new
+    // writer's (tokenize is never evaluated for a delete-only batch)
+    fence.check(spark)
+    mergeAll(spark, dels, noDecisions, pipelineRoot, numBuckets,
+      tokenize = split(_, " "), scheme, annNlist = 16, annIters = 5,
+      tokenizerName)
     logged.count()
   }
 

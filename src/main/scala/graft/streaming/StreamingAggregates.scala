@@ -44,10 +44,16 @@ object StreamingAggregates {
     * sets. State is one open session per active user, watermark-evicted:
     * bounded by concurrently-ACTIVE users, not by history — the property
     * that lets this run forever at 100 TB/day. Expects `ts TIMESTAMP`,
-    * `user_id`, `value`. */
-  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    * `user_id`, `value`.
+    *
+    * `watermarkDelay` is the LATENESS BOUND: events arriving later than
+    * it (in event time) are dropped from their session, so size it to
+    * the source's real skew — mobile/offline clients routinely need
+    * minutes-to-hours, and an undersized delay silently undercounts. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermarkDelay: String = "2 minutes"): DataFrame =
     events
-      .withWatermark("ts", "2 minutes")
+      .withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(

@@ -263,7 +263,7 @@ class GraftApiSpec extends SparkSpec {
       ("1", 0L, "put", "alpha beta gamma delta"),
       ("2", 1L, "put", "totally different words entirely here"))
       .toDF("rowkey", "event_id", "op", "text"), root, 0, threshold = 0.5)
-    assert(g.forgetPipeline(root, col("text").contains("different"), 1L) === 1L)
+    assert(g.forgetPipeline(root, col("text").contains("different"), -2L) === 1L)
     assert(graft.streaming.IncrementalIndex
       .readState(spark, IngestPipeline.stateRoot(root))
       .collect().map(_.getAs[String]("rowkey")).toSet === Set("1"))

@@ -740,7 +740,7 @@ class IngestPipelineSpec extends SparkSpec {
       VecDocChange("3", 2, "put", "unrelated fresh content nothing shared", Seq(0.6f, 0.8f))).toDF(),
       root, 0, threshold = 0.5, annNlist = 2, annIters = 2)
     val n = IngestPipeline.forget(spark, root,
-      col("text").contains("different"), forgetId = 100L)
+      col("text").contains("different"), forgetId = -2L)
     assert(n === 1L)
     assert(liveKeys(root) === Set("1", "3"))
     // the inverted index no longer returns the doc
@@ -757,7 +757,25 @@ class IngestPipelineSpec extends SparkSpec {
       root, 1, threshold = 0.5, annNlist = 2, annIters = 2)
     assert(liveKeys(root) === Set("1", "3", "9"))
     // and the takedown is part of the provenance record
-    assert(logRows(root).contains(("2", "forgotten", null, 100L)))
+    assert(logRows(root).contains(("2", "forgotten", null, -2L)))
+  }
+
+  test("forget follows the root markers — it works after a rescale, and rejects stream-range ids") {
+    val root = Files.createTempDirectory("graft_pipeFg3").toString + "/pipe"
+    applyB(root, 0, Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "red green blue yellow")))
+    IngestPipeline.rescale(spark, root, newBuckets = 32)
+    // the merge config comes from the markers, not caller defaults — a
+    // forget against the rescaled root must not trip the _nbuckets check
+    assert(IngestPipeline.forget(spark, root,
+      col("text").contains("red"), forgetId = -2L) === 1L)
+    assert(liveKeys(root) === Set("1"))
+    // a forget id in the stream batch-id range could collide with a real
+    // batch's provenance — rejected before anything is written
+    intercept[IllegalArgumentException] {
+      IngestPipeline.forget(spark, root, col("text").contains("x"), forgetId = 0L)
+    }
   }
 
   test("forget re-run with the same id replays the log — it never re-decides") {
@@ -766,18 +784,18 @@ class IngestPipelineSpec extends SparkSpec {
       DocChange("1", 0, "put", "alpha beta gamma delta"),
       DocChange("2", 1, "put", "red green blue yellow")))
     assert(IngestPipeline.forget(spark, root,
-      col("text").contains("red"), forgetId = 7L) === 1L)
+      col("text").contains("red"), forgetId = -2L) === 1L)
     assert(liveKeys(root) === Set("1"))
     // a NEW doc matching the predicate, ingested after the takedown
     applyB(root, 1, Seq(DocChange("5", 10, "put", "red orange crimson maroon")))
     // same id = crash-resume semantics: the LOGGED set replays; the new
     // doc survives because the predicate is never re-evaluated
     assert(IngestPipeline.forget(spark, root,
-      col("text").contains("red"), forgetId = 7L) === 1L)
+      col("text").contains("red"), forgetId = -2L) === 1L)
     assert(liveKeys(root) === Set("1", "5"))
     // a fresh id decides anew and takes the new doc down
     assert(IngestPipeline.forget(spark, root,
-      col("text").contains("red"), forgetId = 8L) === 1L)
+      col("text").contains("red"), forgetId = -3L) === 1L)
     assert(liveKeys(root) === Set("1"))
   }
 }

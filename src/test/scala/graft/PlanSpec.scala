@@ -46,8 +46,7 @@ class PlanSpec extends SparkSpec {
     // the fact-fact join is the ONLY join allowed to exchange its inputs
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the o_orderdate range predicate reaches the parquet scan
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
-      || p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
   test("q_stats_agg: aggregation is partial (map-side) then final — two HashAggregates") {
