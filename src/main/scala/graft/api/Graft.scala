@@ -540,6 +540,12 @@ class Graft(spark: SparkSession, dir: String,
     * row per (user, session) — count, span, value sum. */
   def sessions: DataFrame = graft.operators.Temporal.sessions(events)
 
+  /** Conversion funnel over [[events]]: per gap-session, the furthest
+    * stage of `steps` reached IN ORDER (ordered subsequence, one
+    * codegen'd automaton pass per session). */
+  def funnel(steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    graft.operators.Temporal.funnelStages(events, steps)
+
   /** As-of join: each `left` row picks the latest `right` row at-or-
     * before its `ts` within the same key ([[graft.operators.Temporal.asofJoin]]
     * — the one-shuffle union-tag shape). */

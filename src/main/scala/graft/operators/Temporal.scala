@@ -186,28 +186,36 @@ object Temporal {
     * purchase conversion ladder. */
   private val FunnelSteps = Seq("view", "click", "purchase")
 
-  private def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    // Conversion-funnel analysis (the MATCH_RECOGNIZE shape): per
-    // session, the furthest stage of view → click → purchase reached IN
-    // ORDER — an ordered-subsequence test, not a bag-of-types one. The
-    // greedy automaton runs as ONE codegen'd `aggregate` lambda over the
-    // session's time-sorted events (greedy = first view arms the click
-    // check, etc. — correct for subsequence existence), so per-session
-    // work is linear and the whole query stays on the sessionizer's
-    // single user_id exchange until the tiny per-stage rollup.
-    val caseArms = FunnelSteps.zipWithIndex
+  /** Conversion-funnel analysis (the MATCH_RECOGNIZE shape): per gap-
+    * session, the furthest stage of `steps` reached IN ORDER — an
+    * ordered-subsequence test, not a bag-of-types one. The greedy
+    * automaton runs as ONE codegen'd `aggregate` lambda over the
+    * session's time-sorted events (greedy is correct for subsequence
+    * existence: the first step-0 event arms the step-1 check, etc.), so
+    * per-session work is linear and the whole query stays on the
+    * sessionizer's single `user_id` exchange. Returns one row per
+    * (user_id, sess_no) with `stage` ∈ [0, steps.length]. */
+  def funnelStages(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // step names are spliced into the lambda's SQL — keep them literal
+    require(steps.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"funnel step names must be alphanumeric, got: ${steps.mkString(", ")}")
+    val caseArms = steps.zipWithIndex
       .map { case (s, i) => s"WHEN st = $i AND e.event_type = '$s' THEN ${i + 1}" }
       .mkString(" ")
-    withSessionIds(Tables.events(spark, dir))
+    withSessionIds(events)
       .groupBy("user_id", "sess_no")
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
-      .select(expr(
+      .select(col("user_id"), col("sess_no"), expr(
         s"aggregate(evs, 0, (st, e) -> CASE $caseArms ELSE st END)").as("stage"))
+  }
+
+  private def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.events(spark, dir), FunnelSteps)
       .groupBy("stage")
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy("stage")
-  }
 
   private def qRollingAvg(spark: SparkSession, dir: String): DataFrame = {
     // 7-day rolling average of daily revenue — the trailing-window KPI

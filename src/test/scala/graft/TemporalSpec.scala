@@ -102,17 +102,13 @@ class TemporalSpec extends SparkSpec {
       (2L, 7L, 4 * M, "purchase"),
       (3L, 8L, 1 * M, "click"))
       .toDF("user_id", "event_id", "ts", "event_type")
-    val staged = Temporal.withSessionIds(events)
-      .groupBy("user_id", "sess_no")
-      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
-      .select(col("user_id"), expr(
-        """aggregate(evs, 0, (st, e) -> CASE
-          | WHEN st = 0 AND e.event_type = 'view' THEN 1
-          | WHEN st = 1 AND e.event_type = 'click' THEN 2
-          | WHEN st = 2 AND e.event_type = 'purchase' THEN 3
-          | ELSE st END)""".stripMargin).as("stage"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val staged = Temporal.funnelStages(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(staged === Map(1L -> 1, 2L -> 3, 3L -> 0))
+    // step names reach a SQL lambda — non-literal names are rejected
+    intercept[IllegalArgumentException] {
+      Temporal.funnelStages(events, Seq("view'; --"))
+    }
   }
 
   test("sessionize plans ONE exchange: window and agg share the user_id partitioning") {
@@ -129,6 +125,71 @@ class TemporalSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sessions equal an independent driver-side model on random event sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = for {
+      u <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 3 * Temporal.SessionGapUs)
+    } yield (u, ts)
+    for (seed <- 1 to 5) {
+      val rows = Gen.listOfN(40, gen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((u, ts), i) => (u, i.toLong, ts, 1.0) }
+      val got = Temporal.sessions(rows.toDF("user_id", "event_id", "ts", "value"))
+        .select("user_id", "sess_no", "n_events", "start_us", "end_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // the model: per user, sort by (ts, id) and fold gap splits
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, Double)]]) {
+          (acc, e) => acc match {
+            case cur :: rest if e._3 - cur.head._3 <= Temporal.SessionGapUs =>
+              (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, (i + 1).toLong, s.length.toLong, s.head._3, s.last._3)
+        }
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("asofJoin equals an independent driver-side model, including ts ties") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // a tiny ts range forces equal-ts collisions on and across sides
+    val gen = for {
+      u <- Gen.choose(0L, 2L)
+      ts <- Gen.choose(0L, 15L)
+    } yield (u, ts * M)
+    for (seed <- 1 to 5) {
+      val all = Gen.listOfN(40, gen)
+        .pureApply(Gen.Parameters.default, Seed(100L + seed))
+        .zipWithIndex.map { case ((u, ts), i) => (u, i.toLong, ts, 0.0) }
+      val (lefts, rights) = all.partition(_._2 % 2 == 0)
+      val got = Temporal.asofJoin(
+        lefts.toDF("user_id", "event_id", "ts", "value"),
+        rights.toDF("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", Seq("event_id"))
+        .select("event_id", "asof_event_id")
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      val want = lefts.map { l =>
+        l._2 -> rights.filter(r => r._1 == l._1 && r._3 <= l._3)
+          .sortBy(r => (r._3, r._2)).lastOption.map(_._2)
+      }.toMap
+      assert(got === want, s"seed $seed")
+    }
   }
 
   test("q_asof_join returns one row per purchase at sf0.001") {
