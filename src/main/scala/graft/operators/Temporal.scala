@@ -182,6 +182,37 @@ object Temporal {
     activeIntervalCounts(errors, sess, "event_id").orderBy("event_id")
   }
 
+  private def qActiveSweep(spark: SparkSession, dir: String): DataFrame = {
+    // SAME semantics as q_range_join — "how many sessions are active at
+    // each error event" — by the boundary-SWEEP algorithm instead of the
+    // pairwise grid join: every interval contributes +1 at start and -1
+    // just past its inclusive end, a running sum over the sorted
+    // boundaries is the active count at every instant, and each point
+    // as-of joins to the latest boundary at-or-before it. Work is
+    // O((|intervals| + |points|) log ·) with NO pairwise fan-out — the
+    // plan that survives when intervals stack up (the grid join's
+    // per-cell row product is its skew hazard). The two keys share one
+    // oracle: two physical strategies, one semantics, both proven. The
+    // sweep itself is a single ordered pass (constant join key); at
+    // 100 TB one range-partitions the boundary sort — points only need
+    // the running total at their own position, which a per-range offset
+    // (prefix sum of range totals, a tiny driver-side frame) restores.
+    val ev = Tables.events(spark, dir)
+    val sess = sessions(ev)
+    val bounds = sess.select(col("start_us").as("ts"), lit(1L).as("d"))
+      .unionByName(sess.select((col("end_us") + 1).as("ts"), lit(-1L).as("d")))
+      .groupBy("ts").agg(sum("d").as("d"))
+    val w = Window.orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val running = bounds.select(col("ts"), sum("d").over(w).as("active"))
+      .withColumn("k", lit(0))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts")).withColumn("k", lit(0))
+    asofJoin(errors, running, "k", "ts", "ts", Seq("active"))
+      .select(col("event_id"), col("asof_active").as("n_active"))
+      .orderBy("event_id")
+  }
+
   /** Funnel stage order for [[qFunnel]] — the classic view → click →
     * purchase conversion ladder. */
   private val FunnelSteps = Seq("view", "click", "purchase")
@@ -250,6 +281,7 @@ object Temporal {
     "q_asof_join" -> qAsofJoin,
     "q_asof_tolerance" -> qAsofTolerance,
     "q_range_join" -> qRangeJoin,
+    "q_active_sweep" -> qActiveSweep,
     "q_funnel" -> qFunnel,
     "q_rolling_avg" -> qRollingAvg,
     "q_json_field" -> qJsonField)
@@ -297,6 +329,16 @@ object Temporal {
         |SELECT purchase_id, user_id, click_id, lag_us
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin),
     "q_range_join" ->
+      (sessionsCte +
+        """,
+          |err AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          |        FROM events WHERE event_type = 'error')
+          |SELECT e.event_id, count(*) AS n_active
+          |FROM err e JOIN sess s ON e.ts_us BETWEEN s.start_us AND s.end_us
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // the sweep computes the SAME answer as the grid join — one oracle,
+    // two physical strategies
+    "q_active_sweep" ->
       (sessionsCte +
         """,
           |err AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
