@@ -546,6 +546,14 @@ class Graft(spark: SparkSession, dir: String,
   def funnel(steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
     graft.operators.Temporal.funnelStages(events, steps)
 
+  /** Point-in-interval counts via the grid-cell equi-join
+    * ([[graft.operators.Temporal.activeIntervalCounts]]); for heavily
+    * stacked intervals prefer the boundary-sweep form (see
+    * `q_active_sweep`), which has no pairwise fan-out. */
+  def activeIntervalCounts(points: DataFrame, intervals: DataFrame,
+                           idCol: String): DataFrame =
+    graft.operators.Temporal.activeIntervalCounts(points, intervals, idCol)
+
   /** As-of join: each `left` row picks the latest `right` row at-or-
     * before its `ts` within the same key ([[graft.operators.Temporal.asofJoin]]
     * — the one-shuffle union-tag shape). */
