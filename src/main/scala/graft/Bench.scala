@@ -82,15 +82,29 @@ object Bench {
     // touched-bucket listings + checkpoint-shaped overheads) amortizes
     // with flush size, which is the reference's own tuning knob.
     def ingestAt(label: String, batchSizeOf: Long => Long,
-                 withBootstrap: Boolean): String = try {
+                 withBootstrap: Boolean, doubled: Boolean = false): String = try {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files.createTempDirectory(s"graft_benchIngest_$label")
       val pipe = root.toString + "/pipe"
       // one count serves both the batch-size function and nDocs — the
       // checkpoint materializes the frame either way
-      val docsRaw = Tables.documents(spark, sfDir)
+      val base = Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("string").as("rowkey"),
           col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
+      // `doubled`: reach the reference's FULL 10k flush size even where the
+      // table has fewer rows, by unioning a word-REVERSED copy (ids offset
+      // past the table). Reversal is a bijection on word 3-grams, so the
+      // derived half carries the SAME internal near-dup structure as the
+      // original (the gate does its real pair-scoring work, roughly twice
+      // over) while no derived doc is a near-dup of its source (reversed
+      // shingles ≠ forward shingles) — docs/s stays an honest gated number,
+      // not a measurement of the drop path.
+      val corpus = if (!doubled) base else base.unionAll(
+        base.select(
+          concat(col("event_id") + 1000000L).cast("string").as("rowkey"),
+          (col("event_id") + 1000000L).as("event_id"), col("op"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val docsRaw = corpus
         .localCheckpoint() // decouple the source read from the timed loop
       val nDocs = docsRaw.count()
       val batchSize = batchSizeOf(nDocs)
@@ -131,7 +145,11 @@ object Bench {
     }
     val ingestJson = ingestAt("ingest", _ => 1000L, withBootstrap = true) +
       ingestAt("ingest_bulk", total => math.min(total, 10000L),
-        withBootstrap = false)
+        withBootstrap = false) +
+      // the reference's add_batchCount=10000 at its ACTUAL flush size: one
+      // 10k-doc batch over the doubled corpus (see `doubled` above)
+      ingestAt("ingest_10k", total => math.min(total, 10000L),
+        withBootstrap = false, doubled = true)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap$ingestJson}"""
     println(json)

@@ -251,7 +251,8 @@ class Graft(spark: SparkSession, dir: String,
                           semanticThreshold: Option[Double] = None,
                           maintainEvery: Int = 0,
                           maintainHorizons: Long => (Long, Long) =
-                            _ => (Long.MinValue, Long.MinValue)): StreamingQuery =
+                            _ => (Long.MinValue, Long.MinValue),
+                          bucketByteBudget: Long = 0L): StreamingQuery =
     IngestPipeline.start(changes, pipelineRoot, checkpoint, threshold,
       intervalSeconds = cfg.commitIntervalSec,
       firstDelaySeconds = cfg.firstDelaySec,
@@ -261,7 +262,8 @@ class Graft(spark: SparkSession, dir: String,
       semanticThreshold = semanticThreshold,
       tokenizerName = Some(tokenizer.name),
       maintainEvery = maintainEvery,
-      maintainHorizons = maintainHorizons)
+      maintainHorizons = maintainHorizons,
+      bucketByteBudget = bucketByteBudget)
 
   /** The pipeline's ingest provenance — every (rowkey, verdict, dup_of,
     * batch_id) the gate decided: `admitted`, `quality_reject` (failed the

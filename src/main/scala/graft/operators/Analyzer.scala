@@ -88,4 +88,17 @@ object Analyzer {
     * this (its expression is byte-identical to the previous hard-coded
     * `split(text, ' ')`, so the oracles are unchanged). */
   val default: Tokenizer = Whitespace
+
+  /** Resolve a tokenizer from its pinned `_tokenizer` marker name — the
+    * inverse of `Tokenizer.name` for the SELF-CONTAINED analyzers. Only
+    * those are resolvable: a compound chain (`stopfiltered(…)`) carries
+    * configuration its name does not (the stopword list), so marker-driven
+    * operations (auto-rescale) must refuse it and make the operator pass
+    * the real tokenizer instead of silently rebuilding stats with a
+    * look-alike. */
+  def named(name: String): Option[Tokenizer] = name match {
+    case Whitespace.name => Some(Whitespace)
+    case Cjk.name        => Some(Cjk)
+    case _               => None
+  }
 }

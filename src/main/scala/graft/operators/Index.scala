@@ -211,6 +211,42 @@ object Index {
       .orderBy("source", "pack_id")
   }
 
+  private def qDomainCap(spark: SparkSession, dir: String): DataFrame =
+    // Per-source document cap — the Common-Crawl-style curation rule that
+    // stops any one domain from dominating the training mix: within each
+    // source, rank docs (longest first, id tiebreak) and keep the top K.
+    // One shuffle on `source`; the rank is a per-partition streaming
+    // window, and at 100 TB a skewed mega-domain is exactly the case the
+    // cap exists for — its partition does O(domain size) work once and
+    // drops the tail, nothing downstream sees the skew.
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("rk"),
+        (col("rk") <= 15).as("kept"))
+      .orderBy("doc_id")
+
+  private def qLangBalance(spark: SparkSession, dir: String): DataFrame = {
+    // Language rebalancing — equalize the mix by downsampling every
+    // language to the minority language's count. Membership is rank by a
+    // seeded hash of the stable id within the language (deterministic
+    // across engines/runs/partitionings, like every sampling op here).
+    // The per-lang counts aggregate is a few rows → broadcast back; the
+    // only corpus-sized exchange is the one shuffle on `lang` for the
+    // rank window.
+    val docs = Tables.documents(spark, dir)
+    val minCnt = broadcast(docs.groupBy("lang").count()
+      .agg(min(col("count")).as("min_cnt")))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(concat(lit("bal:"), col("doc_id"))), col("doc_id"))))
+      .crossJoin(minCnt)
+      .select(col("doc_id"), col("lang"),
+        (col("rk") <= col("min_cnt")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   private def qShuffleOrder(spark: SparkSession, dir: String): DataFrame =
     // Deterministic global shuffle for training-data interleaving: a total
     // order by a seeded hash of the id. At scale this is a range exchange
@@ -346,6 +382,8 @@ object Index {
     "q_hash_sample" -> qHashSample,
     "q_contamination" -> qContamination,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_domain_cap" -> qDomainCap,
+    "q_lang_balance" -> qLangBalance,
     "q_pack_batches" -> qPackBatches,
     "q_shuffle_order" -> qShuffleOrder)
 
@@ -480,6 +518,24 @@ object Index {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5('split0:' || doc_id), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT doc_id, source, rk, (rk <= 15) AS kept
+        |FROM (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY n_chars DESC, doc_id) AS rk
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_lang_balance" ->
+      """WITH m AS (
+        |  SELECT min(cnt) AS min_cnt
+        |  FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5('bal:' || doc_id), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, (rk <= min_cnt) AS kept
+        |FROM r, m ORDER BY doc_id""".stripMargin,
     "q_shuffle_order" ->
       """SELECT doc_id, source, md5('seed42:' || doc_id) AS shuffle_key
         |FROM documents ORDER BY shuffle_key LIMIT 100""".stripMargin,

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.io.IOException
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -292,10 +294,17 @@ object IngestPipeline {
                  semanticProbes: Int = 2,
                  tokenizerName: Option[String] = None): (Double, Double) = {
     val t0 = System.nanoTime()
+    // the root's own `_nbuckets` marker is authoritative for an EXISTING
+    // pipeline — the parameter seeds a fresh root. This is what lets a
+    // maintenance-slot rescale change the layout under a RUNNING stream:
+    // the next batch follows the marker instead of failing the merge's
+    // count check against the start()-time parameter.
+    val effBuckets = StateStore.bucketCount(spark, stateRoot(pipelineRoot))
+      .getOrElse(numBuckets)
     val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
       scheme, admitIf, semanticThreshold, semanticProbes)
     val t1 = System.nanoTime()
-    mergeAll(spark, batch, decisions, pipelineRoot, numBuckets, tokenize,
+    mergeAll(spark, batch, decisions, pipelineRoot, effBuckets, tokenize,
       scheme, annNlist, annIters, tokenizerName)
     ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
   }
@@ -675,10 +684,17 @@ object IngestPipeline {
   /** What a [[maintain]] pass did — the numbers an operator alerts on.
     * `annSkewBefore`/`annSkewAfter` are [[graft.operators.IvfIndex.cellSkew]]
     * readings (None when the pipeline has no vector index); `annRebuilt`
-    * is whether the drift threshold tripped an online retrain. */
+    * is whether the drift threshold tripped an online retrain.
+    * `bucketPressureBytes` is the post-GC byte size of the LARGEST text
+    * state family (avg-per-bucket × bucket count — the rewrite-cost base
+    * every merge pays); `rescaledTo` is the new bucket count when the
+    * growth gate tripped an in-place rescale (None: gate off or under
+    * budget). */
   final case class MaintenanceReport(annSkewBefore: Option[Double],
                                      annRebuilt: Boolean,
-                                     annSkewAfter: Option[Double])
+                                     annSkewAfter: Option[Double],
+                                     bucketPressureBytes: Long = 0L,
+                                     rescaledTo: Option[Int] = None)
 
   /** The pipeline's MAINTENANCE pass — [[applyBatch]]'s operational
     * counterpart, run on a maintenance cadence (every N batches, or
@@ -703,7 +719,17 @@ object IngestPipeline {
     *     [[graft.operators.IvfIndex.needsRebuild]]'s skew threshold
     *     trips, retrain ONLINE ([[graft.operators.IvfIndex.rebuild]] —
     *     the index serves reads for the whole retrain and cuts over in
-    *     one atomic swap).
+    *     one atomic swap);
+    *   - GROWTH-GATED RESCALE of the hash-bucketed states (armed by
+    *     `bucketByteBudget` > 0): when the largest text state family
+    *     exceeds the budget per bucket on average (post-GC, bytes,
+    *     driver-side metadata only), [[rescale]] re-buckets every state
+    *     in place to the smallest ×2^k multiple that restores it —
+    *     closing the 100×-growth seam where a root bootstrapped small
+    *     pays ever-larger bucket rewrites for fixed-size deltas. Run
+    *     from the stream's own maintenance slot it happens under the
+    *     stream's fence (`heldFence`), and the next batch follows the
+    *     new `_nbuckets` marker without a restart.
     *
     * Both horizons come from the SOURCE's retention (checkpointed
     * offsets / compacted-topic retention), not from the states — the
@@ -723,28 +749,84 @@ object IngestPipeline {
                numBuckets: Int = IncrementalIndex.DefaultBuckets,
                annNlist: Int = 16, annIters: Int = 5,
                annSkewThreshold: Double = 4.0,
-               compactAdmissionLog: Boolean = true): MaintenanceReport = {
+               compactAdmissionLog: Boolean = true,
+               bucketByteBudget: Long = 0L,
+               heldFence: Option[WriterFence.Fence] = None): MaintenanceReport = {
     require(annSkewThreshold > 1.0,
       "annSkewThreshold must exceed 1.0 (perfect balance)")
+    // marker-first, like forget: a maintain against a rescaled root must
+    // follow what the pipeline actually is, not the caller's stale default
+    val effBuckets = StateStore.bucketCount(spark, stateRoot(pipelineRoot))
+      .getOrElse(numBuckets)
     IncrementalIndex.gcTombstones(spark, stateRoot(pipelineRoot),
-      horizonEventId, numBuckets)
+      horizonEventId, effBuckets)
     IncrementalPostings.gcTombstones(spark, postingsRoot(pipelineRoot),
-      horizonEventId, numBuckets)
+      horizonEventId, effBuckets)
     IncrementalPostings.gcTombstones(spark, shingleRoot(pipelineRoot),
-      horizonEventId, numBuckets)
+      horizonEventId, effBuckets)
     if (compactAdmissionLog) compactAdmissions(spark, pipelineRoot, horizonBatchId)
     else gcAdmissions(spark, pipelineRoot, horizonBatchId)
     val vroot = vectorsRoot(pipelineRoot)
-    if (!graft.operators.IvfIndex.exists(spark, vroot))
-      MaintenanceReport(None, annRebuilt = false, None)
-    else {
-      val skew = graft.operators.IvfIndex.cellSkew(spark, vroot)
-      if (skew >= annSkewThreshold) {
-        graft.operators.IvfIndex.rebuild(spark, vroot, annNlist, annIters)
-        MaintenanceReport(Some(skew), annRebuilt = true,
-          Some(graft.operators.IvfIndex.cellSkew(spark, vroot)))
-      } else MaintenanceReport(Some(skew), annRebuilt = false, Some(skew))
-    }
+    val (skewBefore, rebuilt, skewAfter) =
+      if (!graft.operators.IvfIndex.exists(spark, vroot))
+        (None, false, None)
+      else {
+        val skew = graft.operators.IvfIndex.cellSkew(spark, vroot)
+        if (skew >= annSkewThreshold) {
+          graft.operators.IvfIndex.rebuild(spark, vroot, annNlist, annIters)
+          (Some(skew), true,
+            Some(graft.operators.IvfIndex.cellSkew(spark, vroot)))
+        } else (Some(skew), false, Some(skew))
+      }
+    // GROWTH GATE — the ANN drift gate's twin for the hash-bucketed
+    // states: measured POST-GC (GC may have just shrunk the state), in
+    // BYTES (the rewrite cost a merge pays per touched bucket is the
+    // bucket's byte size, not its row count), driver-side metadata only.
+    // When the largest text state family exceeds `bucketByteBudget` per
+    // bucket on average, re-bucket IN PLACE to the smallest ×2^k multiple
+    // that restores the budget — integer-multiple growth is the
+    // shuffle-free rescale path, and the ×2 ladder keeps counts aligned
+    // across repeated trips. Config is read from the ROOT MARKERS (the
+    // forget discipline); a tokenizer the registry cannot reconstruct
+    // refuses loudly rather than rebuilding dl stats with a look-alike.
+    val pressure = Seq(
+      StateStore.bucketBytes(spark, stateRoot(pipelineRoot)),
+      StateStore.bucketBytes(spark, postingsRoot(pipelineRoot) + "/docs") +
+        StateStore.bucketBytes(spark, postingsRoot(pipelineRoot) + "/entries"),
+      StateStore.bucketBytes(spark, shingleRoot(pipelineRoot) + "/docs") +
+        StateStore.bucketBytes(spark, shingleRoot(pipelineRoot) + "/entries")).max
+    val rescaledTo =
+      if (bucketByteBudget <= 0L || pressure <= bucketByteBudget * effBuckets)
+        None
+      else {
+        // ×8 per pass at most: a mis-set budget must not explode the
+        // directory count in one maintenance slot — still over budget
+        // next pass, the gate trips again and doubles on from here
+        var target = effBuckets
+        while (pressure > bucketByteBudget * target &&
+          target < effBuckets * 8) target *= 2
+        val tokName =
+          StateStore.readTag(spark, postingsRoot(pipelineRoot), "_tokenizer")
+        val tokenize: Column => Column = tokName match {
+          case None => split(_, " ")
+          case Some(n) => graft.operators.Analyzer.named(n) match {
+            case Some(t) => t.tokens
+            case None => throw new IOException(
+              s"growth-gated rescale cannot reconstruct tokenizer '$n' from " +
+                "the _tokenizer marker (compound analyzers carry config " +
+                "their name does not); run IngestPipeline.rescale yourself, " +
+                "passing the pipeline's tokenizer")
+          }
+        }
+        val scheme =
+          StateStore.readTag(spark, shingleRoot(pipelineRoot), "_scheme")
+            .map(IncrementalShingles.schemeNamed)
+            .getOrElse(IncrementalShingles.WordShingles)
+        rescale(spark, pipelineRoot, target, tokenize, scheme, tokName,
+          heldFence)
+        Some(target)
+      }
+    MaintenanceReport(skewBefore, rebuilt, skewAfter, pressure, rescaledTo)
   }
 
   /** Re-bucket every hash-bucketed state under the pipeline to
@@ -764,20 +846,29 @@ object IngestPipeline {
     * .rebuild]] with a larger `annNlist`.
     *
     * STOP THE STREAM FIRST (or call between batches from the
-    * `foreachBatch` thread): rescale is a writer on every root at once.
-    * A crash between the per-state swaps leaves earlier states at the
-    * new count and later ones at the old — every writer fails its
-    * `_nbuckets` check loudly rather than mis-hashing, and re-running
-    * `rescale` converges (done states no-op). After the cutover, restart
-    * the stream passing the new `numBuckets`. */
+    * `foreachBatch` thread, passing the fence that thread holds as
+    * `heldFence` — [[maintain]]'s growth gate does exactly this):
+    * rescale is a writer on every root at once. A crash between the
+    * per-state swaps leaves earlier states at the new count and later
+    * ones at the old — every writer fails its `_nbuckets` check loudly
+    * rather than mis-hashing, and re-running `rescale` converges (done
+    * states no-op). A stream that keeps running through an in-fence
+    * rescale needs no restart: [[applyBatch]] resolves the bucket count
+    * marker-first each batch. */
   def rescale(spark: SparkSession, pipelineRoot: String, newBuckets: Int,
               tokenize: Column => Column = split(_, " "),
               scheme: IncrementalShingles.SketchScheme =
                 IncrementalShingles.WordShingles,
-              tokenizerName: Option[String] = None): Unit = {
+              tokenizerName: Option[String] = None,
+              heldFence: Option[WriterFence.Fence] = None): Unit = {
     // claiming the root fences out a still-running stream: its next batch
-    // fails its epoch check instead of merging against a half-moved layout
-    val fence = WriterFence.claim(spark, pipelineRoot)
+    // fails its epoch check instead of merging against a half-moved layout.
+    // A caller that ALREADY holds the root's fence (the maintenance slot
+    // inside the stream's own foreachBatch thread — growth-gated
+    // auto-rescale) passes it instead: same serialization, no epoch bump,
+    // so the stream it runs inside keeps its claim and continues.
+    val fence = heldFence.getOrElse(WriterFence.claim(spark, pipelineRoot))
+    fence.check(spark)
     StateStore.rescale(spark, stateRoot(pipelineRoot), "rowkey", newBuckets)
     fence.check(spark)
     // tokenizerName validates against the postings root's _tokenizer
@@ -1076,7 +1167,8 @@ object IngestPipeline {
             maintainEvery: Int = 0,
             maintainHorizons: Long => (Long, Long) =
               _ => (Long.MinValue, Long.MinValue),
-            annSkewThreshold: Double = 4.0): StreamingQuery = {
+            annSkewThreshold: Double = 4.0,
+            bucketByteBudget: Long = 0L): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     // cross-process single-writer fence: this start() claims the root;
     // any later claimant (second stream, rescale, replacement driver)
@@ -1095,8 +1187,14 @@ object IngestPipeline {
           semanticThreshold, semanticProbes, tokenizerName)
         if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0) {
           val (he, hb) = maintainHorizons(id)
+          // this thread holds the stream's fence — maintenance (and any
+          // growth-gated rescale it trips) runs under THAT claim, so the
+          // stream's own epoch survives and the next batch simply follows
+          // the new _nbuckets marker (applyBatch resolves marker-first)
           maintain(batch.sparkSession, pipelineRoot, he, hb, numBuckets,
-            annNlist, annIters, annSkewThreshold): Unit
+            annNlist, annIters, annSkewThreshold,
+            bucketByteBudget = bucketByteBudget,
+            heldFence = Some(fence)): Unit
         }
       }
       .start()

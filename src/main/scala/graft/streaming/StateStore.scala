@@ -336,6 +336,19 @@ object StateStore {
     * per-bucket swaps) and return the live bucket directory names.
     * `prefix` selects the partition naming scheme — `b=` for the
     * hash-bucketed merges, `cell=` for the IVF index's cell layout. */
+  /** Total bytes of the LIVE buckets under a state root — the bucket-
+    * pressure reading behind growth-gated rescale. Driver-side metadata
+    * only (one listing per bucket directory, no data read): bytes, not
+    * row counts, because the rewrite cost every merge pays per touched
+    * bucket IS the bucket's byte size. Returns 0 for an absent root. */
+  def bucketBytes(spark: SparkSession, rootPath: String,
+                  prefix: String = "b="): Long = {
+    val fs = fsOf(spark, new Path(rootPath))
+    liveBuckets(spark, rootPath, prefix)
+      .map(d => fs.getContentSummary(new Path(s"$rootPath/$d")).getLength)
+      .sum
+  }
+
   def liveBuckets(spark: SparkSession, rootPath: String,
                   prefix: String = "b="): Seq[String] = {
     val root = new Path(rootPath)

@@ -39,6 +39,27 @@ object IngestProfile {
       println(f"INGEST batch=$batchSize docs=$nDocs sec=$sec%.1f docs_per_sec=${nDocs / sec}%.1f gate=$gateSec%.1f merge=$mergeSec%.1f")
       graft.operators.Materialize.deleteLocalDir(root.toString)
     }
+    // the reference's true 10k flush: doubled corpus (word-reversed copy,
+    // ids offset — Bench's ingest_10k derivation), ONE 10k batch
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft_ingprof10k")
+      val pipe = root.toString + "/pipe"
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("string").as("rowkey"),
+          col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
+      val docs = base.unionAll(base.select(
+          concat(col("event_id") + 1000000L).cast("string").as("rowkey"),
+          (col("event_id") + 1000000L).as("event_id"), col("op"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+        .localCheckpoint()
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val (g, m) = graft.streaming.IngestPipeline.applyBatchTimed(spark,
+        docs, pipe, 0L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"INGEST batch=$nDocs docs=$nDocs sec=$sec%.1f docs_per_sec=${nDocs / sec}%.1f gate=$g%.1f merge=$m%.1f")
+      graft.operators.Materialize.deleteLocalDir(root.toString)
+    }
     spark.stop()
   }
 }

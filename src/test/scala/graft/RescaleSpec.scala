@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.streaming.{IncrementalIndex, IncrementalPostings, IncrementalShingles, IngestPipeline, StateStore}
+import graft.streaming.{IncrementalIndex, IncrementalPostings, IncrementalShingles, IngestPipeline, StateStore, WriterFence}
 
 /** Bucket-count rescale — the planned resize a growing deployment runs
   * when buckets outgrow their rewrite unit. The invariants: the rescaled
@@ -146,15 +146,20 @@ class RescaleSpec extends SparkSpec {
         IngestPipeline.postingsRoot(root) + "/docs",
         IngestPipeline.shingleRoot(root) + "/docs"))
       assert(StateStore.bucketCount(spark, r).contains(8), r)
-    // old-count stream refused; new-count batch lands and serves
+    // the pipeline resolves the count MARKER-FIRST: a stream still
+    // presenting its start()-time count keeps running after the rescale,
+    // its merges landing at the marker's 8 (this is what lets the
+    // growth-gated in-place rescale avoid a stream restart). The
+    // low-level guard is unchanged: a direct merge presenting the stale
+    // count still fails loudly.
     intercept[java.io.IOException] {
-      IngestPipeline.applyBatch(spark,
-        batch(("3", 2, "put", "iota kappa lambda mu")), root,
-        batchId = 1L, numBuckets = 4)
+      IncrementalIndex.mergeBatch(spark,
+        batch(("x", 9, "put", "nu xi")),
+        IngestPipeline.stateRoot(root), numBuckets = 4)
     }
     IngestPipeline.applyBatch(spark,
       batch(("3", 2, "put", "iota kappa lambda mu")), root,
-      batchId = 2L, numBuckets = 8)
+      batchId = 1L, numBuckets = 4)
     val hits = IncrementalPostings.termSearch(spark,
       IngestPipeline.postingsRoot(root), Seq("kappa"))
       .select("rowkey").collect().map(_.getString(0)).toSet
@@ -178,5 +183,81 @@ class RescaleSpec extends SparkSpec {
     val mtimes = bucketDirs(root).map(d => new java.io.File(root, d).lastModified())
     StateStore.rescale(spark, root, "rowkey", 8)
     assert(bucketDirs(root).map(d => new java.io.File(root, d).lastModified()) === mtimes)
+  }
+
+  test("growth-gated rescale: maintain re-buckets in place under budget pressure and the stream continues") {
+    val root = Files.createTempDirectory("graft_rsauto").toString + "/pipe"
+    IngestPipeline.applyBatch(spark, Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta epsilon"),
+      DocChange("2", 1, "put", "totally different words entirely here"),
+      DocChange("3", 2, "put", "red green blue yellow purple")).toDF(),
+      root, 0, threshold = 0.5, numBuckets = 2)
+    val sroot = IngestPipeline.stateRoot(root)
+    assert(StateStore.bucketCount(spark, sroot).contains(2))
+    val beforeKeys = IncrementalIndex.readState(spark, sroot)
+      .collect().map(_.getAs[String]("rowkey")).toSet
+
+    // budget off: pressure is REPORTED, nothing moves
+    val idle = IngestPipeline.maintain(spark, root,
+      Long.MinValue, Long.MinValue)
+    assert(idle.rescaledTo.isEmpty && idle.bucketPressureBytes > 0L)
+
+    // a budget the state already exceeds ×2 but not ×4 → target 4
+    val budget = idle.bucketPressureBytes / 4 + 1
+    val report = IngestPipeline.maintain(spark, root,
+      Long.MinValue, Long.MinValue, bucketByteBudget = budget)
+    assert(report.rescaledTo.contains(4))
+    assert(StateStore.bucketCount(spark, sroot).contains(4))
+    assert(StateStore.bucketCount(spark,
+      IngestPipeline.postingsRoot(root) + "/entries").contains(4))
+    assert(StateStore.bucketCount(spark,
+      IngestPipeline.shingleRoot(root) + "/entries").contains(4))
+
+    // the NEXT batch still presents the start()-time count (2) — the
+    // marker wins, the merge lands at 4, and every read sees the union
+    IngestPipeline.applyBatch(spark, Seq(
+      DocChange("4", 10, "put", "unrelated fresh content nothing shared")).toDF(),
+      root, 1, threshold = 0.5, numBuckets = 2)
+    assert(IncrementalIndex.readState(spark, sroot)
+      .collect().map(_.getAs[String]("rowkey")).toSet === beforeKeys + "4")
+    val hits = IncrementalPostings.termSearch(spark,
+        IngestPipeline.postingsRoot(root), Seq("unrelated"))
+      .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(hits === Set("4"))
+
+    // a mis-set budget cannot explode the layout: growth caps at ×8/pass
+    val capped = IngestPipeline.maintain(spark, root,
+      Long.MinValue, Long.MinValue, bucketByteBudget = 1L)
+    assert(capped.rescaledTo.contains(32))
+  }
+
+  test("growth-gated rescale under a held fence keeps the stream's claim; an unheld one fences it out") {
+    val root = Files.createTempDirectory("graft_rsfence").toString + "/pipe"
+    IngestPipeline.applyBatch(spark, Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta epsilon"),
+      DocChange("2", 1, "put", "totally different words entirely here")).toDF(),
+      root, 0, threshold = 0.5, numBuckets = 2)
+    val stream = WriterFence.claim(spark, root)
+    val pressure = IngestPipeline.maintain(spark, root,
+      Long.MinValue, Long.MinValue).bucketPressureBytes
+
+    // maintenance from the stream's own slot: rescale runs under the
+    // stream's claim — its epoch survives
+    val held = IngestPipeline.maintain(spark, root,
+      Long.MinValue, Long.MinValue, bucketByteBudget = pressure / 4 + 1,
+      heldFence = Some(stream))
+    assert(held.rescaledTo.contains(4))
+    stream.check(spark) // still the newest claim
+
+    // an EXTERNAL maintain that rescales claims its own epoch — the
+    // stream must die at its next check, not merge into the moved layout
+    // (re-measure first: the rescale rewrote every file, so byte sizes
+    // drifted from the pre-rescale reading)
+    val p2 = IngestPipeline.maintain(spark, root,
+      Long.MinValue, Long.MinValue).bucketPressureBytes
+    val external = IngestPipeline.maintain(spark, root,
+      Long.MinValue, Long.MinValue, bucketByteBudget = p2 / 8 + 1)
+    assert(external.rescaledTo.contains(8))
+    intercept[WriterFence.FencedException] { stream.check(spark) }
   }
 }
