@@ -177,6 +177,63 @@ object Changelog {
       .filter(col("rowkey") === "7")
       .orderBy("rowkey")
 
+  /** TIME TRAVEL: the index state AS OF a changelog position — the same
+    * latest-wins compaction over the log's prefix `event_id <= cutoff`.
+    * This surface is the changelog design's native dividend: the
+    * reference's coprocessor forwards mutations and FORGETS them, so
+    * Solr can only ever answer "now" — here the log is the primary and
+    * every historical state is one filter away. At scale the cutoff
+    * predicate prunes at the scan (commit-ordered files skip whole
+    * row groups past the cutoff) and the compaction shuffles only the
+    * surviving prefix. */
+  def stateAsOf(events: DataFrame, cutoff: Column,
+                cfg: GraftConfig = Cfg): DataFrame =
+    indexState(events.filter(col("event_id") <= cutoff), cfg)
+
+  private def qStateAsof(spark: SparkSession, dir: String): DataFrame = {
+    // pinned instantiation: as of half the log (a data-derived cutoff so
+    // every SF exercises a genuine mid-history read); the tiny max
+    // aggregate broadcasts back as a scalar
+    val ev = Tables.events(spark, dir)
+    val cut = broadcast(ev.agg(floor(max(col("event_id")) / 2).as("cut")))
+    indexState(ev.crossJoin(cut).filter(col("event_id") <= col("cut")))
+      .orderBy(col("rowkey").cast("long"))
+  }
+
+  /** What changed between two changelog positions — the audit/debug twin
+    * of [[stateAsOf]]: per rowkey, `added` (absent→live), `deleted`
+    * (live→absent), or `updated` (any newer event won). Classification
+    * compares the winning EVENT ids, not payloads: the changelog's total
+    * order is the identity of a state, so "updated" is exactly "a newer
+    * event decided this key". One shuffle per prefix compaction + one
+    * equi-join on rowkey. */
+  private def qStateDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cuts = broadcast(ev.agg(
+      floor(max(col("event_id")) / 3).as("c1"),
+      floor(max(col("event_id")) * 2 / 3).as("c2")))
+    val evc = withRowkey(ev.crossJoin(cuts))
+    def liveAt(cut: Column): DataFrame = evc
+      .filter(col("event_id") <= cut)
+      .groupBy("rowkey")
+      .agg(max(col("event_id")).as("eid"),
+        max_by(col("event_type"), col("event_id")).as("etype"),
+        round(max_by(col("value"), col("event_id")), 2).as("value"))
+      .filter(col("etype") =!= Cfg.deleteClass)
+    val a = liveAt(col("c1")).select(col("rowkey"),
+      col("eid").as("old_eid"), col("value").as("old_value"))
+    val b = liveAt(col("c2")).select(col("rowkey"),
+      col("eid").as("new_eid"), col("value").as("new_value"))
+    a.join(b, Seq("rowkey"), "full_outer")
+      .withColumn("change",
+        when(col("old_eid").isNull, "added")
+          .when(col("new_eid").isNull, "deleted")
+          .when(col("old_eid") =!= col("new_eid"), "updated"))
+      .filter(col("change").isNotNull)
+      .select(col("rowkey"), col("change"), col("old_value"), col("new_value"))
+      .orderBy(col("rowkey").cast("long"))
+  }
+
   /** Session-scoped maintained event-index fixture: the events changelog
     * folded once per (session, dir) into the file-backed bucketed state
     * `IncrementalIndex` keeps current in production — so facet reads over
@@ -243,6 +300,8 @@ object Changelog {
     "q_del_batch_count" -> qDelBatchCount,
     "q_interval_window" -> qIntervalWindow,
     "q_index_state" -> qIndexState,
+    "q_state_asof" -> qStateAsof,
+    "q_state_diff" -> qStateDiff,
     "q_facet_maintained" -> qFacetMaintained,
     "q_get_maintained" -> qGetMaintained,
     "q_point_lookup" -> qPointLookup)
@@ -298,6 +357,39 @@ object Changelog {
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_index_state" -> (indexStateSql + "\nORDER BY CAST(rowkey AS BIGINT)"),
+    "q_state_asof" ->
+      """WITH m AS (SELECT floor(max(event_id) / 2) AS cut FROM events),
+        |ranked AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS rowkey, event_id, ts, event_type, value, props,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events, m WHERE event_id <= cut)
+        |SELECT rowkey, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
+        |       round(value, 2) AS value, json_extract_string(props, '$.k') AS k
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY CAST(rowkey AS BIGINT)""".stripMargin,
+    "q_state_diff" ->
+      """WITH m AS (SELECT floor(max(event_id) / 3) AS c1,
+        |                  floor(max(event_id) * 2 / 3) AS c2 FROM events),
+        |a AS (SELECT CAST(user_id AS VARCHAR) AS rowkey, max(event_id) AS eid,
+        |             arg_max(event_type, event_id) AS etype,
+        |             round(arg_max(value, event_id), 2) AS value
+        |      FROM events, m WHERE event_id <= c1 GROUP BY 1),
+        |b AS (SELECT CAST(user_id AS VARCHAR) AS rowkey, max(event_id) AS eid,
+        |             arg_max(event_type, event_id) AS etype,
+        |             round(arg_max(value, event_id), 2) AS value
+        |      FROM events, m WHERE event_id <= c2 GROUP BY 1),
+        |al AS (SELECT * FROM a WHERE etype <> 'error'),
+        |bl AS (SELECT * FROM b WHERE etype <> 'error'),
+        |d AS (
+        |  SELECT coalesce(al.rowkey, bl.rowkey) AS rowkey,
+        |         CASE WHEN al.eid IS NULL THEN 'added'
+        |              WHEN bl.eid IS NULL THEN 'deleted'
+        |              WHEN al.eid <> bl.eid THEN 'updated' END AS change,
+        |         al.value AS old_value, bl.value AS new_value
+        |  FROM al FULL JOIN bl ON al.rowkey = bl.rowkey)
+        |SELECT rowkey, change, old_value, new_value
+        |FROM d WHERE change IS NOT NULL
+        |ORDER BY CAST(rowkey AS BIGINT)""".stripMargin,
     "q_facet_maintained" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, value,
