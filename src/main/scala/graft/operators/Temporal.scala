@@ -197,19 +197,52 @@ object Temporal {
     // 100 TB one range-partitions the boundary sort — points only need
     // the running total at their own position, which a per-range offset
     // (prefix sum of range totals, a tiny driver-side frame) restores.
+    // Distributed prefix sum, for real (not just documented): boundaries
+    // and points land in coarse TIME SEGMENTS; running sums are
+    // per-segment windows (partitioned — no global single-partition
+    // pass), and each segment's incoming count comes from an exclusive
+    // prefix sum over the tiny per-segment totals (|segments| rows —
+    // bounded metadata, broadcast back). A point with no boundary before
+    // it in its own segment takes the segment's incoming count. Same
+    // shape as q_del_batch_count's segmented rank.
+    val segUs = 6L * 3600000000L // 6 h — tune so |segments| stays metadata
     val ev = Tables.events(spark, dir)
     val sess = sessions(ev)
     val bounds = sess.select(col("start_us").as("ts"), lit(1L).as("d"))
       .unionByName(sess.select((col("end_us") + 1).as("ts"), lit(-1L).as("d")))
       .groupBy("ts").agg(sum("d").as("d"))
-    val w = Window.orderBy("ts")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val running = bounds.select(col("ts"), sum("d").over(w).as("active"))
-      .withColumn("k", lit(0))
+      .withColumn("seg", floor(col("ts") / segUs))
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("event_id"), col("ts")).withColumn("k", lit(0))
-    asofJoin(errors, running, "k", "ts", "ts", Seq("active"))
-      .select(col("event_id"), col("asof_active").as("n_active"))
+      .select(col("event_id"), col("ts"), floor(col("ts") / segUs).as("seg"))
+    // per-segment totals over EVERY segment either side touches (a
+    // point-only segment still needs its incoming offset), then the
+    // exclusive prefix sum — the only unpartitioned window, |segments|
+    // rows of metadata
+    val segTotals = bounds.select("seg").union(errors.select("seg")).distinct()
+      .join(bounds.groupBy("seg").agg(sum("d").as("tot")), Seq("seg"), "left")
+      .na.fill(0L, Seq("tot"))
+    val offsets = segTotals.withColumn("off",
+        coalesce(sum("tot").over(Window.orderBy("seg")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("seg", "off")
+    // one union-tag pass per segment: boundaries carry their in-segment
+    // running count forward; a point reads the latest carried value (a
+    // boundary AT the point's ts sorts first — inclusive semantics, the
+    // same tie rule as the as-of join) or falls back to the incoming
+    // offset
+    val wSeg = Window.partitionBy("seg").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = bounds
+      .select(col("seg"), col("ts"), lit(0).as("tag"),
+        col("d"), lit(null).cast("long").as("event_id"))
+      .unionByName(errors.select(col("seg"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("d"), col("event_id")))
+    tagged
+      .withColumn("run", sum(col("d")).over(wSeg))
+      .filter(col("tag") === 1)
+      .join(broadcast(offsets), "seg")
+      .select(col("event_id"),
+        (coalesce(col("run"), lit(0L)) + col("off")).as("n_active"))
       .orderBy("event_id")
   }
 
