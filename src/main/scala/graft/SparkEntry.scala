@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Changelog.queries ++ Search.queries ++ Facets.queries ++ Fetch.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Vectors.queries ++
-      Multimodal.queries ++ Index.queries ++ Temporal.queries
+      Multimodal.queries ++ Index.queries ++ Temporal.queries ++
+      Percolate.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted for non-SQL-expressible ops (HLL sketches). */
   def oracleSql: Map[String, String] =
     Changelog.oracle ++ Search.oracle ++ Facets.oracle ++ Fetch.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Vectors.oracle ++
-      Multimodal.oracle ++ Index.oracle ++ Temporal.oracle
+      Multimodal.oracle ++ Index.oracle ++ Temporal.oracle ++
+      Percolate.oracle
 }

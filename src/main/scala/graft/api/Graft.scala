@@ -564,6 +564,16 @@ class Graft(spark: SparkSession, dir: String,
                rightPayload: Seq[String]): DataFrame =
     graft.operators.Temporal.asofJoin(left, right, keyCol, tsCol, tieCol, rightPayload)
 
+  /** Percolation (reverse search): which of the STORED `queries` (term
+    * conjunctions) match each doc of `docs`. Registries that fit a
+    * projection compile into the plan (stateless, streaming-safe:
+    * [[graft.operators.Percolate.matchesCompiled]]); larger ones use the
+    * broadcast-join form ([[graft.operators.Percolate.matches]]). */
+  def percolate(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                compiled: Boolean = true): DataFrame =
+    if (compiled) graft.operators.Percolate.matchesCompiled(docs, queries)
+    else graft.operators.Percolate.matches(docs, queries)
+
   /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
     * aggregation that first dedupes within `buckets` hash-shards of the
     * value space, then sums the shard counts — so a hot key's distinct set

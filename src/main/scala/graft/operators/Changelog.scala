@@ -268,6 +268,63 @@ object Changelog {
       root
     })
 
+  /** A row-state root whose merge ALSO maintained the per-bucket rollup
+    * sidecar ([[graft.streaming.IncrementalRollup]]) — built by streaming
+    * the events changelog through `mergeBatch` in TWO halves split on
+    * event_id, so the second merge genuinely updates partials the first
+    * one wrote (replacements and deletes included). Returns (stateRoot,
+    * rollupSpec). */
+  private val rollupFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, graft.streaming.IncrementalRollup.Spec)]()
+  Materialize.onSessionFreed { s =>
+    val it = rollupFixtures.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        Materialize.deleteLocalDir(new java.io.File(e.getValue._1).getParent)
+        it.remove()
+      }
+    }
+  }
+
+  private def rollupFixture(spark: SparkSession, dir: String)
+      : (String, graft.streaming.IncrementalRollup.Spec) =
+    rollupFixtures.computeIfAbsent((spark, dir), { case (s, d) =>
+      val t0 = System.nanoTime()
+      val base = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+      val root = base + "/state"
+      val spec = graft.streaming.IncrementalRollup.Spec(
+        base + "/rollup", Seq("event_type"), Some("value"))
+      val changes = Tables.events(s, d).select(
+        col("user_id").cast("string").as("rowkey"),
+        col("event_id"),
+        when(col("event_type") === Cfg.deleteClass, "delete")
+          .otherwise("put").as("op"),
+        col("event_type"), col("value"))
+      val mid = changes.agg(percentile_approx(col("event_id"), lit(0.5),
+        lit(100))).head().getLong(0)
+      graft.streaming.IncrementalIndex.mergeBatch(
+        s, changes.filter(col("event_id") <= mid), root, rollup = Some(spec))
+      graft.streaming.IncrementalIndex.mergeBatch(
+        s, changes.filter(col("event_id") > mid), root, rollup = Some(spec))
+      Materialize.recordBuild("rollup_fixture", System.nanoTime() - t0)
+      (root, spec)
+    })
+
+  private def qFacetIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // S6 served from the INCREMENTALLY-MAINTAINED aggregate: no state
+    // scan at query time at all — the read collapses |buckets|×|groups|
+    // partial rows the merges kept current (IncrementalRollup). Same
+    // oracle as q_facet_maintained: three physical strategies (recompute,
+    // state scan, maintained rollup) proven equal every round.
+    val (_, spec) = rollupFixture(spark, dir)
+    graft.streaming.IncrementalRollup.read(spark, spec)
+      .select(col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   private def qGetMaintained(spark: SparkSession, dir: String): DataFrame =
     // S12's fetch half over MAINTAINED state — the literal HBase Get:
     // only the key's bucket dir is opened (StateStore.bucketDirsFor), and
@@ -303,6 +360,7 @@ object Changelog {
     "q_state_asof" -> qStateAsof,
     "q_state_diff" -> qStateDiff,
     "q_facet_maintained" -> qFacetMaintained,
+    "q_facet_incremental" -> qFacetIncremental,
     "q_get_maintained" -> qGetMaintained,
     "q_point_lookup" -> qPointLookup)
 
@@ -391,6 +449,14 @@ object Changelog {
         |FROM d WHERE change IS NOT NULL
         |ORDER BY CAST(rowkey AS BIGINT)""".stripMargin,
     "q_facet_maintained" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_facet_incremental" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

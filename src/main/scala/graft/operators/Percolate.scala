@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Percolation — reverse search: a registry of STORED queries matched
+  * against each incoming document (the Solr/Elasticsearch percolator, the
+  * alerting face of the reference's search surface: instead of "which docs
+  * match this query", "which standing queries match this doc"). A stored
+  * query here is a conjunction of terms (the reference's default AND
+  * semantics for multi-term Solr queries, SURVEY.md §2.B S2).
+  *
+  * Two physical strategies, chosen by registry size:
+  *
+  *  - [[matchesCompiled]] COMPILES the registry into the plan: one
+  *    codegen'd boolean column per query (`array_contains` conjunctions
+  *    over the doc's token array), no shuffle, no join, STATELESS — safe
+  *    under Structured Streaming append mode with zero state store, which
+  *    makes it the per-batch alerting path in an ingest pipeline. Right
+  *    while the registry fits a projection (hundreds of queries).
+  *  - [[matches]] JOINS doc tokens against the exploded registry: distinct
+  *    doc terms ⋈ broadcast(query terms), count matched terms per
+  *    (doc, query), keep full-coverage pairs. The registry never touches
+  *    the driver plan size, so it scales to millions of stored queries;
+  *    the doc side shuffles once on the implicit group-by. This is the
+  *    100 TB path — both sides are plain exchanges AQE can re-plan.
+  *
+  * PercolateSpec pins the two strategies equal on fixture data; the oracle
+  * checks the join form against DuckDB every round.
+  */
+object Percolate {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The fixed demo registry for the oracle key — term conjunctions over
+    * the documents fixture's vocabulary. */
+  val demoQueries: Seq[(String, Seq[String])] = Seq(
+    "alert_spark_join" -> Seq("spark", "join"),
+    "alert_slow_query" -> Seq("slow", "query"),
+    "alert_vector_merge" -> Seq("vector", "merge", "fast"))
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** Registry compiled into the plan: (doc_id, query_id) match pairs via
+    * per-query conjunctions — stateless, shuffle-free, streaming-safe. */
+  def matchesCompiled(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "percolate needs at least one stored query")
+    val withToks = tokenized(docs)
+    val hits: Column = array(queries.map { case (qid, terms) =>
+      val matched = terms.map(t => array_contains(col("toks"), t))
+        .reduce(_ && _)
+      when(matched, lit(qid))
+    }: _*)
+    withToks.select(col("doc_id"),
+        explode(filter(hits, _.isNotNull)).as("query_id"))
+  }
+
+  /** Registry joined as data: scales to registries too large to compile
+    * into a projection. One broadcast of the (small) exploded registry,
+    * one aggregate keyed (doc_id, query_id) — coverage == term count means
+    * the conjunction matched. */
+  def matches(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "percolate needs at least one stored query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val reg = queries.flatMap { case (qid, terms) =>
+      terms.distinct.map(t => (qid, t, terms.distinct.size))
+    }.toDF("query_id", "term", "n_terms")
+    tokenized(docs)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(reg), "term")
+      .groupBy("doc_id", "query_id", "n_terms")
+      .agg(count(lit(1)).as("hit"))
+      .filter(col("hit") === col("n_terms"))
+      .select("doc_id", "query_id")
+  }
+
+  private def qPercolate(spark: SparkSession, dir: String): DataFrame =
+    matches(Tables.documents(spark, dir), demoQueries)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("query_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_percolate" -> qPercolate)
+
+  val oracle: Map[String, String] = Map(
+    "q_percolate" ->
+      """WITH reg(query_id, term) AS (
+        |  SELECT * FROM (VALUES
+        |    ('alert_spark_join', 'spark'), ('alert_spark_join', 'join'),
+        |    ('alert_slow_query', 'slow'), ('alert_slow_query', 'query'),
+        |    ('alert_vector_merge', 'vector'), ('alert_vector_merge', 'merge'),
+        |    ('alert_vector_merge', 'fast'))),
+        |sizes AS (SELECT query_id, count(*) AS n_terms FROM reg GROUP BY 1),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |hits AS (
+        |  SELECT t.doc_id, r.query_id
+        |  FROM toks t JOIN reg r ON t.tok = r.term
+        |  JOIN sizes s ON s.query_id = r.query_id
+        |  GROUP BY t.doc_id, r.query_id, s.n_terms
+        |  HAVING count(*) = s.n_terms)
+        |SELECT query_id, count(*) AS n_docs FROM hits
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

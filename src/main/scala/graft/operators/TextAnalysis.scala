@@ -237,7 +237,46 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(20)
 
+  private def qCollocations(spark: SparkSession, dir: String): DataFrame = {
+    // PMI collocation mining — which word pairs co-occur in documents far
+    // more than their independent document frequencies predict (the
+    // statistical phrase/topic-pair signal a corpus analysis runs; PMI =
+    // ln(P(a,b) / (P(a)·P(b))) over document-level co-occurrence).
+    // Pair GENERATION is per-row — sorted distinct tokens expand to their
+    // O(k²) combinations through two chained GENERATORS (posexplode, then
+    // explode of the remaining suffix), no self-join — so the only
+    // exchanges are vocabulary²-bounded aggregates of (pair, partial
+    // count), never a corpus-sized join: the self-join formulation
+    // shuffles the exploded token table twice and its skew follows doc
+    // length. Generators stay on the whole-stage-codegen path; the
+    // equivalent nested higher-order `transform` lambdas fall back to
+    // interpreted evaluation and ran ~10× slower at sf0.1.
+    val ts = array_sort(array_distinct(toks))
+    val pairs = Tables.documents(spark, dir)
+      .select(ts.as("t"))
+      .select(posexplode(col("t")).as(Seq("i", "tok_a")), col("t"))
+      .select(col("tok_a"),
+        explode(slice(col("t"), col("i") + lit(2), size(col("t")))).as("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_ab"))
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+    val dfreq = docToks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(dfreq.select(col("tok").as("tok_a"), col("df").as("df_a"))), "tok_a")
+      .join(broadcast(dfreq.select(col("tok").as("tok_b"), col("df").as("df_b"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_ab") >= 20)
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log(col("n_ab") * col("n_docs") / (col("df_a") * col("df_b"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_collocations" -> qCollocations,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams,
     "q_text_tokens" -> qTextTokens,
     "q_token_count" -> qTokenCount,
@@ -296,6 +335,24 @@ object TextAnalysis {
         |           len(list_distinct(string_split(text, ' '))) AS n_unique
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(t) AS tok FROM d),
+        |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, n_ab,
+        |       round(ln(n_ab * n_docs / (fa.df * fb.df)), 4) AS pmi
+        |FROM pairs
+        |JOIN dfreq fa ON fa.tok = pairs.tok_a
+        |JOIN dfreq fb ON fb.tok = pairs.tok_b, n
+        |WHERE n_ab >= 20
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin,
     "q_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),

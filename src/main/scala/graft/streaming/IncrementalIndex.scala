@@ -80,9 +80,18 @@ object IncrementalIndex {
     * `numBuckets` (metadata, not data). Re-merging the same batch is
     * idempotent — latest-wins by event_id — which is what makes the
     * per-bucket (prefix-atomic) commit crash-safe; see
-    * [[StateStore.commitBuckets]]. */
+    * [[StateStore.commitBuckets]].
+    *
+    * `rollup` threads an incrementally-maintained aggregate through the
+    * same pass ([[IncrementalRollup]]): after the row swap, the touched
+    * buckets' partial aggregates are recomputed from the post-merge rows
+    * the merge already holds cached and swapped in under the same
+    * prefix-atomic discipline — replay-idempotent because the partials
+    * are a pure function of the (idempotently re-merged) bucket
+    * contents. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, statePath: String,
-                 numBuckets: Int = DefaultBuckets): Unit = {
+                 numBuckets: Int = DefaultBuckets,
+                 rollup: Option[IncrementalRollup.Spec] = None): Unit = {
     val withB = batch.withColumn("b", bucketCol(numBuckets))
     val touched = withB.select("b").distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return // empty micro-batch: no bucket to rewrite
@@ -107,9 +116,13 @@ object IncrementalIndex {
     merged.count() // materialize before the swap touches the input paths
     // written clustered by rowkey: point lookups push a key predicate that
     // parquet page stats can then prune (see IncrementalPostings' write)
-    try StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>
-      merged.sortWithinPartitions("b", "rowkey")
-        .write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
+    try {
+      StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>
+        merged.sortWithinPartitions("b", "rowkey")
+          .write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
+      }
+      rollup.foreach(spec =>
+        IncrementalRollup.updateBuckets(spark, merged, spec, touchedDirs, numBuckets))
     } finally merged.unpersist(): Unit
   }
 
@@ -187,7 +200,8 @@ object IncrementalIndex {
     * the caller. */
   def start(changes: DataFrame, statePath: String, checkpoint: String,
             intervalSeconds: Int = 30, firstDelaySeconds: Int = 0,
-            numBuckets: Int = DefaultBuckets): StreamingQuery = {
+            numBuckets: Int = DefaultBuckets,
+            rollup: Option[IncrementalRollup.Spec] = None): StreamingQuery = {
     val gate = firstBatchGate(firstDelaySeconds)
     // cross-process single-writer fence (see WriterFence): a later
     // claimant on this root fences every subsequent batch here out
@@ -199,7 +213,7 @@ object IncrementalIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         gate()
         fence.check(batch.sparkSession)
-        mergeBatch(batch.sparkSession, batch, statePath, numBuckets)
+        mergeBatch(batch.sparkSession, batch, statePath, numBuckets, rollup)
       }
       .start()
   }

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.{IncrementalIndex, IncrementalRollup, StateStore}
+
+/** The incrementally-maintained aggregate sidecar (IncrementalRollup):
+  * per-bucket partials recomputed only for the buckets each merge touches
+  * must always collapse to exactly the aggregate a full recompute over the
+  * live state produces — for any chunking, with replacements and deletes,
+  * under replay, and with untouched partials never rewritten. */
+class IncrementalRollupSpec extends SparkSpec {
+
+  private def changelog: DataFrame =
+    Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("user_id").cast("string").as("rowkey"),
+      col("event_id"),
+      when(col("event_type") === "error", "delete").otherwise("put").as("op"),
+      col("event_type"),
+      round(col("value"), 2).as("value"))
+
+  private def spec(base: String) =
+    IncrementalRollup.Spec(base + "/rollup", Seq("event_type"), Some("value"))
+
+  private def rollupMap(s: IncrementalRollup.Spec): Map[String, (Long, Double)] =
+    IncrementalRollup.read(spark, s).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"),
+          math.rint(r.getAs[Double]("sum_value") * 100) / 100)).toMap
+
+  private def recompute(statePath: String): Map[String, (Long, Double)] =
+    IncrementalIndex.readState(spark, statePath)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+
+  test("chunked merges maintain the rollup exactly (updates + deletes, 4 chunks)") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_ru").toString
+    val st = base + "/state"
+    val sp = spec(base)
+    Seq((0L, 250L), (250L, 500L), (500L, 750L), (750L, 1000000L)).foreach {
+      case (lo, hi) =>
+        IncrementalIndex.mergeBatch(spark,
+          ev.filter(col("event_id") >= lo && col("event_id") < hi), st,
+          rollup = Some(sp))
+    }
+    val maintained = rollupMap(sp)
+    assert(maintained === recompute(st))
+    assert(maintained.nonEmpty)
+  }
+
+  test("replaying a chunk is idempotent; untouched partials are not rewritten") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_ruR").toString
+    val st = base + "/state"
+    val sp = spec(base)
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), st,
+      rollup = Some(sp))
+    val before = rollupMap(sp)
+    // checkpoint replay: the exact same chunk a second time
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 500), st,
+      rollup = Some(sp))
+    assert(rollupMap(sp) === before)
+    // now merge ONE key's update and check other partial buckets' bytes
+    val one = ev.orderBy(col("event_id").desc).limit(1)
+      .withColumn("value", lit(99.0))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    val touchedKey = one.head().getAs[String]("rowkey")
+    val touchedDir = StateStore.bucketDirsFor(spark, sp.path, Seq(touchedKey))
+    def bytesByDir(): Map[String, Long] =
+      StateStore.liveBuckets(spark, sp.path).map { d =>
+        val f = new java.io.File(sp.path, d)
+        d -> f.listFiles().map(_.length()).sum
+      }.toMap
+    val bytesBefore = bytesByDir()
+    IncrementalIndex.mergeBatch(spark, one, st, rollup = Some(sp))
+    val bytesAfter = bytesByDir()
+    (bytesBefore.keySet ++ bytesAfter.keySet).filterNot(touchedDir.contains)
+      .foreach(d => assert(bytesBefore.get(d) === bytesAfter.get(d),
+        s"untouched rollup bucket $d was rewritten"))
+    assert(rollupMap(sp) === recompute(st))
+  }
+
+  test("a bucket emptied by deletes drops its rollup dir; totals stay exact") {
+    val base = Files.createTempDirectory("graft_ruD").toString
+    val st = base + "/state"
+    val sp = IncrementalRollup.Spec(base + "/rollup", Seq("g"))
+    import spark.implicits._
+    val puts = Seq(("k1", 1L, "put", "a"), ("k2", 2L, "put", "b"))
+      .toDF("rowkey", "event_id", "op", "g")
+    IncrementalIndex.mergeBatch(spark, puts, st, rollup = Some(sp))
+    assert(IncrementalRollup.read(spark, sp).count() === 2)
+    val dels = Seq(("k1", 3L, "delete", "a"), ("k2", 4L, "delete", "b"))
+      .toDF("rowkey", "event_id", "op", "g")
+    IncrementalIndex.mergeBatch(spark, dels, st, rollup = Some(sp))
+    assert(IncrementalRollup.read(spark, sp).count() === 0)
+    // tombstones remain in the ROW state, but no rollup bucket dir survives
+    assert(StateStore.liveBuckets(spark, sp.path).isEmpty)
+  }
+
+  test("rebuild from the row state equals the maintained rollup; spec drift fails loudly") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_ruB").toString
+    val st = base + "/state"
+    val sp = spec(base)
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") < 600), st,
+      rollup = Some(sp))
+    IncrementalIndex.mergeBatch(spark, ev.filter(col("event_id") >= 600), st,
+      rollup = Some(sp))
+    val maintained = rollupMap(sp)
+    IncrementalRollup.rebuild(spark, st, sp)
+    assert(rollupMap(sp) === maintained)
+    // a writer presenting a different grouping must fail, not mix partials
+    val drift = IncrementalRollup.Spec(sp.path, Seq("op"), None)
+    val e = intercept[Exception] {
+      IncrementalIndex.mergeBatch(spark, ev.limit(1), st, rollup = Some(drift))
+    }
+    assert(e.getMessage.contains("_rollup"))
+  }
+
+  test("rollup after a row-root rescale: rebuild repairs the moved buckets") {
+    val ev = changelog
+    val base = Files.createTempDirectory("graft_ruS").toString
+    val st = base + "/state"
+    val sp = spec(base)
+    IncrementalIndex.mergeBatch(spark, ev, st, rollup = Some(sp))
+    val before = rollupMap(sp)
+    StateStore.rescale(spark, st, "rowkey", 32)
+    // partials are stale in LAYOUT (bucket ids moved), not in content —
+    // the collapse still reads them all, so totals survive; rebuild
+    // re-buckets the sidecar to the new count for delta maintenance
+    IncrementalRollup.rebuild(spark, st, sp)
+    assert(StateStore.bucketCount(spark, sp.path) === Some(32))
+    assert(rollupMap(sp) === before)
+    assert(rollupMap(sp) === recompute(st))
+  }
+}
