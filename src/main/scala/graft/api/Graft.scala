@@ -538,6 +538,22 @@ class Graft(spark: SparkSession, dir: String,
       tokenize = tokenizer.tokens, scheme = scheme,
       tokenizerName = Some(tokenizer.name))
 
+  /** Turn on the pipeline's incrementally-maintained aggregate
+    * ([[graft.streaming.IncrementalRollup]]): subsequent merges keep
+    * per-bucket partials of `groupCols` (+ optional `sum(sumCol)`)
+    * current; [[pipelineRollup]] then serves the facet with no state
+    * scan. Writer — run against a stopped pipeline or from the
+    * maintenance slot. */
+  def enableRollup(pipelineRoot: String, groupCols: Seq[String],
+                   sumCol: Option[String] = None): Unit =
+    IngestPipeline.enableRollup(spark, pipelineRoot, groupCols, sumCol)
+
+  /** The maintained aggregate of a rollup-enabled pipeline: one row per
+    * group with `n` (+ `sum_<col>`), read from |buckets|×|groups|
+    * partial rows. */
+  def pipelineRollup(pipelineRoot: String): DataFrame =
+    IngestPipeline.readRollup(spark, pipelineRoot)
+
   /** Gap-based sessionization of [[events]] (30-minute idle split): one
     * row per (user, session) — count, span, value sum. */
   def sessions: DataFrame = graft.operators.Temporal.sessions(events)

@@ -50,6 +50,55 @@ object IngestPipeline {
   def postingsRoot(pipelineRoot: String): String = s"$pipelineRoot/postings"
   def shingleRoot(pipelineRoot: String): String = s"$pipelineRoot/shingles"
   def vectorsRoot(pipelineRoot: String): String = s"$pipelineRoot/vectors"
+  def rollupRoot(pipelineRoot: String): String = s"$pipelineRoot/rollup"
+
+  /** Root marker holding the pipeline's maintained-aggregate spec (see
+    * [[enableRollup]]) — read by every merge path, so the rollup rides
+    * applyBatch, bootstrap resume, AND forget without parameter
+    * threading, the same marker-is-authoritative discipline as
+    * `_nbuckets`/`_scheme`/`_tokenizer`. */
+  private val RollupMarker = "_rollup_spec"
+
+  /** Turn on the incrementally-maintained aggregate sidecar
+    * ([[IncrementalRollup]]) for this pipeline: every subsequent row-state
+    * merge — streamed batch, bootstrap, forget tombstones — keeps
+    * per-bucket partials of `groupCols` (+ optional `sum(sumCol)`)
+    * current, and [[readRollup]] serves the facet in O(buckets × groups)
+    * with no state scan. `groupCols` must exist in the changelog schema;
+    * a merge of a batch without them fails loudly. Enabling on a
+    * populated pipeline backfills by one [[IncrementalRollup.rebuild]]
+    * pass. This is a WRITER (it claims the root's fence): run it against
+    * a stopped pipeline or from the maintenance slot. */
+  def enableRollup(spark: SparkSession, pipelineRoot: String,
+                   groupCols: Seq[String],
+                   sumCol: Option[String] = None): Unit = {
+    val spec = IncrementalRollup.Spec(rollupRoot(pipelineRoot), groupCols, sumCol)
+    val fence = WriterFence.claim(spark, pipelineRoot)
+    StateStore.ensureTag(spark, pipelineRoot, RollupMarker, spec.tagValue)
+    fence.check(spark)
+    if (StateStore.liveBuckets(spark, stateRoot(pipelineRoot)).nonEmpty)
+      IncrementalRollup.rebuild(spark, stateRoot(pipelineRoot), spec)
+  }
+
+  /** The enabled rollup spec of this pipeline, if any — parsed from the
+    * root marker, so merge paths and read surfaces always agree. */
+  def pipelineRollup(spark: SparkSession,
+                     pipelineRoot: String): Option[IncrementalRollup.Spec] =
+    StateStore.readTag(spark, pipelineRoot, RollupMarker).map { v =>
+      val parts = v.split("\\|", -1)
+      IncrementalRollup.Spec(rollupRoot(pipelineRoot),
+        parts(0).split(",").toSeq.filter(_.nonEmpty),
+        if (parts.length < 2 || parts(1).isEmpty) None else Some(parts(1)))
+    }
+
+  /** The maintained aggregate ([[enableRollup]] must have run): one row
+    * per group with `n` (+ `sum_<col>`), read from the partial sidecar —
+    * never the row state. */
+  def readRollup(spark: SparkSession, pipelineRoot: String): DataFrame =
+    pipelineRollup(spark, pipelineRoot)
+      .map(IncrementalRollup.read(spark, _))
+      .getOrElse(throw new IllegalStateException(
+        s"no rollup enabled at $pipelineRoot — run enableRollup first"))
 
   /** The columns every maintained TEXT state consumes. The pipeline
     * projects the gated batch to these before the postings/shingle merges,
@@ -351,7 +400,8 @@ object IngestPipeline {
     }
     val merges = Seq(
       merge(IncrementalIndex.mergeBatch(spark, gated,
-        stateRoot(pipelineRoot), numBuckets)),
+        stateRoot(pipelineRoot), numBuckets,
+        pipelineRollup(spark, pipelineRoot))),
       merge(IncrementalPostings.mergeBatch(spark, gatedText,
         postingsRoot(pipelineRoot), tokenize, numBuckets, tokenizerName)),
       merge(IncrementalShingles.mergeBatch(spark, gatedText,
@@ -667,6 +717,12 @@ object IngestPipeline {
       .map(r => ("admissions", "verdict_" + r.getString(0), r.getLong(1).toDouble))
       .toSeq :+ (("admissions", "batches",
         adm.select("batch_id").distinct().count().toDouble))
+    val roll = pipelineRollup(spark, pipelineRoot).toSeq.flatMap { sp =>
+      Seq(("rollup", "buckets",
+          StateStore.liveBuckets(spark, sp.path).size.toDouble),
+        ("rollup", "groups",
+          IncrementalRollup.read(spark, sp).count().toDouble))
+    }
     (keyedStats("row_state", stateRoot(pipelineRoot), tombstoned = true) ++
       keyedStats("postings_docs", postingsRoot(pipelineRoot) + "/docs",
         tombstoned = true) ++
@@ -676,7 +732,7 @@ object IngestPipeline {
         tombstoned = true) ++
       keyedStats("shingle_entries", shingleRoot(pipelineRoot) + "/entries",
         tombstoned = false) ++
-      vec ++ admStats)
+      vec ++ roll ++ admStats)
       .toDF("state", "metric", "value")
       .orderBy("state", "metric")
   }
@@ -871,6 +927,14 @@ object IngestPipeline {
     fence.check(spark)
     StateStore.rescale(spark, stateRoot(pipelineRoot), "rowkey", newBuckets)
     fence.check(spark)
+    // the rollup sidecar mirrors the row state's bucket ids — a rescale
+    // stales its LAYOUT (totals stay correct: the read collapses all
+    // partials), and the next merge would fail its _nbuckets check; one
+    // rebuild pass re-buckets it at the new count
+    pipelineRollup(spark, pipelineRoot).foreach { sp =>
+      IncrementalRollup.rebuild(spark, stateRoot(pipelineRoot), sp)
+      fence.check(spark)
+    }
     // tokenizerName validates against the postings root's _tokenizer
     // marker BEFORE the dstats recompute — a wrong-tokenizer rescale must
     // fail the loud marker check, not silently rewrite dl_sum in the
@@ -960,15 +1024,34 @@ object IngestPipeline {
       StateStore.commit(spark, dir)(tmp => doomed.write.parquet(tmp))
     }
     val logged = spark.read.schema(forgetSchema).parquet(dir)
-    val dels0 = logged.select(col("rowkey"), col("event_id"),
-      lit("delete").as("op"), lit("").as("text"))
-    // only carry an embedding column when a vector state exists: its
-    // presence is what routes the batch through the vector merge, and a
-    // non-vector pipeline's rowkeys need not be numeric vec_ids
-    val dels =
-      if (graft.operators.IvfIndex.exists(spark, vectorsRoot(pipelineRoot)))
-        dels0.withColumn("embedding", lit(null).cast("array<float>"))
-      else dels0
+    // Tombstones must match the ROW STATE's schema exactly: the merge
+    // unions them against existing bucket rows, and a changelog that
+    // carried payload columns (vectors, multimodal blobs, facet fields)
+    // stored them in the state — a hardcoded (rowkey, event_id, op,
+    // text) tombstone would fail that union. Synthesize from the live
+    // schema: text as "" (the delete convention the token merges
+    // expect), every other payload column as a typed null. The embedding
+    // column thus rides along exactly when the state has one — which is
+    // also what routes the batch through the vector merge; a non-vector
+    // pipeline's rowkeys need not be numeric vec_ids.
+    val stateSchema =
+      if (StateStore.liveBuckets(spark, sroot).isEmpty) None
+      else Some(IncrementalIndex.readState(spark, sroot).schema)
+    val dels = stateSchema match {
+      case Some(sch) =>
+        val keyed = Set("rowkey", "event_id", "op")
+        val cols = sch.fields.map { f =>
+          if (keyed.contains(f.name)) col(f.name)
+          else if (f.name == "text") lit("").as("text")
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        logged.select(col("rowkey"), col("event_id"),
+            lit("delete").as("op"))
+          .select(cols.toSeq: _*)
+      case None =>
+        logged.select(col("rowkey"), col("event_id"),
+          lit("delete").as("op"), lit("").as("text"))
+    }
     val noDecisions = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decisionSchema)
     // a forget that stalled long enough for an operator to start another

@@ -798,4 +798,68 @@ class IngestPipelineSpec extends SparkSpec {
       col("text").contains("red"), forgetId = -3L) === 1L)
     assert(liveKeys(root) === Set("1"))
   }
+
+  private def rollupMap(root: String): Map[String, Long] =
+    IngestPipeline.readRollup(spark, root).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+
+  test("pipeline rollup rides batches, forget, and rescale via the root marker") {
+    val root = Files.createTempDirectory("graft_pipeRu").toString + "/pipe"
+    IngestPipeline.enableRollup(spark, root, Seq("lang"))
+    applyL(root, 0, Seq(
+      LangDocChange("1", 0, "put", "alpha beta gamma delta", "en"),
+      LangDocChange("2", 1, "put", "rot gruen blau gelb", "de")))
+    assert(rollupMap(root) === Map("en" -> 1L, "de" -> 1L))
+    // an update, a delete, a novel doc — all through the gated path
+    applyL(root, 1, Seq(
+      LangDocChange("3", 10, "put", "totally different english words", "en"),
+      LangDocChange("2", 11, "delete", "", "de")))
+    assert(rollupMap(root) === Map("en" -> 2L))
+    // forget synthesizes tombstones matching the EXTENDED schema
+    assert(IngestPipeline.forget(spark, root,
+      col("rowkey") === "1", forgetId = -2L) === 1L)
+    assert(rollupMap(root) === Map("en" -> 1L))
+    // rescale re-buckets the sidecar; the next merge keeps maintaining
+    IngestPipeline.rescale(spark, root, 32)
+    assert(graft.streaming.StateStore.bucketCount(spark,
+      IngestPipeline.rollupRoot(root)) === Some(32))
+    assert(rollupMap(root) === Map("en" -> 1L))
+    applyL(root, 2, Seq(
+      LangDocChange("7", 20, "put", "encore des mots differents ici", "fr")))
+    assert(rollupMap(root) === Map("en" -> 1L, "fr" -> 1L))
+    // the rollup equals a recompute from the row state (the invariant)
+    val recomputed = IncrementalIndex
+      .readState(spark, IngestPipeline.stateRoot(root))
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(rollupMap(root) === recomputed)
+    // monitoring sees it
+    val d = IngestPipeline.describe(spark, root)
+      .filter(col("state") === "rollup").collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(d("groups") === 2.0)
+  }
+
+  private def applyL(root: String, id: Long, changes: Seq[LangDocChange]): Unit =
+    IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5)
+
+  test("enableRollup on an already-populated pipeline backfills by rebuild") {
+    val root = Files.createTempDirectory("graft_pipeRu2").toString + "/pipe"
+    applyL(root, 0, Seq(
+      LangDocChange("1", 0, "put", "alpha beta gamma delta", "en"),
+      LangDocChange("2", 1, "put", "rot gruen blau gelb", "de")))
+    IngestPipeline.enableRollup(spark, root, Seq("lang"))
+    assert(rollupMap(root) === Map("en" -> 1L, "de" -> 1L))
+    // and a conflicting re-enable fails loudly instead of mixing partials
+    val e = intercept[Exception] {
+      IngestPipeline.enableRollup(spark, root, Seq("op"))
+    }
+    assert(e.getMessage.contains("_rollup_spec"))
+  }
 }
+
+/** A changelog row carrying a facet field beside the text — the shape a
+  * rollup-enabled pipeline ingests (the group column rides the row
+  * state; token states never see it). */
+case class LangDocChange(rowkey: String, event_id: Long, op: String,
+                         text: String, lang: String)
