@@ -554,6 +554,18 @@ class Graft(spark: SparkSession, dir: String,
   def pipelineRollup(pipelineRoot: String): DataFrame =
     IngestPipeline.readRollup(spark, pipelineRoot)
 
+  /** Register standing percolator queries on a pipeline: from the next
+    * batch on, every admitted put is matched and hits land durably under
+    * the pipeline's alert outbox ([[pipelineAlerts]]). */
+  def registerQueries(pipelineRoot: String,
+                      queries: Seq[(String, Seq[String])]): Unit =
+    IngestPipeline.registerQueries(spark, pipelineRoot, queries)
+
+  /** The pipeline's durable alert outbox — (rowkey, query_id, batch_id)
+    * for every standing-query hit. */
+  def pipelineAlerts(pipelineRoot: String): DataFrame =
+    IngestPipeline.alerts(spark, pipelineRoot)
+
   /** Gap-based sessionization of [[events]] (30-minute idle split): one
     * row per (user, session) — count, span, value sum. */
   def sessions: DataFrame = graft.operators.Temporal.sessions(events)

@@ -100,6 +100,119 @@ object IngestPipeline {
       .getOrElse(throw new IllegalStateException(
         s"no rollup enabled at $pipelineRoot — run enableRollup first"))
 
+  // ---- percolator: standing alert queries over the ingest ----
+
+  def percolatorRoot(pipelineRoot: String): String = s"$pipelineRoot/percolator"
+  private def registryDir(pipelineRoot: String): String =
+    s"${percolatorRoot(pipelineRoot)}/registry"
+  private def alertsRoot(pipelineRoot: String): String =
+    s"${percolatorRoot(pipelineRoot)}/alerts"
+  private def alertDir(pipelineRoot: String, batchId: Long): String =
+    s"${alertsRoot(pipelineRoot)}/batch=$batchId"
+
+  /** Upsert standing percolator queries (term conjunctions, keyed by
+    * query_id) into the pipeline's registry — from the NEXT batch on,
+    * every admitted put is matched against them and hits land durably
+    * under `percolator/alerts/batch=<id>` ([[alerts]]): the reference's
+    * search surface turned around into ingest-time alerting
+    * ([[graft.operators.Percolate]]). The registry is a tiny
+    * whole-swap parquet state (same [[StateStore.commit]] discipline as
+    * every sidecar); registrations are queries-by-id, so re-registering
+    * an id replaces its terms. */
+  def registerQueries(spark: SparkSession, pipelineRoot: String,
+                      queries: Seq[(String, Seq[String])]): Unit = {
+    require(queries.nonEmpty, "registerQueries needs at least one query")
+    require(queries.forall(_._2.nonEmpty), "a percolator query needs terms")
+    import spark.implicits._
+    val ids = queries.map(_._1).toSet
+    val merged = registry(spark, pipelineRoot)
+      .filterNot(e => ids.contains(e._1)) ++ queries
+    StateStore.commit(spark, registryDir(pipelineRoot)) { tmp =>
+      merged.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("query_id", "term").coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** Drop standing queries by id (absent ids are ignored). */
+  def removeQueries(spark: SparkSession, pipelineRoot: String,
+                    ids: Seq[String]): Unit = {
+    import spark.implicits._
+    val gone = ids.toSet
+    val kept = registry(spark, pipelineRoot).filterNot(e => gone.contains(e._1))
+    StateStore.commit(spark, registryDir(pipelineRoot)) { tmp =>
+      kept.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("query_id", "term").coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** The registered standing queries — driver-side (the registry is
+    * compiled into each batch's plan, so it must fit one; see
+    * [[graft.operators.Percolate.matchesCompiled]]'s size guidance). */
+  def registry(spark: SparkSession,
+               pipelineRoot: String): Seq[(String, Seq[String])] = {
+    val dir = registryDir(pipelineRoot)
+    StateStore.recover(spark, dir)
+    if (!StateStore.nonEmpty(spark, dir)) return Seq.empty
+    spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("query_id") -> r.getAs[String]("term"))
+      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSeq }
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Every durable alert — (rowkey, query_id, batch_id): which admitted
+    * put matched which standing query, in which batch. Alerts are the
+    * pipeline's OUTBOX: a consumer drains by batch id high-water mark;
+    * [[gcAlerts]] applies the same horizon retention as the admission
+    * log. Empty (with schema) when nothing has matched. */
+  def alerts(spark: SparkSession, pipelineRoot: String): DataFrame = {
+    import spark.implicits._
+    val root = alertsRoot(pipelineRoot)
+    val dirs = StateStore.liveBuckets(spark, root, prefix = "batch=")
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("rowkey", "query_id", "batch_id")
+    dirs.foldLeft(empty) { (acc, d) =>
+      acc.unionByName(spark.read.parquet(s"$root/$d")
+        .withColumn("batch_id", lit(d.stripPrefix("batch=").toLong)))
+    }
+  }
+
+  /** Drop alert batch dirs behind the consumer's high-water mark — the
+    * outbox drain (bootstrap alerts, like the bootstrap admission entry,
+    * are initial-load provenance and survive). */
+  def gcAlerts(spark: SparkSession, pipelineRoot: String,
+               horizonBatchId: Long): Unit = {
+    val root = alertsRoot(pipelineRoot)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return
+    StateStore.liveBuckets(spark, root, prefix = "batch=")
+      .filter { d =>
+        val id = d.stripPrefix("batch=").toLong
+        id != BootstrapBatchId && id < horizonBatchId
+      }
+      .foreach(d => fs.delete(new Path(s"$root/$d"), true): Unit)
+  }
+
+  /** Match this batch's admitted puts against the registry and commit the
+    * hits under the batch's alert dir — compiled percolation (stateless,
+    * no shuffle), latest-event-per-rowkey so a put superseded inside its
+    * own batch never alerts. Replay-idempotent: the same gated batch
+    * produces the same hits, and the per-batch commit overwrites. A
+    * delete-only batch (forget) or an empty registry writes nothing. */
+  private def emitAlerts(spark: SparkSession, gated: DataFrame,
+                         pipelineRoot: String, batchId: Long): Unit = {
+    val reg = registry(spark, pipelineRoot)
+    if (reg.isEmpty) return
+    val docs = IncrementalIndex.compact(
+        gated.select(TextCols.map(col): _*))
+      .select(col("rowkey").as("doc_id"), col("text"))
+    val hits = graft.operators.Percolate.matchesCompiled(docs, reg)
+      .select(col("doc_id").as("rowkey"), col("query_id"))
+    StateStore.commit(spark, alertDir(pipelineRoot, batchId)) { tmp =>
+      hits.write.parquet(tmp)
+    }
+  }
+
   /** The columns every maintained TEXT state consumes. The pipeline
     * projects the gated batch to these before the postings/shingle merges,
     * so payload columns (the vector, multimodal blobs) never bloat the
@@ -354,7 +467,7 @@ object IngestPipeline {
       scheme, admitIf, semanticThreshold, semanticProbes)
     val t1 = System.nanoTime()
     mergeAll(spark, batch, decisions, pipelineRoot, effBuckets, tokenize,
-      scheme, annNlist, annIters, tokenizerName)
+      scheme, annNlist, annIters, tokenizerName, Some(batchId))
     ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
   }
 
@@ -381,7 +494,8 @@ object IngestPipeline {
                        numBuckets: Int, tokenize: Column => Column,
                        scheme: IncrementalShingles.SketchScheme,
                        annNlist: Int, annIters: Int,
-                       tokenizerName: Option[String] = None): Unit = {
+                       tokenizerName: Option[String] = None,
+                       batchId: Option[Long] = None): Unit = {
     // checkpointed: every merge reads the gated batch; without it each
     // would re-run the semi-join (and re-read the source batch)
     val gated = IncrementalShingles.gatedBatch(batch, decisions).localCheckpoint()
@@ -406,6 +520,12 @@ object IngestPipeline {
         postingsRoot(pipelineRoot), tokenize, numBuckets, tokenizerName)),
       merge(IncrementalShingles.mergeBatch(spark, gatedText,
         shingleRoot(pipelineRoot), numBuckets, scheme))) ++
+      // standing-query alerting shares the batch pass: hits commit to the
+      // per-batch alert dir beside the state merges (disjoint root, same
+      // idempotent-replay argument). Forget passes no id — a takedown's
+      // delete-only batch has nothing to alert on.
+      batchId.map(id =>
+        merge(emitAlerts(spark, gated, pipelineRoot, id))).toSeq ++
       (if (gated.columns.contains("embedding"))
         Seq(merge(mergeVectors(spark, gated, vectorsRoot(pipelineRoot),
           annNlist, annIters)))
@@ -660,7 +780,7 @@ object IngestPipeline {
     }
     fence.check(spark) // last look before the merges start
     mergeAll(spark, corpus, decisions, pipelineRoot, numBuckets, tokenize,
-      scheme, annNlist, annIters, tokenizerName)
+      scheme, annNlist, annIters, tokenizerName, Some(BootstrapBatchId))
     val counts = decisions.groupBy("verdict").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val admitted = counts.getOrElse("admitted", 0L)
@@ -822,6 +942,7 @@ object IngestPipeline {
       horizonEventId, effBuckets)
     if (compactAdmissionLog) compactAdmissions(spark, pipelineRoot, horizonBatchId)
     else gcAdmissions(spark, pipelineRoot, horizonBatchId)
+    gcAlerts(spark, pipelineRoot, horizonBatchId) // outbox drain, same horizon
     val vroot = vectorsRoot(pipelineRoot)
     val (skewBefore, rebuilt, skewAfter) =
       if (!graft.operators.IvfIndex.exists(spark, vroot))

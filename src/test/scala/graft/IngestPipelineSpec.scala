@@ -843,6 +843,48 @@ class IngestPipelineSpec extends SparkSpec {
   private def applyL(root: String, id: Long, changes: Seq[LangDocChange]): Unit =
     IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5)
 
+  test("standing queries alert on admitted puts only; replay and GC behave") {
+    val root = Files.createTempDirectory("graft_pipePc").toString + "/pipe"
+    IngestPipeline.registerQueries(spark, root, Seq(
+      "alert_ab" -> Seq("alpha", "beta"),
+      "alert_red" -> Seq("red")))
+    applyB(root, 0, Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "red green blue yellow")))
+    // batch 1: a state dup (dropped — must NOT alert despite matching),
+    // a novel match, and a delete
+    applyB(root, 1, Seq(
+      DocChange("3", 10, "put", "alpha beta gamma delta zeta"),
+      DocChange("4", 11, "put", "red crimson maroon scarlet"),
+      DocChange("2", 12, "delete", "")))
+    def hits: Set[(String, String, Long)] =
+      IngestPipeline.alerts(spark, root).collect()
+        .map(r => (r.getAs[String]("rowkey"), r.getAs[String]("query_id"),
+          r.getAs[Long]("batch_id"))).toSet
+    assert(hits === Set(
+      ("1", "alert_ab", 0L), ("2", "alert_red", 0L), ("4", "alert_red", 1L)))
+    // re-applying the same batch (checkpoint replay) converges
+    applyB(root, 1, Seq(
+      DocChange("3", 10, "put", "alpha beta gamma delta zeta"),
+      DocChange("4", 11, "put", "red crimson maroon scarlet"),
+      DocChange("2", 12, "delete", "")))
+    assert(hits === Set(
+      ("1", "alert_ab", 0L), ("2", "alert_red", 0L), ("4", "alert_red", 1L)))
+    // registry upsert by id: alert_red narrowed, next batch follows it
+    IngestPipeline.registerQueries(spark, root,
+      Seq("alert_red" -> Seq("red", "orange")))
+    applyB(root, 2, Seq(DocChange("7", 20, "put", "red orange crimson here")))
+    assert(hits.contains(("7", "alert_red", 2L)))
+    assert(!hits.contains(("4", "alert_red", 2L)))
+    // outbox drain: a consumer at high-water mark 2 drops batches 0,1
+    IngestPipeline.gcAlerts(spark, root, horizonBatchId = 2L)
+    assert(hits === Set(("7", "alert_red", 2L)))
+    // removal silences from the next batch on
+    IngestPipeline.removeQueries(spark, root, Seq("alert_red"))
+    applyB(root, 3, Seq(DocChange("9", 30, "put", "red orange again fresh")))
+    assert(hits === Set(("7", "alert_red", 2L)))
+  }
+
   test("enableRollup on an already-populated pipeline backfills by rebuild") {
     val root = Files.createTempDirectory("graft_pipeRu2").toString + "/pipe"
     applyL(root, 0, Seq(
