@@ -561,6 +561,12 @@ class Graft(spark: SparkSession, dir: String,
                       queries: Seq[(String, Seq[String])]): Unit =
     IngestPipeline.registerQueries(spark, pipelineRoot, queries)
 
+  /** Boolean registration: every `all` term, ≥1 `any` term (when given),
+    * no `none` term — the search surface's S2 semantics, standing. */
+  def registerStoredQueries(pipelineRoot: String,
+                            queries: Seq[graft.operators.Percolate.StoredQuery]): Unit =
+    IngestPipeline.registerStoredQueries(spark, pipelineRoot, queries)
+
   /** The pipeline's durable alert outbox — (rowkey, query_id, batch_id)
     * for every standing-query hit. */
   def pipelineAlerts(pipelineRoot: String): DataFrame =

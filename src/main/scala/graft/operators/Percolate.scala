@@ -32,6 +32,16 @@ import graft.Tables
 object Percolate {
   type Q = (SparkSession, String) => DataFrame
 
+  /** A stored boolean query — the reference's S2 semantics turned
+    * standing: every `all` term required, at least one `any` term (when
+    * any are given), no `none` term present. */
+  final case class StoredQuery(id: String, all: Seq[String],
+                               any: Seq[String] = Nil,
+                               none: Seq[String] = Nil) {
+    require(all.nonEmpty || any.nonEmpty,
+      s"stored query '$id' needs at least one positive term")
+  }
+
   /** The fixed demo registry for the oracle key — term conjunctions over
     * the documents fixture's vocabulary. */
   val demoQueries: Seq[(String, Seq[String])] = Seq(
@@ -39,41 +49,64 @@ object Percolate {
     "alert_slow_query" -> Seq("slow", "query"),
     "alert_vector_merge" -> Seq("vector", "merge", "fast"))
 
+  private def conjunctions(qs: Seq[(String, Seq[String])]): Seq[StoredQuery] =
+    qs.map { case (id, terms) => StoredQuery(id, terms) }
+
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("toks"))
 
   /** Registry compiled into the plan: (doc_id, query_id) match pairs via
-    * per-query conjunctions — stateless, shuffle-free, streaming-safe. */
-  def matchesCompiled(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame = {
+    * per-query boolean conditions — stateless, shuffle-free,
+    * streaming-safe. */
+  def matchesCompiled(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame =
+    matchesCompiledBool(docs, conjunctions(queries))
+
+  def matchesCompiledBool(docs: DataFrame, queries: Seq[StoredQuery]): DataFrame = {
     require(queries.nonEmpty, "percolate needs at least one stored query")
-    val withToks = tokenized(docs)
-    val hits: Column = array(queries.map { case (qid, terms) =>
-      val matched = terms.map(t => array_contains(col("toks"), t))
-        .reduce(_ && _)
-      when(matched, lit(qid))
+    def has(t: String): Column = array_contains(col("toks"), t)
+    val hits: Column = array(queries.map { q =>
+      val allOk = q.all.map(has).foldLeft(lit(true))(_ && _)
+      val anyOk =
+        if (q.any.isEmpty) lit(true) else q.any.map(has).reduce(_ || _)
+      val noneOk = q.none.map(t => !has(t)).foldLeft(lit(true))(_ && _)
+      when(allOk && anyOk && noneOk, lit(q.id))
     }: _*)
-    withToks.select(col("doc_id"),
-        explode(filter(hits, _.isNotNull)).as("query_id"))
+    tokenized(docs).select(col("doc_id"),
+      explode(filter(hits, _.isNotNull)).as("query_id"))
   }
 
   /** Registry joined as data: scales to registries too large to compile
-    * into a projection. One broadcast of the (small) exploded registry,
-    * one aggregate keyed (doc_id, query_id) — coverage == term count means
-    * the conjunction matched. */
-  def matches(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame = {
+    * into a projection. One broadcast of the (small) exploded role-tagged
+    * registry, one conditional aggregate keyed (doc_id, query_id):
+    * all-coverage == |all|, ≥1 any hit (when any exist), zero none hits. */
+  def matches(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame =
+    matchesBool(docs, conjunctions(queries))
+
+  def matchesBool(docs: DataFrame, queries: Seq[StoredQuery]): DataFrame = {
     require(queries.nonEmpty, "percolate needs at least one stored query")
     val spark = docs.sparkSession
     import spark.implicits._
-    val reg = queries.flatMap { case (qid, terms) =>
-      terms.distinct.map(t => (qid, t, terms.distinct.size))
-    }.toDF("query_id", "term", "n_terms")
+    val reg = queries.flatMap { q =>
+      q.all.distinct.map(t => (q.id, t, "all")) ++
+        q.any.distinct.map(t => (q.id, t, "any")) ++
+        q.none.distinct.map(t => (q.id, t, "none"))
+    }.toDF("query_id", "term", "role")
+    val sizes = queries.map(q =>
+      (q.id, q.all.distinct.size.toLong, q.any.distinct.size.toLong))
+      .toDF("query_id", "n_all", "n_any")
     tokenized(docs)
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .join(broadcast(reg), "term")
-      .groupBy("doc_id", "query_id", "n_terms")
-      .agg(count(lit(1)).as("hit"))
-      .filter(col("hit") === col("n_terms"))
+      .groupBy("doc_id", "query_id")
+      .agg(
+        count(when(col("role") === "all", 1)).as("hit_all"),
+        count(when(col("role") === "any", 1)).as("hit_any"),
+        count(when(col("role") === "none", 1)).as("hit_none"))
+      .join(broadcast(sizes), "query_id")
+      .filter(col("hit_all") === col("n_all") &&
+        (col("n_any") === 0 || col("hit_any") > 0) &&
+        col("hit_none") === 0)
       .select("doc_id", "query_id")
   }
 

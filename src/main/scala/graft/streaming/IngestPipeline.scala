@@ -7,6 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.operators.Percolate
 
 /** The reference's whole write path as ONE pipeline: a changelog
   * micro-batch is admission-filtered — quality predicate, text dedup
@@ -120,28 +121,37 @@ object IngestPipeline {
     * every sidecar); registrations are queries-by-id, so re-registering
     * an id replaces its terms. */
   def registerQueries(spark: SparkSession, pipelineRoot: String,
-                      queries: Seq[(String, Seq[String])]): Unit = {
+                      queries: Seq[(String, Seq[String])]): Unit =
+    registerStoredQueries(spark, pipelineRoot,
+      queries.map { case (id, ts) => Percolate.StoredQuery(id, ts) })
+
+  /** Full boolean registration (every `all` term, ≥1 `any` term when any
+    * are given, no `none` term — the S2 semantics turned standing). */
+  def registerStoredQueries(spark: SparkSession, pipelineRoot: String,
+                            queries: Seq[Percolate.StoredQuery]): Unit = {
     require(queries.nonEmpty, "registerQueries needs at least one query")
-    require(queries.forall(_._2.nonEmpty), "a percolator query needs terms")
-    import spark.implicits._
-    val ids = queries.map(_._1).toSet
-    val merged = registry(spark, pipelineRoot)
-      .filterNot(e => ids.contains(e._1)) ++ queries
-    StateStore.commit(spark, registryDir(pipelineRoot)) { tmp =>
-      merged.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
-        .toDF("query_id", "term").coalesce(1).write.parquet(tmp)
-    }
+    val ids = queries.map(_.id).toSet
+    writeRegistry(spark, pipelineRoot,
+      registry(spark, pipelineRoot).filterNot(q => ids.contains(q.id)) ++ queries)
   }
 
   /** Drop standing queries by id (absent ids are ignored). */
   def removeQueries(spark: SparkSession, pipelineRoot: String,
                     ids: Seq[String]): Unit = {
-    import spark.implicits._
     val gone = ids.toSet
-    val kept = registry(spark, pipelineRoot).filterNot(e => gone.contains(e._1))
+    writeRegistry(spark, pipelineRoot,
+      registry(spark, pipelineRoot).filterNot(q => gone.contains(q.id)))
+  }
+
+  private def writeRegistry(spark: SparkSession, pipelineRoot: String,
+                            queries: Seq[Percolate.StoredQuery]): Unit = {
+    import spark.implicits._
     StateStore.commit(spark, registryDir(pipelineRoot)) { tmp =>
-      kept.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
-        .toDF("query_id", "term").coalesce(1).write.parquet(tmp)
+      queries.flatMap { q =>
+        q.all.distinct.map(t => (q.id, t, "all")) ++
+          q.any.distinct.map(t => (q.id, t, "any")) ++
+          q.none.distinct.map(t => (q.id, t, "none"))
+      }.toDF("query_id", "term", "role").coalesce(1).write.parquet(tmp)
     }
   }
 
@@ -149,14 +159,19 @@ object IngestPipeline {
     * compiled into each batch's plan, so it must fit one; see
     * [[graft.operators.Percolate.matchesCompiled]]'s size guidance). */
   def registry(spark: SparkSession,
-               pipelineRoot: String): Seq[(String, Seq[String])] = {
+               pipelineRoot: String): Seq[Percolate.StoredQuery] = {
     val dir = registryDir(pipelineRoot)
     StateStore.recover(spark, dir)
     if (!StateStore.nonEmpty(spark, dir)) return Seq.empty
     spark.read.parquet(dir).collect()
-      .map(r => r.getAs[String]("query_id") -> r.getAs[String]("term"))
-      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSeq }
-      .toSeq.sortBy(_._1)
+      .map(r => (r.getAs[String]("query_id"), r.getAs[String]("term"),
+        r.getAs[String]("role")))
+      .groupBy(_._1).map { case (id, rows) =>
+        Percolate.StoredQuery(id,
+          all = rows.filter(_._3 == "all").map(_._2).toSeq,
+          any = rows.filter(_._3 == "any").map(_._2).toSeq,
+          none = rows.filter(_._3 == "none").map(_._2).toSeq)
+      }.toSeq.sortBy(_.id)
   }
 
   /** Every durable alert — (rowkey, query_id, batch_id): which admitted
@@ -206,7 +221,7 @@ object IngestPipeline {
     val docs = IncrementalIndex.compact(
         gated.select(TextCols.map(col): _*))
       .select(col("rowkey").as("doc_id"), col("text"))
-    val hits = graft.operators.Percolate.matchesCompiled(docs, reg)
+    val hits = Percolate.matchesCompiledBool(docs, reg)
       .select(col("doc_id").as("rowkey"), col("query_id"))
     StateStore.commit(spark, alertDir(pipelineRoot, batchId)) { tmp =>
       hits.write.parquet(tmp)

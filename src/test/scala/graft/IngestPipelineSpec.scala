@@ -883,6 +883,14 @@ class IngestPipelineSpec extends SparkSpec {
     IngestPipeline.removeQueries(spark, root, Seq("alert_red"))
     applyB(root, 3, Seq(DocChange("9", 30, "put", "red orange again fresh")))
     assert(hits === Set(("7", "alert_red", 2L)))
+    // boolean registration: an exclusion term silences a would-be match
+    IngestPipeline.registerStoredQueries(spark, root, Seq(
+      graft.operators.Percolate.StoredQuery("alert_ex",
+        all = Seq("fresh"), none = Seq("orange"))))
+    applyB(root, 4, Seq(DocChange("10", 40, "put", "fresh mint basil leaves")))
+    assert(hits.contains(("10", "alert_ex", 4L)))
+    applyB(root, 5, Seq(DocChange("11", 50, "put", "fresh orange zest peel")))
+    assert(!hits.exists(_._1 == "11"))
   }
 
   test("enableRollup on an already-populated pipeline backfills by rebuild") {

@@ -34,6 +34,31 @@ class PercolateSpec extends SparkSpec {
     assert(pairs(Percolate.matchesCompiled(docs, registry)) === expected)
   }
 
+  test("boolean semantics: all/any/none agree across both strategies") {
+    val docs = Seq(
+      (1L, "spark join fast"),   // q1: all ok, none absent → match
+      (2L, "spark join slow"),   // q1: 'slow' excluded → no match
+      (3L, "spark merge here"),  // q2: any(merge) present → match
+      (4L, "spark alone here"),  // q2: no any term → no match
+      (5L, "join merge alone")   // q2: all(spark) missing → no match
+    ).toDF("doc_id", "text")
+    val qs = Seq(
+      Percolate.StoredQuery("q1", all = Seq("spark", "join"),
+        none = Seq("slow")),
+      Percolate.StoredQuery("q2", all = Seq("spark"),
+        any = Seq("merge", "vector")))
+    val expected = Set((1L, "q1"), (3L, "q2"))
+    assert(pairs(Percolate.matchesBool(docs, qs)) === expected)
+    assert(pairs(Percolate.matchesCompiledBool(docs, qs)) === expected)
+    // fixture-scale agreement too, with every role populated
+    val fix = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rich = Seq(Percolate.StoredQuery("rich", all = Seq("spark"),
+      any = Seq("join", "merge"), none = Seq("slow")))
+    val a = pairs(Percolate.matchesBool(fix, rich))
+    assert(a === pairs(Percolate.matchesCompiledBool(fix, rich)))
+    assert(a.nonEmpty)
+  }
+
   test("compiled percolation is stateless under streaming append mode (per-batch alerting)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]

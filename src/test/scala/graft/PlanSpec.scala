@@ -267,6 +267,31 @@ class PlanSpec extends SparkSpec {
     assert(!pb.contains("SortMergeJoin"), pb.take(800))
   }
 
+  test("q_percolate: registry side broadcasts; doc side never sort-merge joins") {
+    val p = { val df = SparkEntry.queries("q_percolate")(spark, dir)
+      df.collect(); df.queryExecution.executedPlan.toString }
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q_collocations: pair generation is generators in one scan — no self-join of tokens") {
+    val p = { val df = SparkEntry.queries("q_collocations")(spark, dir)
+      df.collect(); df.queryExecution.executedPlan.toString }
+    // the doc-pair side must be Generate ops over the scan, not a join of
+    // two exploded token tables; the only joins are broadcast (df tables)
+    assert(p.contains("Generate"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800)) // top-k, no global sort
+  }
+
+  test("q_facet_incremental: the read opens rollup partials only — never the row state") {
+    val files = SparkEntry.queries("q_facet_incremental")(spark, dir).inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/rollup/")),
+      s"facet read must touch only the rollup sidecar: ${files.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
     for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
       val df = SparkEntry.queries(q)(spark, dir)
