@@ -82,15 +82,18 @@ object Bench {
     // touched-bucket listings + checkpoint-shaped overheads) amortizes
     // with flush size, which is the reference's own tuning knob.
     def ingestAt(label: String, batchSizeOf: Long => Long,
-                 withBootstrap: Boolean, doubled: Boolean = false): String = try {
+                 withBootstrap: Boolean, doubled: Boolean = false,
+                 fullFeatures: Boolean = false): String = try {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files.createTempDirectory(s"graft_benchIngest_$label")
       val pipe = root.toString + "/pipe"
       // one count serves both the batch-size function and nDocs — the
-      // checkpoint materializes the frame either way
+      // checkpoint materializes the frame either way. `lang` rides as the
+      // facet column the full-featured run's rollup groups on.
       val base = Tables.documents(spark, sfDir)
         .select(col("doc_id").cast("string").as("rowkey"),
-          col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
+          col("doc_id").as("event_id"), lit("put").as("op"), col("text"),
+          col("lang"))
       // `doubled`: reach the reference's FULL 10k flush size even where the
       // table has fewer rows, by unioning a word-REVERSED copy (ids offset
       // past the table). Reversal is a bijection on word 3-grams, so the
@@ -103,12 +106,22 @@ object Bench {
         base.select(
           concat(col("event_id") + 1000000L).cast("string").as("rowkey"),
           (col("event_id") + 1000000L).as("event_id"), col("op"),
-          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"),
+          col("lang")))
       val docsRaw = corpus
         .localCheckpoint() // decouple the source read from the timed loop
       val nDocs = docsRaw.count()
       val batchSize = batchSizeOf(nDocs)
-      val docs = docsRaw.withColumn("b", floor(col("event_id") / batchSize))
+      // batches must be DENSE in arrival order, not floor(event_id/size):
+      // the doubled corpus offsets half its ids by 1e6, and id-derived
+      // batch numbers would split 10k docs into 2 real + 99 EMPTY batches
+      // — each empty one still paying the full per-batch fixed cost, so
+      // the "10k flush" number would measure 101 flushes, not 1
+      val docs = docsRaw.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("event_id")) - 1)
+        .withColumn("b", floor(col("rn") / batchSize)).drop("rn")
+        .localCheckpoint() // the window must not re-run per filtered batch
       val nBatches = docs.agg(max(col("b"))).head().getLong(0) + 1
       // initial load first: the same corpus through the one-pass bootstrap
       // (gate-free — the curated-corpus case) into its own root
@@ -118,6 +131,14 @@ object Bench {
           root.toString + "/boot")
         val bootSec = (System.nanoTime() - tb) / 1e9
         f""","bootstrap_sec":$bootSec%.3f,"bootstrap_docs_per_sec":${nDocs / bootSec}%.1f"""
+      }
+      // the full-featured run measures the WHOLE maintained surface: a
+      // language-facet rollup and a standing-query registry ride every
+      // batch, so docs/s includes the aggregate sidecar and alerting cost
+      if (fullFeatures) {
+        graft.streaming.IngestPipeline.enableRollup(spark, pipe, Seq("lang"))
+        graft.streaming.IngestPipeline.registerQueries(spark, pipe,
+          graft.operators.Percolate.demoQueries)
       }
       val t0 = System.nanoTime()
       // phase split: gate (admission decision + durable log commit) vs the
@@ -137,13 +158,19 @@ object Bench {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val admitted = verdicts.getOrElse("admitted", 0L)
       val dropped = verdicts.values.sum - admitted
+      val featJson = if (!fullFeatures) "" else {
+        val groups = graft.streaming.IngestPipeline.readRollup(spark, pipe).count()
+        val alerts = graft.streaming.IngestPipeline.alerts(spark, pipe).count()
+        s""","rollup_groups":$groups,"alerts":$alerts"""
+      }
       try graft.operators.Materialize.deleteLocalDir(root.toString)
       catch { case _: Throwable => }
-      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"gate_sec":$gateSec%.3f,"merge_sec":$mergeSec%.3f,"admitted":$admitted,"dropped":$dropped$bootJson}"""
+      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"gate_sec":$gateSec%.3f,"merge_sec":$mergeSec%.3f,"admitted":$admitted,"dropped":$dropped$featJson$bootJson}"""
     } catch { case e: Throwable =>
       System.err.println(s"$label bench failed: $e"); ""
     }
-    val ingestJson = ingestAt("ingest", _ => 1000L, withBootstrap = true) +
+    val ingestJson = ingestAt("ingest", _ => 1000L, withBootstrap = true,
+        fullFeatures = true) +
       ingestAt("ingest_bulk", total => math.min(total, 10000L),
         withBootstrap = false) +
       // the reference's add_batchCount=10000 at its ACTUAL flush size: one

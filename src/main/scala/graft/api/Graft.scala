@@ -545,8 +545,10 @@ class Graft(spark: SparkSession, dir: String,
     * scan. Writer — run against a stopped pipeline or from the
     * maintenance slot. */
   def enableRollup(pipelineRoot: String, groupCols: Seq[String],
-                   sumCol: Option[String] = None): Unit =
-    IngestPipeline.enableRollup(spark, pipelineRoot, groupCols, sumCol)
+                   sumCol: Option[String] = None,
+                   distinctCol: Option[String] = None): Unit =
+    IngestPipeline.enableRollup(spark, pipelineRoot, groupCols, sumCol,
+      distinctCol)
 
   /** The maintained aggregate of a rollup-enabled pipeline: one row per
     * group with `n` (+ `sum_<col>`), read from |buckets|×|groups|

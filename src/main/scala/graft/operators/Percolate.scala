@@ -52,17 +52,22 @@ object Percolate {
   private def conjunctions(qs: Seq[(String, Seq[String])]): Seq[StoredQuery] =
     qs.map { case (id, terms) => StoredQuery(id, terms) }
 
-  private def tokenized(docs: DataFrame): DataFrame =
+  private def tokenized(docs: DataFrame,
+                        tokenize: Column => Column): DataFrame =
     docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      array_distinct(tokenize(col("text"))).as("toks"))
 
   /** Registry compiled into the plan: (doc_id, query_id) match pairs via
     * per-query boolean conditions — stateless, shuffle-free,
-    * streaming-safe. */
-  def matchesCompiled(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame =
-    matchesCompiledBool(docs, conjunctions(queries))
+    * streaming-safe. `tokenize` must be the SAME analyzer the matched
+    * corpus is indexed with (a CJK corpus percolated with the whitespace
+    * default would silently never match). */
+  def matchesCompiled(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                      tokenize: Column => Column = split(_, " ")): DataFrame =
+    matchesCompiledBool(docs, conjunctions(queries), tokenize)
 
-  def matchesCompiledBool(docs: DataFrame, queries: Seq[StoredQuery]): DataFrame = {
+  def matchesCompiledBool(docs: DataFrame, queries: Seq[StoredQuery],
+                          tokenize: Column => Column = split(_, " ")): DataFrame = {
     require(queries.nonEmpty, "percolate needs at least one stored query")
     def has(t: String): Column = array_contains(col("toks"), t)
     val hits: Column = array(queries.map { q =>
@@ -72,7 +77,7 @@ object Percolate {
       val noneOk = q.none.map(t => !has(t)).foldLeft(lit(true))(_ && _)
       when(allOk && anyOk && noneOk, lit(q.id))
     }: _*)
-    tokenized(docs).select(col("doc_id"),
+    tokenized(docs, tokenize).select(col("doc_id"),
       explode(filter(hits, _.isNotNull)).as("query_id"))
   }
 
@@ -80,10 +85,12 @@ object Percolate {
     * into a projection. One broadcast of the (small) exploded role-tagged
     * registry, one conditional aggregate keyed (doc_id, query_id):
     * all-coverage == |all|, ≥1 any hit (when any exist), zero none hits. */
-  def matches(docs: DataFrame, queries: Seq[(String, Seq[String])]): DataFrame =
-    matchesBool(docs, conjunctions(queries))
+  def matches(docs: DataFrame, queries: Seq[(String, Seq[String])],
+              tokenize: Column => Column = split(_, " ")): DataFrame =
+    matchesBool(docs, conjunctions(queries), tokenize)
 
-  def matchesBool(docs: DataFrame, queries: Seq[StoredQuery]): DataFrame = {
+  def matchesBool(docs: DataFrame, queries: Seq[StoredQuery],
+                  tokenize: Column => Column = split(_, " ")): DataFrame = {
     require(queries.nonEmpty, "percolate needs at least one stored query")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -95,7 +102,7 @@ object Percolate {
     val sizes = queries.map(q =>
       (q.id, q.all.distinct.size.toLong, q.any.distinct.size.toLong))
       .toDF("query_id", "n_all", "n_any")
-    tokenized(docs)
+    tokenized(docs, tokenize)
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .join(broadcast(reg), "term")
       .groupBy("doc_id", "query_id")
@@ -116,8 +123,25 @@ object Percolate {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("query_id")
 
+  /** The boolean registry for the second oracle key — every role
+    * populated. */
+  val demoBoolQueries: Seq[StoredQuery] = Seq(
+    StoredQuery("need_spark_not_slow", all = Seq("spark"),
+      none = Seq("slow")),
+    StoredQuery("joins_or_merges_no_error", all = Seq("table"),
+      any = Seq("join", "merge"), none = Seq("error")),
+    StoredQuery("any_vector_family", all = Nil,
+      any = Seq("vector", "centroid")))
+
+  private def qPercolateBool(spark: SparkSession, dir: String): DataFrame =
+    matchesBool(Tables.documents(spark, dir), demoBoolQueries)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("query_id")
+
   val queries: Map[String, Q] = Map(
-    "q_percolate" -> qPercolate)
+    "q_percolate" -> qPercolate,
+    "q_percolate_bool" -> qPercolateBool)
 
   val oracle: Map[String, String] = Map(
     "q_percolate" ->
@@ -138,5 +162,38 @@ object Percolate {
         |  GROUP BY t.doc_id, r.query_id, s.n_terms
         |  HAVING count(*) = s.n_terms)
         |SELECT query_id, count(*) AS n_docs FROM hits
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percolate_bool" ->
+      """WITH reg(query_id, term, role) AS (
+        |  SELECT * FROM (VALUES
+        |    ('need_spark_not_slow', 'spark', 'all'),
+        |    ('need_spark_not_slow', 'slow', 'none'),
+        |    ('joins_or_merges_no_error', 'table', 'all'),
+        |    ('joins_or_merges_no_error', 'join', 'any'),
+        |    ('joins_or_merges_no_error', 'merge', 'any'),
+        |    ('joins_or_merges_no_error', 'error', 'none'),
+        |    ('any_vector_family', 'vector', 'any'),
+        |    ('any_vector_family', 'centroid', 'any'))),
+        |sizes AS (
+        |  SELECT query_id,
+        |         count(*) FILTER (WHERE role = 'all') AS n_all,
+        |         count(*) FILTER (WHERE role = 'any') AS n_any
+        |  FROM reg GROUP BY 1),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |hits AS (
+        |  SELECT t.doc_id, r.query_id,
+        |         count(*) FILTER (WHERE r.role = 'all') AS hit_all,
+        |         count(*) FILTER (WHERE r.role = 'any') AS hit_any,
+        |         count(*) FILTER (WHERE r.role = 'none') AS hit_none
+        |  FROM toks t JOIN reg r ON t.tok = r.term
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT h.doc_id, h.query_id
+        |  FROM hits h JOIN sizes s USING (query_id)
+        |  WHERE h.hit_all = s.n_all AND (s.n_any = 0 OR h.hit_any > 0)
+        |    AND h.hit_none = 0)
+        |SELECT query_id, count(*) AS n_docs FROM m
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -37,18 +37,37 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalRollup {
 
-  /** What to maintain: grouping columns and an optional sum column.
-    * Count `n` is always kept; `sumCol` adds `sum_<col>`. The spec is
-    * pinned in a `_rollup` marker on the rollup root — a writer
-    * presenting a different spec fails loudly instead of mixing
-    * incompatible partials. */
+  /** What to maintain: grouping columns, an optional sum column, and an
+    * optional approx-distinct column. Count `n` is always kept; `sumCol`
+    * adds `sum_<col>`; `distinctCol` adds an HLL SKETCH per (bucket,
+    * group) — sketches are MERGEABLE, so the per-bucket recompute
+    * discipline carries over unchanged and the read unions them
+    * (`hll_union_agg` → `hll_sketch_estimate`) into `n_distinct_<col>`:
+    * the S10 cardinality facet served incrementally, the one aggregate a
+    * plain (count, sum) partial cannot express because distinct state is
+    * unbounded. Recompute-per-touched-bucket is also what makes this
+    * sketch DELETABLE — an HLL cannot retract an element, but a deleted
+    * row's bucket is re-sketched from its post-merge contents, so the
+    * estimate tracks the live set exactly as well as a fresh sketch
+    * would. The spec is pinned in a `_rollup` marker on the rollup
+    * root — a writer presenting a different spec fails loudly instead of
+    * mixing incompatible partials. */
   final case class Spec(path: String, groupCols: Seq[String],
-                        sumCol: Option[String] = None) {
+                        sumCol: Option[String] = None,
+                        distinctCol: Option[String] = None) {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
-    def tagValue: String = groupCols.mkString(",") + "|" + sumCol.getOrElse("")
+    def tagValue: String = groupCols.mkString(",") + "|" +
+      sumCol.getOrElse("") + "|" + distinctCol.getOrElse("")
   }
 
   private def sumName(s: Spec): Option[String] = s.sumCol.map("sum_" + _)
+
+  /** The partial-side aggregate expressions of a spec: count, optional
+    * sum, optional HLL sketch. */
+  private def partialAggs(spec: Spec) =
+    count(lit(1)).as("n") +:
+      (spec.sumCol.map(c => sum(col(c)).as("sum_" + c)).toSeq ++
+        spec.distinctCol.map(c => hll_sketch_agg(col(c)).as("hll_" + c)).toSeq)
 
   /** Recompute and swap the partials of `touchedDirs` from the post-merge
     * bucket contents `merged` (must carry the bucket column `b` and the
@@ -62,8 +81,7 @@ object IncrementalRollup {
     StateStore.ensureBucketCount(spark, spec.path, numBuckets)
     StateStore.ensureTag(spark, spec.path, "_rollup", spec.tagValue)
     val live = merged.filter(col("op") =!= "delete")
-    val aggs = count(lit(1)).as("n") +:
-      spec.sumCol.map(c => sum(col(c)).as("sum_" + c)).toSeq
+    val aggs = partialAggs(spec)
     val partials = live.groupBy((col("b") +: spec.groupCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
       .repartition(col("b")) // one file per rewritten rollup bucket
@@ -88,12 +106,17 @@ object IncrementalRollup {
         spec.groupCols.map(c => lit(null).cast("string").as(c)): _*)
       df = df.withColumn("n", lit(0L))
       sumName(spec).foreach(s => df = df.withColumn(s, lit(null).cast("double")))
+      spec.distinctCol.foreach(c =>
+        df = df.withColumn("n_distinct_" + c, lit(0L)))
       df
     }
     if (dirs.isEmpty) return empty
     val partials = spark.read.parquet(dirs.map(d => s"${spec.path}/$d"): _*)
     val aggs = sum(col("n")).as("n") +:
-      sumName(spec).map(s => sum(col(s)).as(s)).toSeq
+      (sumName(spec).map(s => sum(col(s)).as(s)).toSeq ++
+        spec.distinctCol.map(c =>
+          hll_sketch_estimate(hll_union_agg(col("hll_" + c)))
+            .as("n_distinct_" + c)).toSeq)
     partials.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -123,8 +146,7 @@ object IncrementalRollup {
         val rows = spark.read.parquet(dirs.map(d => s"$statePath/$d"): _*)
           .withColumn("b", pmod(crc32(col("rowkey")), lit(n)).cast("int"))
           .filter(col("op") =!= "delete")
-        val aggs = count(lit(1)).as("n") +:
-          spec.sumCol.map(c => sum(col(c)).as("sum_" + c)).toSeq
+        val aggs = partialAggs(spec)
         rows.groupBy((col("b") +: spec.groupCols.map(col)): _*)
           .agg(aggs.head, aggs.tail: _*)
           .repartition(col("b"))

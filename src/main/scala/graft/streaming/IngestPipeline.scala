@@ -72,8 +72,10 @@ object IngestPipeline {
     * a stopped pipeline or from the maintenance slot. */
   def enableRollup(spark: SparkSession, pipelineRoot: String,
                    groupCols: Seq[String],
-                   sumCol: Option[String] = None): Unit = {
-    val spec = IncrementalRollup.Spec(rollupRoot(pipelineRoot), groupCols, sumCol)
+                   sumCol: Option[String] = None,
+                   distinctCol: Option[String] = None): Unit = {
+    val spec = IncrementalRollup.Spec(rollupRoot(pipelineRoot), groupCols,
+      sumCol, distinctCol)
     val fence = WriterFence.claim(spark, pipelineRoot)
     StateStore.ensureTag(spark, pipelineRoot, RollupMarker, spec.tagValue)
     fence.check(spark)
@@ -87,9 +89,10 @@ object IngestPipeline {
                      pipelineRoot: String): Option[IncrementalRollup.Spec] =
     StateStore.readTag(spark, pipelineRoot, RollupMarker).map { v =>
       val parts = v.split("\\|", -1)
+      def opt(i: Int): Option[String] =
+        if (parts.length <= i || parts(i).isEmpty) None else Some(parts(i))
       IncrementalRollup.Spec(rollupRoot(pipelineRoot),
-        parts(0).split(",").toSeq.filter(_.nonEmpty),
-        if (parts.length < 2 || parts(1).isEmpty) None else Some(parts(1)))
+        parts(0).split(",").toSeq.filter(_.nonEmpty), opt(1), opt(2))
     }
 
   /** The maintained aggregate ([[enableRollup]] must have run): one row
@@ -218,10 +221,25 @@ object IngestPipeline {
                          pipelineRoot: String, batchId: Long): Unit = {
     val reg = registry(spark, pipelineRoot)
     if (reg.isEmpty) return
+    // percolation must tokenize the way the pipeline indexes — the
+    // postings root's marker is authoritative (the forget discipline); a
+    // CJK corpus matched with the whitespace default would silently
+    // never alert. An unreconstructable compound analyzer fails loudly
+    // for the same reason the growth-gated rescale does.
+    val tokenize: Column => Column =
+      StateStore.readTag(spark, postingsRoot(pipelineRoot), "_tokenizer") match {
+        case None => split(_, " ")
+        case Some(n) => graft.operators.Analyzer.named(n) match {
+          case Some(t) => t.tokens
+          case None => throw new IOException(
+            s"percolator cannot reconstruct tokenizer '$n' from the " +
+              "_tokenizer marker; alerts would silently mismatch the index")
+        }
+      }
     val docs = IncrementalIndex.compact(
         gated.select(TextCols.map(col): _*))
       .select(col("rowkey").as("doc_id"), col("text"))
-    val hits = Percolate.matchesCompiledBool(docs, reg)
+    val hits = Percolate.matchesCompiledBool(docs, reg, tokenize)
       .select(col("doc_id").as("rowkey"), col("query_id"))
     StateStore.commit(spark, alertDir(pipelineRoot, batchId)) { tmp =>
       hits.write.parquet(tmp)

@@ -121,6 +121,38 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(e.getMessage.contains("_rollup"))
   }
 
+  test("HLL distinct rollup tracks the live set through updates and deletes") {
+    val base = Files.createTempDirectory("graft_ruH").toString
+    val st = base + "/state"
+    val sp = IncrementalRollup.Spec(base + "/rollup", Seq("g"),
+      distinctCol = Some("u"))
+    import spark.implicits._
+    def put(k: String, id: Long, g: String, u: String) = (k, id, "put", g, u)
+    val b0 = Seq(put("k1", 1, "a", "u1"), put("k2", 2, "a", "u2"),
+      put("k3", 3, "b", "u1"), put("k4", 4, "a", "u1"))
+      .toDF("rowkey", "event_id", "op", "g", "u")
+    IncrementalIndex.mergeBatch(spark, b0, st, rollup = Some(sp))
+    def distincts(): Map[String, Long] =
+      IncrementalRollup.read(spark, sp).collect()
+        .map(r => r.getAs[String]("g") -> r.getAs[Long]("n_distinct_u")).toMap
+    // sketches union across buckets: u1 appears under 'a' twice + 'b' once
+    assert(distincts() === Map("a" -> 2L, "b" -> 1L))
+    // a delete RETRACTS from the estimate (bucket re-sketched from its
+    // live contents — the thing a plain streaming HLL cannot do), and an
+    // update that moves a key's value re-counts it
+    val b1 = Seq(("k2", 10L, "delete", "a", ""),
+      put("k4", 11, "a", "u9")).toDF("rowkey", "event_id", "op", "g", "u")
+    IncrementalIndex.mergeBatch(spark, b1, st, rollup = Some(sp))
+    assert(distincts() === Map("a" -> 2L, "b" -> 1L)) // {u1,u9}, {u1}
+    val b2 = Seq(("k1", 20L, "delete", "a", ""),
+      ("k4", 21L, "delete", "a", "")).toDF("rowkey", "event_id", "op", "g", "u")
+    IncrementalIndex.mergeBatch(spark, b2, st, rollup = Some(sp))
+    assert(distincts() === Map("b" -> 1L))
+    // rebuild agrees with the maintained sketches
+    IncrementalRollup.rebuild(spark, st, sp)
+    assert(distincts() === Map("b" -> 1L))
+  }
+
   test("rollup after a row-root rescale: rebuild repairs the moved buckets") {
     val ev = changelog
     val base = Files.createTempDirectory("graft_ruS").toString

@@ -187,7 +187,11 @@ class IngestPipelineSpec extends SparkSpec {
     def applyC(id: Long, changes: Seq[DocChange]): Unit =
       IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5,
         tokenize = graft.operators.Analyzer.Cjk.tokens,
-        scheme = IncrementalShingles.CharSketch)
+        scheme = IncrementalShingles.CharSketch,
+        tokenizerName = Some(graft.operators.Analyzer.Cjk.name))
+    // standing queries follow the pipeline's tokenizer marker: a bigram
+    // term can only match if percolation analyzes the CJK way
+    IngestPipeline.registerQueries(spark, root, Seq("alert_bj" -> Seq("北京")))
     applyC(0, Seq(
       DocChange("1", 0, "put", "我爱北京天安门广场上的人们每天清晨都会聚集"),
       DocChange("2", 1, "put", "完全不同的文本内容这里没有任何重复的部分存在")))
@@ -208,6 +212,11 @@ class IngestPipelineSpec extends SparkSpec {
         IngestPipeline.shingleRoot(root),
         "我爱北京天安门广场上的人们每天清晨都会聚集啊", 0.5)
       .collect().map(_.getString(0)).toSet === Set("1"))
+    // the CJK-analyzed alert fired for the admitted doc containing 北京
+    // (and never for the dropped near-dup)
+    val alerted = IngestPipeline.alerts(spark, root).collect()
+      .map(r => (r.getAs[String]("rowkey"), r.getAs[String]("query_id"))).toSet
+    assert(alerted === Set(("1", "alert_bj")))
   }
 
   test("facade: streamed ingest pipeline gates, merges, and serves every read surface") {

@@ -50,6 +50,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a stream started with a rollup keeps the maintained aggregate current") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Change]
+    val base = Files.createTempDirectory("graft_sroll").toString
+    val statePath = base + "/state"
+    val sp = graft.streaming.IncrementalRollup.Spec(
+      base + "/rollup", Seq("payload"))
+    val query = IncrementalIndex.start(
+      source.toDF(), statePath, base + "/ckpt", intervalSeconds = 1,
+      rollup = Some(sp))
+    try {
+      def groups: Map[String, Long] =
+        graft.streaming.IncrementalRollup.read(spark, sp).collect()
+          .map(r => r.getAs[String]("payload") -> r.getAs[Long]("n")).toMap
+      source.addData(Change("a", 0L, "put", "x"), Change("b", 1L, "put", "y"))
+      query.processAllAvailable()
+      assert(groups === Map("x" -> 1L, "y" -> 1L))
+      // an update moves a's group; a delete retires b's
+      source.addData(Change("a", 2L, "put", "y"), Change("b", 3L, "delete", ""))
+      query.processAllAvailable()
+      assert(groups === Map("y" -> 1L))
+    } finally query.stop()
+  }
+
   test("first_delay holds the FIRST merge only (reference timer's initial delay)") {
     // Unit-level check of the gate both starts share: the first call waits
     // out the remainder of the delay, later calls return immediately.
