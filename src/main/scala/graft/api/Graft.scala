@@ -550,11 +550,18 @@ class Graft(spark: SparkSession, dir: String,
     IngestPipeline.enableRollup(spark, pipelineRoot, groupCols, sumCol,
       distinctCol)
 
+  /** Remove the maintained rollup (marker + sidecar) — the off switch
+    * and the correction path for a mis-specified enable. */
+  def disableRollup(pipelineRoot: String): Unit =
+    IngestPipeline.disableRollup(spark, pipelineRoot)
+
   /** The maintained aggregate of a rollup-enabled pipeline: one row per
-    * group with `n` (+ `sum_<col>`), read from |buckets|×|groups|
-    * partial rows. */
-  def pipelineRollup(pipelineRoot: String): DataFrame =
-    IngestPipeline.readRollup(spark, pipelineRoot)
+    * group with `n` (+ `sum_<col>`, `n_distinct_<col>`), read from
+    * |buckets|×|groups| partial rows. `by` collapses to a subset of the
+    * enabled group columns — one maintained cuboid serves every coarser
+    * facet. */
+  def pipelineRollup(pipelineRoot: String, by: Seq[String] = Nil): DataFrame =
+    IngestPipeline.readRollup(spark, pipelineRoot, by)
 
   /** Register standing percolator queries on a pipeline: from the next
     * batch on, every admitted put is matched and hits land durably under

@@ -89,16 +89,22 @@ object Percolate {
               tokenize: Column => Column = split(_, " ")): DataFrame =
     matchesBool(docs, conjunctions(queries), tokenize)
 
+  /** A registry exploded to (query_id, term, role) rows — the one
+    * serialization both the join strategy and the pipeline's persisted
+    * registry use, so match semantics and storage can never desync. */
+  def explodeRoles(queries: Seq[StoredQuery]): Seq[(String, String, String)] =
+    queries.flatMap { q =>
+      q.all.distinct.map(t => (q.id, t, "all")) ++
+        q.any.distinct.map(t => (q.id, t, "any")) ++
+        q.none.distinct.map(t => (q.id, t, "none"))
+    }
+
   def matchesBool(docs: DataFrame, queries: Seq[StoredQuery],
                   tokenize: Column => Column = split(_, " ")): DataFrame = {
     require(queries.nonEmpty, "percolate needs at least one stored query")
     val spark = docs.sparkSession
     import spark.implicits._
-    val reg = queries.flatMap { q =>
-      q.all.distinct.map(t => (q.id, t, "all")) ++
-        q.any.distinct.map(t => (q.id, t, "any")) ++
-        q.none.distinct.map(t => (q.id, t, "none"))
-    }.toDF("query_id", "term", "role")
+    val reg = explodeRoles(queries).toDF("query_id", "term", "role")
     val sizes = queries.map(q =>
       (q.id, q.all.distinct.size.toLong, q.any.distinct.size.toLong))
       .toDF("query_id", "n_all", "n_any")

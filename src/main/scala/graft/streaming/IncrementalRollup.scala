@@ -94,7 +94,25 @@ object IncrementalRollup {
     * one row per group with `n` (and `sum_<col>` when the spec has one).
     * I/O is the partial rows only — `|buckets| × |groups|`. An empty or
     * absent rollup root returns an empty frame with the right schema. */
-  def read(spark: SparkSession, spec: Spec): DataFrame = {
+  def read(spark: SparkSession, spec: Spec): DataFrame =
+    readBy(spark, spec, spec.groupCols)
+
+  /** Collapse the partials to a SUBSET of the spec's group columns — one
+    * maintained cuboid serves every coarser facet: counts and sums
+    * re-aggregate by addition, and the HLL sketches re-aggregate by
+    * union, so a rollup kept at (lang, source) answers lang-only and
+    * source-only facets (distinct estimates included) from the same
+    * |buckets| × |groups| partial rows, with no extra maintained state.
+    * `by` must be a subset of the spec's groupCols.
+    *
+    * Empty-root caveat: with no partials on disk there is no schema to
+    * carry, so group columns come back string-typed (and `sum_<col>`
+    * double) until the first merge lands — a consumer that binds a
+    * schema before any data exists should cast, not infer. */
+  def readBy(spark: SparkSession, spec: Spec, by: Seq[String]): DataFrame = {
+    require(by.nonEmpty && by.forall(spec.groupCols.contains),
+      s"readBy columns ${by.mkString(",")} must be a subset of the " +
+        s"rollup's group columns ${spec.groupCols.mkString(",")}")
     val recorded = StateStore.readTag(spark, spec.path, "_rollup")
     recorded.foreach { r =>
       require(r == spec.tagValue,
@@ -103,7 +121,7 @@ object IncrementalRollup {
     val dirs = StateStore.liveBuckets(spark, spec.path)
     val empty = {
       var df = spark.range(0).select(
-        spec.groupCols.map(c => lit(null).cast("string").as(c)): _*)
+        by.map(c => lit(null).cast("string").as(c)): _*)
       df = df.withColumn("n", lit(0L))
       sumName(spec).foreach(s => df = df.withColumn(s, lit(null).cast("double")))
       spec.distinctCol.foreach(c =>
@@ -117,7 +135,7 @@ object IncrementalRollup {
         spec.distinctCol.map(c =>
           hll_sketch_estimate(hll_union_agg(col("hll_" + c)))
             .as("n_distinct_" + c)).toSeq)
-    partials.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    partials.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Full recompute of the rollup from the row state — bootstrap for a

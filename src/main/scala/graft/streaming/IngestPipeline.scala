@@ -77,10 +77,42 @@ object IngestPipeline {
     val spec = IncrementalRollup.Spec(rollupRoot(pipelineRoot), groupCols,
       sumCol, distinctCol)
     val fence = WriterFence.claim(spark, pipelineRoot)
+    // validate the spec against the live schema BEFORE pinning it: a
+    // typo'd column must fail HERE, not after the marker is durable —
+    // a pinned bad spec would crash-loop every subsequent merge (the
+    // marker drives them) and resist correction (ensureTag rejects a
+    // changed value; that's what [[disableRollup]] is for). A fresh
+    // root has no schema to check yet; its first merge still fails
+    // loudly on a missing column, but the marker can be removed.
+    val live = StateStore.liveBuckets(spark, stateRoot(pipelineRoot))
+    if (live.nonEmpty) {
+      val have = IncrementalIndex
+        .readState(spark, stateRoot(pipelineRoot)).schema.fieldNames.toSet
+      val missing = (groupCols ++ sumCol ++ distinctCol).filterNot(have)
+      require(missing.isEmpty,
+        s"rollup spec names columns absent from the row state: " +
+          s"${missing.mkString(", ")} (state has: ${have.toSeq.sorted.mkString(", ")})")
+    }
     StateStore.ensureTag(spark, pipelineRoot, RollupMarker, spec.tagValue)
     fence.check(spark)
-    if (StateStore.liveBuckets(spark, stateRoot(pipelineRoot)).nonEmpty)
+    if (live.nonEmpty)
       IncrementalRollup.rebuild(spark, stateRoot(pipelineRoot), spec)
+  }
+
+  /** Remove the maintained rollup: drops the root marker and the partial
+    * sidecar. The escape hatch for a mis-specified [[enableRollup]] on a
+    * fresh root (the pinned marker otherwise rejects correction), and
+    * the off switch generally; a later enableRollup starts clean. Writer
+    * — claims the fence like enableRollup. */
+  def disableRollup(spark: SparkSession, pipelineRoot: String): Unit = {
+    val fence = WriterFence.claim(spark, pipelineRoot)
+    fence.check(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new Path(s"$pipelineRoot/$RollupMarker")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) fs.delete(marker, false): Unit
+    val sidecar = new Path(rollupRoot(pipelineRoot))
+    if (fs.exists(sidecar)) fs.delete(sidecar, true): Unit
   }
 
   /** The enabled rollup spec of this pipeline, if any — parsed from the
@@ -96,13 +128,18 @@ object IngestPipeline {
     }
 
   /** The maintained aggregate ([[enableRollup]] must have run): one row
-    * per group with `n` (+ `sum_<col>`), read from the partial sidecar —
-    * never the row state. */
-  def readRollup(spark: SparkSession, pipelineRoot: String): DataFrame =
-    pipelineRollup(spark, pipelineRoot)
-      .map(IncrementalRollup.read(spark, _))
+    * per group with `n` (+ `sum_<col>`, `n_distinct_<col>`), read from
+    * the partial sidecar — never the row state. `by` collapses to a
+    * SUBSET of the enabled group columns (one maintained cuboid serves
+    * every coarser facet — [[IncrementalRollup.readBy]]). */
+  def readRollup(spark: SparkSession, pipelineRoot: String,
+                 by: Seq[String] = Nil): DataFrame = {
+    val spec = pipelineRollup(spark, pipelineRoot)
       .getOrElse(throw new IllegalStateException(
         s"no rollup enabled at $pipelineRoot — run enableRollup first"))
+    if (by.isEmpty) IncrementalRollup.read(spark, spec)
+    else IncrementalRollup.readBy(spark, spec, by)
+  }
 
   // ---- percolator: standing alert queries over the ingest ----
 
@@ -122,7 +159,16 @@ object IngestPipeline {
     * ([[graft.operators.Percolate]]). The registry is a tiny
     * whole-swap parquet state (same [[StateStore.commit]] discipline as
     * every sidecar); registrations are queries-by-id, so re-registering
-    * an id replaces its terms. */
+    * an id replaces its terms (within one call too — last wins).
+    *
+    * Concurrency contract: registration is crash-safe (swap), but it is
+    * a read-modify-write with no fence — ONE administrative writer at a
+    * time, and racing a live batch's registry read can fail one side
+    * LOUDLY (the reader's heal can abort the writer's promote, or the
+    * swap can pull files from under an already-planned read; both
+    * retryable, neither corrupting). Prefer the maintenance slot (the
+    * stream's own foreachBatch thread) for registry changes, the same
+    * place every other whole-root operation runs. */
   def registerQueries(spark: SparkSession, pipelineRoot: String,
                       queries: Seq[(String, Seq[String])]): Unit =
     registerStoredQueries(spark, pipelineRoot,
@@ -133,9 +179,13 @@ object IngestPipeline {
   def registerStoredQueries(spark: SparkSession, pipelineRoot: String,
                             queries: Seq[Percolate.StoredQuery]): Unit = {
     require(queries.nonEmpty, "registerQueries needs at least one query")
-    val ids = queries.map(_.id).toSet
+    // upsert-by-id must hold WITHIN one call too: persisting two copies
+    // of an id would make registry() merge their terms into one stricter
+    // conjunction — last registration wins, same as two separate calls
+    val deduped = queries.reverse.distinctBy(_.id).reverse
+    val ids = deduped.map(_.id).toSet
     writeRegistry(spark, pipelineRoot,
-      registry(spark, pipelineRoot).filterNot(q => ids.contains(q.id)) ++ queries)
+      registry(spark, pipelineRoot).filterNot(q => ids.contains(q.id)) ++ deduped)
   }
 
   /** Drop standing queries by id (absent ids are ignored). */
@@ -150,11 +200,8 @@ object IngestPipeline {
                             queries: Seq[Percolate.StoredQuery]): Unit = {
     import spark.implicits._
     StateStore.commit(spark, registryDir(pipelineRoot)) { tmp =>
-      queries.flatMap { q =>
-        q.all.distinct.map(t => (q.id, t, "all")) ++
-          q.any.distinct.map(t => (q.id, t, "any")) ++
-          q.none.distinct.map(t => (q.id, t, "none"))
-      }.toDF("query_id", "term", "role").coalesce(1).write.parquet(tmp)
+      Percolate.explodeRoles(queries)
+        .toDF("query_id", "term", "role").coalesce(1).write.parquet(tmp)
     }
   }
 
@@ -186,12 +233,20 @@ object IngestPipeline {
     import spark.implicits._
     val root = alertsRoot(pipelineRoot)
     val dirs = StateStore.liveBuckets(spark, root, prefix = "batch=")
-    val empty = Seq.empty[(String, String, Long)]
-      .toDF("rowkey", "query_id", "batch_id")
-    dirs.foldLeft(empty) { (acc, d) =>
-      acc.unionByName(spark.read.parquet(s"$root/$d")
-        .withColumn("batch_id", lit(d.stripPrefix("batch=").toLong)))
-    }
+    if (dirs.isEmpty)
+      return Seq.empty[(String, String, Long)]
+        .toDF("rowkey", "query_id", "batch_id")
+    // ONE partition-discovery read over the live dirs (basePath makes
+    // `batch` a partition column) — a per-dir union would build an
+    // N-node plan and pay one listing per outbox dir, which between
+    // maintenance GCs is thousands. The schema is declared, not
+    // inferred: a stretch of hit-less batches leaves dirs with no data
+    // files, and inference over only those would fail the read.
+    val sch = StructType(Seq(StructField("rowkey", StringType),
+      StructField("query_id", StringType), StructField("batch", LongType)))
+    spark.read.option("basePath", root).schema(sch)
+      .parquet(dirs.map(d => s"$root/$d"): _*)
+      .select(col("rowkey"), col("query_id"), col("batch").as("batch_id"))
   }
 
   /** Drop alert batch dirs behind the consumer's high-water mark — the
@@ -218,24 +273,29 @@ object IngestPipeline {
     * produces the same hits, and the per-batch commit overwrites. A
     * delete-only batch (forget) or an empty registry writes nothing. */
   private def emitAlerts(spark: SparkSession, gated: DataFrame,
-                         pipelineRoot: String, batchId: Long): Unit = {
+                         pipelineRoot: String, batchId: Long,
+                         tokenize: Column => Column): Unit = {
     val reg = registry(spark, pipelineRoot)
-    if (reg.isEmpty) return
-    // percolation must tokenize the way the pipeline indexes — the
-    // postings root's marker is authoritative (the forget discipline); a
-    // CJK corpus matched with the whitespace default would silently
-    // never alert. An unreconstructable compound analyzer fails loudly
-    // for the same reason the growth-gated rescale does.
-    val tokenize: Column => Column =
-      StateStore.readTag(spark, postingsRoot(pipelineRoot), "_tokenizer") match {
-        case None => split(_, " ")
-        case Some(n) => graft.operators.Analyzer.named(n) match {
-          case Some(t) => t.tokens
-          case None => throw new IOException(
-            s"percolator cannot reconstruct tokenizer '$n' from the " +
-              "_tokenizer marker; alerts would silently mismatch the index")
-        }
-      }
+    if (reg.isEmpty) {
+      // replay reconciliation: a batch replayed AFTER every standing
+      // query was removed must clear the alerts its first run committed
+      // — skipping would leave the outbox advertising hits for queries
+      // that no longer exist (a nonempty registry overwrites instead)
+      val dir = new Path(alertDir(pipelineRoot, batchId))
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(dir)) fs.delete(dir, true): Unit
+      // a swap interrupted on the FIRST run can leave only `<dir>.old`;
+      // the outbox heal would re-promote it after the delete above
+      val old = new Path(alertDir(pipelineRoot, batchId) + ".old")
+      if (fs.exists(old)) fs.delete(old, true): Unit
+      return
+    }
+    // percolation tokenizes with the SAME function this very batch's
+    // postings merge indexes with (passed down from mergeAll, where the
+    // marker check already pins it to the root) — reading the marker
+    // here instead would race the concurrent postings merge that writes
+    // it on a fresh root, and would silently fall back to whitespace for
+    // a custom tokenizer run without a tokenizerName.
     val docs = IncrementalIndex.compact(
         gated.select(TextCols.map(col): _*))
       .select(col("rowkey").as("doc_id"), col("text"))
@@ -558,7 +618,7 @@ object IngestPipeline {
       // idempotent-replay argument). Forget passes no id — a takedown's
       // delete-only batch has nothing to alert on.
       batchId.map(id =>
-        merge(emitAlerts(spark, gated, pipelineRoot, id))).toSeq ++
+        merge(emitAlerts(spark, gated, pipelineRoot, id, tokenize))).toSeq ++
       (if (gated.columns.contains("embedding"))
         Seq(merge(mergeVectors(spark, gated, vectorsRoot(pipelineRoot),
           annNlist, annIters)))

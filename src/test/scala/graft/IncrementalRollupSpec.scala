@@ -153,6 +153,41 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(distincts() === Map("b" -> 1L))
   }
 
+  test("readBy serves every coarser facet from one cuboid, sketches included") {
+    val base = Files.createTempDirectory("graft_ruC").toString
+    val st = base + "/state"
+    val sp = IncrementalRollup.Spec(base + "/rollup", Seq("lang", "source"),
+      sumCol = Some("v"), distinctCol = Some("u"))
+    import spark.implicits._
+    val rows = Seq(
+      ("k1", 1L, "put", "en", "web", 1.0, "u1"),
+      ("k2", 2L, "put", "en", "web", 2.0, "u2"),
+      ("k3", 3L, "put", "en", "book", 4.0, "u1"),
+      ("k4", 4L, "put", "de", "web", 8.0, "u3"))
+      .toDF("rowkey", "event_id", "op", "lang", "source", "v", "u")
+    IncrementalIndex.mergeBatch(spark, rows, st, rollup = Some(sp))
+    def by(cols: String*): Map[Seq[String], (Long, Double, Long)] =
+      IncrementalRollup.readBy(spark, sp, cols).collect()
+        .map(r => cols.map(r.getAs[String]) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("sum_v"),
+            r.getAs[Long]("n_distinct_u"))).toMap
+    // full cuboid
+    assert(by("lang", "source") === Map(
+      Seq("en", "web") -> (2L, 3.0, 2L), Seq("en", "book") -> (1L, 4.0, 1L),
+      Seq("de", "web") -> (1L, 8.0, 1L)))
+    // coarser facets from the SAME partials: counts/sums add, sketches
+    // union (u1 appears under both en-sources — distinct must stay 2)
+    assert(by("lang") === Map(
+      Seq("en") -> (3L, 7.0, 2L), Seq("de") -> (1L, 8.0, 1L)))
+    assert(by("source") === Map(
+      Seq("web") -> (3L, 11.0, 3L), Seq("book") -> (1L, 4.0, 1L)))
+    // a non-subset read fails loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalRollup.readBy(spark, sp, Seq("missing"))
+    }
+    assert(e.getMessage.contains("subset"))
+  }
+
   test("rollup after a row-root rescale: rebuild repairs the moved buckets") {
     val ev = changelog
     val base = Files.createTempDirectory("graft_ruS").toString

@@ -907,13 +907,51 @@ class IngestPipelineSpec extends SparkSpec {
     applyL(root, 0, Seq(
       LangDocChange("1", 0, "put", "alpha beta gamma delta", "en"),
       LangDocChange("2", 1, "put", "rot gruen blau gelb", "de")))
-    IngestPipeline.enableRollup(spark, root, Seq("lang"))
+    // a typo'd spec must fail BEFORE the marker is pinned — a durable
+    // bad spec would crash-loop every later merge
+    val typo = intercept[IllegalArgumentException] {
+      IngestPipeline.enableRollup(spark, root, Seq("langg"))
+    }
+    assert(typo.getMessage.contains("langg"))
+    IngestPipeline.enableRollup(spark, root, Seq("lang")) // typo left no marker
     assert(rollupMap(root) === Map("en" -> 1L, "de" -> 1L))
-    // and a conflicting re-enable fails loudly instead of mixing partials
+    // a conflicting re-enable fails loudly instead of mixing partials
     val e = intercept[Exception] {
       IngestPipeline.enableRollup(spark, root, Seq("op"))
     }
     assert(e.getMessage.contains("_rollup_spec"))
+    // disableRollup is the correction path: marker + sidecar gone, a
+    // fresh enable with the new spec starts clean and backfills
+    IngestPipeline.disableRollup(spark, root)
+    IngestPipeline.enableRollup(spark, root, Seq("op"))
+    val byOp = IngestPipeline.readRollup(spark, root).collect()
+      .map(r => r.getAs[String]("op") -> r.getAs[Long]("n")).toMap
+    assert(byOp === Map("put" -> 2L))
+  }
+
+  test("a batch replayed after total query removal clears its stale alerts") {
+    val root = Files.createTempDirectory("graft_pipePc2").toString + "/pipe"
+    IngestPipeline.registerQueries(spark, root, Seq("a1" -> Seq("alpha")))
+    val batch = Seq(DocChange("1", 0, "put", "alpha beta gamma delta"))
+    applyB(root, 0, batch)
+    assert(IngestPipeline.alerts(spark, root).count() === 1L)
+    IngestPipeline.removeQueries(spark, root, Seq("a1"))
+    // checkpoint replay of batch 0 with an emptied registry: the outbox
+    // must not keep advertising hits for queries that no longer exist
+    applyB(root, 0, batch)
+    assert(IngestPipeline.alerts(spark, root).count() === 0L)
+  }
+
+  test("duplicate ids within one registration call: last wins (upsert semantics)") {
+    val root = Files.createTempDirectory("graft_pipePc3").toString + "/pipe"
+    IngestPipeline.registerQueries(spark, root,
+      Seq("q" -> Seq("alpha"), "q" -> Seq("beta")))
+    // were both copies persisted, registry() would fuse them into the
+    // stricter conjunction {alpha, beta} and this doc would not alert
+    applyB(root, 0, Seq(DocChange("1", 0, "put", "beta only text here")))
+    val hit = IngestPipeline.alerts(spark, root).collect()
+      .map(r => (r.getAs[String]("rowkey"), r.getAs[String]("query_id"))).toSet
+    assert(hit === Set(("1", "q")))
   }
 }
 
