@@ -449,4 +449,90 @@ class PropertySpec extends SparkSpec {
         s"seed $seed: shingle index diverged")
     }
   }
+
+  test("rollup convergence: any chunking of any random changelog equals recompute") {
+    // The rollup's core claim — per-touched-bucket partials collapse to
+    // exactly the full-recompute aggregate — for random put/delete
+    // changelogs with colliding keys, random chunk boundaries, sums and
+    // HLL sketches included (cardinalities small enough that the HLL
+    // estimate is exact, so equality is strict).
+    import graft.streaming.{IncrementalIndex, IncrementalRollup}
+    val rnd = new scala.util.Random(23)
+    val opGen = for {
+      user <- Gen.choose(0L, 7L)
+      del <- Gen.prob(0.25)
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(1, 9)
+      u <- Gen.oneOf("u1", "u2", "u3", "u4")
+    } yield (user, del, g, v.toDouble, u)
+    for (seed <- 1 to 4) {
+      val ops = Gen.listOfN(40, opGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((user, del, g, v, u), i) =>
+          (user.toString, i.toLong, if (del) "delete" else "put", g, v, u)
+        }
+      val rows = ops.toDF("rowkey", "event_id", "op", "g", "v", "u")
+      val base = java.nio.file.Files.createTempDirectory(s"graft_prop_ru$seed")
+      val st = base.toString + "/state"
+      val sp = IncrementalRollup.Spec(base.toString + "/rollup", Seq("g"),
+        Some("v"), Some("u"))
+      // random chunk boundaries over the event range
+      val cuts = (Seq(0, 40) ++ Seq.fill(2)(rnd.nextInt(40))).distinct.sorted
+      cuts.zip(cuts.tail).foreach { case (lo, hi) =>
+        IncrementalIndex.mergeBatch(spark,
+          rows.filter(col("event_id") >= lo && col("event_id") < hi), st,
+          numBuckets = 4, rollup = Some(sp))
+      }
+      val maintained = IncrementalRollup.read(spark, sp).collect()
+        .map(r => r.getAs[String]("g") -> (r.getAs[Long]("n"),
+          r.getAs[Double]("sum_v"), r.getAs[Long]("n_distinct_u"))).toMap
+      val expect = IncrementalIndex.readState(spark, st)
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"),
+          countDistinct("u").as("d")).collect()
+        .map(r => r.getAs[String]("g") -> (r.getAs[Long]("n"),
+          r.getAs[Double]("s"), r.getAs[Long]("d"))).toMap
+      assert(maintained === expect, s"seed $seed")
+    }
+  }
+
+  test("percolation: compiled and join strategies agree on random docs and registries") {
+    import graft.operators.Percolate
+    val vocab = Seq("spark", "join", "merge", "scan", "sort", "table", "row")
+    val docGen = for {
+      n <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val qGen = for {
+      nAll <- Gen.choose(0, 2)
+      nAny <- Gen.choose(if (nAll == 0) 1 else 0, 2)
+      nNone <- Gen.choose(0, 1)
+      all <- Gen.listOfN(nAll, Gen.oneOf(vocab))
+      any <- Gen.listOfN(nAny, Gen.oneOf(vocab))
+      none <- Gen.listOfN(nNone, Gen.oneOf(vocab))
+    } yield (all, any, none)
+    for (seed <- 1 to 4) {
+      val texts = Gen.listOfN(15, docGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val qs = Gen.listOfN(4, qGen)
+        .pureApply(Gen.Parameters.default, Seed(100L + seed))
+        .zipWithIndex.map { case ((a, y, n), i) =>
+          Percolate.StoredQuery(s"q$i", a, y, n) }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val joined = pairs(Percolate.matchesBool(docs, qs))
+      val compiled = pairs(Percolate.matchesCompiledBool(docs, qs))
+      assert(joined === compiled, s"seed $seed: strategies diverged")
+      // and both agree with a driver-side model
+      val model = (for {
+        (t, i) <- texts.zipWithIndex
+        toks = t.split(" ").toSet
+        q <- qs
+        if q.all.forall(toks) && (q.any.isEmpty || q.any.exists(toks)) &&
+          !q.none.exists(toks)
+      } yield (i.toLong, q.id)).toSet
+      assert(joined === model, s"seed $seed: strategies diverged from model")
+    }
+  }
 }
