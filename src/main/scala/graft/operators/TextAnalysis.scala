@@ -275,7 +275,41 @@ object TextAnalysis {
       .limit(20)
   }
 
+  private def qBigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    // Classic collocation extraction — PMI over ADJACENT token pairs
+    // (the Church&Hanks statistic; q_collocations is its document-level
+    // cousin): which bigrams occur far more often than their unigram
+    // frequencies predict. Occurrence-weighted: P(a,b) over all bigram
+    // slots, P(a)/P(b) over all token slots. Bigram generation is the
+    // same per-row sequence/slice expression q_repetition uses — one
+    // scan, no join; the aggregates are vocabulary²-bounded and the two
+    // frequency tables broadcast into the scorer.
+    val docs = Tables.documents(spark, dir).select(toks.as("t"))
+    val bigrams = docs.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))"))
+        .as("bg"))
+      .groupBy(col("bg.a").as("tok_a"), col("bg.b").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val unigrams = docs.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = unigrams.agg(sum(col("cnt")).as("n_toks"))
+      .crossJoin(bigrams.agg(sum(col("n_ab")).as("n_bgs")))
+    bigrams
+      .join(broadcast(unigrams.select(col("tok").as("tok_a"), col("cnt").as("cnt_a"))), "tok_a")
+      .join(broadcast(unigrams.select(col("tok").as("tok_b"), col("cnt").as("cnt_b"))), "tok_b")
+      .crossJoin(broadcast(totals))
+      .filter(col("n_ab") >= 30)
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab") / col("n_bgs")) /
+          ((col("cnt_a") / col("n_toks")) * (col("cnt_b") / col("n_toks")))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bigram_pmi" -> qBigramPmi,
     "q_collocations" -> qCollocations,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams,
     "q_text_tokens" -> qTextTokens,
@@ -335,6 +369,28 @@ object TextAnalysis {
         |           len(list_distinct(string_split(text, ' '))) AS n_unique
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_bigram_pmi" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS tok_a, t[i+1] AS tok_b, count(*) AS n_ab
+        |  FROM d, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT tok, count(*) AS cnt FROM (
+        |    SELECT unnest(t) AS tok FROM d) GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT sum(cnt) FROM uni) AS n_toks,
+        |         (SELECT sum(n_ab) FROM bg) AS n_bgs)
+        |SELECT tok_a, tok_b, n_ab,
+        |       round(ln((n_ab / n_bgs) /
+        |             ((ua.cnt / n_toks) * (ub.cnt / n_toks))), 4) AS pmi
+        |FROM bg
+        |JOIN uni ua ON ua.tok = bg.tok_a
+        |JOIN uni ub ON ub.tok = bg.tok_b, tot
+        |WHERE n_ab >= 30
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin,
     "q_collocations" ->
       """WITH d AS (
         |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS t
