@@ -535,8 +535,7 @@ class Graft(spark: SparkSession, dir: String,
                       scheme: IncrementalShingles.SketchScheme =
                         IncrementalShingles.WordShingles): Unit =
     IngestPipeline.rescale(spark, pipelineRoot, newBuckets,
-      tokenize = tokenizer.tokens, scheme = scheme,
-      tokenizerName = Some(tokenizer.name))
+      scheme = scheme, tokenizerName = Some(tokenizer.name))
 
   /** Turn on the pipeline's incrementally-maintained aggregate
     * ([[graft.streaming.IncrementalRollup]]): subsequent merges keep

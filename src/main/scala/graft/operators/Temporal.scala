@@ -108,12 +108,21 @@ object Temporal {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("_side"), col("_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withMatchTs = u.withColumn("_match_ts",
-      last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
-    val carried = rightPayload.foldLeft(withMatchTs) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("_side") === 0, col(s"asof_$c")), ignoreNulls = true).over(w))
-    }
+    // the matched right row carries forward as ONE struct: carrying each
+    // payload column through its own last(..., ignoreNulls) would, when
+    // the matched row's value is NULL, skip past it to an OLDER right
+    // row — the output would mix columns from different right rows (and
+    // a tolerance keyed on _match_ts would pass the stale value). The
+    // struct is non-null for every right row even when its fields are
+    // null, so ignoreNulls only skips LEFT rows — and one window
+    // expression replaces |payload| + 1 of them.
+    val matchStruct = struct(
+      (col(tsCol).as("_mts") +: rightPayload.map(c => col(s"asof_$c").as(c))): _*)
+    val withMatch = u.withColumn("_m",
+      last(when(col("_side") === 0, matchStruct), ignoreNulls = true).over(w))
+    val carried = rightPayload.foldLeft(withMatch) { (df, c) =>
+        df.withColumn(s"asof_$c", col("_m").getField(c))
+      }.withColumn("_match_ts", col("_m").getField("_mts"))
     val bounded = toleranceUs match {
       case None => carried
       case Some(tol) =>
@@ -124,7 +133,7 @@ object Temporal {
         }
     }
     bounded.filter(col("_side") === 1)
-      .drop("_side", "_rtie", "_ord", "_match_ts")
+      .drop("_side", "_rtie", "_ord", "_match_ts", "_m")
   }
 
   /** For each point row, the number of intervals containing its `ts`

@@ -315,7 +315,6 @@ object IncrementalPostings {
     * `_tokenizer` marker exactly as the merge validates it. Single-writer
     * contract: stop the stream first. */
   def rescale(spark: SparkSession, rootPath: String, newBuckets: Int,
-              tokenize: Column => Column = split(_, " "),
               tokenizerName: Option[String] = None): Unit = {
     tokenizerName.foreach(n => StateStore.ensureTag(spark, rootPath, "_tokenizer", n))
     StateStore.rescale(spark, rootPath + "/docs", "rowkey", newBuckets)
@@ -324,9 +323,26 @@ object IncrementalPostings {
     val statsRoot = rootPath + "/dstats"
     val dirs = StateStore.liveBuckets(spark, docsRoot)
     if (dirs.nonEmpty) {
-      val stats = bucketStats(
-        spark.read.parquet(dirs.map(d => s"$docsRoot/$d"): _*)
-          .withColumn("b", docBucket(newBuckets)), tokenize)
+      // dl is recomputed TOKENIZER-FREE: each live doc's length is the
+      // sum of its entries' term frequencies — the entries were derived
+      // from the same text by the same analyzer at merge time, so the
+      // sums are identical to re-tokenizing, for ANY scheme (word, CJK
+      // bigram, char sketch). The previous implementation re-tokenized
+      // the docs here, which forced the growth-gated auto-rescale to
+      // reconstruct the analyzer from its name marker and silently fell
+      // back to whitespace for an anonymous custom tokenizer — wrong
+      // dl units with no error. Deriving from the index itself cannot
+      // mismatch the index.
+      val live = readMerged(spark, dirs.map(d => s"$docsRoot/$d"))
+        .withColumn("b", docBucket(newBuckets))
+        .filter(col("op") =!= "delete")
+        .select(col("rowkey"), col("b"))
+      val dl = allEntries(spark, rootPath)
+        .groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = live.join(dl, live("rowkey") === dl("doc_id"), "left")
+        .groupBy("b").agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("dl_sum"))
         .cache()
       stats.count() // decouple from the old dstats files before the swap
       try StateStore.commit(spark, statsRoot)(tmp =>

@@ -195,15 +195,15 @@ object IncrementalShingles {
   }
 
   /** Re-bucket the maintained shingle root to `newBuckets` — the sketch
-    * family's [[IncrementalPostings.rescale]]: same swaps, with the
-    * scheme's own sketch column feeding the dstats recompute and the
-    * `_scheme` marker validated first so a rescale can never re-derive
-    * the sidecar under the wrong scheme. Derived session artifacts are
+    * family's [[IncrementalPostings.rescale]]: same swaps (the dstats
+    * recompute is scheme-free — dl comes from the entries' own tf sums),
+    * with the `_scheme` marker validated first so a rescale against the
+    * wrong scheme still fails loudly. Derived session artifacts are
     * invalidated exactly as a merge invalidates them. */
   def rescale(spark: SparkSession, rootPath: String, newBuckets: Int,
               scheme: SketchScheme = WordShingles): Unit = {
     StateStore.ensureTag(spark, rootPath, "_scheme", scheme.name)
-    IncrementalPostings.rescale(spark, rootPath, newBuckets, scheme.sketch)
+    IncrementalPostings.rescale(spark, rootPath, newBuckets)
     registry.forEach { (key, root) =>
       if (root == rootPath) invalidateScope(key._2)
     }

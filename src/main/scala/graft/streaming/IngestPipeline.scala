@@ -1075,25 +1075,18 @@ object IngestPipeline {
         var target = effBuckets
         while (pressure > bucketByteBudget * target &&
           target < effBuckets * 8) target *= 2
+        // config from the ROOT MARKERS (the forget discipline). The
+        // dstats recompute is tokenizer-free (dl from the entries' own
+        // tf sums), so no analyzer reconstruction is needed — the old
+        // re-tokenizing path silently fell back to whitespace for an
+        // anonymous custom tokenizer, rebuilding dl in the wrong units.
         val tokName =
           StateStore.readTag(spark, postingsRoot(pipelineRoot), "_tokenizer")
-        val tokenize: Column => Column = tokName match {
-          case None => split(_, " ")
-          case Some(n) => graft.operators.Analyzer.named(n) match {
-            case Some(t) => t.tokens
-            case None => throw new IOException(
-              s"growth-gated rescale cannot reconstruct tokenizer '$n' from " +
-                "the _tokenizer marker (compound analyzers carry config " +
-                "their name does not); run IngestPipeline.rescale yourself, " +
-                "passing the pipeline's tokenizer")
-          }
-        }
         val scheme =
           StateStore.readTag(spark, shingleRoot(pipelineRoot), "_scheme")
             .map(IncrementalShingles.schemeNamed)
             .getOrElse(IncrementalShingles.WordShingles)
-        rescale(spark, pipelineRoot, target, tokenize, scheme, tokName,
-          heldFence)
+        rescale(spark, pipelineRoot, target, scheme, tokName, heldFence)
         Some(target)
       }
     MaintenanceReport(skewBefore, rebuilt, skewAfter, pressure, rescaledTo)
@@ -1126,7 +1119,6 @@ object IngestPipeline {
     * rescale needs no restart: [[applyBatch]] resolves the bucket count
     * marker-first each batch. */
   def rescale(spark: SparkSession, pipelineRoot: String, newBuckets: Int,
-              tokenize: Column => Column = split(_, " "),
               scheme: IncrementalShingles.SketchScheme =
                 IncrementalShingles.WordShingles,
               tokenizerName: Option[String] = None,
@@ -1149,12 +1141,11 @@ object IngestPipeline {
       IncrementalRollup.rebuild(spark, stateRoot(pipelineRoot), sp)
       fence.check(spark)
     }
-    // tokenizerName validates against the postings root's _tokenizer
-    // marker BEFORE the dstats recompute — a wrong-tokenizer rescale must
-    // fail the loud marker check, not silently rewrite dl_sum in the
-    // wrong units (the marker exists precisely for this call's benefit)
+    // the dstats recompute is tokenizer-free (dl from the entries' own
+    // tf sums); tokenizerName still validates against the _tokenizer
+    // marker so a caller asserting the wrong analyzer fails loudly
     IncrementalPostings.rescale(spark, postingsRoot(pipelineRoot), newBuckets,
-      tokenize, tokenizerName)
+      tokenizerName)
     fence.check(spark)
     IncrementalShingles.rescale(spark, shingleRoot(pipelineRoot), newBuckets,
       scheme)

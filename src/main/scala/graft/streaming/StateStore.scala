@@ -294,7 +294,15 @@ object StateStore {
     commit(spark, rootPath) { tmp =>
       fs.mkdirs(new Path(tmp))
       if (dirs.nonEmpty) {
-        val all = spark.read.parquet(dirs.map(d => s"$rootPath/$d"): _*)
+        // mergeSchema: buckets written before a payload column existed
+        // (e.g. postings entries pre-tf or pre-positions) coexist with
+        // upgraded ones; a single-footer schema inference could sample
+        // an OLD file and the whole-root rewrite would silently drop the
+        // new column for every row — permanent loss on the one operation
+        // that touches all buckets at once. Merged, old rows carry nulls
+        // and the upgraded payload survives.
+        val all = spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(d => s"$rootPath/$d"): _*)
           .withColumn("b", pmod(crc32(col(keyCol)), lit(newBuckets)).cast("int"))
         val placed = oldCount match {
           case Some(n) if newBuckets % n == 0 => all // map-side fan-out, no exchange

@@ -151,7 +151,21 @@ object WriterFence {
                 s"cannot claim a writer epoch under $dir after $failures attempts", e)
             false
         }
-      if (won) claimed = attempt
+      if (won) {
+        // winning the CREATE is not yet winning the EPOCH: a newer
+        // claimant GCs retired epoch files, and its delete can land
+        // between this racer computing `attempt` and creating the file —
+        // the create then resurrects a number the newer claimant already
+        // owned and retired (two writers would report one epoch). The
+        // newer claimant's own file is created BEFORE it GCs, so a
+        // resurrection is always visible as max > attempt: discard the
+        // corpse and step past the newest instead.
+        val newest = maxEpoch(spark, rootPath).getOrElse(attempt)
+        if (newest > attempt) {
+          fs.delete(target, true): Unit
+          attempt = newest + 1
+        } else claimed = attempt
+      }
       else attempt = math.max(attempt + 1, maxEpoch(spark, rootPath).getOrElse(0L) + 1)
     }
     // owning the max epoch means owning the root: clear stale epoch files

@@ -72,6 +72,30 @@ class TemporalSpec extends SparkSpec {
       (11L, Some(1L)))) // 5 min stale, inside tolerance
   }
 
+  test("asofJoin: a matched right row's NULL payload stays NULL (no older-row bleed)") {
+    import spark.implicits._
+    // the at-or-before match (ts=10) carries a NULL payload; an older
+    // right row (ts=5) has a value. The contract picks the ROW, so the
+    // output must be NULL — a per-column ignoreNulls carry would skip to
+    // the older row's 'x' and mix columns from two right rows
+    val left = Seq((1L, 12L, 100L)).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 1L, 50L, Some("x")),
+      (1L, 2L, 90L, None: Option[String]))
+      .toDF("user_id", "event_id", "ts", "payload")
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("payload"))
+      .select("asof_payload").collect()
+    assert(out.length === 1 && out.head.isNullAt(0),
+      s"matched row's null payload must not bleed an older row's value: " +
+        out.head.toString)
+    // and the tolerance path judges freshness by the MATCHED row too
+    val tol = Temporal.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("payload"), toleranceUs = Some(20L))
+      .select("asof_payload").collect()
+    assert(tol.head.isNullAt(0))
+  }
+
   test("activeIntervalCounts: inclusive bounds, multi-cell intervals count once") {
     import spark.implicits._
     // interval A spans 3 grid cells; point P sits in its middle cell —
