@@ -164,4 +164,33 @@ class SnapshotSpec extends SparkSpec {
     assert(IncrementalIndex.readState(spark, IngestPipeline.stateRoot(root))
       .filter(col("rowkey") === "9").count() === 0L)
   }
+
+  test("snapshot carries the rollup, registry, and alert outbox; the copy keeps maintaining") {
+    val root = Files.createTempDirectory("graft_snapR").toString + "/pipe"
+    IngestPipeline.enableRollup(spark, root, Seq("op"))
+    IngestPipeline.registerQueries(spark, root, Seq("a_fresh" -> Seq("fresh")))
+    IngestPipeline.applyBatch(spark, Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "unrelated fresh content nothing shared")).toDF(),
+      root, 0, threshold = 0.5)
+    val dest = Files.createTempDirectory("graft_snapRd").toString + "/copy"
+    IngestPipeline.snapshot(spark, root, dest)
+    // every new sidecar rode the copy: the maintained aggregate, the
+    // standing-query registry (marker-driven spec included), the outbox
+    assert(IngestPipeline.readRollup(spark, dest).collect()
+      .map(r => r.getAs[String]("op") -> r.getAs[Long]("n")).toMap ===
+      Map("put" -> 2L))
+    assert(IngestPipeline.registry(spark, dest).map(_.id) === Seq("a_fresh"))
+    assert(IngestPipeline.alerts(spark, dest).collect()
+      .map(r => (r.getAs[String]("rowkey"), r.getAs[String]("query_id"))).toSet ===
+      Set(("2", "a_fresh")))
+    // and a pipeline continued ON THE COPY maintains them independently
+    IngestPipeline.applyBatch(spark, Seq(
+      DocChange("9", 20, "put", "more fresh snapshot continuation text")).toDF(),
+      dest, 1, threshold = 0.5)
+    assert(IngestPipeline.readRollup(spark, dest).head().getAs[Long]("n") === 3L)
+    assert(IngestPipeline.alerts(spark, dest)
+      .filter(col("rowkey") === "9").count() === 1L)
+    assert(IngestPipeline.alerts(spark, root).count() === 1L) // source untouched
+  }
 }
