@@ -285,6 +285,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800)) // top-k, no global sort
   }
 
+  test("q_bigram_pmi: bigrams generate in one scan; frequency tables broadcast") {
+    val p = { val df = SparkEntry.queries("q_bigram_pmi")(spark, dir)
+      df.collect(); df.queryExecution.executedPlan.toString }
+    assert(p.contains("Generate"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("q_facet_incremental: the read opens rollup partials only — never the row state") {
     val files = SparkEntry.queries("q_facet_incremental")(spark, dir).inputFiles
     assert(files.nonEmpty)
