@@ -295,7 +295,8 @@ object Changelog {
       val base = java.nio.file.Files.createTempDirectory("graft_rollup").toString
       val root = base + "/state"
       val spec = graft.streaming.IncrementalRollup.Spec(
-        base + "/rollup", Seq("event_type"), Some("value"))
+        base + "/rollup", Seq("event_type"), Some("value"),
+        statsCol = Some("value"))
       val changes = Tables.events(s, d).select(
         col("user_id").cast("string").as("rowkey"),
         col("event_id"),
@@ -311,6 +312,26 @@ object Changelog {
       Materialize.recordBuild("rollup_fixture", System.nanoTime() - t0)
       (root, spec)
     })
+
+  private def qStatsMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // S9 served from the INCREMENTALLY-MAINTAINED rollup: min/max/avg
+    // (+count/sum) per facet bucket with no state scan — the third
+    // physical strategy for the stats facet (q_stats_agg recomputes from
+    // the table, q_facet_maintained scans maintained state, this one
+    // collapses |buckets|×|groups| stats partials the merges kept
+    // current). min/max under deletes is exactly the aggregate delta
+    // maintenance cannot retract; the recompute-per-touched-bucket
+    // discipline handles it for free, the same argument that made the
+    // rollup's HLL deletable.
+    val (_, spec) = rollupFixture(spark, dir)
+    graft.streaming.IncrementalRollup.read(spark, spec)
+      .select(col("event_type"), col("n"),
+        round(col("min_value"), 2).as("min_value"),
+        round(col("max_value"), 2).as("max_value"),
+        round(col("sum_value"), 2).as("sum_value"),
+        round(col("avg_value"), 2).as("avg_value"))
+      .orderBy("event_type")
+  }
 
   private def qFacetIncremental(spark: SparkSession, dir: String): DataFrame = {
     // S6 served from the INCREMENTALLY-MAINTAINED aggregate: no state
@@ -361,6 +382,7 @@ object Changelog {
     "q_state_diff" -> qStateDiff,
     "q_facet_maintained" -> qFacetMaintained,
     "q_facet_incremental" -> qFacetIncremental,
+    "q_stats_maintained" -> qStatsMaintained,
     "q_get_maintained" -> qGetMaintained,
     "q_point_lookup" -> qPointLookup)
 
@@ -462,6 +484,18 @@ object Changelog {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
         |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stats_maintained" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       round(min(value), 2) AS min_value,
+        |       round(max(value), 2) AS max_value,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(avg(value), 2) AS avg_value
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_get_maintained" ->

@@ -32,14 +32,29 @@ import graft.Tables
 object Percolate {
   type Q = (SparkSession, String) => DataFrame
 
+  /** An inclusive numeric range predicate on a document field — Solr's
+    * `fq=field:[lo TO hi]` turned standing. The field must exist on the
+    * percolated doc frame (match fails loudly otherwise — a silently
+    * ignored range would alert on docs the query excludes). */
+  final case class RangePred(field: String, lo: Double, hi: Double) {
+    require(!field.contains(":"),
+      s"range field '$field' may not contain ':' (registry serialization)")
+    require(lo <= hi, s"range [$lo, $hi] is empty")
+  }
+
   /** A stored boolean query — the reference's S2 semantics turned
     * standing: every `all` term required, at least one `any` term (when
-    * any are given), no `none` term present. */
+    * any are given), no `none` term present, every `phrases` entry
+    * present as ADJACENT tokens (the positional form S12's phrase search
+    * answers, matched with the registry's analyzer), and the doc's
+    * `range` field inside the bound when one is given. */
   final case class StoredQuery(id: String, all: Seq[String],
                                any: Seq[String] = Nil,
-                               none: Seq[String] = Nil) {
-    require(all.nonEmpty || any.nonEmpty,
-      s"stored query '$id' needs at least one positive term")
+                               none: Seq[String] = Nil,
+                               phrases: Seq[String] = Nil,
+                               range: Option[RangePred] = None) {
+    require(all.nonEmpty || any.nonEmpty || phrases.nonEmpty || range.nonEmpty,
+      s"stored query '$id' needs at least one positive predicate")
   }
 
   /** The fixed demo registry for the oracle key — term conjunctions over
@@ -56,6 +71,20 @@ object Percolate {
                         tokenize: Column => Column): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(tokenize(col("text"))).as("toks"))
+
+  /** True when the doc's ORDERED token array `otoks` contains `phrase`'s
+    * tokens adjacently — the compiled form of the positional phrase
+    * query. The phrase tokenizes with the SAME analyzer as the doc, so
+    * the predicate is scheme-generic (CJK included). The `greatest(1, …)`
+    * floor keeps `sequence` well-formed on docs shorter than the phrase
+    * (the slice then compares shorter-than-phrase and is false). */
+  private def hasPhrase(p: String, tokenize: Column => Column): Column = {
+    val pt = tokenize(lit(p))
+    exists(
+      sequence(lit(1),
+        greatest(lit(1), size(col("otoks")) - size(pt) + lit(1))),
+      i => slice(col("otoks"), i, size(pt)) === pt)
+  }
 
   /** Registry compiled into the plan: (doc_id, query_id) match pairs via
     * per-query boolean conditions — stateless, shuffle-free,
@@ -75,9 +104,23 @@ object Percolate {
       val anyOk =
         if (q.any.isEmpty) lit(true) else q.any.map(has).reduce(_ || _)
       val noneOk = q.none.map(t => !has(t)).foldLeft(lit(true))(_ && _)
-      when(allOk && anyOk && noneOk, lit(q.id))
+      val phraseOk = q.phrases.map(hasPhrase(_, tokenize))
+        .foldLeft(lit(true))(_ && _)
+      val rangeOk = q.range.fold(lit(true))(r =>
+        col(r.field).isNotNull &&
+          col(r.field) >= r.lo && col(r.field) <= r.hi)
+      when(allOk && anyOk && noneOk && phraseOk && rangeOk, lit(q.id))
     }: _*)
-    tokenized(docs, tokenize).select(col("doc_id"),
+    // project only what the compiled predicates consume: the distinct
+    // token set always, the ordered array only when a phrase needs
+    // adjacency, the range fields only when a range reads them
+    val needOrdered = queries.exists(_.phrases.nonEmpty)
+    val rangeFields = queries.flatMap(_.range).map(_.field).distinct
+    val cols = col("doc_id") +:
+      array_distinct(tokenize(col("text"))).as("toks") +:
+      ((if (needOrdered) Seq(tokenize(col("text")).as("otoks")) else Nil) ++
+        rangeFields.map(col))
+    docs.select(cols: _*).select(col("doc_id"),
       explode(filter(hits, _.isNotNull)).as("query_id"))
   }
 
@@ -91,35 +134,137 @@ object Percolate {
 
   /** A registry exploded to (query_id, term, role) rows — the one
     * serialization both the join strategy and the pipeline's persisted
-    * registry use, so match semantics and storage can never desync. */
+    * registry use, so match semantics and storage can never desync.
+    * Phrases ride as role=`phrase` with the raw phrase text (tokenized
+    * with the match-time analyzer, like doc text); a range rides as
+    * role=`range` with `field:lo:hi` (the field may not contain ':';
+    * doubles never do). */
   def explodeRoles(queries: Seq[StoredQuery]): Seq[(String, String, String)] =
     queries.flatMap { q =>
       q.all.distinct.map(t => (q.id, t, "all")) ++
         q.any.distinct.map(t => (q.id, t, "any")) ++
-        q.none.distinct.map(t => (q.id, t, "none"))
+        q.none.distinct.map(t => (q.id, t, "none")) ++
+        q.phrases.distinct.map(p => (q.id, p, "phrase")) ++
+        q.range.map(r => (q.id, s"${r.field}:${r.lo}:${r.hi}", "range"))
     }
+
+  /** Parse (query_id, term, role) rows back to [[StoredQuery]]s — the
+    * inverse of [[explodeRoles]], shared with the pipeline's persisted
+    * registry so the compiled path always reconstructs exactly what the
+    * join path matches. */
+  def fromRoleRows(rows: Seq[(String, String, String)]): Seq[StoredQuery] =
+    rows.groupBy(_._1).map { case (id, rs) =>
+      val range = rs.filter(_._3 == "range").map(_._2).headOption.map { t =>
+        val Array(f, lo, hi) = t.split(":", 3)
+        RangePred(f, lo.toDouble, hi.toDouble)
+      }
+      StoredQuery(id,
+        all = rs.filter(_._3 == "all").map(_._2),
+        any = rs.filter(_._3 == "any").map(_._2),
+        none = rs.filter(_._3 == "none").map(_._2),
+        phrases = rs.filter(_._3 == "phrase").map(_._2),
+        range = range)
+    }.toSeq.sortBy(_.id)
 
   def matchesBool(docs: DataFrame, queries: Seq[StoredQuery],
                   tokenize: Column => Column = split(_, " ")): DataFrame = {
     require(queries.nonEmpty, "percolate needs at least one stored query")
     val spark = docs.sparkSession
     import spark.implicits._
-    val reg = explodeRoles(queries).toDF("query_id", "term", "role")
-    val sizes = queries.map(q =>
-      (q.id, q.all.distinct.size.toLong, q.any.distinct.size.toLong))
-      .toDF("query_id", "n_all", "n_any")
-    tokenized(docs, tokenize)
+    matchesBoolFrame(docs,
+      explodeRoles(queries).toDF("query_id", "term", "role"), tokenize)
+  }
+
+  /** The join strategy over a registry that is already a DataFrame of
+    * `(query_id, term, role)` rows — the pipeline's persisted registry
+    * read as data, so a large registry never touches the driver (neither
+    * as a collected Seq nor as a compiled projection). Per-query term
+    * counts derive from the same frame, so storage and match semantics
+    * cannot desync. */
+  def matchesBoolFrame(docs: DataFrame, reg: DataFrame,
+                       tokenize: Column => Column = split(_, " ")): DataFrame = {
+    val termHits = tokenized(docs, tokenize)
       .select(col("doc_id"), explode(col("toks")).as("term"))
-      .join(broadcast(reg), "term")
+      .join(broadcast(reg.filter(col("role").isin("all", "any", "none"))),
+        "term")
+      .select("doc_id", "query_id", "role")
+
+    // phrase predicates as data: each phrase normalizes (through the
+    // SAME analyzer as the docs) to a space-joined gram key of k tokens;
+    // docs expand to their k-token grams for each k the registry uses —
+    // the k set is registry metadata, so the expansion is bounded by
+    // |doc tokens| × |phrase lengths|, never |queries|
+    val phraseKeys = reg.filter(col("role") === "phrase")
+      .select(col("query_id"), tokenize(col("term")).as("pt"))
+      .select(col("query_id"), concat_ws(" ", col("pt")).as("gram"),
+        size(col("pt")).as("k"))
+    val ks = phraseKeys.select("k").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    val phraseHits =
+      if (ks.isEmpty) termHits.limit(0)
+      else {
+        val ot = docs.select(col("doc_id"), tokenize(col("text")).as("ot"))
+        val grams = ks.map { k =>
+          ot.select(col("doc_id"), explode(expr(
+              s"transform(sequence(1, greatest(1, size(ot) - ${k - 1})), " +
+                s"i -> concat_ws(' ', slice(ot, i, $k)))")).as("gram"))
+            .withColumn("k", lit(k))
+        }.reduce(_ unionByName _)
+        // distinct on (doc, query, gram): two DIFFERENT matched phrases
+        // of one query must count twice, one phrase at many positions
+        // once
+        grams.join(broadcast(phraseKeys), Seq("gram", "k"))
+          .select("doc_id", "query_id", "gram").distinct()
+          .select(col("doc_id"), col("query_id"), lit("phrase").as("role"))
+      }
+
+    // range predicates as data: the registry's referenced numeric fields
+    // (metadata) melt the doc side to (doc_id, field, v) rows; one
+    // broadcast join + filter decides containment
+    val ranges = reg.filter(col("role") === "range")
+      .select(col("query_id"),
+        split(col("term"), ":", 3).getItem(0).as("field"),
+        split(col("term"), ":", 3).getItem(1).cast("double").as("lo"),
+        split(col("term"), ":", 3).getItem(2).cast("double").as("hi"))
+    val rangeFields = ranges.select("field").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val rangeHits =
+      if (rangeFields.isEmpty) termHits.limit(0)
+      else rangeFields.map { f =>
+          docs.select(col("doc_id"), lit(f).as("field"),
+            col(f).cast("double").as("v"))
+        }.reduce(_ unionByName _)
+        .join(broadcast(ranges), Seq("field"))
+        .filter(col("v").isNotNull &&
+          col("v") >= col("lo") && col("v") <= col("hi"))
+        .select(col("doc_id"), col("query_id"), lit("range").as("role"))
+        .distinct()
+
+    // per-query requirement counts; n_phrase counts DISTINCT normalized
+    // grams so a duplicate-after-analysis phrase cannot demand two hits
+    val sizes = reg.groupBy("query_id").agg(
+        count(when(col("role") === "all", 1)).as("n_all"),
+        count(when(col("role") === "any", 1)).as("n_any"),
+        count(when(col("role") === "range", 1)).as("n_range"))
+      .join(phraseKeys.groupBy("query_id")
+        .agg(countDistinct(col("gram")).as("n_phrase")),
+        Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_phrase"))
+
+    termHits.unionByName(phraseHits).unionByName(rangeHits)
       .groupBy("doc_id", "query_id")
       .agg(
         count(when(col("role") === "all", 1)).as("hit_all"),
         count(when(col("role") === "any", 1)).as("hit_any"),
-        count(when(col("role") === "none", 1)).as("hit_none"))
+        count(when(col("role") === "none", 1)).as("hit_none"),
+        count(when(col("role") === "phrase", 1)).as("hit_phrase"),
+        count(when(col("role") === "range", 1)).as("hit_range"))
       .join(broadcast(sizes), "query_id")
       .filter(col("hit_all") === col("n_all") &&
         (col("n_any") === 0 || col("hit_any") > 0) &&
-        col("hit_none") === 0)
+        col("hit_none") === 0 &&
+        col("hit_phrase") === col("n_phrase") &&
+        col("hit_range") === col("n_range"))
       .select("doc_id", "query_id")
   }
 
@@ -145,9 +290,33 @@ object Percolate {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("query_id")
 
+  /** The rich-predicate registry for the third oracle key: positional
+    * phrases (served by the ordered token stream) and a numeric range
+    * (Solr `fq=field:[lo TO hi]`) beside the boolean roles. */
+  val demoRichQueries: Seq[StoredQuery] = Seq(
+    StoredQuery("phrase_fast_merge", all = Nil,
+      phrases = Seq("fast merge")),
+    StoredQuery("short_spark", all = Seq("spark"),
+      range = Some(RangePred("n_chars", 0, 120))),
+    StoredQuery("mid_slow_query_clean", all = Nil,
+      phrases = Seq("slow query"), none = Seq("error"),
+      range = Some(RangePred("n_chars", 50, 400))))
+
+  private def qPercolateRich(spark: SparkSession, dir: String): DataFrame =
+    // the JOIN strategy exercises the frame form end to end (the oracle
+    // key for the large-registry path); PercolateSpec pins the compiled
+    // strategy equal on the same registry
+    matchesBool(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("n_chars")),
+      demoRichQueries)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("query_id")
+
   val queries: Map[String, Q] = Map(
     "q_percolate" -> qPercolate,
-    "q_percolate_bool" -> qPercolateBool)
+    "q_percolate_bool" -> qPercolateBool,
+    "q_percolate_rich" -> qPercolateRich)
 
   val oracle: Map[String, String] = Map(
     "q_percolate" ->
@@ -201,5 +370,19 @@ object Percolate {
         |  WHERE h.hit_all = s.n_all AND (s.n_any = 0 OR h.hit_any > 0)
         |    AND h.hit_none = 0)
         |SELECT query_id, count(*) AS n_docs FROM m
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percolate_rich" ->
+      """SELECT query_id, count(*) AS n_docs FROM (
+        |  SELECT doc_id, 'phrase_fast_merge' AS query_id FROM documents
+        |  WHERE contains(' ' || text || ' ', ' fast merge ')
+        |  UNION ALL
+        |  SELECT doc_id, 'short_spark' FROM documents
+        |  WHERE list_contains(string_split(text, ' '), 'spark')
+        |    AND n_chars BETWEEN 0 AND 120
+        |  UNION ALL
+        |  SELECT doc_id, 'mid_slow_query_clean' FROM documents
+        |  WHERE contains(' ' || text || ' ', ' slow query ')
+        |    AND NOT list_contains(string_split(text, ' '), 'error')
+        |    AND n_chars BETWEEN 50 AND 400
+        |) GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -84,6 +84,30 @@ object Search {
       .orderBy("rn")
   }
 
+  /** Keyset (cursor) page: the top `n` rows strictly AFTER the cursor in
+    * `(sortCol DESC, keyCol ASC)` order — Solr's `cursorMark`, the deep-
+    * paging form the delegated read surface needs because `start`/`rows`
+    * offset paging re-sorts the whole prefix at depth (an offset-10⁶ page
+    * at 100 TB sorts a million rows to throw them away; the cursor form
+    * reads one page regardless of depth). The cursor predicate is a plain
+    * comparison on scan columns, so it pushes to the parquet scan
+    * (row-group pruning on the sort column), and the page itself is a
+    * TakeOrderedAndProject — per-partition top-k, k rows to the driver.
+    * Page N+1's cursor is page N's last `(sortVal, keyVal)`. */
+  def cursorPage(df: DataFrame, sortCol: String, keyCol: String, n: Int,
+                 cursor: Option[(Double, Long)] = None): DataFrame =
+    cursor.fold(df) { case (sv, kv) =>
+      df.filter(col(sortCol) < sv ||
+        (col(sortCol) === sv && col(keyCol) > kv))
+    }.orderBy(col(sortCol).desc, col(keyCol)).limit(n)
+
+  private def qCursorPage(spark: SparkSession, dir: String): DataFrame =
+    // S5 deep-paging flavor: one page AFTER a fixed cursor — the query a
+    // client issues with the cursorMark a previous page returned.
+    cursorPage(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+        "o_totalprice", "o_orderkey", 20, Some((150000.0, 1000L)))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
   private def qHighlight(spark: SparkSession, dir: String): DataFrame =
     // Solr highlighting, the structural core: per-document 1-based term
     // positions of the matched token (the snippet builder consumes these).
@@ -287,6 +311,7 @@ object Search {
     "q_phrase_search" -> qPhraseSearch,
     "q_spell_correct" -> qSpellCorrect,
     "q_sort_page" -> qSortPage,
+    "q_cursor_page" -> qCursorPage,
     "q_highlight" -> qHighlight,
     "q_highlight_snippet" -> qHighlightSnippet,
     "q_more_like_this" -> qMoreLikeThis,
@@ -397,6 +422,12 @@ object Search {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |WHERE tok LIKE 's%'
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin,
+    "q_cursor_page" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_totalprice < 150000.0
+        |   OR (o_totalprice = 150000.0 AND o_orderkey > 1000)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q_sort_page" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -269,7 +269,12 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .filter(col("n_ab") >= 20)
       .select(col("tok_a"), col("tok_b"), col("n_ab"),
-        round(log(col("n_ab") * col("n_docs") / (col("df_a") * col("df_b"))), 4)
+        // Products go through double BEFORE multiplying: n_ab·n_docs (and
+        // df_a·df_b) as long×long overflows Long at ~100 TB corpus counts
+        // and, with ANSI off, wraps silently. DuckDB's oracle does the
+        // same double arithmetic.
+        round(log(col("n_ab").cast("double") * col("n_docs") /
+          (col("df_a").cast("double") * col("df_b"))), 4)
           .as("pmi"))
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
       .limit(20)

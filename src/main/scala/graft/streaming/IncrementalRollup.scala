@@ -54,20 +54,40 @@ object IncrementalRollup {
     * mixing incompatible partials. */
   final case class Spec(path: String, groupCols: Seq[String],
                         sumCol: Option[String] = None,
-                        distinctCol: Option[String] = None) {
+                        distinctCol: Option[String] = None,
+                        statsCol: Option[String] = None) {
     require(groupCols.nonEmpty, "rollup needs at least one group column")
+    // the tag round-trips through ','/'|' delimiters (tagValue ↔
+    // pipelineRollup's split): a column name containing either would
+    // silently parse back as a DIFFERENT spec that ensureTag's equality
+    // check cannot catch (both sides carry the corrupted encoding)
+    (groupCols ++ sumCol ++ distinctCol ++ statsCol).foreach { c =>
+      require(!c.contains(",") && !c.contains("|"),
+        s"rollup column name '$c' may not contain ',' or '|' " +
+          "(reserved as spec-marker delimiters)")
+    }
+    // the stats field appends only when present, so a stats-free spec
+    // keeps the 3-field encoding existing roots were pinned with
     def tagValue: String = groupCols.mkString(",") + "|" +
-      sumCol.getOrElse("") + "|" + distinctCol.getOrElse("")
+      sumCol.getOrElse("") + "|" + distinctCol.getOrElse("") +
+      statsCol.map("|" + _).getOrElse("")
   }
 
   private def sumName(s: Spec): Option[String] = s.sumCol.map("sum_" + _)
 
   /** The partial-side aggregate expressions of a spec: count, optional
-    * sum, optional HLL sketch. */
+    * sum, optional HLL sketch, optional min/max/avg stats partials
+    * (min, max, non-null count + sum — avg derives at read time; the
+    * recompute-per-touched-bucket discipline is what makes min/max
+    * maintainable at all: delta maintenance famously cannot retract a
+    * deleted extremum, but a re-sketched bucket never has to). */
   private def partialAggs(spec: Spec) =
     count(lit(1)).as("n") +:
       (spec.sumCol.map(c => sum(col(c)).as("sum_" + c)).toSeq ++
-        spec.distinctCol.map(c => hll_sketch_agg(col(c)).as("hll_" + c)).toSeq)
+        spec.distinctCol.map(c => hll_sketch_agg(col(c)).as("hll_" + c)).toSeq ++
+        spec.statsCol.toSeq.flatMap(c => Seq(
+          min(col(c)).as("smin_" + c), max(col(c)).as("smax_" + c),
+          sum(col(c)).as("ssum_" + c), count(col(c)).as("scnt_" + c))))
 
   /** Recompute and swap the partials of `touchedDirs` from the post-merge
     * bucket contents `merged` (must carry the bucket column `b` and the
@@ -126,6 +146,10 @@ object IncrementalRollup {
       sumName(spec).foreach(s => df = df.withColumn(s, lit(null).cast("double")))
       spec.distinctCol.foreach(c =>
         df = df.withColumn("n_distinct_" + c, lit(0L)))
+      spec.statsCol.foreach { c =>
+        Seq("min_", "max_", "avg_").foreach(p =>
+          df = df.withColumn(p + c, lit(null).cast("double")))
+      }
       df
     }
     if (dirs.isEmpty) return empty
@@ -134,7 +158,11 @@ object IncrementalRollup {
       (sumName(spec).map(s => sum(col(s)).as(s)).toSeq ++
         spec.distinctCol.map(c =>
           hll_sketch_estimate(hll_union_agg(col("hll_" + c)))
-            .as("n_distinct_" + c)).toSeq)
+            .as("n_distinct_" + c)).toSeq ++
+        spec.statsCol.toSeq.flatMap(c => Seq(
+          min(col("smin_" + c)).as("min_" + c),
+          max(col("smax_" + c)).as("max_" + c),
+          (sum(col("ssum_" + c)) / sum(col("scnt_" + c))).as("avg_" + c))))
     partials.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -73,9 +73,10 @@ object IngestPipeline {
   def enableRollup(spark: SparkSession, pipelineRoot: String,
                    groupCols: Seq[String],
                    sumCol: Option[String] = None,
-                   distinctCol: Option[String] = None): Unit = {
+                   distinctCol: Option[String] = None,
+                   statsCol: Option[String] = None): Unit = {
     val spec = IncrementalRollup.Spec(rollupRoot(pipelineRoot), groupCols,
-      sumCol, distinctCol)
+      sumCol, distinctCol, statsCol)
     val fence = WriterFence.claim(spark, pipelineRoot)
     // validate the spec against the live schema BEFORE pinning it: a
     // typo'd column must fail HERE, not after the marker is durable —
@@ -84,19 +85,35 @@ object IngestPipeline {
     // changed value; that's what [[disableRollup]] is for). A fresh
     // root has no schema to check yet; its first merge still fails
     // loudly on a missing column, but the marker can be removed.
+    // a conflicting RE-enable must fail against the pipeline's pinned
+    // marker up front (ensureTag validates without writing when the
+    // marker exists) — not incidentally against the sidecar's own tag
+    // halfway into the rebuild
+    if (StateStore.readTag(spark, pipelineRoot, RollupMarker).nonEmpty)
+      StateStore.ensureTag(spark, pipelineRoot, RollupMarker, spec.tagValue)
     val live = StateStore.liveBuckets(spark, stateRoot(pipelineRoot))
     if (live.nonEmpty) {
       val have = IncrementalIndex
         .readState(spark, stateRoot(pipelineRoot)).schema.fieldNames.toSet
-      val missing = (groupCols ++ sumCol ++ distinctCol).filterNot(have)
+      val missing = (groupCols ++ sumCol ++ distinctCol ++ statsCol)
+        .filterNot(have)
       require(missing.isEmpty,
         s"rollup spec names columns absent from the row state: " +
           s"${missing.mkString(", ")} (state has: ${have.toSeq.sorted.mkString(", ")})")
     }
-    StateStore.ensureTag(spark, pipelineRoot, RollupMarker, spec.tagValue)
-    fence.check(spark)
+    // the ROOT marker goes durable only AFTER the backfill rebuild
+    // succeeds: the marker is what makes merges maintain (and readRollup
+    // serve) the sidecar, so pinning it first would let a crash between
+    // marker and rebuild leave an active marker over a missing/partial
+    // sidecar — subsequent merges would then maintain only touched
+    // buckets and readRollup would silently undercount. With this order
+    // a crash mid-rebuild leaves an orphan sidecar but NO marker:
+    // readRollup fails loudly ("no rollup enabled") and re-running
+    // enableRollup converges (rebuild is a whole-root idempotent swap).
     if (live.nonEmpty)
       IncrementalRollup.rebuild(spark, stateRoot(pipelineRoot), spec)
+    fence.check(spark)
+    StateStore.ensureTag(spark, pipelineRoot, RollupMarker, spec.tagValue)
   }
 
   /** Remove the maintained rollup: drops the root marker and the partial
@@ -124,7 +141,7 @@ object IngestPipeline {
       def opt(i: Int): Option[String] =
         if (parts.length <= i || parts(i).isEmpty) None else Some(parts(i))
       IncrementalRollup.Spec(rollupRoot(pipelineRoot),
-        parts(0).split(",").toSeq.filter(_.nonEmpty), opt(1), opt(2))
+        parts(0).split(",").toSeq.filter(_.nonEmpty), opt(1), opt(2), opt(3))
     }
 
   /** The maintained aggregate ([[enableRollup]] must have run): one row
@@ -183,46 +200,95 @@ object IngestPipeline {
     // of an id would make registry() merge their terms into one stricter
     // conjunction — last registration wins, same as two separate calls
     val deduped = queries.reverse.distinctBy(_.id).reverse
-    val ids = deduped.map(_.id).toSet
+    import spark.implicits._
+    val ids = deduped.map(_.id).toDF("query_id")
+    val fresh = Percolate.explodeRoles(deduped).toDF("query_id", "term", "role")
+    // frame-level upsert: the EXISTING registry never materializes on the
+    // driver — replaced ids drop through one broadcast anti-join, new
+    // rows union in. A registry large enough for the join match strategy
+    // stays large-registry-safe on its own write path too.
+    val existing = registryRows(spark, pipelineRoot)
+      .getOrElse(fresh.limit(0))
     writeRegistry(spark, pipelineRoot,
-      registry(spark, pipelineRoot).filterNot(q => ids.contains(q.id)) ++ deduped)
+      existing.join(broadcast(ids), Seq("query_id"), "left_anti")
+        .unionByName(fresh))
   }
 
   /** Drop standing queries by id (absent ids are ignored). */
   def removeQueries(spark: SparkSession, pipelineRoot: String,
                     ids: Seq[String]): Unit = {
-    val gone = ids.toSet
-    writeRegistry(spark, pipelineRoot,
-      registry(spark, pipelineRoot).filterNot(q => gone.contains(q.id)))
-  }
-
-  private def writeRegistry(spark: SparkSession, pipelineRoot: String,
-                            queries: Seq[Percolate.StoredQuery]): Unit = {
     import spark.implicits._
-    StateStore.commit(spark, registryDir(pipelineRoot)) { tmp =>
-      Percolate.explodeRoles(queries)
-        .toDF("query_id", "term", "role").coalesce(1).write.parquet(tmp)
+    registryRows(spark, pipelineRoot).foreach { existing =>
+      writeRegistry(spark, pipelineRoot,
+        existing.join(broadcast(ids.toDF("query_id")),
+          Seq("query_id"), "left_anti"))
     }
   }
 
-  /** The registered standing queries — driver-side (the registry is
-    * compiled into each batch's plan, so it must fit one; see
+  private def writeRegistry(spark: SparkSession, pipelineRoot: String,
+                            rows: DataFrame): Unit = {
+    val cached = rows.cache()
+    // decouple from the current registry files before the whole-dir swap
+    val n = cached.count()
+    // one file per ~50k exploded rows: a demo registry keeps the single
+    // file it always had, a million-query registry lands bucketed
+    // instead of funneling through one task's coalesce(1)
+    val parts = math.min(32L, n / 50000L + 1L).toInt
+    try StateStore.commit(spark, registryDir(pipelineRoot)) { tmp =>
+      cached.repartition(parts, col("query_id")).write.parquet(tmp)
+    } finally cached.unpersist(): Unit
+  }
+
+  /** The persisted registry as `(query_id, term, role)` rows — None means
+    * GENUINELY empty. A whole-dir swap by a concurrent [[registerQueries]]
+    * makes the dir transiently absent between its two renames; reading
+    * that window as "all queries removed" would make [[emitAlerts]]
+    * silently (and, once the checkpoint commits, permanently) emit no
+    * alerts for the batch. The `.old` the writer set aside is the
+    * distinguishing evidence — retry while it exists (recover() heals it
+    * on the next pass), and fail loudly rather than return a lie if it
+    * somehow persists. */
+  private def registryRows(spark: SparkSession,
+                           pipelineRoot: String): Option[DataFrame] = {
+    val dir = registryDir(pipelineRoot)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    var attempt = 0
+    while (attempt < 50) {
+      StateStore.recover(spark, dir)
+      if (StateStore.nonEmpty(spark, dir)) return Some(spark.read.parquet(dir))
+      if (!fs.exists(new Path(dir + ".old"))) return None
+      attempt += 1
+      Thread.sleep(20)
+    }
+    throw new IllegalStateException(
+      s"registry at $dir stuck mid-swap (.old present but never promoted)")
+  }
+
+  /** How many standing queries the registry holds, from the registry
+    * frame — the strategy-dispatch input, never a driver materialization. */
+  private def registrySize(reg: DataFrame): Long =
+    reg.select("query_id").distinct().count()
+
+  /** Above this many standing queries, [[emitAlerts]] switches from the
+    * compiled-projection strategy (one boolean column per query in the
+    * batch plan) to the broadcast-join strategy
+    * ([[graft.operators.Percolate.matchesBoolFrame]]): a compiled plan
+    * grows with the registry and would make one oversized registration
+    * degrade every subsequent batch, while the join form treats the
+    * registry as data. */
+  private[graft] val CompiledRegistryMax: Long = 512L
+
+  private def queriesFromRows(reg: DataFrame): Seq[Percolate.StoredQuery] =
+    Percolate.fromRoleRows(reg.collect().toSeq
+      .map(r => (r.getAs[String]("query_id"), r.getAs[String]("term"),
+        r.getAs[String]("role"))))
+
+  /** The registered standing queries — driver-side, for inspection and
+    * the compiled match path (which must fit one plan anyway; see
     * [[graft.operators.Percolate.matchesCompiled]]'s size guidance). */
   def registry(spark: SparkSession,
-               pipelineRoot: String): Seq[Percolate.StoredQuery] = {
-    val dir = registryDir(pipelineRoot)
-    StateStore.recover(spark, dir)
-    if (!StateStore.nonEmpty(spark, dir)) return Seq.empty
-    spark.read.parquet(dir).collect()
-      .map(r => (r.getAs[String]("query_id"), r.getAs[String]("term"),
-        r.getAs[String]("role")))
-      .groupBy(_._1).map { case (id, rows) =>
-        Percolate.StoredQuery(id,
-          all = rows.filter(_._3 == "all").map(_._2).toSeq,
-          any = rows.filter(_._3 == "any").map(_._2).toSeq,
-          none = rows.filter(_._3 == "none").map(_._2).toSeq)
-      }.toSeq.sortBy(_.id)
-  }
+               pipelineRoot: String): Seq[Percolate.StoredQuery] =
+    registryRows(spark, pipelineRoot).map(queriesFromRows).getOrElse(Seq.empty)
 
   /** Every durable alert — (rowkey, query_id, batch_id): which admitted
     * put matched which standing query, in which batch. Alerts are the
@@ -275,8 +341,9 @@ object IngestPipeline {
   private def emitAlerts(spark: SparkSession, gated: DataFrame,
                          pipelineRoot: String, batchId: Long,
                          tokenize: Column => Column): Unit = {
-    val reg = registry(spark, pipelineRoot)
-    if (reg.isEmpty) {
+    val reg = registryRows(spark, pipelineRoot)
+    val nQueries = reg.map(registrySize).getOrElse(0L)
+    if (nQueries == 0L) {
       // replay reconciliation: a batch replayed AFTER every standing
       // query was removed must clear the alerts its first run committed
       // — skipping would leave the outbox advertising hits for queries
@@ -296,10 +363,27 @@ object IngestPipeline {
     // here instead would race the concurrent postings merge that writes
     // it on a fresh root, and would silently fall back to whitespace for
     // a custom tokenizer run without a tokenizerName.
+    // registered range predicates read numeric CHANGELOG columns beside
+    // the text — those fields ride the percolated frame (and fail loudly
+    // when the batch does not carry them, rather than silently never
+    // alerting); the field list is registry metadata
+    val rangeFields = reg.get.filter(col("role") === "range")
+      .select(split(col("term"), ":", 3).getItem(0).as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq
     val docs = IncrementalIndex.compact(
-        gated.select(TextCols.map(col): _*))
-      .select(col("rowkey").as("doc_id"), col("text"))
-    val hits = Percolate.matchesCompiledBool(docs, reg, tokenize)
+        gated.select((TextCols ++ rangeFields).distinct.map(col): _*))
+      .select(col("rowkey").as("doc_id") +: col("text") +:
+        rangeFields.map(col): _*)
+    // strategy dispatch on registry size: small registries compile into
+    // the batch plan (stateless, shuffle-free); past CompiledRegistryMax
+    // the registry joins as data, so one oversized registration can
+    // never degrade every subsequent batch with an unbounded projection
+    val regDf = reg.get
+    val matched =
+      if (nQueries <= CompiledRegistryMax)
+        Percolate.matchesCompiledBool(docs, queriesFromRows(regDf), tokenize)
+      else Percolate.matchesBoolFrame(docs, regDf, tokenize)
+    val hits = matched
       .select(col("doc_id").as("rowkey"), col("query_id"))
     StateStore.commit(spark, alertDir(pipelineRoot, batchId)) { tmp =>
       hits.write.parquet(tmp)

@@ -644,4 +644,81 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(postingsMap(IncrementalPostings.postings(spark, root)) ===
       expected(Seq("1" -> "alpha beta", "2" -> "gamma delta", "4" -> "zeta eta")))
   }
+
+  test("positions payload never inflates position-free hot reads: ReadSchema + bytes-read pins") {
+    // Round-8 added the positions payload to every entries row; the hot
+    // reads that do NOT need it (term/BM25 search — the online-probe
+    // family's shape) must provably not pay for it. Two pins: (a) the
+    // entries scans behind a term search prune the positions column out
+    // of their required schema, and (b) the BYTES actually read from a
+    // positions-carrying root are within noise of the same search over a
+    // positions-free root — so payload growth can never silently inflate
+    // the maintained hot reads again.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
+    val withPos = Files.createTempDirectory("graft_postBy").toString + "/postings"
+    val noPos = Files.createTempDirectory("graft_postBy0").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, docs, withPos)
+    IncrementalPostings.mergeBatch(spark, docs, noPos, keepPositions = false)
+
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    def entrySchemas(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      df.collect() // AQE finalizes the plan on execution
+      nodes(df.queryExecution.executedPlan).collect {
+        case sc: FileSourceScanExec
+            if sc.relation.location.rootPaths.exists(_.toString.contains("/entries")) =>
+          sc.requiredSchema.fieldNames.toSeq
+      }
+    }
+    val termSchemas = entrySchemas(
+      IncrementalPostings.termSearch(spark, withPos, Seq("merge", "sort")))
+    assert(termSchemas.nonEmpty)
+    for (sch <- termSchemas)
+      assert(!sch.contains("positions"),
+        s"term search reads the positions payload it does not use: $sch")
+    // the phrase read is the one consumer that must keep the column
+    val phraseSchemas = entrySchemas(
+      IncrementalPostings.phraseSearch(spark, withPos, Seq("merge", "sort")))
+    assert(phraseSchemas.exists(_.contains("positions")), phraseSchemas.toString)
+
+    // runtime proof: task-level input bytes, polled until the async
+    // listener bus drains (three stable reads)
+    def bytesRead(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        var stable = 0
+        var prev = -1L
+        while (stable < 3) {
+          if (acc.get == prev) stable += 1 else { stable = 0; prev = acc.get }
+          Thread.sleep(50)
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+    def run(root: String): Long = bytesRead {
+      IncrementalPostings.termSearch(spark, root, Seq("merge", "sort")).collect(): Unit
+    }
+    run(withPos) // warm both code paths once so JIT/footer caching is equal
+    run(noPos)
+    val bPos = run(withPos)
+    val bNo = run(noPos)
+    assert(bPos <= bNo * 3 / 2 + (256 << 10),
+      s"positions root term search read $bPos bytes vs $bNo on the " +
+        "positions-free root — the payload is inflating position-free reads")
+  }
 }

@@ -188,6 +188,48 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(e.getMessage.contains("subset"))
   }
 
+  test("min/max/avg stats rollup converges through updates and deletes, cuboids included") {
+    val base = Files.createTempDirectory("graft_ruM").toString
+    val st = base + "/state"
+    val sp = IncrementalRollup.Spec(base + "/rollup", Seq("lang", "source"),
+      statsCol = Some("v"))
+    import spark.implicits._
+    def put(k: String, id: Long, lang: String, source: String, v: Double) =
+      (k, id, "put", lang, source, v)
+    val b0 = Seq(put("k1", 1, "en", "web", 1.0), put("k2", 2, "en", "web", 9.0),
+      put("k3", 3, "en", "book", 5.0), put("k4", 4, "de", "web", 8.0))
+      .toDF("rowkey", "event_id", "op", "lang", "source", "v")
+    IncrementalIndex.mergeBatch(spark, b0, st, rollup = Some(sp))
+    def by(cols: String*): Map[Seq[String], (Long, Double, Double, Double)] =
+      IncrementalRollup.readBy(spark, sp, cols).collect()
+        .map(r => cols.map(r.getAs[String]).toSeq ->
+          (r.getAs[Long]("n"), r.getAs[Double]("min_v"),
+            r.getAs[Double]("max_v"), r.getAs[Double]("avg_v"))).toMap
+    assert(by("lang", "source") === Map(
+      Seq("en", "web") -> (2L, 1.0, 9.0, 5.0),
+      Seq("en", "book") -> (1L, 5.0, 5.0, 5.0),
+      Seq("de", "web") -> (1L, 8.0, 8.0, 8.0)))
+    // the SAME partials serve the coarser stat (cuboid): min of mins,
+    // max of maxs, avg re-derived from summed (ssum, scnt)
+    assert(by("lang") === Map(
+      Seq("en") -> (3L, 1.0, 9.0, 5.0), Seq("de") -> (1L, 8.0, 8.0, 8.0)))
+    // deleting the current MAX retracts it — the retraction aggregate
+    // delta maintenance famously cannot do, and the per-touched-bucket
+    // recompute does for free (same argument as the deletable HLL)
+    val b1 = Seq(("k2", 10L, "delete", "", "", 0.0),
+      put("k3", 11, "en", "book", 2.0))
+      .toDF("rowkey", "event_id", "op", "lang", "source", "v")
+    IncrementalIndex.mergeBatch(spark, b1, st, rollup = Some(sp))
+    val after = Map(
+      Seq("en", "web") -> (1L, 1.0, 1.0, 1.0),
+      Seq("en", "book") -> (1L, 2.0, 2.0, 2.0),
+      Seq("de", "web") -> (1L, 8.0, 8.0, 8.0))
+    assert(by("lang", "source") === after)
+    // rebuild from the row state agrees with the maintained partials
+    IncrementalRollup.rebuild(spark, st, sp)
+    assert(by("lang", "source") === after)
+  }
+
   test("rollup after a row-root rescale: rebuild repairs the moved buckets") {
     val ev = changelog
     val base = Files.createTempDirectory("graft_ruS").toString

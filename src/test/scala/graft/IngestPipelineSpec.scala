@@ -942,6 +942,59 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.alerts(spark, root).count() === 0L)
   }
 
+  test("a registry past CompiledRegistryMax alerts through the join strategy, same hits") {
+    val root = Files.createTempDirectory("graft_pipePc5").toString + "/pipe"
+    // 600 standing queries (> CompiledRegistryMax = 512): the batch plan
+    // must NOT compile 600 boolean columns — emitAlerts dispatches to the
+    // broadcast-join strategy, whose hits must equal the compiled form's
+    val filler = (0 until 598).map(i => s"filler_$i" -> Seq(s"nomatch$i"))
+    val real = Seq("alert_ab" -> Seq("alpha", "beta"), "alert_red" -> Seq("red"))
+    IngestPipeline.registerQueries(spark, root, filler ++ real)
+    assert(IngestPipeline.registry(spark, root).size === 600)
+    val batch = Seq(
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "red green blue yellow"),
+      DocChange("3", 2, "put", "nothing to see here"))
+    applyB(root, 0, batch)
+    val hits = IngestPipeline.alerts(spark, root).collect()
+      .map(r => (r.getAs[String]("rowkey"), r.getAs[String]("query_id"))).toSet
+    val docs = batch.toDF().filter(col("op") === "put")
+      .select(col("rowkey").as("doc_id"), col("text"))
+    val compiled = graft.operators.Percolate
+      .matchesCompiledBool(docs, IngestPipeline.registry(spark, root))
+      .collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[String]("query_id"))).toSet
+    assert(hits === compiled)
+    assert(hits === Set(("1", "alert_ab"), ("2", "alert_red")))
+    // upsert against the large registry stays frame-level and correct
+    IngestPipeline.removeQueries(spark, root, Seq("alert_red"))
+    applyB(root, 1, Seq(DocChange("7", 10, "put", "red orange crimson tide")))
+    assert(!IngestPipeline.alerts(spark, root).collect()
+      .exists(_.getAs[String]("rowkey") == "7"))
+  }
+
+  test("phrase and range standing queries alert through the pipeline outbox") {
+    val root = Files.createTempDirectory("graft_pipePc6").toString + "/pipe"
+    IngestPipeline.registerStoredQueries(spark, root, Seq(
+      graft.operators.Percolate.StoredQuery("phr", all = Nil,
+        phrases = Seq("fast merge"),
+        range = Some(graft.operators.Percolate.RangePred("len", 0, 100)))))
+    // the range field is a CHANGELOG column beside the text; the phrase
+    // must be ADJACENT, not just both words present
+    val changes = Seq(
+      ("1", 0L, "put", "the fast merge path wins", 10L),
+      ("2", 1L, "put", "fast path then merge route", 10L),
+      ("3", 2L, "put", "another fast merge but far too long", 500L))
+      .toDF("rowkey", "event_id", "op", "text", "len")
+    IngestPipeline.applyBatch(spark, changes, root, 0, threshold = 0.5)
+    val hits = IngestPipeline.alerts(spark, root).collect()
+      .map(r => (r.getAs[String]("rowkey"), r.getAs[String]("query_id"))).toSet
+    assert(hits === Set(("1", "phr")))
+    // replay converges (phrase/range predicates are deterministic)
+    IngestPipeline.applyBatch(spark, changes, root, 0, threshold = 0.5)
+    assert(IngestPipeline.alerts(spark, root).count() === 1L)
+  }
+
   test("duplicate ids within one registration call: last wins (upsert semantics)") {
     val root = Files.createTempDirectory("graft_pipePc3").toString + "/pipe"
     IngestPipeline.registerQueries(spark, root,

@@ -78,4 +78,43 @@ class PercolateSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS percolate_alerts")
     }
   }
+
+  test("phrase and range predicates agree across both strategies; adjacency is positional") {
+    val docs = Seq(
+      (1L, "the fast merge path wins", 100L),  // phrase adjacent
+      (2L, "fast path then merge", 100L),      // both words, NOT adjacent
+      (3L, "a fast merge again", 500L),        // adjacent but out of range
+      (4L, "merge fast reversed", 100L),       // wrong order
+      (5L, "tiny spark doc", 80L),             // range + term query hits
+      (6L, "spark but very long", 300L)        // term hits, range misses
+    ).toDF("doc_id", "text", "n_chars")
+    val qs = Seq(
+      Percolate.StoredQuery("ph", all = Nil, phrases = Seq("fast merge"),
+        range = Some(Percolate.RangePred("n_chars", 0, 200))),
+      Percolate.StoredQuery("sp", all = Seq("spark"),
+        range = Some(Percolate.RangePred("n_chars", 0, 120))))
+    val expected = Set((1L, "ph"), (5L, "sp"))
+    assert(pairs(Percolate.matchesBool(docs, qs)) === expected)
+    assert(pairs(Percolate.matchesCompiledBool(docs, qs)) === expected)
+    // multi-phrase conjunction: BOTH phrases must appear
+    val two = Seq(Percolate.StoredQuery("p2", all = Nil,
+      phrases = Seq("fast merge", "path wins")))
+    val e2 = Set((1L, "p2"))
+    assert(pairs(Percolate.matchesBool(docs, two)) === e2)
+    assert(pairs(Percolate.matchesCompiledBool(docs, two)) === e2)
+    // the demo rich registry agrees at fixture scale too
+    val fix = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("n_chars"))
+    val a = pairs(Percolate.matchesBool(fix, Percolate.demoRichQueries))
+    assert(a === pairs(Percolate.matchesCompiledBool(fix, Percolate.demoRichQueries)))
+    assert(a.nonEmpty)
+  }
+
+  test("role rows round-trip: explodeRoles and fromRoleRows are inverses") {
+    val qs = Percolate.demoRichQueries ++ Percolate.demoBoolQueries
+    val back = Percolate.fromRoleRows(Percolate.explodeRoles(qs))
+    assert(back.sortBy(_.id) === qs.sortBy(_.id))
+  }
 }

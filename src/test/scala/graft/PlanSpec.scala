@@ -309,4 +309,34 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("*("), s"$q:\n${p.take(600)}")
     }
   }
+
+  test("q_cursor_page: cursor predicate pushes to the scan; page is a shuffle-free top-k") {
+    val p = plan("q_cursor_page")
+    // the page is TakeOrderedAndProject — per-partition top-k, never an
+    // offset-sized sort or row_number window
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    // the compound (sort_key, tiebreak) cursor reaches the parquet scan
+    assert(p.contains("PushedFilters: [Or(LessThan(o_totalprice"), p)
+    // scan -> filter -> top-k: zero exchanges at any depth
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("cursorPage chain: page k equals rows [k*n, (k+1)*n) of the offset form") {
+    import graft.operators.Search
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    // offset reference: the full sort's first 60 rows
+    val ref = base.orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc,
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .limit(60).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    var cursor: Option[(Double, Long)] = None
+    val pages = (0 until 3).map { k =>
+      val page = Search.cursorPage(base, "o_totalprice", "o_orderkey", 20, cursor)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      cursor = Some((page.last._2, page.last._1))
+      page
+    }
+    assert(pages.flatten.toSeq === ref.toSeq,
+      "three cursor pages must reproduce the offset form's first 60 rows")
+  }
 }
