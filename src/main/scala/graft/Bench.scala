@@ -33,6 +33,19 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
+    // Second warmup pass: the probe/maintained fixtures built during the
+    // first pass REGISTER their corpus scope, which invalidates every
+    // corpus-derived artifact built earlier in the pass (cache coherence —
+    // a registered scope's artifacts must be fed from the maintained
+    // state). Without this pass the first timed trial of an affected key
+    // pays a rebuild; min-of-3 hides it from the reported number, but the
+    // build clock advancing during timing (and double-counted builds in
+    // artifact_builds, e.g. round 8's 12× simhash_fp) made warmup churn
+    // read as a query regression. All fixtures exist after pass one, so
+    // pass two triggers no further invalidation.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try run(fn) catch { case _: Throwable => }
+    }
     val warmupBuildSec = graft.operators.Materialize.buildSeconds
     // Timed: min of 3 trials per query — the standard way to report the
     // query's cost rather than transient GC/load noise on a shared box.

@@ -545,9 +545,10 @@ class Graft(spark: SparkSession, dir: String,
     * maintenance slot. */
   def enableRollup(pipelineRoot: String, groupCols: Seq[String],
                    sumCol: Option[String] = None,
-                   distinctCol: Option[String] = None): Unit =
+                   distinctCol: Option[String] = None,
+                   statsCol: Option[String] = None): Unit =
     IngestPipeline.enableRollup(spark, pipelineRoot, groupCols, sumCol,
-      distinctCol)
+      distinctCol, statsCol)
 
   /** Remove the maintained rollup (marker + sidecar) — the off switch
     * and the correction path for a mis-specified enable. */
@@ -615,6 +616,16 @@ class Graft(spark: SparkSession, dir: String,
                 compiled: Boolean = true): DataFrame =
     if (compiled) graft.operators.Percolate.matchesCompiled(docs, queries)
     else graft.operators.Percolate.matches(docs, queries)
+
+  /** Keyset (cursor) page over any frame — Solr's `cursorMark` deep
+    * paging: the top `n` rows in `(sortCol DESC, keyCol ASC)` order
+    * strictly after `cursor` (page N's last `(sortVal, keyVal)`); `None`
+    * is the first page. The cursor predicate pushes to the scan and the
+    * page is a TakeOrderedAndProject, so depth never costs a prefix
+    * re-sort (the `start`/`rows` offset form does). */
+  def cursorPage(df: DataFrame, sortCol: String, keyCol: String, n: Int,
+                 cursor: Option[(Double, Long)] = None): DataFrame =
+    graft.operators.Search.cursorPage(df, sortCol, keyCol, n, cursor)
 
   /** Skew-safe exact distinct count per (possibly hot) key: a two-phase
     * aggregation that first dedupes within `buckets` hash-shards of the
