@@ -124,47 +124,28 @@ object TextAnalysis {
     * way [[stopRatio]] does. NULL for texts of fewer than two tokens
     * (no bigram exists; a gate should decide short texts by length, not
     * by repetition). */
-  def topBigramFrac(tokens: Column): Column = {
-    val bg = transform(sequence(lit(1), size(tokens) - 1),
-      i => concat_ws(" ", slice(tokens, i, lit(2))))
+  def topBigramFrac(tokens: Column): Column =
     when(size(tokens) >= 2,
-      longestRun(array_sort(bg)) * lit(1.0) / (size(tokens) - 1))
-  }
+      repStats(tokens).getField("top_bigram_n") * lit(1.0) /
+        (size(tokens) - 1))
 
   /** Share of tokens taken by the most frequent token — the companion
     * single-word repetition signal. NULL for empty token arrays. */
   def topWordFrac(tokens: Column): Column =
     when(size(tokens) >= 1,
-      longestRun(array_sort(tokens)) * lit(1.0) / size(tokens))
+      repStats(tokens).getField("top_word_n") * lit(1.0) / size(tokens))
 
-  /** Longest run in a sorted string array = its top element's count —
-    * [[runStats]]'s `best` field. */
-  private def longestRun(sorted: Column): Column =
-    runStats(sorted).getField("best")
-
-  /** (longest run `best`, number of runs `runs`) over a SORTED string
-    * array — one linear `aggregate` pass. On a sorted array equal
-    * elements are adjacent, so the longest run is the top element's
-    * count and the run count is the distinct count: max-frequency and
-    * cardinality in O(n log n) per row (the sort) instead of the naive
-    * O(distinct × n) count-per-element. At sf0.1 the naive form cost
-    * 4.4 s; this one is an order cheaper. The ONE run-length fold in
-    * this file — `q_repetition` and the gate predicates
-    * ([[topBigramFrac]]/[[topWordFrac]]) both read it, so the signal
-    * cannot fork. */
-  private def runStats(sorted: Column): Column =
-    aggregate(sorted,
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best"), lit(0L).as("runs")),
-      (a, x) => {
-        val run = when(a.getField("prev") <=> x, a.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(a.getField("best"), run).as("best"),
-          (a.getField("runs") + when(a.getField("prev") <=> x, lit(0L))
-            .otherwise(lit(1L))).as("runs"))
-      },
-      a => struct(a.getField("best").as("best"), a.getField("runs").as("runs")))
+  /** The ONE repetition-statistics kernel in this file — `q_repetition`
+    * and the gate predicates ([[topBigramFrac]]/[[topWordFrac]]) all read
+    * it, so the signal cannot fork: word and adjacent-bigram max
+    * frequency + cardinality in one compiled pass
+    * ([[graft.functions.RunLengthStats]] — the higher-order
+    * `array_sort`+`aggregate` lambda form it replaces evaluates
+    * interpreted and was the suite's slowest key; the expression sorts
+    * token indices with compiled comparisons and never materializes a
+    * bigram string. RepetitionSpec pins the lambda equivalence). */
+  private def repStats(tokens: Column): Column =
+    graft.functions.RunLengthStats.run_length_stats(tokens)
 
   private def qRepetition(spark: SparkSession, dir: String): DataFrame =
     // Repetition signals (the Gopher/MassiveText repetition filters): the
@@ -175,20 +156,17 @@ object TextAnalysis {
     // on. All three are PURE PER-ROW array expressions — no explode, no
     // exchange, no shuffle: each document computes its own signal and the
     // plan is a single scan-project, the shape that scales to 100 TB by
-    // adding executors. Frequency stats come from one sorted-run pass per
-    // array ([[runStats]]), so per-doc cost is O(len log len).
+    // adding executors. Frequency stats come from the ONE compiled
+    // repetition kernel ([[repStats]]), O(len log len) per doc.
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 2)
-      .withColumn("bg", expr(
-        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
-      .withColumn("bs", runStats(array_sort(col("bg"))))
-      .withColumn("ws", runStats(array_sort(col("t"))))
+      .withColumn("rs", repStats(col("t")))
       .select(col("doc_id"),
         (size(col("t")) - 1).cast("long").as("n_bigrams"),
-        col("bs.best").as("top_bigram_n"),
-        col("bs.runs").as("n_distinct_bigrams"),
-        col("ws.best").as("top_word_n"),
+        col("rs.top_bigram_n").as("top_bigram_n"),
+        col("rs.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("rs.top_word_n").as("top_word_n"),
         size(col("t")).cast("long").as("n_tokens"))
       .withColumn("top_bigram_frac",
         round(col("top_bigram_n") * lit(1.0) / col("n_bigrams"), 4))

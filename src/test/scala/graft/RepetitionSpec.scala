@@ -80,4 +80,36 @@ class RepetitionSpec extends SparkSpec {
     // signal regressed to a groupBy shuffle
     assert(!p.contains("hashpartitioning"), p)
   }
+
+  test("RunLengthStats expression matches a plain Scala model on random token arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tokens include repeats, empties, and non-ASCII so UTF8String
+    // comparison order and pair identity are both exercised
+    val tokGen = Gen.oneOf("a", "b", "bb", "", "\u4e2d\u6587", "z9", "a")
+    val arrGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val samples = (1 to 60).map(i =>
+      arrGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val got = samples.toDF("t")
+      .select(graft.functions.RunLengthStats.run_length_stats(col("t")).as("rs"))
+      .select("rs.top_bigram_n", "rs.n_distinct_bigrams",
+        "rs.top_word_n", "rs.n_distinct_words")
+      .collect()
+    samples.zip(got).foreach { case (t, r) =>
+      val bg = if (t.size >= 2) t.sliding(2).toSeq else Seq.empty
+      val expTopBg = if (bg.isEmpty) 0L else bg.groupBy(identity).values.map(_.size).max.toLong
+      val expDisBg = bg.distinct.size.toLong
+      val expTopW = if (t.isEmpty) 0L else t.groupBy(identity).values.map(_.size).max.toLong
+      val expDisW = t.distinct.size.toLong
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((expTopBg, expDisBg, expTopW, expDisW)), s"tokens=$t")
+    }
+    // a null ELEMENT nulls the result (loud, not miscounted)
+    val withNull = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS t")
+      .select(graft.functions.RunLengthStats.run_length_stats(col("t")).as("rs"))
+      .collect()
+    assert(withNull(0).isNullAt(0))
+  }
 }
