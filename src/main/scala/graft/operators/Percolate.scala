@@ -113,12 +113,20 @@ object Percolate {
     }: _*)
     // project only what the compiled predicates consume: the distinct
     // token set always, the ordered array only when a phrase needs
-    // adjacency, the range fields only when a range reads them
+    // adjacency, the range fields only when a range reads them. A NULL
+    // text coalesces to the EMPTY token set — the join strategy's null
+    // text explodes to zero term rows (= empty), and the strategies must
+    // agree on every row or the CompiledRegistryMax dispatch would
+    // silently change which docs alert (a none+range query matches an
+    // empty doc in range; NULL-propagating array_contains would not).
+    val emptyToks = expr("CAST(array() AS ARRAY<STRING>)")
     val needOrdered = queries.exists(_.phrases.nonEmpty)
     val rangeFields = queries.flatMap(_.range).map(_.field).distinct
     val cols = col("doc_id") +:
-      array_distinct(tokenize(col("text"))).as("toks") +:
-      ((if (needOrdered) Seq(tokenize(col("text")).as("otoks")) else Nil) ++
+      coalesce(array_distinct(tokenize(col("text"))), emptyToks).as("toks") +:
+      ((if (needOrdered)
+          Seq(coalesce(tokenize(col("text")), emptyToks).as("otoks"))
+        else Nil) ++
         rangeFields.map(col))
     docs.select(cols: _*).select(col("doc_id"),
       explode(filter(hits, _.isNotNull)).as("query_id"))

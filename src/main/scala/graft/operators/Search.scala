@@ -93,13 +93,24 @@ object Search {
     * comparison on scan columns, so it pushes to the parquet scan
     * (row-group pruning on the sort column), and the page itself is a
     * TakeOrderedAndProject — per-partition top-k, k rows to the driver.
-    * Page N+1's cursor is page N's last `(sortVal, keyVal)`. */
+    * Page N+1's cursor is page N's last `(sortVal, keyVal)`.
+    *
+    * Rows with a NULL sort value are excluded from EVERY page (first page
+    * included): a null sorts after all values in the DESC order but is
+    * not addressable by a `(Double, Long)` cursor, so including it on
+    * page 1 and silently dropping it after the first cursor would make
+    * end-of-chain lie about end-of-data. Solr's cursorMark likewise
+    * requires a sortable, present field; the paged set here is defined as
+    * the non-null-sort rows, and the page-chain ≡ offset-pages invariant
+    * (PlanSpec) holds over exactly that set. */
   def cursorPage(df: DataFrame, sortCol: String, keyCol: String, n: Int,
-                 cursor: Option[(Double, Long)] = None): DataFrame =
-    cursor.fold(df) { case (sv, kv) =>
-      df.filter(col(sortCol) < sv ||
+                 cursor: Option[(Double, Long)] = None): DataFrame = {
+    val nonNull = df.filter(col(sortCol).isNotNull)
+    cursor.fold(nonNull) { case (sv, kv) =>
+      nonNull.filter(col(sortCol) < sv ||
         (col(sortCol) === sv && col(keyCol) > kv))
     }.orderBy(col(sortCol).desc, col(keyCol)).limit(n)
+  }
 
   private def qCursorPage(spark: SparkSession, dir: String): DataFrame =
     // S5 deep-paging flavor: one page AFTER a fixed cursor — the query a

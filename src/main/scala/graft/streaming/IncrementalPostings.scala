@@ -317,6 +317,30 @@ object IncrementalPostings {
   def rescale(spark: SparkSession, rootPath: String, newBuckets: Int,
               tokenizerName: Option[String] = None): Unit = {
     tokenizerName.foreach(n => StateStore.ensureTag(spark, rootPath, "_tokenizer", n))
+    // the tokenizer-free dl derivation below is only valid when every
+    // live entry carries a REAL tf: legacy pre-tf entry files (the
+    // upgrade path withTf/readMerged's mergeSchema exists for) surface tf
+    // as null (mixed root) or lose the column entirely (all-legacy root),
+    // and summing withTf's tf=1 default would silently write dl_sum as
+    // distinct-term counts — skewed BM25 length norms with no error.
+    // Fail loudly, and BEFORE the bucket swaps: throwing after docs/
+    // entries had re-bucketed would strand the root mixed-count, where
+    // the prescribed remedy (a put merge) itself fails ensureBucketCount.
+    // Pre-swap, the root is untouched and a re-merge then rescale works.
+    locally {
+      val entRoot = rootPath + "/entries"
+      val entDirs = StateStore.liveBuckets(spark, entRoot)
+      if (entDirs.nonEmpty) {
+        val raw = readMerged(spark, entDirs.map(d => s"$entRoot/$d"))
+        val legacy = !raw.columns.contains("tf") ||
+          raw.filter(col("tf").isNull).limit(1).count() > 0
+        if (legacy) throw new IllegalStateException(
+          s"entries under $entRoot contain legacy rows without a tf " +
+            "column; the tokenizer-free dl recompute cannot derive " +
+            "document lengths from them — re-index those docs (a put " +
+            "merge rewrites their buckets with true tf) before rescale")
+      }
+    }
     StateStore.rescale(spark, rootPath + "/docs", "rowkey", newBuckets)
     StateStore.rescale(spark, rootPath + "/entries", "tok", newBuckets)
     val docsRoot = rootPath + "/docs"
@@ -337,26 +361,6 @@ object IncrementalPostings {
         .withColumn("b", docBucket(newBuckets))
         .filter(col("op") =!= "delete")
         .select(col("rowkey"), col("b"))
-      // the tokenizer-free dl derivation is only valid when every live
-      // entry carries a REAL tf: legacy pre-tf entry files (the upgrade
-      // path withTf/readMerged's mergeSchema exists for) surface tf as
-      // null (mixed root) or lose the column entirely (all-legacy root),
-      // and summing withTf's tf=1 default would silently write dl_sum as
-      // distinct-term counts — skewed BM25 length norms with no error.
-      // Fail loudly instead: re-merge once (any put batch rewrites its
-      // buckets with true tf) before rescaling a legacy root.
-      val entRoot = rootPath + "/entries"
-      val entDirs = StateStore.liveBuckets(spark, entRoot)
-      if (entDirs.nonEmpty) {
-        val raw = readMerged(spark, entDirs.map(d => s"$entRoot/$d"))
-        val legacy = !raw.columns.contains("tf") ||
-          raw.filter(col("tf").isNull).limit(1).count() > 0
-        if (legacy) throw new IllegalStateException(
-          s"entries under $entRoot contain legacy rows without a tf " +
-            "column; the tokenizer-free dl recompute cannot derive " +
-            "document lengths from them — re-index those docs (a put " +
-            "merge rewrites their buckets with true tf) before rescale")
-      }
       val dl = allEntries(spark, rootPath)
         .groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = live.join(dl, live("rowkey") === dl("doc_id"), "left")

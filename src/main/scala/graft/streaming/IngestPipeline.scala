@@ -341,53 +341,66 @@ object IngestPipeline {
   private def emitAlerts(spark: SparkSession, gated: DataFrame,
                          pipelineRoot: String, batchId: Long,
                          tokenize: Column => Column): Unit = {
-    val reg = registryRows(spark, pipelineRoot)
-    val nQueries = reg.map(registrySize).getOrElse(0L)
-    if (nQueries == 0L) {
-      // replay reconciliation: a batch replayed AFTER every standing
-      // query was removed must clear the alerts its first run committed
-      // — skipping would leave the outbox advertising hits for queries
-      // that no longer exist (a nonempty registry overwrites instead)
-      val dir = new Path(alertDir(pipelineRoot, batchId))
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(dir)) fs.delete(dir, true): Unit
-      // a swap interrupted on the FIRST run can leave only `<dir>.old`;
-      // the outbox heal would re-promote it after the delete above
-      val old = new Path(alertDir(pipelineRoot, batchId) + ".old")
-      if (fs.exists(old)) fs.delete(old, true): Unit
-      return
-    }
-    // percolation tokenizes with the SAME function this very batch's
-    // postings merge indexes with (passed down from mergeAll, where the
-    // marker check already pins it to the root) — reading the marker
-    // here instead would race the concurrent postings merge that writes
-    // it on a fresh root, and would silently fall back to whitespace for
-    // a custom tokenizer run without a tokenizerName.
-    // registered range predicates read numeric CHANGELOG columns beside
-    // the text — those fields ride the percolated frame (and fail loudly
-    // when the batch does not carry them, rather than silently never
-    // alerting); the field list is registry metadata
-    val rangeFields = reg.get.filter(col("role") === "range")
-      .select(split(col("term"), ":", 3).getItem(0).as("f"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val docs = IncrementalIndex.compact(
-        gated.select((TextCols ++ rangeFields).distinct.map(col): _*))
-      .select(col("rowkey").as("doc_id") +: col("text") +:
-        rangeFields.map(col): _*)
-    // strategy dispatch on registry size: small registries compile into
-    // the batch plan (stateless, shuffle-free); past CompiledRegistryMax
-    // the registry joins as data, so one oversized registration can
-    // never degrade every subsequent batch with an unbounded projection
-    val regDf = reg.get
-    val matched =
-      if (nQueries <= CompiledRegistryMax)
-        Percolate.matchesCompiledBool(docs, queriesFromRows(regDf), tokenize)
-      else Percolate.matchesBoolFrame(docs, regDf, tokenize)
-    val hits = matched
-      .select(col("doc_id").as("rowkey"), col("query_id"))
-    StateStore.commit(spark, alertDir(pipelineRoot, batchId)) { tmp =>
-      hits.write.parquet(tmp)
-    }
+    // the registry parquet is read ONCE per batch: cached for the
+    // dispatch count + whatever the chosen strategy derives from it
+    // (the compiled path then collects a single time and reuses the
+    // collected rows for both the query plan and its range-field list,
+    // so the ingest hot path pays one scan + at most one collect, not a
+    // job per derived piece)
+    val regDf = registryRows(spark, pipelineRoot).map(_.cache()).orNull
+    try {
+      val nQueries = if (regDf == null) 0L else registrySize(regDf)
+      if (nQueries == 0L) {
+        // replay reconciliation: a batch replayed AFTER every standing
+        // query was removed must clear the alerts its first run committed
+        // — skipping would leave the outbox advertising hits for queries
+        // that no longer exist (a nonempty registry overwrites instead)
+        val dir = new Path(alertDir(pipelineRoot, batchId))
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(dir)) fs.delete(dir, true): Unit
+        // a swap interrupted on the FIRST run can leave only `<dir>.old`;
+        // the outbox heal would re-promote it after the delete above
+        val old = new Path(alertDir(pipelineRoot, batchId) + ".old")
+        if (fs.exists(old)) fs.delete(old, true): Unit
+        return
+      }
+      // percolation tokenizes with the SAME function this very batch's
+      // postings merge indexes with (passed down from mergeAll, where the
+      // marker check already pins it to the root) — reading the marker
+      // here instead would race the concurrent postings merge that writes
+      // it on a fresh root, and would silently fall back to whitespace
+      // for a custom tokenizer run without a tokenizerName.
+      // Strategy dispatch on registry size: small registries compile into
+      // the batch plan (stateless, shuffle-free); past CompiledRegistryMax
+      // the registry joins as data, so one oversized registration can
+      // never degrade every subsequent batch with an unbounded projection.
+      // Registered range predicates read numeric CHANGELOG columns beside
+      // the text — those fields ride the percolated frame (and fail
+      // loudly when the batch does not carry them, rather than silently
+      // never alerting); the field list is registry metadata.
+      val (matchedOf, rangeFields) =
+        if (nQueries <= CompiledRegistryMax) {
+          val qs = queriesFromRows(regDf)
+          ((docs: DataFrame) =>
+            Percolate.matchesCompiledBool(docs, qs, tokenize),
+            qs.flatMap(_.range).map(_.field).distinct)
+        } else {
+          val fields = regDf.filter(col("role") === "range")
+            .select(split(col("term"), ":", 3).getItem(0).as("f"))
+            .distinct().collect().map(_.getString(0)).toSeq
+          ((docs: DataFrame) =>
+            Percolate.matchesBoolFrame(docs, regDf, tokenize), fields)
+        }
+      val docs = IncrementalIndex.compact(
+          gated.select((TextCols ++ rangeFields).distinct.map(col): _*))
+        .select(col("rowkey").as("doc_id") +: col("text") +:
+          rangeFields.map(col): _*)
+      val hits = matchedOf(docs)
+        .select(col("doc_id").as("rowkey"), col("query_id"))
+      StateStore.commit(spark, alertDir(pipelineRoot, batchId)) { tmp =>
+        hits.write.parquet(tmp)
+      }
+    } finally if (regDf != null) regDf.unpersist(): Unit
   }
 
   /** The columns every maintained TEXT state consumes. The pipeline

