@@ -348,10 +348,15 @@ object IncrementalShingles {
       return spark.range(0).select(lit("").as("qid"), lit("").as("rowkey"),
         lit(0.0).as("jaccard"))
     val qsh = sk.select(col("qid"), explode(col("qs")).as("tok"))
-    val hit = IncrementalPostings.prunedEntriesForTokens(spark, rootPath,
+    // read twice (hit aggregation + overlap count) rather than
+    // checkpointed: the pruned bucket scan is ~1 s while materializing
+    // the full pre-cap entry rows costs more than the second scan
+    val entries = IncrementalPostings.prunedEntriesForTokens(spark, rootPath,
         qsh.select("tok").distinct())
+      .select(col("tok"), col("doc_id").as("rowkey"))
+    val hit = entries
       .groupBy("tok")
-      .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
+      .agg(count(lit(1)).as("df"), collect_set(col("rowkey")).as("ids"))
       .filter(col("df") <= dfCap)
     // df-cap-bounded by construction (≤ dfCap × |batch shingles| rows);
     // checkpointed so the fetch's bucket-id collect and the join read one
@@ -359,24 +364,44 @@ object IncrementalShingles {
     val cands = hit.select(col("tok"), explode(col("ids")).as("rowkey"))
       .join(qsh, "tok")
       .select(col("qid"), col("rowkey")).distinct().localCheckpoint()
-    // sketch ONCE PER DOC on both sides before the pair join: a candidate
-    // row fans out to every query doc it shares a shingle with, and
-    // sketching inside the pair join re-ran the split/gram pipeline per
-    // PAIR — measured 70 s/batch against 263k candidate pairs at sf0.1
-    // (the arrays still ride the join; computing them is what cost)
-    val bArr = IncrementalPostings.prunedDocsForKeys(spark, rootPath,
+    // EXACT |A∩B| per candidate pair from the entries already read: every
+    // shared shingle is by definition one of the batch's shingles, whose
+    // posting bucket the pruned read opened — so counting matched (tok,
+    // doc) rows per pair over the UNCAPPED entries reproduces exactly the
+    // intersection the fetched-text merge scan used to compute (the df
+    // cap bounds candidate GENERATION only; shared high-df shingles still
+    // count toward the score). This replaces the old shape — candidate
+    // texts re-sketched and both shingle ARRAYS carried through the pair
+    // join into a per-pair merge scan — with a count aggregate over rows
+    // the probe had already materialized: the arrays never move, and the
+    // per-pair work is a hash-aggregate increment (measured: the array
+    // score join was ~5 s of the 9 s steady-state gate at sf0.1).
+    // Join order matters: restricting entries to candidate DOCS first
+    // keeps the intermediate at Σ_tok |cand docs with tok| × |batch docs
+    // with tok| — bounded by batch-sized quantities (candidate docs are
+    // dfCap × |batch shingles| by construction, the batch is flush-sized)
+    // and measured fastest; expanding pairs × |A| first doubled the
+    // probe's wall-clock (the pair×shingle fan-out shuffles before
+    // anything filters).
+    val overlap = entries
+      .join(cands.select("rowkey").distinct(), "rowkey")
+      .join(qsh, "tok")
+      .join(cands, Seq("qid", "rowkey"))
+      .groupBy("qid", "rowkey").agg(count(lit(1)).as("c"))
+    // |B| rides as ONE long per candidate doc (sketch size of the live
+    // text — same universe the entries were written from), never an array
+    val bSize = IncrementalPostings.prunedDocsForKeys(spark, rootPath,
         cands.select("rowkey"))
       .select(col("rowkey"),
-        array_sort(array_distinct(scheme.sketch(col("text")))).as("bs"))
-    bArr.join(cands, "rowkey")
-      .join(sk, "qid")
-      // both sides sorted at sketch time (once per doc) → the per-pair
-      // score is a zero-allocation merge scan; array_intersect's hash set
-      // was ~90% of this join's time at 362k pairs (sf0.1 profile)
-      .withColumn("c", graft.functions.SortedIntersectCount
-        .sorted_intersect_count(col("bs"), col("qs")).cast("long"))
+        size(array_distinct(scheme.sketch(col("text")))).cast("long").as("nb"))
+    overlap.join(bSize, "rowkey")
+      .join(sk.select(col("qid"), size(col("qs")).cast("long").as("na")), "qid")
+      // least() clamps the transient torn-prefix window where a crash
+      // left entries a bucket ahead of docs (replay heals it) — a score
+      // above 1.0 must never decide an admission
+      .withColumn("c", least(col("c"), col("na"), col("nb")))
       .withColumn("jaccard",
-        round(col("c") / (size(col("bs")) + size(col("qs")) - col("c")), 4))
+        round(col("c") / (col("nb") + col("na") - col("c")), 4))
       .filter(col("jaccard") >= threshold)
       .select("qid", "rowkey", "jaccard")
   }

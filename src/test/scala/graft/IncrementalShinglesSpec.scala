@@ -274,17 +274,22 @@ class IncrementalShinglesSpec extends SparkSpec {
     for (f <- entryFiles)
       assert(wantedEntry.exists(b => f.contains(s"/$b/")),
         s"batch probe read an entry file outside the batch's shingle buckets: $f")
-    // ... and the live-row fetch opens only the CANDIDATES' doc buckets
-    // (doc 1 is the only candidate; the probe frame's lineage reads no
-    // other doc bucket and no entries at all — those feed the
-    // checkpointed candidate set)
+    // ... and the probe frame's own lineage opens only TWO pruned file
+    // sets: the candidates' doc buckets (doc 1 is the only candidate —
+    // the |B| size fetch) and the batch shingles' entry buckets (the
+    // overlap count re-reads them; candidate GENERATION consumed its own
+    // read into the checkpointed pair set). Nothing unpruned anywhere.
     val probeFiles = IncrementalShingles.nearDuplicatesBatch(spark, root,
       arrivals.toDF("qid", "text"), threshold = 0.5).inputFiles
     val wantedDoc = Set(bucketOf("1"))
     assert(probeFiles.count(_.contains("/docs/")) > 0)
-    for (f <- probeFiles)
+    for (f <- probeFiles.filter(_.contains("/docs/")))
       assert(wantedDoc.exists(b => f.contains(s"/$b/")),
         s"batch probe fetched outside the candidates' doc buckets: $f")
+    for (f <- probeFiles.filter(_.contains("/entries/")))
+      assert(wantedEntry.exists(b => f.contains(s"/$b/")),
+        s"batch probe's overlap count read an entry file outside the " +
+          s"batch's shingle buckets: $f")
     // the admission gate: the dup'd put is dropped, the novel put and the
     // delete pass through unchanged
     val batch = Seq(
