@@ -333,6 +333,21 @@ object Changelog {
       .orderBy("event_type")
   }
 
+  private def qCursorMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // S5's keyset deep-paging form served from the MAINTAINED row state
+    // (q_cursor_page pages the raw table): the read opens live buckets
+    // only, the compound cursor predicate filters before the
+    // TakeOrderedAndProject page, and depth never re-sorts a prefix —
+    // the reference's delegated paged-OLAP read (README.md:5-6) over the
+    // state its coprocessor maintains.
+    val st = graft.streaming.IncrementalIndex
+      .readState(spark, indexFixture(spark, dir))
+      .select(col("rowkey").cast("long").as("rk"), col("value"))
+    graft.operators.Search.cursorPage(st, "value", "rk", 20,
+        cursor = Some((50.0, 0L)))
+      .select(col("rk").as("rowkey"), round(col("value"), 2).as("value"))
+  }
+
   private def qFacetIncremental(spark: SparkSession, dir: String): DataFrame = {
     // S6 served from the INCREMENTALLY-MAINTAINED aggregate: no state
     // scan at query time at all — the read collapses |buckets|×|groups|
@@ -383,6 +398,7 @@ object Changelog {
     "q_facet_maintained" -> qFacetMaintained,
     "q_facet_incremental" -> qFacetIncremental,
     "q_stats_maintained" -> qStatsMaintained,
+    "q_cursor_maintained" -> qCursorMaintained,
     "q_get_maintained" -> qGetMaintained,
     "q_point_lookup" -> qPointLookup)
 
@@ -498,6 +514,17 @@ object Changelog {
         |       round(avg(value), 2) AS avg_value
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cursor_maintained" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |live AS (
+        |  SELECT CAST(user_id AS BIGINT) AS rowkey, value
+        |  FROM ranked WHERE rn = 1 AND event_type <> 'error')
+        |SELECT rowkey, round(value, 2) AS value FROM live
+        |WHERE value < 50.0 OR (value = 50.0 AND rowkey > 0)
+        |ORDER BY value DESC, rowkey LIMIT 20""".stripMargin,
     "q_get_maintained" ->
       """WITH ranked AS (
         |  SELECT CAST(user_id AS VARCHAR) AS rowkey, event_id, event_type, value,
