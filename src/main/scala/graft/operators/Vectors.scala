@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -105,6 +106,124 @@ object Vectors {
       .agg(round(avg(col("v").cast("double")), 4).as("c"))
       .select(col("label"), (col("i") + 1).cast("long").as("dim"), col("c"))
       .orderBy("label", "dim")
+
+  // ---- product quantization (IVF-PQ): the memory-bounded ANN path ----
+  //
+  // At 100 TB of embeddings the full float vectors do not fit the probe
+  // path's working set — PQ stores each vector as PqM sub-space codeword
+  // ids (here 16 × 4-bit ids for a 64-d float vector: 16× smaller) and
+  // scores candidates with an asymmetric-distance table (ADC: per query,
+  // dot(q_s, codeword) for every (subspace, code) — PqM × PqK entries,
+  // driver-free, built in-plan and broadcast). The search is the standard
+  // two-stage shape: ADC shortlist inside the probed coarse cell, then
+  // EXACT rerank of the shortlist from the stored vectors — so the final
+  // top-k is exact whenever the true top-k survive the shortlist, which
+  // is what lets q_ann_pq share q_ann_ivf's brute-force oracle.
+  // Codebooks/codes are pure functions of the embeddings table and
+  // materialize once per session (the per-doc-artifact discipline of the
+  // shingle/fingerprint families; a maintained deployment derives them in
+  // the same merge that maintains the IVF cells).
+
+  private val PqM = 16 // subspaces
+  private val PqK = 16 // codewords per subspace (4-bit codes)
+  private val PqIters = 3
+
+  /** (vec_id, s, sub): the embeddings split into PqM double subvectors. */
+  private def pqSubvectors(e: DataFrame, subDim: Int): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), s -> " +
+        s"transform(slice(embedding, s * $subDim + 1, $subDim), " +
+        "x -> cast(x AS double)))")).as(Seq("s", "sub")))
+
+  /** Nearest codeword (L2) per (vec_id, subspace) — the k-means assign
+    * step and the encoder, one WindowGroupLimit pass over
+    * |vectors| × PqK broadcast-joined rows per subspace. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2"), col("code"))
+    sub.join(broadcast(cb), "s")
+      .withColumn("d2", aggregate(
+        zip_with(col("sub"), col("cw"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, p) => a + p))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "s", "code", "sub")
+  }
+
+  private def pqSubDim(e: DataFrame): Int = {
+    val d = e.select(size(col("embedding"))).head.getInt(0)
+    require(d % PqM == 0, s"embedding dim $d not divisible by PqM=$PqM")
+    d / PqM
+  }
+
+  /** Per-subspace codebooks (s, code, cw) — Lloyd iterations seeded from
+    * the PqK smallest vec_ids, deterministic like IvfIndex.build. */
+  private[graft] def sharedPqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "pq_codebooks", dir) {
+      val e = Tables.embeddings(spark, dir)
+      val sub = pqSubvectors(e, pqSubDim(e))
+      var cb = sub.filter(col("vec_id") < PqK)
+        .select(col("s"), col("vec_id").cast("int").as("code"),
+          col("sub").as("cw"))
+        .localCheckpoint()
+      for (_ <- 1 to PqIters)
+        cb = pqAssign(sub, cb)
+          .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("i", "v")))
+          .groupBy("s", "code", "i").agg(avg(col("v")).as("c"))
+          .groupBy("s", "code")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+            x => x.getField("c")).as("cw"))
+          .localCheckpoint()
+      cb
+    }
+
+  /** PQ-encoded table (vec_id, label, codes ARRAY<INT> of length PqM) —
+    * the 16×-compressed form the shortlist scans instead of the vectors. */
+  private[graft] def sharedPqCodes(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "pq_codes", dir) {
+      val e = Tables.embeddings(spark, dir)
+      pqAssign(pqSubvectors(e, pqSubDim(e)), sharedPqCodebooks(spark, dir))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          x => x.getField("code")).as("codes"))
+        .join(e.select("vec_id", "label"), "vec_id")
+    }
+
+  private def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    // ADC table: dot(query subvector, codeword) per (s, code) — PqM×PqK
+    // rows, built in-plan from the codebooks and broadcast; the shortlist
+    // never touches a float vector, only code arrays + the table.
+    val e = Tables.embeddings(spark, dir)
+    val subDim = pqSubDim(e)
+    val q = e.filter(col("vec_id") === 0)
+    val qsub = q.select(posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), s -> " +
+        s"transform(slice(embedding, s * $subDim + 1, $subDim), " +
+        "x -> cast(x AS double)))")).as(Seq("s", "qsub")))
+    val tbl = sharedPqCodebooks(spark, dir).join(broadcast(qsub), "s")
+      .withColumn("dp", aggregate(
+        zip_with(col("cw"), col("qsub"), (x, y) => x * y),
+        lit(0.0), (a, p) => a + p))
+      .select("s", "code", "dp")
+    val shortlist = sharedPqCodes(spark, dir)
+      .join(broadcast(q.select(col("label").as("qlabel"))),
+        col("label") === col("qlabel"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(tbl), Seq("s", "code"))
+      .groupBy("vec_id").agg(sum(col("dp")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(100)
+    // exact rerank of the shortlist from the stored vectors: the output
+    // is the true in-cell top-10 whenever the shortlist holds it — the
+    // recall contract VectorsSpec pins against brute force
+    e.join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .crossJoin(broadcast(q.select(col("embedding").as("qv"))))
+      .withColumn("sim", round(dot("embedding", "qv"), 4))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
 
   private def qAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     // IVF multi-probe: rank cells by query·centroid and search the top 2
@@ -228,6 +347,7 @@ object Vectors {
   val queries: Map[String, Q] = Map(
     "q_vector_topk" -> qVectorTopk,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_pq" -> qAnnPq,
     "q_ann_batch" -> qAnnBatch,
     "q_vector_centroid" -> qVectorCentroid,
     "q_ann_multiprobe" -> qAnnMultiprobe,
@@ -246,6 +366,15 @@ object Vectors {
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
     "q_ann_ivf" ->
+      """WITH q AS (SELECT label AS qlabel, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+        |FROM embeddings, q WHERE label = qlabel AND vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_pq" ->
+      // the PQ shortlist + exact rerank returns the true in-cell top-10
+      // (recall contract spec-pinned), so the oracle is the same
+      // brute-force in-cell ranking as q_ann_ivf's
       """WITH q AS (SELECT label AS qlabel, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim

@@ -59,4 +59,27 @@ class VectorsSpec extends SparkSpec {
     assert(top.head.getAs[Double]("sim") === 1.0)
     assert(top.last.getAs[Double]("sim") === -1.0)
   }
+
+  test("PQ codes are 16 4-bit ids per vector; ADC shortlist holds the exact in-cell top-10") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val codes = graft.operators.Vectors.sharedPqCodes(spark, dir).collect()
+    assert(codes.nonEmpty)
+    // 16 subspace ids in [0, 16): a 64-d float vector (256 bytes) encodes
+    // to 16 4-bit ids (8 bytes packed) — the 16x-compression contract
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(cs.length === 16 && cs.forall(c => c >= 0 && c < 16), r.toString)
+    }
+    // every embedding encodes exactly once
+    assert(codes.map(_.getAs[Long]("vec_id")).distinct.length === codes.length)
+    // recall contract behind q_ann_pq's exact oracle: the final top-10
+    // equals the brute-force in-cell top-10 (rerank is exact, so this
+    // holds iff the ADC shortlist contained the true winners)
+    val pq = SparkEntry.queries("q_ann_pq")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val brute = SparkEntry.queries("q_ann_ivf")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(pq === brute)
+  }
 }
