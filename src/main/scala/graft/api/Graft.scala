@@ -439,13 +439,29 @@ class Graft(spark: SparkSession, dir: String,
   }
 
   /** Train and materialize a persisted IVF index over this corpus's
-    * embeddings (cell-partitioned layout; probes prune at the file level). */
-  def buildIvfIndex(path: String, nlist: Int = 16, iters: Int = 5): Unit =
-    IvfIndex.build(embeddings, path, nlist, iters)
+    * embeddings (cell-partitioned layout; probes prune at the file level).
+    * Pass `pq` to also train product-quantization codebooks and store
+    * 4-bit-code shortlist forms alongside the vectors ([[ivfSearchPq]]). */
+  def buildIvfIndex(path: String, nlist: Int = 16, iters: Int = 5,
+                    pq: Option[IvfIndex.PqSpec] = None): Unit =
+    IvfIndex.build(embeddings, path, nlist, iters, pq)
 
   /** Probed ANN search against a persisted IVF index. */
   def ivfSearch(path: String, query: Seq[Float], k: Int = 10, probes: Int = 2): DataFrame =
     IvfIndex.search(spark, path, query, k, probes)
+
+  /** Memory-bounded probed search against a PQ-enabled index: ADC
+    * shortlist over the (column-pruned) codes, exact rerank of the top
+    * `shortlist` ids — equals [[ivfSearch]] whenever the true top-k
+    * survives the shortlist. */
+  def ivfSearchPq(path: String, query: Seq[Float], k: Int = 10,
+                  probes: Int = 2, shortlist: Int = 100): DataFrame =
+    IvfIndex.searchPq(spark, path, query, k, probes, shortlist)
+
+  /** Retrofit PQ codebooks + codes onto a built plain-IVF index (one
+    * whole-root rewrite under the online-rebuild swap protocol). */
+  def ivfEnablePq(path: String, pq: IvfIndex.PqSpec = IvfIndex.PqSpec()): Unit =
+    IvfIndex.enablePq(spark, path, pq)
 
   /** Batched probed search: `queries` is (qid LONG, qv ARRAY<FLOAT>); one
     * broadcast join against the cell-pruned index serves every query —

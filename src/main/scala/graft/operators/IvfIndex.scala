@@ -77,6 +77,108 @@ object IvfIndex {
   private def heal(spark: SparkSession, path: String): Unit =
     StateStore.recover(spark, path)
 
+  // ---- product quantization: the memory-bounded shortlist path ----
+  //
+  // At 100 TB the probe's working set is the bottleneck: a probed cell's
+  // FULL float vectors are probes/nlist of the corpus. PQ stores each
+  // vector additionally as `m` small codeword ids (default 16 × 4-bit ids
+  // per 64-d float vector — 16× smaller than the floats) and scores
+  // shortlist candidates from the codes alone via an asymmetric-distance
+  // table (ADC). The codes live as an EXTRA COLUMN in the same
+  // cell-partitioned vector files: parquet's columnar layout makes the
+  // ADC scan read only (vec_id, codes) pages — the compression benefit —
+  // while the codes stay transactionally glued to their vectors (every
+  // cell swap [[upsert]]/[[delete]] commits carries both, so the sidecar
+  // can never describe a different generation than the data, the failure
+  // mode a codes-directory-next-to-the-vectors design would have to fence).
+  // The codebooks are trained once at [[build]]/[[enablePq]] and FROZEN
+  // across upserts, exactly the coarse quantizer's contract; [[rebuild]]
+  // retrains them together with the centroids.
+
+  /** Product-quantization shape: `m` subspaces × `k` codewords each
+    * (log2(k)-bit codes). The default 16×16 stores a 64-d float vector's
+    * shortlist form in 16 4-bit ids — 16× smaller than the floats. */
+  final case class PqSpec(m: Int = 16, k: Int = 16, iters: Int = 3) {
+    require(m > 0 && k > 1 && iters > 0, "PqSpec fields must be positive (k > 1)")
+  }
+
+  /** (vec_id, s, sub): each embedding split into `m` double subvectors. */
+  private def pqSub(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
+    vectors.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> " +
+        s"transform(slice(embedding, s * $subDim + 1, $subDim), " +
+        "x -> cast(x AS double)))")).as(Seq("s", "sub")))
+
+  /** Nearest codeword (L2) per (vec_id, subspace) — the k-means assign
+    * step and the encoder: |rows| × k broadcast-joined candidates, top-1
+    * via WindowGroupLimit. */
+  private def pqNearest(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2"), col("code"))
+    sub.join(broadcast(cb.select("s", "code", "cw")), "s")
+      .withColumn("d2", aggregate(
+        zip_with(col("sub"), col("cw"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, p) => a + p))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "s", "code", "sub")
+  }
+
+  /** Per-subspace codebooks (s, code, cw) via Lloyd iterations, seeded
+    * from each subspace's `k` smallest vec_ids — deterministic like the
+    * coarse quantizer's seeding, so rebuilds are stable. Codewords that
+    * lose all members drop out (standard k-means attrition); codes only
+    * ever reference survivors. */
+  private def trainCodebooks(vectors: DataFrame, pq: PqSpec, subDim: Int): DataFrame = {
+    val sub = pqSub(vectors, pq.m, subDim)
+    val seedW = Window.partitionBy(col("s")).orderBy(col("vec_id"))
+    var cb = sub.withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= pq.k)
+      .select(col("s"), (col("rn") - 1).cast("int").as("code"),
+        col("sub").as("cw"))
+      .localCheckpoint()
+    for (_ <- 1 to pq.iters)
+      cb = pqNearest(sub, cb)
+        .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("i", "v")))
+        .groupBy("s", "code", "i").agg(avg(col("v")).as("c"))
+        .groupBy("s", "code")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c")).as("cw"))
+        .localCheckpoint()
+    cb
+  }
+
+  /** `vectors` plus a `codes` column (ARRAY<INT>, one codeword id per
+    * subspace) encoded against the FROZEN codebooks — the upsert-path
+    * encoder. Shape (m, subDim) derives from the codebook rows. */
+  private def encode(vectors: DataFrame, cb: DataFrame): DataFrame = {
+    val shape = cb.agg(max(col("s")).as("ms"), max(size(col("cw"))).as("sd")).head()
+    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+    val codes = pqNearest(
+      pqSub(vectors.select("vec_id", "embedding"), m, subDim), cb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    vectors.join(codes, "vec_id")
+  }
+
+  /** The trained PQ codebooks, when this index carries them. Commit order
+    * in [[build]] is centroids → codebooks → vectors, so any root with
+    * vectors has its codebooks: a crash before the codebooks commit
+    * presents (at worst) a plain IVF index, never a mixed one. */
+  private def codebooksOpt(spark: SparkSession, path: String): Option[DataFrame] = {
+    StateStore.recover(spark, path + "/codebooks")
+    if (StateStore.nonEmpty(spark, path + "/codebooks"))
+      Some(spark.read.parquet(path + "/codebooks"))
+    else None
+  }
+
+  /** True if the index at `path` was built (or retrofitted) with PQ. */
+  def pqEnabled(spark: SparkSession, path: String): Boolean = {
+    heal(spark, path)
+    codebooksOpt(spark, path).isDefined
+  }
+
   /** Train the coarse quantizer and materialize the index. Seeding is the
     * `nlist` smallest vec_ids — deterministic, so rebuilds are stable.
     * Each iteration checkpoints the (tiny) centroid table to truncate the
@@ -84,7 +186,8 @@ object IvfIndex {
     * id→cell sidecar (`<path>/ids`, bucketed by vec_id hash) records each
     * vector's current cell so [[upsert]] can find and clear a moved
     * vector's old copy without scanning the index. */
-  def build(vectors: DataFrame, path: String, nlist: Int = 16, iters: Int = 5): Unit = {
+  def build(vectors: DataFrame, path: String, nlist: Int = 16, iters: Int = 5,
+            pq: Option[PqSpec] = None): Unit = {
     // Rebuild = REPLACE: clear any previous index first, as one unit. The
     // three writes below are not mutually atomic; replacing from scratch
     // means a crash mid-build leaves an obviously-incomplete index whose
@@ -112,9 +215,23 @@ object IvfIndex {
     val cent = centroids
     StateStore.commit(spark0, path + "/centroids")(tmp =>
       cent.write.mode("overwrite").parquet(tmp))
+    // codebooks commit BEFORE the vectors write (see [[codebooksOpt]]'s
+    // torn-build argument): a crash here leaves an index with no vectors,
+    // which every maintainer already treats as "re-run build"
+    val cbOpt = pq.map { spec =>
+      val d = e.select(size(col("embedding"))).head().getInt(0)
+      require(d % spec.m == 0,
+        s"embedding dim $d not divisible by PqSpec.m=${spec.m}")
+      val cb = trainCodebooks(e, spec, d / spec.m)
+      StateStore.commit(spark0, path + "/codebooks")(tmp =>
+        cb.write.mode("overwrite").parquet(tmp))
+      spark0.read.parquet(path + "/codebooks")
+    }
     // repartition by the partition column: one file per cell/id-bucket dir,
     // so a probe opens |probed cells| files, not |cells × writer partitions|
-    val assigned = assign(e, centroids).repartition(col("cell")).cache()
+    val assignedRaw = assign(e, centroids)
+    val assigned = cbOpt.map(encode(assignedRaw, _)).getOrElse(assignedRaw)
+      .repartition(col("cell")).cache()
     try {
       assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/vectors")
       assigned.select(col("vec_id"), col("cell")).withColumn("b", idBucket)
@@ -198,14 +315,20 @@ object IvfIndex {
       val live = StateStore.liveBuckets(spark, vecRoot, "cell=").toSet
       val dirs = touched.toSeq.map(c => s"cell=$c")
       val oldPaths = dirs.filter(live.contains).map(d => s"$vecRoot/$d")
+      // PQ maintenance rides the same cell rewrite: encode the batch
+      // against the FROZEN codebooks so the rewritten cells' codes column
+      // stays a pure function of their vectors ([[delete]] needs no
+      // counterpart — kept rows carry their codes through the rewrite)
+      val upserted = codebooksOpt(spark, path)
+        .map(encode(assigned, _)).getOrElse(assigned)
       val old =
         if (oldPaths.nonEmpty)
           spark.read.option("basePath", vecRoot).parquet(oldPaths: _*)
-        else assigned.limit(0)
+        else upserted.limit(0)
       val merged = old
         .join(broadcast(assigned.select(col("vec_id").as("upserted"))),
           col("vec_id") === col("upserted"), "left_anti")
-        .unionByName(assigned)
+        .unionByName(upserted)
         .repartition(col("cell")) // one file per rewritten cell dir
         .cache()
       val newIds = oldIds
@@ -377,9 +500,98 @@ object IvfIndex {
     if (StateStore.liveBuckets(spark, path + "/vectors", "cell=").isEmpty)
       throw new IllegalStateException(
         s"index at $path has no vectors to retrain on — rebuild it with IvfIndex.build")
+    // a PQ index retrains its codebooks WITH the quantizer — the drift
+    // that warrants retraining the cells degrades the codewords equally.
+    // k derives from max(code)+1: codeword attrition can shrink it a
+    // little across rebuilds, which only tightens the codebook.
+    val pqSpec = codebooksOpt(spark, path).map { cb =>
+      val r = cb.agg(max(col("s")), max(col("code"))).head()
+      PqSpec(m = r.getInt(0) + 1, k = r.getInt(1) + 1)
+    }
     val live = spark.read.parquet(path + "/vectors")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
-    StateStore.commit(spark, path)(tmp => build(live, tmp, nlist, iters))
+    StateStore.commit(spark, path)(tmp => build(live, tmp, nlist, iters, pqSpec))
+  }
+
+  /** Retrofit PQ onto a built plain-IVF index: trains codebooks on the
+    * CURRENT live vectors and rewrites every cell with its codes column,
+    * as a whole-root replacement under the [[rebuild]] swap protocol (and
+    * the same concurrency contract — serialize with the index's readers
+    * and writers; cell ids are renumbered). The cell count is preserved. */
+  def enablePq(spark: SparkSession, path: String, pq: PqSpec = PqSpec(),
+               iters: Int = 5): Unit = {
+    heal(spark, path)
+    if (StateStore.liveBuckets(spark, path + "/vectors", "cell=").isEmpty)
+      throw new IllegalStateException(
+        s"index at $path has no vectors to encode — build it with IvfIndex.build")
+    val nlist = centroids(spark, path).count().toInt
+    val live = spark.read.parquet(path + "/vectors")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    StateStore.commit(spark, path)(tmp => build(live, tmp, nlist, iters, Some(pq)))
+  }
+
+  /** PQ-shortlisted probed search — the memory-bounded form of [[search]]:
+    * rank cells by query·centroid exactly as [[search]] does, but scan the
+    * probed cells' (vec_id, codes) COLUMNS only (parquet prunes the float
+    * vectors at the page level — the 16× working-set reduction, pinned by
+    * bytes-read in IvfIndexSpec), score candidates against a per-query
+    * ADC table, and re-read full vectors ONLY for the top-`shortlist`
+    * ids (a pushed `vec_id IN (...)` — row-group stats prune the rest)
+    * for the EXACT rerank. The result equals [[search]] whenever the true
+    * top-k survives the shortlist (the recall contract IvfIndexSpec pins);
+    * `shortlist` is the recall/IO knob. The two driver-side materializations
+    * are bounded by construction: the ADC table is m×k codebook rows and
+    * the id list is `shortlist` longs — metadata, never data. */
+  def searchPq(spark: SparkSession, path: String, query: Seq[Float],
+               k: Int = 10, probes: Int = 2, shortlist: Int = 100): DataFrame = {
+    val cb = codebooksOpt(spark, path).getOrElse(throw new IllegalStateException(
+      s"index at $path has no PQ codebooks — build with pq=Some(PqSpec()) " +
+        "or retrofit with IvfIndex.enablePq"))
+    val qv = typedlit(query)
+    val probed = centroids(spark, path)
+      .withColumn("csim", dotDD(col("cent"), qv))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(probes)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    // heal any interrupted upsert swap before partition discovery
+    StateStore.liveBuckets(spark, path + "/vectors", "cell=")
+    // ADC table adc[s][code] = dot(query subvector, codeword): m×k rows
+    // collected from the codebooks (driver-bounded by the PqSpec), shipped
+    // back as ONE nested literal so the scan-side score is a pure
+    // scan-project — no join, no explode of the candidate rows
+    val rows = cb.select("s", "code", "cw").collect()
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val kCw = rows.iterator.map(_.getInt(1)).max + 1
+    val subDim = rows.head.getSeq[Double](2).size
+    require(query.size == m * subDim,
+      s"query dim ${query.size} does not match PQ shape m=$m subDim=$subDim")
+    val adc = Array.fill(m, kCw)(0.0) // dropped codewords are never referenced
+    rows.foreach { r =>
+      val (s, c, cw) = (r.getInt(0), r.getInt(1), r.getSeq[Double](2))
+      var d = 0.0
+      var i = 0
+      while (i < subDim) { d += cw(i) * query(s * subDim + i).toDouble; i += 1 }
+      adc(s)(c) = d
+    }
+    val adcLit = typedlit(adc.map(_.toSeq).toSeq)
+    val short = spark.read.parquet(path + "/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("codes")) // column-pruned: no float read
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), adcLit, (c, row) => element_at(row, c + 1)),
+        lit(0.0), (a, p) => a + p))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlist)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    if (short.isEmpty) // probed cells hold no vectors: nothing to rerank
+      return spark.read.parquet(path + "/vectors")
+        .select(col("vec_id"), col("cell"), lit(0.0).as("sim")).limit(0)
+    spark.read.parquet(path + "/vectors")
+      .filter(col("cell").isin(probed: _*) && col("vec_id").isin(short: _*))
+      .withColumn("sim", dotDD(col("embedding"), qv))
+      .select(col("vec_id"), col("cell"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Batched probed search against a persisted index — the pipeline form

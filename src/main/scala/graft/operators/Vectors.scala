@@ -304,8 +304,10 @@ object Vectors {
       val t0 = System.nanoTime()
       val root = java.nio.file.Files.createTempDirectory("graft_annm").toString + "/ivf"
       val e = Tables.embeddings(s, d)
+      // built WITH PQ so the same fixture proves the codes column rides
+      // the upsert/delete cell rewrites below (q_ann_pq_maintained)
       IvfIndex.build(e.select("vec_id", "embedding"), root,
-        nlist = AnnFixtureNlist, iters = 2)
+        nlist = AnnFixtureNlist, iters = 2, pq = Some(IvfIndex.PqSpec()))
       val delta = e.as("a")
         .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 100)
         .filter(col("a.vec_id") < 10)
@@ -332,6 +334,24 @@ object Vectors {
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
   }
 
+  private def qAnnPqMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // X3 (maintained, memory-bounded): the PERSISTED IVF-PQ read path —
+    // ADC shortlist over the maintained codes column, exact rerank of the
+    // shortlist. probes = nlist and a corpus-sized shortlist make the
+    // result the exact brute-force answer (rerank is exact whenever the
+    // true top-k survives the shortlist — here it must, by size), so it
+    // shares q_ann_maintained's oracle: one maintained state, three
+    // physical strategies (full-precision probe / PQ shortlist / DuckDB),
+    // one answer. What it proves beyond q_ann_maintained: upsert/delete
+    // kept every cell's codes a pure function of its vectors.
+    val root = annFixture(spark, dir)
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+      .head().getSeq[Float](1)
+    IvfIndex.searchPq(spark, root, qv, k = 10, probes = AnnFixtureNlist,
+        shortlist = 1 << 20)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+  }
+
   private def qMultimodalJoin(spark: SparkSession, dir: String): DataFrame =
     // X5: one row carrying text metadata + typed vector. doc_id==vec_id by
     // fixture construction; the dimension + norm checks prove the vector
@@ -352,6 +372,7 @@ object Vectors {
     "q_vector_centroid" -> qVectorCentroid,
     "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_ann_maintained" -> qAnnMaintained,
+    "q_ann_pq_maintained" -> qAnnPqMaintained,
     "q_embed_lsh_dup" -> qEmbedLshDup,
     "q_multimodal_join" -> qMultimodalJoin)
 
@@ -411,6 +432,23 @@ object Vectors {
         |WHERE vec_id <> 0 AND label IN (SELECT label FROM top2)
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_maintained" ->
+      """WITH delta AS (
+        |  SELECT a.vec_id, b.embedding
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id < 10),
+        |final AS (
+        |  SELECT e.vec_id, coalesce(d.embedding, e.embedding) AS embedding
+        |  FROM embeddings e LEFT JOIN delta d ON e.vec_id = d.vec_id
+        |  WHERE e.vec_id % 37 <> 11 AND e.vec_id <> 100),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100)
+        |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+        |FROM final, q
+        |ORDER BY list_dot_product(embedding::DOUBLE[], qv) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    // the PQ read path reranks its (corpus-sized-by-parameter) shortlist
+    // exactly, so it answers the SAME maintained-state question — one
+    // oracle, third physical strategy (the q_facet_incremental pattern)
+    "q_ann_pq_maintained" ->
       """WITH delta AS (
         |  SELECT a.vec_id, b.embedding
         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100

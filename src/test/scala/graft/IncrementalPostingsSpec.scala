@@ -688,29 +688,11 @@ class IncrementalPostingsSpec extends SparkSpec {
       IncrementalPostings.phraseSearch(spark, withPos, Seq("merge", "sort")))
     assert(phraseSchemas.exists(_.contains("positions")), phraseSchemas.toString)
 
-    // runtime proof: task-level input bytes, polled until the async
-    // listener bus drains (three stable reads)
-    def bytesRead(f: => Unit): Long = {
-      val acc = new java.util.concurrent.atomic.AtomicLong()
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null)
-            acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead): Unit
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        f
-        var stable = 0
-        var prev = -1L
-        while (stable < 3) {
-          if (acc.get == prev) stable += 1 else { stable = 0; prev = acc.get }
-          Thread.sleep(50)
-        }
-      } finally spark.sparkContext.removeSparkListener(l)
-      acc.get
-    }
-    def run(root: String): Long = bytesRead {
+    // runtime proof: read()-syscall deltas via SpecMetrics — the task-end
+    // inputMetrics counter sees only footer reads for local parquet (data
+    // pages bypass it), which made the original listener-based form of
+    // this pin pass vacuously
+    def run(root: String): Long = SpecMetrics.fsBytesRead {
       IncrementalPostings.termSearch(spark, root, Seq("merge", "sort")).collect(): Unit
     }
     run(withPos) // warm both code paths once so JIT/footer caching is equal

@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.IvfIndex
+
+/** The product-quantized form of the persisted IVF index: codes are stored
+  * as a COLUMN of the cell files (transactionally glued to their vectors),
+  * the ADC shortlist scan is column-pruned (bytes-read pinned), the
+  * shortlist+rerank recovers the exact answer, and every maintenance path
+  * (upsert, delete, enablePq retrofit, online rebuild) keeps each cell's
+  * codes a pure function of its vectors. */
+class IvfPqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val nlist = 8
+
+  private lazy val path: String = {
+    val p = Files.createTempDirectory("graft_pq").toString + "/ivf"
+    IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 3,
+      pq = Some(IvfIndex.PqSpec()))
+    p
+  }
+
+  private lazy val query: Seq[Float] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+
+  private def brute(top: Int, q: Seq[Float] = query): Seq[(Long, Long)] =
+    Tables.embeddings(spark, dir)
+      .withColumn("sim", aggregate(
+        zip_with(col("embedding"), typedlit(q),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, p) => acc + p))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(top)
+      .collect().toSeq.map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+
+  test("a PQ build stores a full-length codes column beside every vector") {
+    val stored = spark.read.parquet(path + "/vectors")
+    assert(stored.columns.contains("codes"))
+    assert(stored.filter(col("codes").isNull || size(col("codes")) =!= 16)
+      .isEmpty, "every row must carry one codeword id per subspace")
+    assert(IvfIndex.pqEnabled(spark, path))
+    val cb = spark.read.parquet(path + "/codebooks")
+    assert(cb.select("s").distinct().count() === 16)
+    // codes only reference surviving codewords
+    val referenced = stored.select(posexplode(col("codes")).as(Seq("s", "code")))
+      .distinct()
+    assert(referenced.join(cb, Seq("s", "code"), "left_anti").isEmpty,
+      "a stored code references a codeword absent from the codebooks")
+  }
+
+  test("pq search with a corpus-sized shortlist equals the exact brute-force top-k") {
+    val pq = IvfIndex.searchPq(spark, path, query, k = 10, probes = nlist,
+        shortlist = 1 << 20)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+    assert(pq.toSeq === brute(10))
+  }
+
+  test("a small ADC shortlist trades recall for IO; hits always carry true sims") {
+    // The fixture's neighbors are noise-hard (true top-10 sims ~0.25–0.33
+    // on near-random unit vectors — the regime where 4-bit PQ is weakest),
+    // so the pin is the honest shortlist contract, not a free lunch:
+    // shortlist=100 of 500 recovers the exact top-10; shortlist=50 keeps
+    // recall@10 ≥ 8; and EVERY returned (id, sim) is a true brute-force
+    // pair in true rank order (the rerank reads real vectors, so PQ error
+    // can only drop a candidate from the shortlist, never corrupt a sim).
+    val exact = brute(10)
+    val at100 = IvfIndex.searchPq(spark, path, query, k = 10, probes = nlist,
+        shortlist = 100)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+    assert(at100.toSeq === exact)
+    val at50 = IvfIndex.searchPq(spark, path, query, k = 10, probes = nlist,
+        shortlist = 50)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+    assert(at50.toSet.intersect(exact.toSet).size >= 8,
+      s"recall@10 below 8/10 at shortlist 50: ${at50.mkString(",")}")
+    // true-subsequence check: the hits appear in brute-force order with
+    // brute-force sims
+    val bruteAll = brute(500)
+    val positions = at50.map(bruteAll.indexOf)
+    assert(positions.forall(_ >= 0) && positions.sameElements(positions.sorted),
+      s"a PQ hit is not a true (id, sim) pair in true order: ${at50.mkString(",")}")
+  }
+
+  test("the ADC scan is column-pruned: codes bytes << embedding bytes on the same files") {
+    // Measured as read()-syscall deltas (SpecMetrics — the task-end
+    // inputMetrics counter sees only footer reads for local parquet,
+    // which would make this pin vacuous). sum(size(...)) forces the
+    // column's pages to decode — a bare count would let the scan skip
+    // BOTH columns. Both scans carry the same footer/metadata baseline,
+    // so the difference isolates the column pages: the embedding column
+    // is ~128 KiB here and the codes ~5 KiB, and the pin leaves a wide
+    // noise margin under that ~123 KiB true gap.
+    def scan(c: String): Long = SpecMetrics.fsBytesRead {
+      spark.read.parquet(path + "/vectors")
+        .agg(sum(size(col(c)))).collect(): Unit
+    }
+    scan("codes") // warm footer caches so the comparison is fair
+    scan("embedding")
+    val codesB = scan("codes")
+    val vecB = scan("embedding")
+    assert(vecB - codesB > (64 << 10),
+      s"ADC scan read $codesB bytes vs $vecB for the floats — column " +
+        "pruning is not delivering the PQ working-set reduction")
+  }
+
+  test("upsert re-encodes the batch against the frozen codebooks; codes follow moved vectors") {
+    val p = Files.createTempDirectory("graft_pqu").toString + "/ivf"
+    val e = Tables.embeddings(spark, dir)
+    IvfIndex.build(e, p, nlist = nlist, iters = 3, pq = Some(IvfIndex.PqSpec()))
+    // move vec 1 onto vec 301's embedding (likely a different cell)
+    val moved = e.filter(col("vec_id") === 301)
+      .select(lit(1L).as("vec_id"), col("embedding"))
+    IvfIndex.upsert(spark, p, moved)
+    val stored = spark.read.parquet(p + "/vectors")
+    assert(stored.filter(col("codes").isNull || size(col("codes")) =!= 16)
+      .isEmpty, "an upserted row landed without codes")
+    // the moved vector's codes equal its twin's (same embedding, frozen
+    // codebooks → same encoding): codes are a pure function of the vector
+    val codesOf = stored.filter(col("vec_id").isin(1L, 301L))
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codesOf(1L) === codesOf(301L))
+    // and the PQ read path answers the MAINTAINED state exactly
+    val q301 = e.filter(col("vec_id") === 301).head().getSeq[Float](1)
+    val pq = IvfIndex.searchPq(spark, p, q301, k = 3, probes = nlist,
+        shortlist = 1 << 20)
+      .collect().map(_.getLong(0))
+    assert(pq.take(2).toSet === Set(1L, 301L),
+      s"expected the twin pair first, got ${pq.mkString(",")}")
+  }
+
+  test("delete keeps the PQ path consistent; searchPq never returns a deleted id") {
+    val p = Files.createTempDirectory("graft_pqd").toString + "/ivf"
+    val e = Tables.embeddings(spark, dir)
+    IvfIndex.build(e, p, nlist = nlist, iters = 3, pq = Some(IvfIndex.PqSpec()))
+    val top = IvfIndex.searchPq(spark, p, query, k = 3, probes = nlist,
+      shortlist = 1 << 20).collect().map(_.getLong(0))
+    IvfIndex.delete(spark, p, e.filter(col("vec_id") === top.head).select("vec_id"))
+    val after = IvfIndex.searchPq(spark, p, query, k = 10, probes = nlist,
+      shortlist = 1 << 20).collect().map(_.getLong(0))
+    assert(!after.contains(top.head) && after.take(2).sameElements(top.tail))
+  }
+
+  test("searchPq on a plain index fails loudly; enablePq retrofits it in place") {
+    val p = Files.createTempDirectory("graft_pqe").toString + "/ivf"
+    IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 3)
+    assert(!IvfIndex.pqEnabled(spark, p))
+    intercept[IllegalStateException] {
+      IvfIndex.searchPq(spark, p, query)
+    }
+    IvfIndex.enablePq(spark, p)
+    assert(IvfIndex.pqEnabled(spark, p))
+    // cell count preserved; the retrofit index answers exactly
+    assert(spark.read.parquet(p + "/centroids").count() === nlist.toLong)
+    val pq = IvfIndex.searchPq(spark, p, query, k = 10, probes = nlist,
+        shortlist = 1 << 20)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+    assert(pq.toSeq === brute(10))
+  }
+
+  test("online rebuild retrains the codebooks with the quantizer") {
+    val p = Files.createTempDirectory("graft_pqr").toString + "/ivf"
+    IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 2,
+      pq = Some(IvfIndex.PqSpec()))
+    IvfIndex.rebuild(spark, p, nlist = nlist, iters = 2)
+    assert(IvfIndex.pqEnabled(spark, p),
+      "rebuild dropped the PQ codebooks")
+    val stored = spark.read.parquet(p + "/vectors")
+    assert(stored.filter(col("codes").isNull || size(col("codes")) =!= 16)
+      .isEmpty)
+    val pq = IvfIndex.searchPq(spark, p, query, k = 10, probes = nlist,
+        shortlist = 1 << 20)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+    assert(pq.toSeq === brute(10))
+  }
+}
