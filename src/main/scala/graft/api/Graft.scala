@@ -515,6 +515,14 @@ class Graft(spark: SparkSession, dir: String,
       annNlist = annNlist, annIters = annIters,
       annSkewThreshold = annSkewThreshold)
 
+  /** Retrofit PQ onto the pipeline's maintained ANN index (one fenced
+    * whole-index rewrite); afterwards every merge maintains the codes and
+    * the drift-gated retrain re-trains the codebooks — [[ivfSearchPq]]
+    * then serves from `IngestPipeline.vectorsRoot(pipelineRoot)`. */
+  def enablePipelineAnnPq(pipelineRoot: String,
+                          pq: IvfIndex.PqSpec = IvfIndex.PqSpec()): Unit =
+    IngestPipeline.enableAnnPq(spark, pipelineRoot, pq)
+
   /** Consistent point-in-time copy of a pipeline root to a fresh root —
     * the replication/backup surface (Solr's replication in the
     * reference's stack). Run from the maintenance slot or against a

@@ -1248,6 +1248,25 @@ object IngestPipeline {
       scheme)
   }
 
+  /** Retrofit product quantization onto the pipeline's maintained ANN
+    * index ([[graft.operators.IvfIndex.enablePq]] on [[vectorsRoot]]) —
+    * a one-time maintenance action, after which every merge keeps each
+    * cell's codes consistent with its vectors for free (the codes ride
+    * the upsert/delete cell rewrites) and the drift-gated online retrain
+    * ([[maintain]] → `IvfIndex.rebuild`) retrains the codebooks with the
+    * quantizer. Claims the writer fence ([[rescale]]'s discipline): the
+    * retrofit is a whole-index rewrite, so a still-running stream must be
+    * fenced out rather than merge against a half-replaced layout. Requires
+    * a populated index (the first admitted batch trains it). */
+  def enableAnnPq(spark: SparkSession, pipelineRoot: String,
+                  pq: graft.operators.IvfIndex.PqSpec =
+                    graft.operators.IvfIndex.PqSpec(),
+                  heldFence: Option[WriterFence.Fence] = None): Unit = {
+    val fence = heldFence.getOrElse(WriterFence.claim(spark, pipelineRoot))
+    fence.check(spark)
+    graft.operators.IvfIndex.enablePq(spark, vectorsRoot(pipelineRoot), pq)
+  }
+
   private def forgetDir(pipelineRoot: String, forgetId: Long): String =
     s"${admissionsRoot(pipelineRoot)}/forget=$forgetId"
 

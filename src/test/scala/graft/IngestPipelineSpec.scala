@@ -366,6 +366,42 @@ class IngestPipelineSpec extends SparkSpec {
     assert(vecState() === expected)
   }
 
+  test("enableAnnPq retrofits the maintained index; later merges keep the codes current") {
+    val root = Files.createTempDirectory("graft_pipePq").toString + "/pipe"
+    val vroot = IngestPipeline.vectorsRoot(root)
+    def applyV(id: Long, changes: Seq[VecDocChange]): Unit =
+      IngestPipeline.applyBatch(spark, changes.toDF(), root, id, threshold = 0.5,
+        annNlist = 2, annIters = 1)
+    applyV(0, Seq(
+      VecDocChange("1", 0, "put", "alpha beta gamma delta", Seq(1f, 0f, 0f, 0f)),
+      VecDocChange("2", 1, "put", "totally different words entirely here", Seq(0f, 1f, 0f, 0f)),
+      VecDocChange("3", 2, "put", "a third unrelated document body text", Seq(0f, 0f, 1f, 0f))))
+    // one fenced maintenance action; the 4-d fixture takes a 2×2 spec
+    IngestPipeline.enableAnnPq(spark, root,
+      graft.operators.IvfIndex.PqSpec(m = 2, k = 2, iters = 1))
+    assert(graft.operators.IvfIndex.pqEnabled(spark, vroot))
+    // the NEXT merge maintains codes without being told anything
+    applyV(1, Seq(
+      VecDocChange("4", 10, "put", "yet another fully distinct sentence", Seq(0f, 0f, 0f, 1f)),
+      VecDocChange("2", 11, "delete", "", Nil)))
+    val stored = spark.read.parquet(vroot + "/vectors")
+    assert(stored.filter(col("codes").isNull || size(col("codes")) =!= 2)
+      .isEmpty, "a post-retrofit merge landed rows without codes")
+    assert(stored.select("vec_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 4L))
+    // the PQ read path serves the maintained state (full shortlist: exact)
+    val hit = graft.operators.IvfIndex.searchPq(spark, vroot,
+      Seq(0f, 0f, 0f, 1f), k = 1, probes = 2, shortlist = 1 << 10)
+      .head().getLong(0)
+    assert(hit === 4L)
+    // the drift-path rebuild retrains rather than drops the codebooks
+    graft.operators.IvfIndex.rebuild(spark, vroot, nlist = 2, iters = 1)
+    assert(graft.operators.IvfIndex.pqEnabled(spark, vroot))
+    assert(graft.operators.IvfIndex.searchPq(spark, vroot,
+      Seq(0f, 0f, 0f, 1f), k = 1, probes = 2, shortlist = 1 << 10)
+      .head().getLong(0) === 4L)
+  }
+
   test("the semantic gate drops embedding near-dups the text gate cannot see") {
     val root = Files.createTempDirectory("graft_pipeS").toString + "/pipe"
     def applyS(id: Long, changes: Seq[VecDocChange]): Unit =
