@@ -458,6 +458,13 @@ class Graft(spark: SparkSession, dir: String,
                   probes: Int = 2, shortlist: Int = 100): DataFrame =
     IvfIndex.searchPq(spark, path, query, k, probes, shortlist)
 
+  /** Batched [[ivfSearchPq]]: `queries` is (qid LONG, qv ARRAY<FLOAT>);
+    * ADC tables, shortlists, and reranks all stay in-plan — no per-query
+    * driver loop, floats touched only at the rerank. */
+  def ivfSearchBatchPq(path: String, queries: DataFrame, k: Int = 10,
+                       probes: Int = 2, shortlist: Int = 100): DataFrame =
+    IvfIndex.searchBatchPq(spark, path, queries, k, probes, shortlist)
+
   /** Retrofit PQ codebooks + codes onto a built plain-IVF index (one
     * whole-root rewrite under the online-rebuild swap protocol). */
   def ivfEnablePq(path: String, pq: IvfIndex.PqSpec = IvfIndex.PqSpec()): Unit =

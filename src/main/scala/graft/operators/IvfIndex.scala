@@ -630,6 +630,67 @@ object IvfIndex {
       .orderBy("qid", "rank")
   }
 
+  /** Batched PQ search — [[searchBatch]]'s memory-bounded twin and
+    * [[searchPq]]'s batch form ("embed a batch, retrieve neighbors for
+    * all of it" without touching the float vectors until the rerank).
+    * Everything stays in-plan: the per-(query, subspace, codeword) ADC
+    * table is a broadcast join of the codebooks with the exploded query
+    * subvectors (|queries| × m × k rows — batch-sized by contract, like
+    * [[searchBatch]]'s query broadcast), candidate scoring explodes each
+    * candidate's codes once and partial-aggregates the dp sums map-side,
+    * and only the per-query shortlist survivors are re-read at full
+    * precision. Returns (qid, vec_id, cell, sim, rank), rank 1..k. */
+  def searchBatchPq(spark: SparkSession, path: String, queries: DataFrame,
+                    k: Int = 10, probes: Int = 2,
+                    shortlist: Int = 100): DataFrame = {
+    val cb = codebooksOpt(spark, path).getOrElse(throw new IllegalStateException(
+      s"index at $path has no PQ codebooks — build with pq=Some(PqSpec()) " +
+        "or retrofit with IvfIndex.enablePq"))
+    val cellRank = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probed = queries.select(col("qid"), col("qv"))
+      .crossJoin(broadcast(centroids(spark, path)))
+      .withColumn("csim", dotDD(col("cent"), col("qv")))
+      .withColumn("rn", row_number().over(cellRank))
+      .filter(col("rn") <= probes)
+      .select("qid", "cell", "qv")
+      .localCheckpoint()
+    val cellList = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal first
+    val shape = cb.agg(max(col("s")), max(size(col("cw")))).head()
+    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+    val qsub = queries.select(col("qid"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> " +
+        s"transform(slice(qv, s * $subDim + 1, $subDim), " +
+        "x -> cast(x AS double)))")).as(Seq("s", "qsub")))
+    val tbl = cb.select("s", "code", "cw").join(qsub, "s")
+      .withColumn("dp", aggregate(
+        zip_with(col("cw"), col("qsub"), (x, y) => x * y),
+        lit(0.0), (a, p) => a + p))
+      .select("qid", "s", "code", "dp")
+    val shortW = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+    val short = spark.read.parquet(path + "/vectors")
+      .filter(col("cell").isin(cellList: _*))
+      .select(col("vec_id"), col("cell"), col("codes")) // column-pruned
+      .join(broadcast(probed.select("qid", "cell")), "cell")
+      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(tbl), Seq("qid", "s", "code"))
+      .groupBy("qid", "vec_id").agg(sum(col("dp")).as("adc"))
+      .withColumn("rn", row_number().over(shortW))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "vec_id")
+    val simRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    spark.read.parquet(path + "/vectors")
+      .filter(col("cell").isin(cellList: _*))
+      .join(broadcast(short), "vec_id") // one row per shortlisted (qid, id)
+      .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
+      .withColumn("sim", dotDD(col("embedding"), col("qv")))
+      .withColumn("rn", row_number().over(simRank))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cell"), col("sim"),
+        col("rn").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Probed ANN search: rank cells by query·centroid, then scan only the
     * top `probes` cells' partitions for the exact top-k. The cell list is
     * collected — it is nlist rows of metadata, never data. */

@@ -352,6 +352,25 @@ object Vectors {
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
   }
 
+  private def qAnnPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    // X3 (maintained, batch, memory-bounded): searchBatchPq against the
+    // maintained fixture — the whole ADC table and shortlist live in-plan
+    // (broadcast joins), no per-query driver loop, floats touched only at
+    // the rerank. probes = nlist + corpus-sized shortlist ⇒ exact, so the
+    // DuckDB oracle is the same maintained-state CTE with a 3-query batch.
+    val root = annFixture(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.as("a")
+      .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 100)
+      .filter(col("a.vec_id") < 3)
+      .select(col("a.vec_id").as("qid"), col("b.embedding").as("qv"))
+    IvfIndex.searchBatchPq(spark, root, qs, k = 3, probes = AnnFixtureNlist,
+        shortlist = 1 << 20)
+      .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   private def qMultimodalJoin(spark: SparkSession, dir: String): DataFrame =
     // X5: one row carrying text metadata + typed vector. doc_id==vec_id by
     // fixture construction; the dimension + norm checks prove the vector
@@ -373,6 +392,7 @@ object Vectors {
     "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_ann_maintained" -> qAnnMaintained,
     "q_ann_pq_maintained" -> qAnnPqMaintained,
+    "q_ann_pq_batch" -> qAnnPqBatch,
     "q_embed_lsh_dup" -> qEmbedLshDup,
     "q_multimodal_join" -> qMultimodalJoin)
 
@@ -462,6 +482,28 @@ object Vectors {
         |FROM final, q
         |ORDER BY list_dot_product(embedding::DOUBLE[], qv) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q_ann_pq_batch" ->
+      """WITH delta AS (
+        |  SELECT a.vec_id, b.embedding
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id < 10),
+        |final AS (
+        |  SELECT e.vec_id, coalesce(d.embedding, e.embedding) AS embedding
+        |  FROM embeddings e LEFT JOIN delta d ON e.vec_id = d.vec_id
+        |  WHERE e.vec_id % 37 <> 11 AND e.vec_id <> 100),
+        |q AS (
+        |  SELECT a.vec_id AS qid, b.embedding::DOUBLE[] AS qv
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id < 3),
+        |s AS (
+        |  SELECT qid, f.vec_id,
+        |         list_dot_product(f.embedding::DOUBLE[], qv) AS sim
+        |  FROM final f, q),
+        |r AS (SELECT qid, vec_id, round(sim, 4) AS sim,
+        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin,
     "q_embed_lsh_dup" ->
       (s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,

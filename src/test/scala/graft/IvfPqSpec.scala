@@ -163,6 +163,29 @@ class IvfPqSpec extends SparkSpec {
     assert(pq.toSeq === brute(10))
   }
 
+  test("searchBatchPq equals per-query searchPq; a full shortlist equals searchBatch") {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("qid", "vec_id", "sim").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    // exactness: a corpus-sized shortlist reproduces the full-precision
+    // batch search bit-for-bit
+    val exact = rows(IvfIndex.searchBatch(spark, path, qs, k = 5, probes = nlist))
+    assert(rows(IvfIndex.searchBatchPq(spark, path, qs, k = 5, probes = nlist,
+      shortlist = 1 << 20)) === exact)
+    // batch ≡ per-query: the in-plan batch form is the same operator
+    val perQuery = qs.collect().toSeq.flatMap { r =>
+      IvfIndex.searchPq(spark, path, r.getSeq[Float](1), k = 5,
+          probes = nlist, shortlist = 60)
+        .collect().map(h => (r.getLong(0), h.getLong(0),
+          math.round(h.getDouble(2) * 1e6)))
+    }
+    assert(rows(IvfIndex.searchBatchPq(spark, path, qs, k = 5, probes = nlist,
+      shortlist = 60)) === perQuery)
+  }
+
   test("online rebuild retrains the codebooks with the quantizer") {
     val p = Files.createTempDirectory("graft_pqr").toString + "/ivf"
     IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 2,
