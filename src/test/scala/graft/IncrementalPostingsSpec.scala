@@ -702,5 +702,27 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(bPos <= bNo * 3 / 2 + (256 << 10),
       s"positions root term search read $bPos bytes vs $bNo on the " +
         "positions-free root — the payload is inflating position-free reads")
+    // positive control — prove the measurement can SEE the payload: the
+    // same term search forced to read the positions column (plan shape
+    // unchanged: one extra selected column) must cost visibly more than
+    // the pruned read on the same root
+    def runWide(): Long = SpecMetrics.fsBytesRead {
+      graft.streaming.IncrementalPostings
+        .prunedEntriesForTokens(spark, withPos,
+          Seq("merge", "sort").toDF("tok"))
+        .select("tok", "doc_id", "positions").collect(): Unit
+    }
+    def runNarrow(): Long = SpecMetrics.fsBytesRead {
+      graft.streaming.IncrementalPostings
+        .prunedEntriesForTokens(spark, withPos,
+          Seq("merge", "sort").toDF("tok"))
+        .select("tok", "doc_id").collect(): Unit
+    }
+    runWide(); runNarrow()
+    val (bWide, bNarrow) = (runWide(), runNarrow())
+    assert(bWide > bNarrow,
+      s"control failed: reading the positions column ($bWide bytes) did " +
+        s"not cost more than the pruned read ($bNarrow bytes) — the " +
+        "bytes measurement cannot see the payload, so the pin above is blind")
   }
 }

@@ -27,7 +27,18 @@ object SpecMetrics {
     sys.error("/proc/self/io has no rchar line")
   }
 
-  /** Bytes read (read() syscalls, JVM-wide) while `f` runs. */
+  /** Bytes read (read() syscalls, JVM-wide) while `f` runs.
+    *
+    * USAGE CONSTRAINT: rchar counts every read syscall — sockets (the
+    * local executor RPC), /proc, classloading — which adds a fixed
+    * ~100s-of-KiB baseline per Spark action. A pin built on this must
+    * therefore compare two STRUCTURALLY IDENTICAL actions (same plan
+    * shape, same files) whose only difference is the bytes under test,
+    * and assert on the DELTA with a margin well above the baseline
+    * jitter — e.g. column A's scan vs column B's scan of one table
+    * (IvfPqSpec), or the same search on a with-payload vs without-payload
+    * root (IncrementalPostingsSpec). Comparing two DIFFERENT operators'
+    * totals drowns in the baseline. */
   def fsBytesRead(f: => Unit): Long = {
     val before = rchar()
     f
