@@ -43,6 +43,25 @@ object Facets {
       .agg(count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  private def qFacetQuery(spark: SparkSession, dir: String): DataFrame =
+    // S6 (facet.query flavor): counts for a set of NAMED arbitrary
+    // predicates — Solr evaluates each facet.query against the index;
+    // here all of them ride ONE scan as conditional partial aggregates
+    // (sum(when)) and unpivot via stack(), so n queries cost one pass
+    // and a 1-row exchange regardless of n. The distinct physical shape
+    // vs the groupBy facets: no grouping key at all.
+    Tables.documents(spark, dir)
+      .agg(
+        sum(when(col("lang") === "en" && col("n_chars") >= 200, 1L)
+          .otherwise(0L)).as("long_english"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("short_docs"),
+        sum(when(col("source").isin("src0", "src1") && col("lang") =!= "zh", 1L)
+          .otherwise(0L)).as("early_sources"))
+      .selectExpr("stack(3, 'long_english', long_english, " +
+        "'short_docs', short_docs, 'early_sources', early_sources) " +
+        "AS (facet, n)")
+      .orderBy("facet")
+
   private def qStatsAgg(spark: SparkSession, dir: String): DataFrame =
     // S9: stats.field — min/max/sum/mean/count/missing per facet bucket.
     Tables.lineitem(spark, dir)
@@ -187,6 +206,7 @@ object Facets {
 
   val queries: Map[String, Q] = Map(
     "q_facet_field" -> qFacetField,
+    "q_facet_query" -> qFacetQuery,
     "q_group_topn" -> qGroupTopN,
     "q_facet_range" -> qFacetRange,
     "q_facet_pivot" -> qFacetPivot,
@@ -202,6 +222,16 @@ object Facets {
     "q_facet_field" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem
         |GROUP BY 1 ORDER BY n DESC, l_returnflag""".stripMargin,
+    "q_facet_query" ->
+      """SELECT 'early_sources' AS facet,
+        |       count(*) FILTER (source IN ('src0','src1') AND lang <> 'zh') AS n
+        |FROM documents
+        |UNION ALL
+        |SELECT 'long_english', count(*) FILTER (lang = 'en' AND n_chars >= 200)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'short_docs', count(*) FILTER (n_chars < 100) FROM documents
+        |ORDER BY facet""".stripMargin,
     "q_facet_range" ->
       """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

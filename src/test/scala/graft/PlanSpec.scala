@@ -54,6 +54,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q_facet_query: all named facet queries share ONE corpus scan") {
+    // Solr evaluates each facet.query separately; here n predicates are n
+    // conditional partial aggregates over one pass — a plan with one scan
+    // per predicate (the UNION-of-counts shape the oracle uses) re-reads
+    // the corpus n times.
+    val p = plan("q_facet_query")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+  }
+
   test("q_vector_topk: single-row query side is broadcast; ranking is TakeOrderedAndProject") {
     val p = plan("q_vector_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
