@@ -67,6 +67,25 @@ object Search {
       .limit(20)
   }
 
+  private def qFunctionBoost(spark: SparkSession, dir: String): DataFrame = {
+    // S4 (function-query flavor): Solr's boost/bf surface — the text
+    // relevance signal multiplied by a field FUNCTION, here the classic
+    // recip(x, m, a, b) = a/(m·x+b) decay on a numeric field (Solr boosts
+    // recency with exactly this shape over a date's age; n_chars is this
+    // corpus's decay field). Same scan-project-TakeOrdered plan as the
+    // plain ranking: function queries add arithmetic, never a join.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(toks, t => t === "key")).cast("long").as("tf"),
+        col("n_chars"))
+      .filter(col("tf") > 0)
+      .withColumn("score",
+        round(col("tf") * lit(100.0) / (col("n_chars") + lit(100.0)), 4))
+      .select(col("doc_id"), col("tf"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   private def qSortPage(spark: SparkSession, dir: String): DataFrame = {
     // S5: sort + pagination (start=100, rows=20). Take the top 120 with
     // TakeOrderedAndProject first (scales: k rows to the driver, not a
@@ -319,6 +338,7 @@ object Search {
     "q_fulltext_bool" -> qFulltextBool,
     "q_filter_range" -> qFilterRange,
     "q_topk_relevance" -> qTopkRelevance,
+    "q_function_boost" -> qFunctionBoost,
     "q_phrase_search" -> qPhraseSearch,
     "q_spell_correct" -> qSpellCorrect,
     "q_sort_page" -> qSortPage,
@@ -388,6 +408,13 @@ object Search {
         |  SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t = 'key')) AS tf
         |  FROM documents) WHERE tf > 0
         |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_function_boost" ->
+      """SELECT doc_id, tf, round(tf * 100.0 / (n_chars + 100.0), 4) AS score
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |         len(list_filter(string_split(text, ' '), t -> t = 'key')) AS tf
+        |  FROM documents) WHERE tf > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_fuzzy_search" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE len(list_filter(string_split(text, ' '),

@@ -25,6 +25,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sort_page").contains("TakeOrderedAndProject"))
   }
 
+  test("q_function_boost: the function query adds arithmetic, never a join or a sort") {
+    val p = plan("q_function_boost")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
+  }
+
   test("q_filter_range: predicates reach the parquet scan as pushed filters") {
     val p = plan("q_filter_range")
     // (the PushedFilters list is truncated in toString — assert the list is
