@@ -112,6 +112,38 @@ object Changelog {
           round(max(when(col("event_type") === v, col("value"))), 2).as(v)): _*)
       .orderBy(col("rowkey").cast("long"))
 
+  private def qCellState(spark: SparkSession, dir: String): DataFrame = {
+    // O6/O11 deepened to HBase's ACTUAL versioning unit: a put carries a
+    // SUBSET of a row's cells, so the row's current document is the
+    // per-QUALIFIER latest value — not the latest event's payload
+    // (q_index_state's row-level view) and not an all-history aggregate
+    // (q_pivot_doc). A delete event is the row tombstone: cells at or
+    // before it are dead; qualifiers written AFTER it survive. One hash
+    // exchange on rowkey computes everything — per-qualifier max_by
+    // (latest value), per-qualifier max event_id (to compare against the
+    // tombstone), and the tombstone itself — then a scan-side projection
+    // masks dead cells and drops fully-dead rows. event_type plays the
+    // qualifier exactly as it plays the CF in O4.
+    val quals = pivotValues.filterNot(_ == Cfg.deleteClass)
+    def q(v: String) = col("event_type") === v
+    val aggs =
+      max(when(col("event_type") === Cfg.deleteClass, col("event_id")))
+        .as("tomb") +:
+      quals.flatMap(v => Seq(
+        max_by(when(q(v), col("value")), when(q(v), col("event_id")))
+          .as(s"${v}_val"),
+        max(when(q(v), col("event_id"))).as(s"${v}_id")))
+    val cols = quals.map(v =>
+      round(when(col(s"${v}_id") > coalesce(col("tomb"), lit(-1L)),
+        col(s"${v}_val")), 2).as(v))
+    withRowkey(Tables.events(spark, dir))
+      .groupBy("rowkey")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("rowkey") +: cols: _*)
+      .filter(quals.map(v => col(v).isNotNull).reduce(_ || _))
+      .orderBy(col("rowkey").cast("long"))
+  }
+
   private def qBatchCount(spark: SparkSession, dir: String): DataFrame =
     // O7: threshold flush arithmetic — add_batchCount
     // (application.properties:14, SolrIndexTools.java:124). Batches are
@@ -389,6 +421,7 @@ object Changelog {
     "q_filter_cf" -> qFilterCf,
     "q_filter_nonempty" -> qFilterNonempty,
     "q_pivot_doc" -> qPivotDoc,
+    "q_cell_state" -> qCellState,
     "q_batch_count" -> qBatchCount,
     "q_del_batch_count" -> qDelBatchCount,
     "q_interval_window" -> qIntervalWindow,
@@ -435,6 +468,28 @@ object Changelog {
         |       round(max(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
         |       round(max(value) FILTER (WHERE event_type = 'view'), 2) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cell_state" ->
+      """WITH agg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS rowkey, user_id,
+        |         max(event_id) FILTER (WHERE event_type = 'error') AS tomb,
+        |         arg_max(value, event_id) FILTER (WHERE event_type = 'click') AS click_val,
+        |         max(event_id) FILTER (WHERE event_type = 'click') AS click_id,
+        |         arg_max(value, event_id) FILTER (WHERE event_type = 'purchase') AS purchase_val,
+        |         max(event_id) FILTER (WHERE event_type = 'purchase') AS purchase_id,
+        |         arg_max(value, event_id) FILTER (WHERE event_type = 'signup') AS signup_val,
+        |         max(event_id) FILTER (WHERE event_type = 'signup') AS signup_id,
+        |         arg_max(value, event_id) FILTER (WHERE event_type = 'view') AS view_val,
+        |         max(event_id) FILTER (WHERE event_type = 'view') AS view_id
+        |  FROM events GROUP BY user_id)
+        |SELECT rowkey,
+        |       round(CASE WHEN click_id > coalesce(tomb, -1) THEN click_val END, 2) AS click,
+        |       round(CASE WHEN purchase_id > coalesce(tomb, -1) THEN purchase_val END, 2) AS purchase,
+        |       round(CASE WHEN signup_id > coalesce(tomb, -1) THEN signup_val END, 2) AS signup,
+        |       round(CASE WHEN view_id > coalesce(tomb, -1) THEN view_val END, 2) AS view
+        |FROM agg
+        |WHERE click IS NOT NULL OR purchase IS NOT NULL
+        |   OR signup IS NOT NULL OR view IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
     "q_batch_count" ->
       """SELECT CAST(floor(event_id / 10000) AS BIGINT) AS batch_id,
         |       count(*) AS n_events,

@@ -91,6 +91,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("pivotfirst"), p)
   }
 
+  test("q_cell_state: per-cell latest-wins + tombstone masking is ONE rowkey exchange") {
+    // the tombstone compare, the per-qualifier max_by, and the dead-row
+    // drop must all ride the single hash aggregate — a window or a
+    // self-join per qualifier would shuffle the log once per column
+    val p = plan("q_cell_state")
+    assert("Exchange".r.findAllIn(p).length <= 2, p) // agg + output sort
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("q_bm25_topk: df and corpus stats broadcast; ranking is TakeOrderedAndProject") {
     val p = plan("q_bm25_topk")
     assert(!p.contains("SortMergeJoin"), p)
