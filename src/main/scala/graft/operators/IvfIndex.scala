@@ -129,7 +129,7 @@ object IvfIndex {
     * coarse quantizer's seeding, so rebuilds are stable. Codewords that
     * lose all members drop out (standard k-means attrition); codes only
     * ever reference survivors. */
-  private def trainCodebooks(vectors: DataFrame, pq: PqSpec, subDim: Int): DataFrame = {
+  private[graft] def trainCodebooks(vectors: DataFrame, pq: PqSpec, subDim: Int): DataFrame = {
     val sub = pqSub(vectors, pq.m, subDim)
     val seedW = Window.partitionBy(col("s")).orderBy(col("vec_id"))
     var cb = sub.withColumn("rn", row_number().over(seedW))
@@ -151,7 +151,7 @@ object IvfIndex {
   /** `vectors` plus a `codes` column (ARRAY<INT>, one codeword id per
     * subspace) encoded against the FROZEN codebooks — the upsert-path
     * encoder. Shape (m, subDim) derives from the codebook rows. */
-  private def encode(vectors: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def encode(vectors: DataFrame, cb: DataFrame): DataFrame = {
     val shape = cb.agg(max(col("s")).as("ms"), max(size(col("cw"))).as("sd")).head()
     val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
     val codes = pqNearest(
@@ -196,10 +196,19 @@ object IvfIndex {
     // make later upserts clear the wrong cells silently.
     val spark0 = vectors.sparkSession
     heal(spark0, path) // resolve any interrupted root swap before replacing
+    val e = vectors.select(col("vec_id"), col("embedding"))
+    // input-only validation BEFORE the destructive delete below: a call
+    // rejected on its parameters must not have wiped a healthy index first
+    val pqDim = pq.map { spec =>
+      val d = e.select(size(col("embedding"))).limit(1).collect()
+      require(d.nonEmpty, "PQ build needs a non-empty vector set to train on")
+      require(d.head.getInt(0) % spec.m == 0,
+        s"embedding dim ${d.head.getInt(0)} not divisible by PqSpec.m=${spec.m}")
+      d.head.getInt(0) / spec.m
+    }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark0.sessionState.newHadoopConf())
     if (fs.exists(root)) fs.delete(root, true): Unit
-    val e = vectors.select(col("vec_id"), col("embedding"))
     var centroids = e.orderBy("vec_id").limit(nlist)
       .select(
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cell"),
@@ -219,10 +228,7 @@ object IvfIndex {
     // torn-build argument): a crash here leaves an index with no vectors,
     // which every maintainer already treats as "re-run build"
     val cbOpt = pq.map { spec =>
-      val d = e.select(size(col("embedding"))).head().getInt(0)
-      require(d % spec.m == 0,
-        s"embedding dim $d not divisible by PqSpec.m=${spec.m}")
-      val cb = trainCodebooks(e, spec, d / spec.m)
+      val cb = trainCodebooks(e, spec, pqDim.get)
       StateStore.commit(spark0, path + "/codebooks")(tmp =>
         cb.write.mode("overwrite").parquet(tmp))
       spark0.read.parquet(path + "/codebooks")
@@ -503,10 +509,13 @@ object IvfIndex {
     // a PQ index retrains its codebooks WITH the quantizer — the drift
     // that warrants retraining the cells degrades the codewords equally.
     // k derives from max(code)+1: codeword attrition can shrink it a
-    // little across rebuilds, which only tightens the codebook.
+    // little across rebuilds, which only tightens the codebook — but never
+    // below PqSpec's own k > 1 floor (total attrition, e.g. a constant-
+    // vector outage collapsing every subspace to code 0, must not wedge
+    // the drift-gated retrain on PqSpec's require)
     val pqSpec = codebooksOpt(spark, path).map { cb =>
       val r = cb.agg(max(col("s")), max(col("code"))).head()
-      PqSpec(m = r.getInt(0) + 1, k = r.getInt(1) + 1)
+      PqSpec(m = r.getInt(0) + 1, k = math.max(2, r.getInt(1) + 1))
     }
     val live = spark.read.parquet(path + "/vectors")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -544,6 +553,7 @@ object IvfIndex {
     * the id list is `shortlist` longs — metadata, never data. */
   def searchPq(spark: SparkSession, path: String, query: Seq[Float],
                k: Int = 10, probes: Int = 2, shortlist: Int = 100): DataFrame = {
+    heal(spark, path) // a torn root swap must not read as "PQ missing"
     val cb = codebooksOpt(spark, path).getOrElse(throw new IllegalStateException(
       s"index at $path has no PQ codebooks — build with pq=Some(PqSpec()) " +
         "or retrofit with IvfIndex.enablePq"))
@@ -643,6 +653,7 @@ object IvfIndex {
   def searchBatchPq(spark: SparkSession, path: String, queries: DataFrame,
                     k: Int = 10, probes: Int = 2,
                     shortlist: Int = 100): DataFrame = {
+    heal(spark, path) // a torn root swap must not read as "PQ missing"
     val cb = codebooksOpt(spark, path).getOrElse(throw new IllegalStateException(
       s"index at $path has no PQ codebooks — build with pq=Some(PqSpec()) " +
         "or retrofit with IvfIndex.enablePq"))
@@ -658,6 +669,11 @@ object IvfIndex {
     StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal first
     val shape = cb.agg(max(col("s")), max(size(col("cw")))).head()
     val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+    // the loud-failure twin of searchPq's require: a wrong-length qv would
+    // otherwise zip_with into null scores and silently return garbage for
+    // that qid (queries is batch-sized, so the check is one cheap job)
+    require(queries.filter(size(col("qv")) =!= m * subDim).isEmpty,
+      s"a query vector's dim does not match PQ shape m=$m subDim=$subDim")
     val qsub = queries.select(col("qid"), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> " +
         s"transform(slice(qv, s * $subDim + 1, $subDim), " +

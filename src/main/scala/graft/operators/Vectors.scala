@@ -126,67 +126,33 @@ object Vectors {
 
   private val PqM = 16 // subspaces
   private val PqK = 16 // codewords per subspace (4-bit codes)
-  private val PqIters = 3
-
-  /** (vec_id, s, sub): the embeddings split into PqM double subvectors. */
-  private def pqSubvectors(e: DataFrame, subDim: Int): DataFrame =
-    e.select(col("vec_id"), posexplode(expr(
-      s"transform(sequence(0, ${PqM - 1}), s -> " +
-        s"transform(slice(embedding, s * $subDim + 1, $subDim), " +
-        "x -> cast(x AS double)))")).as(Seq("s", "sub")))
-
-  /** Nearest codeword (L2) per (vec_id, subspace) — the k-means assign
-    * step and the encoder, one WindowGroupLimit pass over
-    * |vectors| × PqK broadcast-joined rows per subspace. */
-  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("d2"), col("code"))
-    sub.join(broadcast(cb), "s")
-      .withColumn("d2", aggregate(
-        zip_with(col("sub"), col("cw"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, p) => a + p))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "s", "code", "sub")
-  }
 
   private def pqSubDim(e: DataFrame): Int = {
-    val d = e.select(size(col("embedding"))).head.getInt(0)
+    val d = e.select(size(col("embedding"))).head().getInt(0)
     require(d % PqM == 0, s"embedding dim $d not divisible by PqM=$PqM")
     d / PqM
   }
 
-  /** Per-subspace codebooks (s, code, cw) — Lloyd iterations seeded from
-    * the PqK smallest vec_ids, deterministic like IvfIndex.build. */
+  /** Per-subspace codebooks (s, code, cw) — [[IvfIndex.trainCodebooks]],
+    * the ONE Lloyd kernel the persisted index also uses (a second copy
+    * here drifted once already: a `vec_id < k` seed that silently trained
+    * an EMPTY codebook on any corpus whose ids don't start at 0). */
   private[graft] def sharedPqCodebooks(spark: SparkSession, dir: String): DataFrame =
     Materialize.artifact(spark, "pq_codebooks", dir) {
       val e = Tables.embeddings(spark, dir)
-      val sub = pqSubvectors(e, pqSubDim(e))
-      var cb = sub.filter(col("vec_id") < PqK)
-        .select(col("s"), col("vec_id").cast("int").as("code"),
-          col("sub").as("cw"))
-        .localCheckpoint()
-      for (_ <- 1 to PqIters)
-        cb = pqAssign(sub, cb)
-          .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("i", "v")))
-          .groupBy("s", "code", "i").agg(avg(col("v")).as("c"))
-          .groupBy("s", "code")
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-            x => x.getField("c")).as("cw"))
-          .localCheckpoint()
-      cb
+      IvfIndex.trainCodebooks(e.select("vec_id", "embedding"),
+        IvfIndex.PqSpec(m = PqM, k = PqK), pqSubDim(e))
     }
 
   /** PQ-encoded table (vec_id, label, codes ARRAY<INT> of length PqM) —
-    * the 16×-compressed form the shortlist scans instead of the vectors. */
+    * the 16×-compressed form the shortlist scans instead of the vectors;
+    * encoded by [[IvfIndex.encode]], the upsert-path encoder. */
   private[graft] def sharedPqCodes(spark: SparkSession, dir: String): DataFrame =
     Materialize.artifact(spark, "pq_codes", dir) {
-      val e = Tables.embeddings(spark, dir)
-      pqAssign(pqSubvectors(e, pqSubDim(e)), sharedPqCodebooks(spark, dir))
-        .groupBy("vec_id")
-        .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-          x => x.getField("code")).as("codes"))
-        .join(e.select("vec_id", "label"), "vec_id")
+      IvfIndex.encode(
+          Tables.embeddings(spark, dir).select("vec_id", "label", "embedding"),
+          sharedPqCodebooks(spark, dir))
+        .select("vec_id", "codes", "label")
     }
 
   private def qAnnPq(spark: SparkSession, dir: String): DataFrame = {

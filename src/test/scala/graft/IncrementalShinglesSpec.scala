@@ -290,6 +290,12 @@ class IncrementalShinglesSpec extends SparkSpec {
       assert(wantedEntry.exists(b => f.contains(s"/$b/")),
         s"batch probe's overlap count read an entry file outside the " +
           s"batch's shingle buckets: $f")
+    // ...and those two pruned sets are the ONLY reads — a file that is
+    // neither a doc bucket nor an entry bucket is an unpruned scan of
+    // some other root sneaking into the probe's lineage
+    for (f <- probeFiles)
+      assert(f.contains("/docs/") || f.contains("/entries/"),
+        s"batch probe read a file outside the two pruned state sets: $f")
     // the admission gate: the dup'd put is dropped, the novel put and the
     // delete pass through unchanged
     val batch = Seq(
