@@ -144,6 +144,44 @@ object Changelog {
       .orderBy(col("rowkey").cast("long"))
   }
 
+  /** VERSIONS retained per cell and the TTL horizon for [[qCellVersions]] /
+    * [[qVersionsMaintained]] — HBase's per-CF retention knobs
+    * (HColumnDescriptor VERSIONS / TTL; the reference's table carries the
+    * defaults). TTL is data-derived (half the changelog's ts span) so every
+    * SF exercises genuine expiry. */
+  private val MaxVersions = 3
+
+  private def ttlCutoff(spark: SparkSession, dir: String): DataFrame =
+    broadcast(Tables.events(spark, dir)
+      .agg(expr("max(ts) - (max(ts) - min(ts)) div 2").as("ttl_cut")))
+
+  private def qCellVersions(spark: SparkSession, dir: String): DataFrame = {
+    // HBase's retention semantics as ONE declarative read: per
+    // (rowkey, qualifier) keep the newest `VERSIONS` puts above the row
+    // tombstone, then expire cells past the TTL horizon (HBase evaluates
+    // TTL at read/compaction time, AFTER version retention bounds what is
+    // stored — so rank first, expire second; the maintained twin
+    // q_versions_maintained relies on exactly this order). Both windows
+    // share ONE hash exchange: hash(rowkey) co-locates every
+    // (rowkey, qualifier) group, so the per-cell rank window adds a sort,
+    // never a second shuffle. The TTL scalar broadcasts back; at scale
+    // the ts predicate prunes row groups of commit-ordered files.
+    val del = col("event_type") === Cfg.deleteClass
+    val wRow = Window.partitionBy("rowkey")
+    val wCell = Window.partitionBy(col("rowkey"), col("qualifier"))
+      .orderBy(col("event_id").desc)
+    withRowkey(Tables.events(spark, dir))
+      .crossJoin(ttlCutoff(spark, dir))
+      .withColumn("qualifier", col("event_type"))
+      .withColumn("tomb", max(when(del, col("event_id"))).over(wRow))
+      .filter(!del && col("event_id") > coalesce(col("tomb"), lit(-1L)))
+      .withColumn("version", row_number().over(wCell).cast("long"))
+      .filter(col("version") <= MaxVersions && col("ts") >= col("ttl_cut"))
+      .select(col("rowkey"), col("qualifier"), col("version"),
+        round(col("value"), 2).as("value"), col("ts").as("ts_us"))
+      .orderBy(col("rowkey").cast("long"), col("qualifier"), col("version"))
+  }
+
   private def qBatchCount(spark: SparkSession, dir: String): DataFrame =
     // O7: threshold flush arithmetic — add_batchCount
     // (application.properties:14, SolrIndexTools.java:124). Batches are
@@ -345,6 +383,61 @@ object Changelog {
       (root, spec)
     })
 
+  /** A [[graft.streaming.CellStore]] root built by merging the events
+    * changelog in TWO halves split on event_id — so the second merge
+    * genuinely re-ranks versions the first one retained and its
+    * tombstones genuinely purge cells the first merge wrote. */
+  private val cellFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  Materialize.onSessionFreed { s =>
+    val it = cellFixtures.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        Materialize.deleteLocalDir(new java.io.File(e.getValue).getParent)
+        it.remove()
+      }
+    }
+  }
+
+  private def cellFixture(spark: SparkSession, dir: String): String =
+    cellFixtures.computeIfAbsent((spark, dir), { case (s, d) =>
+      val t0 = System.nanoTime()
+      val root = java.nio.file.Files.createTempDirectory("graft_cells").toString + "/state"
+      val changes = Tables.events(s, d).select(
+        col("user_id").cast("string").as("rowkey"),
+        when(col("event_type") === Cfg.deleteClass, lit(null: String))
+          .otherwise(col("event_type")).as("qualifier"),
+        col("event_id"),
+        when(col("event_type") === Cfg.deleteClass, "delete")
+          .otherwise("put").as("op"),
+        col("ts"), col("value"))
+      val mid = changes.agg(percentile_approx(col("event_id"), lit(0.5),
+        lit(100))).head().getLong(0)
+      graft.streaming.CellStore.mergeCells(
+        s, changes.filter(col("event_id") <= mid), root, MaxVersions)
+      graft.streaming.CellStore.mergeCells(
+        s, changes.filter(col("event_id") > mid), root, MaxVersions)
+      Materialize.recordBuild("cell_store_fixture", System.nanoTime() - t0)
+      root
+    })
+
+  private def qVersionsMaintained(spark: SparkSession, dir: String): DataFrame =
+    // q_cell_versions served from the MAINTAINED cell store: version
+    // retention was enforced at MERGE time (HBase's compaction-time
+    // discipline), the stored rank is current because merges rewrite
+    // touched buckets wholly, and TTL stays a read-time predicate — so
+    // the read is a pure scan-project over live buckets with zero
+    // query-time windows. Same oracle as the scan form: two physical
+    // strategies, one semantics.
+    graft.streaming.CellStore.readCells(spark, cellFixture(spark, dir))
+      .crossJoin(ttlCutoff(spark, dir))
+      .filter(col("ts") >= col("ttl_cut"))
+      .select(col("rowkey"), col("qualifier"),
+        col("version").cast("long").as("version"),
+        round(col("value"), 2).as("value"), col("ts").as("ts_us"))
+      .orderBy(col("rowkey").cast("long"), col("qualifier"), col("version"))
+
   private def qStatsMaintained(spark: SparkSession, dir: String): DataFrame = {
     // S9 served from the INCREMENTALLY-MAINTAINED rollup: min/max/avg
     // (+count/sum) per facet bucket with no state scan — the third
@@ -422,6 +515,8 @@ object Changelog {
     "q_filter_nonempty" -> qFilterNonempty,
     "q_pivot_doc" -> qPivotDoc,
     "q_cell_state" -> qCellState,
+    "q_cell_versions" -> qCellVersions,
+    "q_versions_maintained" -> qVersionsMaintained,
     "q_batch_count" -> qBatchCount,
     "q_del_batch_count" -> qDelBatchCount,
     "q_interval_window" -> qIntervalWindow,
@@ -443,6 +538,30 @@ object Changelog {
       |SELECT rowkey, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type,
       |       round(value, 2) AS value, json_extract_string(props, '$.k') AS k
       |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  // Shared by q_cell_versions (scan) and q_versions_maintained (cell
+  // store): rank versions above the row tombstone FIRST (retention bounds
+  // what is stored), expire by TTL second — HBase's order of operations.
+  private val cellVersionsSql =
+    """WITH b AS (
+      |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP)))
+      |           - (max(epoch_us(CAST(ts AS TIMESTAMP)))
+      |              - min(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS ttl_cut
+      |  FROM events),
+      |tomb AS (
+      |  SELECT user_id, max(event_id) AS tomb FROM events
+      |  WHERE event_type = 'error' GROUP BY 1),
+      |live AS (
+      |  SELECT e.user_id, e.event_type AS qualifier, e.value,
+      |         epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+      |         row_number() OVER (PARTITION BY e.user_id, e.event_type
+      |                            ORDER BY e.event_id DESC) AS version
+      |  FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id
+      |  WHERE e.event_type <> 'error' AND e.event_id > coalesce(t.tomb, -1))
+      |SELECT CAST(user_id AS VARCHAR) AS rowkey, qualifier, version,
+      |       round(value, 2) AS value, ts_us
+      |FROM live, b WHERE version <= 3 AND ts_us >= ttl_cut
+      |ORDER BY user_id, qualifier, version""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_scan_events" ->
@@ -490,6 +609,8 @@ object Changelog {
         |WHERE click IS NOT NULL OR purchase IS NOT NULL
         |   OR signup IS NOT NULL OR view IS NOT NULL
         |ORDER BY user_id""".stripMargin,
+    "q_cell_versions" -> cellVersionsSql,
+    "q_versions_maintained" -> cellVersionsSql,
     "q_batch_count" ->
       """SELECT CAST(floor(event_id / 10000) AS BIGINT) AS batch_id,
         |       count(*) AS n_events,

@@ -86,6 +86,37 @@ object Search {
       .limit(20)
   }
 
+  /** Editorial pins for [[qElevate]] — Solr's elevate.xml maps a query
+    * text to doc ids forced to the top in the given order. Ids chosen
+    * inside every SF's doc_id range so all scales exercise the surface. */
+  private val elevatedIds = Seq(42L -> 1, 7L -> 2, 19L -> 3)
+
+  private def qElevate(spark: SparkSession, dir: String): DataFrame = {
+    // Solr QueryElevationComponent: elevated docs first in EDITORIAL
+    // order (included even when they don't match the query — the
+    // component's default), then the organic relevance ranking. One
+    // broadcast hash join tags elevation positions onto the tf scan —
+    // the elevation map is editorial config, bounded and tiny — and the
+    // combined (elev_pos NULLS LAST, tf DESC) order compiles to a single
+    // TakeOrderedAndProject; the final row_number runs over the 20-row
+    // page only (qSortPage's numbering pattern), never the corpus.
+    import spark.implicits._
+    val elev = broadcast(elevatedIds.toDF("doc_id", "elev_pos"))
+    val ord = Seq(coalesce(col("elev_pos"), lit(Int.MaxValue)).asc,
+      col("tf").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(toks, t => t === "key")).cast("long").as("tf"))
+      .join(elev, Seq("doc_id"), "left")
+      .filter(col("tf") > 0 || col("elev_pos").isNotNull)
+      .orderBy(ord: _*)
+      .limit(20)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("tf"),
+        col("elev_pos").isNotNull.as("elevated"))
+      .orderBy("rank")
+  }
+
   private def qSortPage(spark: SparkSession, dir: String): DataFrame = {
     // S5: sort + pagination (start=100, rows=20). Take the top 120 with
     // TakeOrderedAndProject first (scales: k rows to the driver, not a
@@ -339,6 +370,7 @@ object Search {
     "q_filter_range" -> qFilterRange,
     "q_topk_relevance" -> qTopkRelevance,
     "q_function_boost" -> qFunctionBoost,
+    "q_elevate" -> qElevate,
     "q_phrase_search" -> qPhraseSearch,
     "q_spell_correct" -> qSpellCorrect,
     "q_sort_page" -> qSortPage,
@@ -415,6 +447,21 @@ object Search {
         |         len(list_filter(string_split(text, ' '), t -> t = 'key')) AS tf
         |  FROM documents) WHERE tf > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_elevate" ->
+      """WITH elev(doc_id, elev_pos) AS (VALUES (42, 1), (7, 2), (19, 3)),
+        |tf AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t = 'key')) AS tf
+        |  FROM documents),
+        |page AS (
+        |  SELECT t.doc_id, t.tf, e.elev_pos
+        |  FROM tf t LEFT JOIN elev e ON t.doc_id = e.doc_id
+        |  WHERE t.tf > 0 OR e.elev_pos IS NOT NULL
+        |  ORDER BY coalesce(e.elev_pos, 2147483647), t.tf DESC, t.doc_id
+        |  LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY coalesce(elev_pos, 2147483647),
+        |                          tf DESC, doc_id) AS rank,
+        |       doc_id, tf, elev_pos IS NOT NULL AS elevated
+        |FROM page ORDER BY rank""".stripMargin,
     "q_fuzzy_search" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE len(list_filter(string_split(text, ' '),

@@ -100,6 +100,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("q_cell_versions: tombstone window and per-cell rank share ONE hash exchange") {
+    // hash(rowkey) co-locates every (rowkey, qualifier) group, so the
+    // per-cell rank window must reuse the tombstone window's exchange —
+    // a second hash exchange would shuffle the log twice per read
+    val p = plan("q_cell_versions")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    // TTL scalar rides a broadcast; nothing may sort-merge or shuffle-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_versions_maintained: the cell-store read has NO query-time window") {
+    // version rank is served from storage (enforced at merge, rewritten
+    // wholly per touched bucket) — the read is scan-project + TTL filter
+    val p = plan("q_versions_maintained")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_elevate: elevation map broadcasts; the page is TakeOrderedAndProject") {
+    val p = plan("q_elevate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_bm25_topk: df and corpus stats broadcast; ranking is TakeOrderedAndProject") {
     val p = plan("q_bm25_topk")
     assert(!p.contains("SortMergeJoin"), p)
