@@ -198,14 +198,18 @@ object Percolate {
       .select("doc_id", "query_id", "role")
 
     // phrase predicates as data: each phrase normalizes (through the
-    // SAME analyzer as the docs) to a space-joined gram key of k tokens;
-    // docs expand to their k-token grams for each k the registry uses —
-    // the k set is registry metadata, so the expansion is bounded by
-    // |doc tokens| × |phrase lengths|, never |queries|
+    // SAME analyzer as the docs) to its TOKEN-ARRAY gram of k tokens;
+    // docs expand to their k-token gram arrays for each k the registry
+    // uses — the k set is registry metadata, so the expansion is bounded
+    // by |doc tokens| × |phrase lengths|, never |queries|. The join key
+    // is the token array ITSELF (element-wise equality), matching the
+    // compiled strategy's slice comparison exactly — a space-joined
+    // string key would collide for analyzers that emit space-containing
+    // tokens, making the two strategies disagree across the
+    // CompiledRegistryMax dispatch.
     val phraseKeys = reg.filter(col("role") === "phrase")
-      .select(col("query_id"), tokenize(col("term")).as("pt"))
-      .select(col("query_id"), concat_ws(" ", col("pt")).as("gram"),
-        size(col("pt")).as("k"))
+      .select(col("query_id"), tokenize(col("term")).as("gram"))
+      .withColumn("k", size(col("gram")))
     val ks = phraseKeys.select("k").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
     val phraseHits =
@@ -215,7 +219,7 @@ object Percolate {
         val grams = ks.map { k =>
           ot.select(col("doc_id"), explode(expr(
               s"transform(sequence(1, greatest(1, size(ot) - ${k - 1})), " +
-                s"i -> concat_ws(' ', slice(ot, i, $k)))")).as("gram"))
+                s"i -> slice(ot, i, $k))")).as("gram"))
             .withColumn("k", lit(k))
         }.reduce(_ unionByName _)
         // distinct on (doc, query, gram): two DIFFERENT matched phrases

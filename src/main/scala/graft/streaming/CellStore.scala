@@ -41,8 +41,10 @@ import org.apache.spark.sql.expressions.Window
   * concern in HBase (a cell may expire between compactions), so readers
   * apply their own `ts` cutoff; retention here bounds only version count.
   *
-  * 100 TB: merges shuffle O(batch + touched buckets) on rowkey; the two
-  * windows (row tombstone max, per-cell rank) share ONE hash exchange —
+  * 100 TB: merges shuffle O(batch + touched buckets) on rowkey; the
+  * replay dedupe is one all-columns hash aggregate over that bounded set,
+  * then the two windows (row tombstone max, per-cell rank) share ONE
+  * further hash exchange —
   * `hash(rowkey)` co-locates every (rowkey, qualifier) group, so the
   * second window adds a sort, not an exchange. Point reads open one
   * bucket; version scans prune pages via the (rowkey, qualifier)
@@ -63,13 +65,18 @@ object CellStore {
   def compactCells(changes: DataFrame, maxVersions: Int): DataFrame = {
     require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     val del = col("op") === "delete"
-    // Stable tiebreak for equal event_ids (checkpoint replay duplicates):
-    // identical rows rank adjacently and the dedupe below keeps one.
-    val rowHash = xxhash64(changes.columns.map(col): _*)
+    // Replay idempotence: a re-merged batch unions each row with its
+    // already-committed copy; collapse whole-row duplicates FIRST so the
+    // rank below never counts the same put twice (which would both retain
+    // the duplicate and evict a genuinely older distinct version past
+    // maxVersions). Distinct puts sharing an event_id still coexist via
+    // the stable whole-row-hash tiebreak.
+    val deduped = changes.dropDuplicates(changes.columns.toIndexedSeq)
+    val rowHash = xxhash64(deduped.columns.map(col): _*)
     val wRow = Window.partitionBy("rowkey")
     val wCell = Window.partitionBy(col("rowkey"), col("qualifier"))
       .orderBy(col("event_id").desc, rowHash)
-    changes
+    deduped
       .withColumn("tomb", max(when(del, col("event_id"))).over(wRow))
       // keep: the latest tombstone; puts strictly above it
       .filter(when(del, col("event_id") === col("tomb"))

@@ -196,6 +196,24 @@ object IngestPipeline {
   def registerStoredQueries(spark: SparkSession, pipelineRoot: String,
                             queries: Seq[Percolate.StoredQuery]): Unit = {
     require(queries.nonEmpty, "registerQueries needs at least one query")
+    // validate range fields against the live row-state schema BEFORE the
+    // registry swap (the enableRollup pre-pin pattern): a typo'd field
+    // would otherwise throw in EVERY subsequent batch's emitAlerts at
+    // gated.select — halting ingest until the query is removed — rather
+    // than failing the registration call that introduced it. A fresh
+    // root has no schema to check yet; its first batch still fails
+    // loudly on a missing column, and the bad query is removable.
+    val rangeFields = queries.flatMap(_.range).map(_.field).distinct
+    if (rangeFields.nonEmpty &&
+        StateStore.liveBuckets(spark, stateRoot(pipelineRoot)).nonEmpty) {
+      val have = IncrementalIndex.readState(spark, stateRoot(pipelineRoot))
+        .schema.fieldNames.toSet
+      val missing = rangeFields.filterNot(have)
+      require(missing.isEmpty,
+        s"stored-query range predicates name columns absent from the " +
+          s"pipeline's changelog schema: ${missing.mkString(", ")} " +
+          s"(state has: ${have.toSeq.sorted.mkString(", ")})")
+    }
     // upsert-by-id must hold WITHIN one call too: persisting two copies
     // of an id would make registry() merge their terms into one stricter
     // conjunction — last registration wins, same as two separate calls

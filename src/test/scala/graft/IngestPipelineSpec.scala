@@ -1031,6 +1031,28 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.alerts(spark, root).count() === 1L)
   }
 
+  test("range registration against a typo'd field fails at the call, not per-batch") {
+    val root = Files.createTempDirectory("graft_pipePc7").toString + "/pipe"
+    applyB(root, 0, Seq(DocChange("1", 0, "put", "seed text")))
+    // the state schema is (rowkey, event_id, op, text): a range on a
+    // column the changelog never carries must fail HERE — before the
+    // registry swap — not throw in every subsequent batch's emitAlerts
+    val ex = intercept[IllegalArgumentException] {
+      IngestPipeline.registerStoredQueries(spark, root, Seq(
+        graft.operators.Percolate.StoredQuery("bad", all = Seq("seed"),
+          range = Some(graft.operators.Percolate.RangePred("n_charz", 0, 10)))))
+    }
+    assert(ex.getMessage.contains("n_charz"))
+    // nothing was registered; ingest keeps flowing
+    assert(IngestPipeline.registry(spark, root).isEmpty)
+    applyB(root, 1, Seq(DocChange("2", 1, "put", "more text")))
+    // a valid field still registers against populated state
+    IngestPipeline.registerStoredQueries(spark, root, Seq(
+      graft.operators.Percolate.StoredQuery("ok", all = Seq("seed"),
+        range = Some(graft.operators.Percolate.RangePred("event_id", 0, 10)))))
+    assert(IngestPipeline.registry(spark, root).map(_.id) === Seq("ok"))
+  }
+
   test("duplicate ids within one registration call: last wins (upsert semantics)") {
     val root = Files.createTempDirectory("graft_pipePc3").toString + "/pipe"
     IngestPipeline.registerQueries(spark, root,
