@@ -77,6 +77,44 @@ object Analyzer {
     }
   }
 
+  /** Synonym-expansion stage — Solr's SynonymGraphFilterFactory, the
+    * stage the reference schema's text_general deployment story routinely
+    * includes (the pre-defined Solr schema, /root/reference/README.md:33):
+    * each emitted token expands to itself plus its mapped synonyms, so a
+    * doc saying "quick" is indexed (or a query asks) under "fast" too.
+    * The map is analyzer CONFIG — small, literal-compiled into the plan
+    * (Solr ships it as synonyms.txt, the same bounded-config shape) — and
+    * the expansion is a codegen'd flatten∘transform: still a pure Column
+    * expression, no UDF, no join. Index-time use composes it into the
+    * chain; query-time use calls [[Analyzer.expandQuery]] on the (driver-
+    * side literal) query terms instead, which leaves the index unchanged
+    * — Solr's recommended deployment — and turns each query term into an
+    * OR group. */
+  final case class SynonymExpanded(inner: Tokenizer,
+                                   synonyms: Seq[(String, Seq[String])]) extends Tokenizer {
+    require(synonyms.nonEmpty, "synonym stage needs at least one mapping")
+    require(synonyms.map(_._1).distinct.size == synonyms.size,
+      "synonym map keys must be unique (merge multi-row mappings first)")
+    val name = s"synonyms(${inner.name})"
+    def tokens(text: Column): Column = {
+      val m = map(synonyms.flatMap { case (k, vs) =>
+        Seq(lit(k), array(vs.map(lit): _*)) }: _*)
+      val none = expr("CAST(array() AS ARRAY<STRING>)")
+      flatten(transform(inner.tokens(text),
+        t => concat(array(t), coalesce(element_at(m, t), none))))
+    }
+  }
+
+  /** Query-time synonym expansion: each query term becomes the OR group
+    * {term} ∪ synonyms(term). Driver-side (query terms are literals) —
+    * the index stays unexpanded, matching Solr's query-time synonym
+    * deployment. */
+  def expandQuery(terms: Seq[String],
+                  synonyms: Seq[(String, Seq[String])]): Seq[Seq[String]] = {
+    val m = synonyms.toMap
+    terms.map(t => (t +: m.getOrElse(t, Nil)).distinct)
+  }
+
   /** The reference schema's likely analyzer chain for latin text
     * (text_general: tokenize → lowercase → stop), assembled from the
     * stages above — demonstrates chain composition; pass your own

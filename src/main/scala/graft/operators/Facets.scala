@@ -204,7 +204,102 @@ object Facets {
       .orderBy("o_custkey", "rn")
   }
 
+  private def qFacetStats(spark: SparkSession, dir: String): DataFrame =
+    // Solr JSON facet API — the modern nested form of S8+S9: buckets at
+    // every ROLLUP level (grand total, per lang, per (lang, source))
+    // each carrying sub-stats (count, min/max/avg of n_chars, unique
+    // length count). ONE pass: Spark expands the rollup inside the same
+    // partial aggregation (map-side partials per grouping set, one
+    // exchange), so the nested facet costs one aggregate, not one per
+    // level.
+    Tables.documents(spark, dir)
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        countDistinct(col("n_chars")).as("n_lengths"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** A documents row-state root whose merges maintained (lang, source)
+    * stats partials — the nested facet's maintained source. Built in TWO
+    * merges; the second DELETES every first-half doc with doc_id%10==3,
+    * so the partials genuinely retract min/max contributions (the case
+    * delta maintenance cannot express; recompute-per-touched-bucket
+    * handles it). The split point is max(doc_id)/2 — deterministic, so
+    * the DuckDB oracle reproduces the live set arithmetically. */
+  private val statsFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.streaming.IncrementalRollup.Spec]()
+  Materialize.onSessionFreed { s =>
+    val it = statsFixtures.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        Materialize.deleteLocalDir(
+          new java.io.File(e.getValue.path).getParent)
+        it.remove()
+      }
+    }
+  }
+
+  private def statsFixture(spark: SparkSession,
+                           dir: String): graft.streaming.IncrementalRollup.Spec =
+    statsFixtures.computeIfAbsent((spark, dir), { case (s, d) =>
+      val t0 = System.nanoTime()
+      val base = java.nio.file.Files.createTempDirectory("graft_fstats").toString
+      val root = base + "/state"
+      val spec = graft.streaming.IncrementalRollup.Spec(
+        base + "/rollup", Seq("lang", "source"), statsCol = Some("n_chars"))
+      val docs = Tables.documents(s, d)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val changes = docs.select(
+        col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"),
+        col("lang"), col("source"), col("n_chars"))
+      val dels = docs.filter(col("doc_id") <= mid && col("doc_id") % 10 === 3)
+        .select(col("doc_id").cast("string").as("rowkey"),
+          (col("doc_id") + 1000000000L).as("event_id"),
+          lit("delete").as("op"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"))
+      graft.streaming.IncrementalIndex.mergeBatch(
+        s, changes.filter(col("event_id") <= mid), root, rollup = Some(spec))
+      graft.streaming.IncrementalIndex.mergeBatch(
+        s, changes.filter(col("event_id") > mid).unionByName(dels), root,
+        rollup = Some(spec))
+      Materialize.recordBuild("facet_stats_fixture", System.nanoTime() - t0)
+      spec
+    })
+
+  private def qFacetStatsMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // The nested facet served from MAINTAINED stats partials only: every
+    // ROLLUP level is a cuboid collapse of the SAME |buckets| × |groups|
+    // partial rows ([[graft.streaming.IncrementalRollup.readBy]]) — the
+    // row state is never opened (plan-pinned in PlanSpec), and min/max
+    // survive the fixture's deletes via bucket recompute. The unique-
+    // count sub-stat is intentionally absent here: the maintained
+    // distinct is an HLL estimate (q_facet_incremental's surface) and
+    // this key stays hash-exact against the oracle.
+    val spec = statsFixture(spark, dir)
+    def lvl(by: Seq[String]) =
+      graft.streaming.IncrementalRollup.readBy(spark, spec, by)
+    val nullStr = lit(null).cast("string")
+    val grid = lvl(Seq("lang", "source"))
+    val byLang = lvl(Seq("lang")).withColumn("source", nullStr)
+    val total = lvl(Nil).withColumn("lang", nullStr).withColumn("source", nullStr)
+    grid.unionByName(byLang).unionByName(total)
+      .select(col("lang"), col("source"), col("n"),
+        col("min_n_chars").as("min_chars"),
+        col("max_n_chars").as("max_chars"),
+        round(col("avg_n_chars"), 4).as("avg_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_facet_stats" -> qFacetStats,
+    "q_facet_stats_maintained" -> qFacetStatsMaintained,
     "q_facet_field" -> qFacetField,
     "q_facet_query" -> qFacetQuery,
     "q_group_topn" -> qGroupTopN,
@@ -219,6 +314,25 @@ object Facets {
     "q_group_top1" -> qGroupTop1)
 
   val oracle: Map[String, String] = Map(
+    "q_facet_stats" ->
+      """SELECT lang, source, count(*) AS n,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       count(DISTINCT n_chars) AS n_lengths
+        |FROM documents
+        |GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_facet_stats_maintained" ->
+      """WITH live AS (
+        |  SELECT * FROM documents
+        |  WHERE NOT (doc_id <= (SELECT max(doc_id) FROM documents) // 2
+        |             AND doc_id % 10 = 3))
+        |SELECT lang, source, count(*) AS n,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM live
+        |GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q_facet_field" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem
         |GROUP BY 1 ORDER BY n DESC, l_returnflag""".stripMargin,

@@ -366,7 +366,19 @@ object Index {
     graft.streaming.IncrementalPostings
       .moreLikeThis(spark, maintainedFixture(spark, dir), "0")
 
+  private def qSynonymMaintained(spark: SparkSession, dir: String): DataFrame =
+    // Query-time synonym expansion over MAINTAINED state: the same OR
+    // groups as the corpus-scoped q_synonym_search, served by the
+    // bucket-pruned grouped retrieval — the index is never expanded and
+    // never re-scanned; per-query I/O is the expansion terms' entry
+    // buckets plus the hit fetch. One oracle checks both surfaces.
+    graft.streaming.IncrementalPostings
+      .termSearchGroups(spark, maintainedFixture(spark, dir),
+        Analyzer.expandQuery(Search.synonymQueryTerms, Search.demoSynonyms))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "q_synonym_maintained" -> qSynonymMaintained,
     "q_search_maintained" -> qSearchMaintained,
     "q_suggest_maintained" -> qSuggestMaintained,
     "q_bm25_maintained" -> qBm25Maintained,
@@ -388,6 +400,16 @@ object Index {
     "q_shuffle_order" -> qShuffleOrder)
 
   val oracle: Map[String, String] = Map(
+    "q_synonym_maintained" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
+        |       'put' AS op, text
+        |FROM documents
+        |WHERE (list_contains(string_split(text, ' '), 'quick')
+        |    OR list_contains(string_split(text, ' '), 'fast'))
+        |  AND (list_contains(string_split(text, ' '), 'combine')
+        |    OR list_contains(string_split(text, ' '), 'merge')
+        |    OR list_contains(string_split(text, ' '), 'join'))
+        |ORDER BY event_id""".stripMargin,
     "q_search_maintained" ->
       """SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
         |       'put' AS op, text

@@ -360,7 +360,41 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** Synonym config for the synonym-search keys — Solr's synonyms.txt
+    * shape, bounded analyzer CONFIG (the reference's pre-defined schema
+    * story, /root/reference/README.md:33). Neither "quick" nor "combine"
+    * occurs in the fixture corpus, so un-expanded search returns nothing:
+    * the keys prove the expansion is doing the matching. */
+  private[operators] val demoSynonyms: Seq[(String, Seq[String])] =
+    Seq("quick" -> Seq("fast"), "combine" -> Seq("merge", "join"))
+  private[operators] val synonymQueryTerms: Seq[String] = Seq("quick", "combine")
+
+  private def qSynonymSearch(spark: SparkSession, dir: String): DataFrame = {
+    // S1 with query-time synonym expansion (Solr SynonymGraphFilter on
+    // the query analyzer): each query term becomes an OR group, groups
+    // AND together. Served from the materialized posting lists: per-group
+    // posting union (|expansion| vocabulary rows), intersect via the
+    // group-count aggregate, then the keyed corpus fetch — the index
+    // stays unexpanded, matching Solr's query-time deployment, and no
+    // corpus scan happens on the search side.
+    val groups = Analyzer.expandQuery(synonymQueryTerms, demoSynonyms)
+    val post = Index.sharedPostings(spark, dir)
+    val perGroup = groups.zipWithIndex.map { case (g, i) =>
+      post.filter(col("tok").isin(g: _*))
+        .select(explode(col("ids")).as("doc_id")).distinct()
+        .withColumn("grp", lit(i))
+    }.reduce(_ unionByName _)
+    val hits = perGroup.groupBy("doc_id")
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === groups.size)
+      .select("doc_id")
+    Tables.documents(spark, dir).join(broadcast(hits), "doc_id")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_synonym_search" -> qSynonymSearch,
     "q_fulltext_search" -> qFulltextSearch,
     "q_fulltext_cjk" -> qFulltextCjk,
     "q_cjk_search" -> qCjkSearch,
@@ -381,6 +415,14 @@ object Search {
     "q_suggest_prefix" -> qSuggestPrefix)
 
   val oracle: Map[String, String] = Map(
+    "q_synonym_search" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (list_contains(string_split(text, ' '), 'quick')
+        |    OR list_contains(string_split(text, ' '), 'fast'))
+        |  AND (list_contains(string_split(text, ' '), 'combine')
+        |    OR list_contains(string_split(text, ' '), 'merge')
+        |    OR list_contains(string_split(text, ' '), 'join'))
+        |ORDER BY doc_id""".stripMargin,
     "q_fulltext_search" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE list_contains(string_split(text, ' '), 'merge') ORDER BY doc_id""".stripMargin,

@@ -543,6 +543,32 @@ object IncrementalPostings {
     docsState(spark, rootPath).join(broadcast(hits), "rowkey")
   }
 
+  /** Grouped-OR retrieval over the maintained state — the query shape
+    * query-time synonym expansion produces (Solr's SynonymGraphFilter at
+    * query time): each group is an OR of interchangeable terms, groups
+    * AND together. `termSearch(ts)` ≡ `termSearchGroups(ts.map(Seq(_)))`.
+    * Same bucket-pruned topology: entries open only the expansion terms'
+    * buckets, the (tok → group) tag is driver-literal config broadcast
+    * into the hit aggregation, and the hit list broadcasts into the
+    * live-row fetch. Per-query I/O is Σ|postings(expansion)|, never the
+    * corpus. */
+  def termSearchGroups(spark: SparkSession, rootPath: String,
+                       groups: Seq[Seq[String]]): DataFrame = {
+    require(groups.nonEmpty && groups.forall(_.nonEmpty),
+      "grouped search needs at least one non-empty term group")
+    import spark.implicits._
+    val uniq = groups.map(_.distinct)
+    val tokGroup = uniq.zipWithIndex
+      .flatMap { case (g, i) => g.map(t => (t, i)) }.toDF("tok", "grp")
+    val hits = prunedEntries(spark, rootPath, uniq.flatten.distinct)
+      .join(broadcast(tokGroup), "tok")
+      .groupBy(col("doc_id").as("rowkey"))
+      .agg(countDistinct(col("grp")).as("ng"))
+      .filter(col("ng") === uniq.size)
+      .select("rowkey")
+    docsState(spark, rootPath).join(broadcast(hits), "rowkey")
+  }
+
   /** Corpus-level ranking statistics over the maintained state — one row
     * (n_docs, avgdl) summed from the per-bucket stats sidecar: ≤
     * bucket-count rows of metadata, no docs scan. avgdl is the exact

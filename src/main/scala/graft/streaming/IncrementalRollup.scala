@@ -123,14 +123,17 @@ object IncrementalRollup {
     * union, so a rollup kept at (lang, source) answers lang-only and
     * source-only facets (distinct estimates included) from the same
     * |buckets| × |groups| partial rows, with no extra maintained state.
-    * `by` must be a subset of the spec's groupCols.
+    * `by` must be a subset of the spec's groupCols; the EMPTY subset is
+    * the grand-total cuboid (one row) — together the cuboids serve the
+    * Solr JSON-facet nested-bucket shape (ROLLUP levels) without ever
+    * opening the row state.
     *
     * Empty-root caveat: with no partials on disk there is no schema to
     * carry, so group columns come back string-typed (and `sum_<col>`
     * double) until the first merge lands — a consumer that binds a
     * schema before any data exists should cast, not infer. */
   def readBy(spark: SparkSession, spec: Spec, by: Seq[String]): DataFrame = {
-    require(by.nonEmpty && by.forall(spec.groupCols.contains),
+    require(by.forall(spec.groupCols.contains),
       s"readBy columns ${by.mkString(",")} must be a subset of the " +
         s"rollup's group columns ${spec.groupCols.mkString(",")}")
     val recorded = StateStore.readTag(spark, spec.path, "_rollup")

@@ -641,10 +641,11 @@ object IngestPipeline {
                  annNlist: Int = 16, annIters: Int = 5,
                  semanticThreshold: Option[Double] = None,
                  semanticProbes: Int = 2,
-                 tokenizerName: Option[String] = None): Unit = {
+                 tokenizerName: Option[String] = None,
+                 textTransform: Option[Column => Column] = None): Unit = {
     applyBatchTimed(spark, batch, pipelineRoot, batchId, threshold, numBuckets,
       tokenize, scheme, admitIf, annNlist, annIters, semanticThreshold,
-      semanticProbes, tokenizerName): Unit
+      semanticProbes, tokenizerName, textTransform): Unit
   }
 
   /** [[applyBatch]] returning (gateSeconds, mergeSeconds) — the per-batch
@@ -652,7 +653,7 @@ object IngestPipeline {
     * commit) and the four state merges. Bench-facing: the per-batch fixed
     * cost is the ingest path's scaling knob, and a docs/s number alone
     * cannot say WHICH half stopped amortizing. */
-  private[graft] def applyBatchTimed(spark: SparkSession, batch: DataFrame,
+  private[graft] def applyBatchTimed(spark: SparkSession, rawBatch: DataFrame,
                  pipelineRoot: String, batchId: Long, threshold: Double = 0.8,
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
                  tokenize: Column => Column = split(_, " "),
@@ -662,8 +663,16 @@ object IngestPipeline {
                  annNlist: Int = 16, annIters: Int = 5,
                  semanticThreshold: Option[Double] = None,
                  semanticProbes: Int = 2,
-                 tokenizerName: Option[String] = None): (Double, Double) = {
+                 tokenizerName: Option[String] = None,
+                 textTransform: Option[Column => Column] = None): (Double, Double) = {
     val t0 = System.nanoTime()
+    // the text transform (PII redaction, normalization) runs FIRST —
+    // before the gate sees the batch — so raw text never reaches the
+    // admission log's dup keys, any maintained state, or the alert
+    // percolation. A replayed batch re-applies the same deterministic
+    // transform, so decision reuse stays coherent.
+    val batch = textTransform.fold(rawBatch)(f =>
+      rawBatch.withColumn("text", f(col("text"))))
     // the root's own `_nbuckets` marker is authoritative for an EXISTING
     // pipeline — the parameter seeds a fresh root. This is what lets a
     // maintenance-slot rescale change the layout under a RUNNING stream:
@@ -941,7 +950,7 @@ object IngestPipeline {
     * loudly instead of silently double-merging. [[gcAdmissions]] never
     * drops the bootstrap entry: it is the crashed-bootstrap resume
     * record and, afterwards, the corpus's initial-load provenance. */
-  def bootstrap(spark: SparkSession, corpus: DataFrame, pipelineRoot: String,
+  def bootstrap(spark: SparkSession, rawCorpus: DataFrame, pipelineRoot: String,
                 dedupWithin: Option[Double] = None,
                 numBuckets: Int = IncrementalIndex.DefaultBuckets,
                 tokenize: Column => Column = split(_, " "),
@@ -950,7 +959,13 @@ object IngestPipeline {
                 annNlist: Int = 16, annIters: Int = 5,
                 tokenizerName: Option[String] = None,
                 semanticThreshold: Option[Double] = None,
-                semanticProbes: Int = 2): BootstrapReport = {
+                semanticProbes: Int = 2,
+                textTransform: Option[Column => Column] = None): BootstrapReport = {
+    // same pre-gate transform seam as applyBatch: the initial load must
+    // scrub exactly like the stream, or the bootstrapped states would
+    // carry raw PII the streamed ones never see
+    val corpus = textTransform.fold(rawCorpus)(f =>
+      rawCorpus.withColumn("text", f(col("text"))))
     // bootstrap is a writer on every state at once — claim the root so a
     // prematurely-started stream (or a second bootstrap) fences out
     val fence = WriterFence.claim(spark, pipelineRoot)
@@ -1590,7 +1605,8 @@ object IngestPipeline {
             maintainHorizons: Long => (Long, Long) =
               _ => (Long.MinValue, Long.MinValue),
             annSkewThreshold: Double = 4.0,
-            bucketByteBudget: Long = 0L): StreamingQuery = {
+            bucketByteBudget: Long = 0L,
+            textTransform: Option[Column => Column] = None): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     // cross-process single-writer fence: this start() claims the root;
     // any later claimant (second stream, rescale, replacement driver)
@@ -1606,7 +1622,7 @@ object IngestPipeline {
         fence.check(batch.sparkSession)
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
           threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters,
-          semanticThreshold, semanticProbes, tokenizerName)
+          semanticThreshold, semanticProbes, tokenizerName, textTransform)
         if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0) {
           val (he, hb) = maintainHorizons(id)
           // this thread holds the stream's fence — maintenance (and any

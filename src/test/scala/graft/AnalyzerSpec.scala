@@ -33,6 +33,36 @@ class AnalyzerSpec extends SparkSpec {
     assert(tokensOf(Analyzer.Cjk, "北京 上海") === Seq("北京", "上海"))
   }
 
+  test("synonym stage expands matched tokens in place, keeps the original") {
+    val syn = Analyzer.SynonymExpanded(Analyzer.Whitespace,
+      Seq("quick" -> Seq("fast", "speedy"), "combine" -> Seq("merge")))
+    assert(tokensOf(syn, "a quick combine pass") ===
+      Seq("a", "quick", "fast", "speedy", "combine", "merge", "pass"))
+    // unmapped text is untouched
+    assert(tokensOf(syn, "merge sort") === Seq("merge", "sort"))
+    // composes with other stages (lowercase runs first here)
+    val chained = Analyzer.SynonymExpanded(
+      Analyzer.Lowercased(Analyzer.Whitespace), Seq("quick" -> Seq("fast")))
+    assert(tokensOf(chained, "QUICK scan") === Seq("quick", "fast", "scan"))
+  }
+
+  test("expandQuery turns terms into OR groups; unmapped terms stay singleton") {
+    assert(Analyzer.expandQuery(Seq("quick", "scan"),
+      Seq("quick" -> Seq("fast"))) === Seq(Seq("quick", "fast"), Seq("scan")))
+    // duplicate synonyms collapse
+    assert(Analyzer.expandQuery(Seq("quick"),
+      Seq("quick" -> Seq("quick", "fast"))) === Seq(Seq("quick", "fast")))
+  }
+
+  test("index-time synonym expansion makes postings match the synonym term") {
+    val docs = Seq((0L, "the quick scan"), (1L, "plain merge")).toDF("doc_id", "text")
+    val post = Index.postings(docs,
+      Analyzer.SynonymExpanded(Analyzer.Whitespace, Seq("quick" -> Seq("fast"))))
+    val fastDocs = post.filter(col("tok") === "fast")
+      .select(explode(col("ids"))).collect().map(_.getLong(0)).toSeq
+    assert(fastDocs === Seq(0L))
+  }
+
   test("search over a CJK corpus via the seam finds bigram terms") {
     val zh = Seq(
       (0L, "我爱北京天安门"),

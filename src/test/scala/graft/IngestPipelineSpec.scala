@@ -1031,6 +1031,44 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.alerts(spark, root).count() === 1L)
   }
 
+  test("PII redaction transform scrubs before any state sees the text") {
+    val root = Files.createTempDirectory("graft_pipePii").toString + "/pipe"
+    IngestPipeline.registerQueries(spark, root,
+      Seq("mask_watch" -> Seq("<EMAIL>")))
+    val redact = Some((t: org.apache.spark.sql.Column) =>
+      graft.operators.Pii.redact(t))
+    IngestPipeline.applyBatch(spark, Seq(
+        DocChange("1", 0, "put",
+          "mail me at alice@example.com or call 415-555-0001 now"),
+        DocChange("2", 1, "put", "clean text nothing sensitive here"))
+        .toDF(), root, 0, threshold = 0.5, textTransform = redact)
+    // row state: the stored text is the REDACTED form — the raw address
+    // never landed anywhere durable
+    val stored = IncrementalIndex.readState(spark, IngestPipeline.stateRoot(root))
+      .filter(col("rowkey") === "1").head().getAs[String]("text")
+    assert(stored === "mail me at <EMAIL> or call <PHONE> now", stored)
+    // postings: the mask token is indexed, the raw address is not
+    assert(IncrementalPostings.termSearch(spark,
+        IngestPipeline.postingsRoot(root), Seq("<EMAIL>"))
+      .select("rowkey").collect().map(_.getString(0)).toSet === Set("1"))
+    assert(IncrementalPostings.postings(spark, IngestPipeline.postingsRoot(root))
+      .filter(col("tok").contains("alice@example.com")).count() === 0L)
+    // alerts: percolation saw the redacted text too — a standing query on
+    // the mask token fires for the PII-bearing doc only
+    val hits = IngestPipeline.alerts(spark, root).collect()
+      .map(r => (r.getAs[String]("rowkey"), r.getAs[String]("query_id"))).toSet
+    assert(hits === Set(("1", "mask_watch")))
+    // admission log payload-side: the decision keys were computed on
+    // redacted text, so replaying the same batch converges identically
+    IngestPipeline.applyBatch(spark, Seq(
+        DocChange("1", 0, "put",
+          "mail me at alice@example.com or call 415-555-0001 now"),
+        DocChange("2", 1, "put", "clean text nothing sensitive here"))
+        .toDF(), root, 0, threshold = 0.5, textTransform = redact)
+    assert(IncrementalIndex.readState(spark, IngestPipeline.stateRoot(root))
+      .filter(col("rowkey") === "1").head().getAs[String]("text") === stored)
+  }
+
   test("range registration against a typo'd field fails at the call, not per-batch") {
     val root = Files.createTempDirectory("graft_pipePc7").toString + "/pipe"
     applyB(root, 0, Seq(DocChange("1", 0, "put", "seed text")))

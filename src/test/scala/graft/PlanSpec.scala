@@ -350,6 +350,41 @@ class PlanSpec extends SparkSpec {
       s"facet read must touch only the rollup sidecar: ${files.mkString(", ")}")
   }
 
+  test("q_facet_stats_maintained: every rollup level reads stats partials only") {
+    val files = SparkEntry.queries("q_facet_stats_maintained")(spark, dir).inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/rollup/")),
+      s"nested facet must touch only the rollup sidecar: ${files.mkString(", ")}")
+  }
+
+  test("q_synonym_search: expansion joins broadcast; no corpus scan on the search side") {
+    val df = SparkEntry.queries("q_synonym_search")(spark, dir)
+    val p = { df.collect(); df.queryExecution.executedPlan.toString }
+    // the hit list broadcasts into the corpus fetch; the search side is
+    // served from the materialized postings (one corpus file read total —
+    // the final keyed fetch — never a scan per OR group)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(df.inputFiles.count(_.contains("documents.parquet")) <= 1,
+      "per-group matching must come from the postings artifact, not corpus scans")
+  }
+
+  test("q_synonym_maintained: grouped retrieval opens no corpus file") {
+    val df = SparkEntry.queries("q_synonym_maintained")(spark, dir)
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "maintained synonym search must be served from the postings state")
+    val p = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q_pii_redact: redaction is pure per-row expressions — no join, no exchange") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Join"), p.take(800))
+    // the only exchange permitted is the output sort's range partitioning
+    assert(!p.contains("hashpartitioning"), p.take(800))
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted hot operators)") {
     for (q <- Seq("q_facet_field", "q_filter_range", "q_fulltext_search")) {
       val df = SparkEntry.queries(q)(spark, dir)
