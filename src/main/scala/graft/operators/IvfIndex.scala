@@ -657,8 +657,21 @@ object IvfIndex {
     val cb = codebooksOpt(spark, path).getOrElse(throw new IllegalStateException(
       s"index at $path has no PQ codebooks — build with pq=Some(PqSpec()) " +
         "or retrofit with IvfIndex.enablePq"))
+    val shape = cb.agg(max(col("s")), max(size(col("cw")))).head()
+    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
+    // the loud-failure twin of searchPq's require, folded INTO the plan:
+    // a wrong-length qv would zip_with into null scores and silently
+    // return garbage for that qid, so its first evaluation (the probe
+    // ranking below) raises instead — no dedicated pre-flight validation
+    // job per call (this was the suite's most expensive key paying one
+    // extra Spark action; IvfPqSpec pins the job count)
+    val qvChecked = when(size(col("qv")) === m * subDim, col("qv"))
+      .otherwise(raise_error(concat(
+        lit(s"query vector dim does not match PQ shape m=$m subDim=$subDim (qid "),
+        col("qid").cast("string"), lit(")"))))
+    val queriesV = queries.select(col("qid"), qvChecked.as("qv"))
     val cellRank = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
-    val probed = queries.select(col("qid"), col("qv"))
+    val probed = queriesV
       .crossJoin(broadcast(centroids(spark, path)))
       .withColumn("csim", dotDD(col("cent"), col("qv")))
       .withColumn("rn", row_number().over(cellRank))
@@ -667,14 +680,7 @@ object IvfIndex {
       .localCheckpoint()
     val cellList = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal first
-    val shape = cb.agg(max(col("s")), max(size(col("cw")))).head()
-    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
-    // the loud-failure twin of searchPq's require: a wrong-length qv would
-    // otherwise zip_with into null scores and silently return garbage for
-    // that qid (queries is batch-sized, so the check is one cheap job)
-    require(queries.filter(size(col("qv")) =!= m * subDim).isEmpty,
-      s"a query vector's dim does not match PQ shape m=$m subDim=$subDim")
-    val qsub = queries.select(col("qid"), posexplode(expr(
+    val qsub = queriesV.select(col("qid"), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> " +
         s"transform(slice(qv, s * $subDim + 1, $subDim), " +
         "x -> cast(x AS double)))")).as(Seq("s", "qsub")))
@@ -683,8 +689,12 @@ object IvfIndex {
         zip_with(col("cw"), col("qsub"), (x, y) => x * y),
         lit(0.0), (a, p) => a + p))
       .select("qid", "s", "code", "dp")
+    // ONE read relation serves both the ADC scan and the rerank — the
+    // second spark.read would re-run parquet schema inference (a small
+    // Spark job) per call on the hot path
+    val vecs = spark.read.parquet(path + "/vectors")
     val shortW = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
-    val short = spark.read.parquet(path + "/vectors")
+    val short = vecs
       .filter(col("cell").isin(cellList: _*))
       .select(col("vec_id"), col("cell"), col("codes")) // column-pruned
       .join(broadcast(probed.select("qid", "cell")), "cell")
@@ -695,7 +705,7 @@ object IvfIndex {
       .filter(col("rn") <= shortlist)
       .select("qid", "vec_id")
     val simRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    spark.read.parquet(path + "/vectors")
+    vecs
       .filter(col("cell").isin(cellList: _*))
       .join(broadcast(short), "vec_id") // one row per shortlisted (qid, id)
       .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")

@@ -186,6 +186,43 @@ class IvfPqSpec extends SparkSpec {
       shortlist = 60)) === perQuery)
   }
 
+  test("searchBatchPq pays no pre-flight validation job; bad dims still fail loudly") {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // warm once so the measured pass sees the built fixture, not its
+    // one-time index build
+    IvfIndex.searchBatchPq(spark, path, qs, k = 3, probes = nlist): Unit
+    // plan construction's job budget, measured with AQE off (AQE splits
+    // one action's stages into several jobs, which would turn the count
+    // into a plan-shape artifact rather than an action count): the
+    // codebook shape head, the probe checkpoint (+ its centroid
+    // broadcast job), the probed-cell metadata collect, and one parquet
+    // schema-inference job per DISTINCT read relation (centroids,
+    // codebooks, vectors — the vectors read is shared by ADC scan and
+    // rerank). That is 7; the round-9 pre-flight validation action made
+    // it 8+ — this pin fails if a per-call validation job creeps back.
+    val constructionJobs = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SpecMetrics.jobsRun(spark) {
+        IvfIndex.searchBatchPq(spark, path, qs, k = 3, probes = nlist): Unit
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    assert(constructionJobs <= 7,
+      s"searchBatchPq construction ran $constructionJobs jobs — a " +
+        "pre-flight validation action has crept back in")
+    // the folded check still fails loudly: a wrong-length qv raises from
+    // the first job that evaluates it, naming the offending qid
+    val bad = qs.withColumn("qv", expr("slice(qv, 1, 7)"))
+    val ex = intercept[Exception] {
+      IvfIndex.searchBatchPq(spark, path, bad, k = 3, probes = nlist)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("does not match PQ shape")), ex.toString)
+  }
+
   test("online rebuild retrains the codebooks with the quantizer") {
     val p = Files.createTempDirectory("graft_pqr").toString + "/ivf"
     IvfIndex.build(Tables.embeddings(spark, dir), p, nlist = nlist, iters = 2,

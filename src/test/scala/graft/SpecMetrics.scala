@@ -44,4 +44,32 @@ object SpecMetrics {
     f
     rchar() - before
   }
+
+  /** Number of Spark JOBS submitted while `f` runs — pins "this operator
+    * pays N actions", catching a silently reintroduced pre-flight
+    * validation job or per-call collect. Listener events are posted
+    * asynchronously; the bus is drained before counting. */
+  def jobsRun(spark: org.apache.spark.sql.SparkSession)(f: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      // the bus posts asynchronously (and its drain API is private):
+      // poll until the count is stable across two consecutive reads
+      var prev = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 100) {
+        Thread.sleep(50)
+        if (n.get() == prev) stable += 1 else { stable = 0; prev = n.get() }
+        waited += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    n.get()
+  }
 }
