@@ -182,6 +182,54 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"$label bench failed: $e"); ""
     }
+    // ANN quality: recall@10 vs brute force over a clean IVF-PQ index of
+    // the embeddings table — the PQ keys are oracle-exact on their rerank
+    // arithmetic, but only this measures how often the probed/PQ
+    // shortlist MISSES true neighbors (the recall/latency tradeoff the
+    // probes/shortlist defaults buy; SCALE.md carries the analysis).
+    val annJson = try {
+      import org.apache.spark.sql.functions._
+      val aRoot = java.nio.file.Files.createTempDirectory("graft_benchAnn")
+      val root = aRoot.toString + "/ivf"
+      val e = Tables.embeddings(spark, sfDir)
+      graft.operators.IvfIndex.build(e.select("vec_id", "embedding"), root,
+        nlist = 16, iters = 5, pq = Some(graft.operators.IvfIndex.PqSpec()))
+      val qs = e.filter(col("vec_id") % 61 === 0).limit(32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .localCheckpoint()
+      def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val truth = top(graft.operators.IvfIndex.searchBatch(spark, root, qs,
+        k = 10, probes = 16)) // probes = nlist ⇒ exact over the index
+      def run(f: () => org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val m = top(f())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = truth.map { case (q, t) =>
+          m.getOrElse(q, Set.empty[Long]).intersect(t).size / 10.0 }
+          .sum / truth.size
+        (recall, sec)
+      }
+      val settings = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "ivf_p1" -> (() => graft.operators.IvfIndex.searchBatch(spark, root, qs, 10, probes = 1)),
+        "ivf_p2" -> (() => graft.operators.IvfIndex.searchBatch(spark, root, qs, 10, probes = 2)),
+        "ivf_p4" -> (() => graft.operators.IvfIndex.searchBatch(spark, root, qs, 10, probes = 4)),
+        "pq_p2_sl100" -> (() => graft.operators.IvfIndex.searchBatchPq(spark, root, qs, 10, probes = 2)),
+        "pq_p4_sl100" -> (() => graft.operators.IvfIndex.searchBatchPq(spark, root, qs, 10, probes = 4)),
+        "pq_p4_sl30" -> (() => graft.operators.IvfIndex.searchBatchPq(spark, root, qs, 10, probes = 4, shortlist = 30)))
+      val entries = settings.map { case (name, f) =>
+        f(): Unit // warm (plans/broadcasts), keep the timed number honest
+        val (r, sec) = run(f)
+        f"""\"$name\":{"recall":$r%.3f,"sec":$sec%.2f}"""
+      }.mkString(",")
+      try graft.operators.Materialize.deleteLocalDir(aRoot.toString)
+      catch { case _: Throwable => }
+      s""","ann_recall":{"k":10,"n_queries":${truth.size},"nlist":16,$entries}"""
+    } catch { case t: Throwable =>
+      System.err.println(s"ann recall bench failed: $t"); ""
+    }
     val ingestJson = ingestAt("ingest", _ => 1000L, withBootstrap = true,
         fullFeatures = true) +
       ingestAt("ingest_bulk", total => math.min(total, 10000L),
@@ -191,7 +239,7 @@ object Bench {
       ingestAt("ingest_10k", total => math.min(total, 10000L),
         withBootstrap = false, doubled = true)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap$ingestJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap$annJson$ingestJson}"""
     println(json)
     // Stdout of driver runs has been truncated before (BENCH_r06 lost 16
     // per-query numbers to a clipped capture) — persist the full line too.
