@@ -252,7 +252,8 @@ class Graft(spark: SparkSession, dir: String,
                           maintainEvery: Int = 0,
                           maintainHorizons: Long => (Long, Long) =
                             _ => (Long.MinValue, Long.MinValue),
-                          bucketByteBudget: Long = 0L): StreamingQuery =
+                          bucketByteBudget: Long = 0L,
+                          textTransform: Option[Column => Column] = None): StreamingQuery =
     IngestPipeline.start(changes, pipelineRoot, checkpoint, threshold,
       intervalSeconds = cfg.commitIntervalSec,
       firstDelaySeconds = cfg.firstDelaySec,
@@ -263,7 +264,8 @@ class Graft(spark: SparkSession, dir: String,
       tokenizerName = Some(tokenizer.name),
       maintainEvery = maintainEvery,
       maintainHorizons = maintainHorizons,
-      bucketByteBudget = bucketByteBudget)
+      bucketByteBudget = bucketByteBudget,
+      textTransform = textTransform)
 
   /** The pipeline's ingest provenance — every (rowkey, verdict, dup_of,
     * batch_id) the gate decided: `admitted`, `quality_reject` (failed the

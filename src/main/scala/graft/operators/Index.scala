@@ -366,6 +366,39 @@ object Index {
     graft.streaming.IncrementalPostings
       .moreLikeThis(spark, maintainedFixture(spark, dir), "0")
 
+  private def qSynonymBm25(spark: SparkSession, dir: String): DataFrame = {
+    // Ranked retrieval WITH synonym expansion — Lucene's SynonymQuery
+    // scoring (what Solr actually does when the query analyzer expands a
+    // term): each expansion group scores as ONE pseudo-term — tf(doc) =
+    // Σ member tf, df = MAX member df (SynonymQuery#docFreq) — so a
+    // synonym group never inflates idf the way a naive OR of separately-
+    // scored terms would double-count. Same constant-folded BM25
+    // arithmetic and index-only topology as q_bm25_topk: postings +
+    // length sidecar, hit lists broadcast, no corpus file opened.
+    import spark.implicits._
+    val groups = Analyzer.expandQuery(Search.synonymQueryTerms, Search.demoSynonyms)
+    val tokGroup = groups.zipWithIndex
+      .flatMap { case (g, i) => g.map(t => (t, i)) }.toDF("tok", "grp")
+    val lens = docLens(spark, dir)
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val gp = sharedPostings(spark, dir).join(broadcast(tokGroup), "tok")
+    val dfg = gp.groupBy("grp").agg(max(col("df")).as("dfg"))
+    val tfg = gp.select(col("grp"), explode(col("hits")).as("h"))
+      .groupBy(col("grp"), col("h.doc_id").as("doc_id"))
+      .agg(sum(col("h.tf")).as("tfg"))
+    lens.join(broadcast(tfg), "doc_id")
+      .join(broadcast(dfg), "grp")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("dfg") + lit(0.5)) / (col("dfg") + lit(0.5))) *
+          (lit(2.2) * col("tfg")) /
+          (col("tfg") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   private def qSynonymMaintained(spark: SparkSession, dir: String): DataFrame =
     // Query-time synonym expansion over MAINTAINED state: the same OR
     // groups as the corpus-scoped q_synonym_search, served by the
@@ -378,6 +411,7 @@ object Index {
       .orderBy("event_id")
 
   val queries: Map[String, Q] = Map(
+    "q_synonym_bm25" -> qSynonymBm25,
     "q_synonym_maintained" -> qSynonymMaintained,
     "q_search_maintained" -> qSearchMaintained,
     "q_suggest_maintained" -> qSuggestMaintained,
@@ -400,6 +434,30 @@ object Index {
     "q_shuffle_order" -> qShuffleOrder)
 
   val oracle: Map[String, String] = Map(
+    "q_synonym_bm25" ->
+      """WITH n AS (
+        |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |reg(grp, tok) AS (
+        |  SELECT * FROM (VALUES (0, 'quick'), (0, 'fast'),
+        |    (1, 'combine'), (1, 'merge'), (1, 'join'))),
+        |toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS tok FROM documents),
+        |df1 AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        |dfg AS (SELECT grp, max(df) AS dfg FROM reg JOIN df1 USING (tok) GROUP BY grp),
+        |tfg AS (
+        |  SELECT t.doc_id, r.grp, count(*) AS tfg, max(t.dl) AS dl
+        |  FROM toks t JOIN reg r USING (tok)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id,
+        |         round(sum(ln(1.0 + (n_docs - dfg + 0.5) / (dfg + 0.5)) * (2.2 * tfg) /
+        |                   (tfg + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tfg JOIN dfg USING (grp), n
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_synonym_maintained" ->
       """SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
         |       'put' AS op, text
