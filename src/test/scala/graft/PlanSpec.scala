@@ -378,6 +378,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q_synonym_bm25: group scoring is index-only — broadcasts, TakeOrdered, no corpus scan") {
+    val df = SparkEntry.queries("q_synonym_bm25")(spark, dir)
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "synonym BM25 must be served from the postings + length sidecar")
+    val p = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("q_pii_redact: redaction is pure per-row expressions — no join, no exchange") {
     val p = plan("q_pii_redact")
     assert(!p.contains("Join"), p.take(800))
