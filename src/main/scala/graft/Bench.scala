@@ -220,7 +220,8 @@ object Bench {
         "pq_p4_sl100" -> (() => graft.operators.IvfIndex.searchBatchPq(spark, root, qs, 10, probes = 4)),
         "pq_p4_sl30" -> (() => graft.operators.IvfIndex.searchBatchPq(spark, root, qs, 10, probes = 4, shortlist = 30)))
       val entries = settings.map { case (name, f) =>
-        f(): Unit // warm (plans/broadcasts), keep the timed number honest
+        top(f()): Unit // warm EXECUTES the plan (codegen, broadcasts) so
+                       // the timed run measures the query, not first-run JIT
         val (r, sec) = run(f)
         f"""\"$name\":{"recall":$r%.3f,"sec":$sec%.2f}"""
       }.mkString(",")

@@ -44,10 +44,20 @@ object ScaleProbe {
     concat_ws(" ", transform(split(col("text"), " "),
       w => concat(lit(s"r${r}x"), w)))
 
-  /** Derive the N× corpus dirs (idempotent: a `_derived` marker skips). */
+  /** Derive the N× corpus dirs (idempotent: a `_derived` marker recording
+    * (sfDir, n) skips re-derivation; a MISMATCHED marker fails loudly —
+    * silently reusing replicas of a different base would compare two
+    * corpora and report it as a scaling exponent). */
   def derive(spark: SparkSession, sfDir: String, root: String, n: Int): Unit = {
     val marker = java.nio.file.Paths.get(root, "_derived")
-    if (java.nio.file.Files.exists(marker)) return
+    val stamp = s"$sfDir|$n"
+    if (java.nio.file.Files.exists(marker)) {
+      val recorded = java.nio.file.Files.readString(marker).trim
+      require(recorded == stamp,
+        s"derived corpus at $root was built from '$recorded', not '$stamp' — " +
+          "delete the directory to re-derive")
+      return
+    }
     val asis = s"$root/asis"
     val tagged = s"$root/tagged"
 
@@ -73,11 +83,13 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$tagged/documents.parquet")
 
     // embeddings: constant per-vector jitter keeps replicas distinct
-    // points with the original's cluster structure
+    // points with the original's cluster structure; the residue modulus
+    // is coprime to the replica stride so no two replicas of one vector
+    // ever collide (period 997 in r, not the replica count)
     replicate(Tables.embeddings(spark, sfDir), (d, r) =>
       d.withColumn("vec_id", col("vec_id") + lit(r * 1000000L))
         .withColumn("embedding", expr(
-          s"transform(embedding, x -> cast(x + ((vec_id % 97 + $r * 7) % 13 - 6) * 0.0005 as float))")))
+          s"transform(embedding, x -> cast(x + ((vec_id % 97 + $r * 131) % 997 - 498) * 0.00002 as float))")))
       .write.mode("overwrite").parquet(s"$asis/embeddings.parquet")
 
     // dimension/fact tables copy unchanged (query deps outside the
@@ -87,7 +99,7 @@ object ScaleProbe {
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$asis/$t.parquet")
     }
-    java.nio.file.Files.createFile(marker): Unit
+    java.nio.file.Files.writeString(marker, stamp): Unit
   }
 
   private def runQ(spark: SparkSession, name: String, dir: String): Unit =
@@ -166,9 +178,12 @@ object ScaleProbe {
     val (tNt, bNt) = buildDelta(timeFamilies(spark, TaggedFamilies, s"$root/tagged"))
 
     // ingest: tagged replicas preserve gate structure; the fresh flush
-    // batch carries its own tag so the gate scores, not drops
+    // batch carries its own tag so the gate scores, not drops. The 1×
+    // baseline is ONE tagged replica — tagging changes token shapes, so
+    // an untagged baseline would mix that workload change into the
+    // exponent exactly like verbatim replication would at N×
     val base1 = Tables.documents(spark, sfDir)
-    val corpus1 = docChanges(base1)
+    val corpus1 = docChanges(base1.withColumn("text", taggedText(0)))
     val corpusN = (0 until n).map(r => docChanges(
       base1.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
         .withColumn("text", taggedText(r)))).reduce(_ unionByName _)

@@ -290,11 +290,13 @@ class Graft(spark: SparkSession, dir: String,
                         scheme: IncrementalShingles.SketchScheme =
                           IncrementalShingles.WordShingles,
                         annNlist: Int = 16,
-                        annIters: Int = 5): IngestPipeline.BootstrapReport =
+                        annIters: Int = 5,
+                        textTransform: Option[Column => Column] = None): IngestPipeline.BootstrapReport =
     IngestPipeline.bootstrap(spark, corpus, pipelineRoot, dedupWithin,
       tokenize = tokenizer.tokens, scheme = scheme,
       annNlist = annNlist, annIters = annIters,
-      tokenizerName = Some(tokenizer.name))
+      tokenizerName = Some(tokenizer.name),
+      textTransform = textTransform)
 
   /** Register the engine's tables and derived views for `spark.sql(...)`:
     * `events`, `documents`, `embeddings`, plus `graft_index_state` (the
