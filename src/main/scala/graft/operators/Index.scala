@@ -410,8 +410,19 @@ object Index {
         Analyzer.expandQuery(Search.synonymQueryTerms, Search.demoSynonyms))
       .orderBy("event_id")
 
+  private def qSynonymBm25Maintained(spark: SparkSession, dir: String): DataFrame =
+    // SynonymQuery-scored BM25 over MAINTAINED state — the ranked form
+    // of q_synonym_maintained: group tf/df from one bucket-pruned
+    // entries read, N/avgdl from the stats sidecar, dl from the hit
+    // rows' keyed fetch. Same arithmetic as the corpus-scoped
+    // q_synonym_bm25, so converged state ranks identically.
+    graft.streaming.IncrementalPostings
+      .bm25SearchGroups(spark, maintainedFixture(spark, dir),
+        Analyzer.expandQuery(Search.synonymQueryTerms, Search.demoSynonyms))
+
   val queries: Map[String, Q] = Map(
     "q_synonym_bm25" -> qSynonymBm25,
+    "q_synonym_bm25_maintained" -> qSynonymBm25Maintained,
     "q_synonym_maintained" -> qSynonymMaintained,
     "q_search_maintained" -> qSearchMaintained,
     "q_suggest_maintained" -> qSuggestMaintained,
@@ -434,6 +445,30 @@ object Index {
     "q_shuffle_order" -> qShuffleOrder)
 
   val oracle: Map[String, String] = Map(
+    "q_synonym_bm25_maintained" ->
+      """WITH n AS (
+        |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |reg(grp, tok) AS (
+        |  SELECT * FROM (VALUES (0, 'quick'), (0, 'fast'),
+        |    (1, 'combine'), (1, 'merge'), (1, 'join'))),
+        |toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS tok FROM documents),
+        |df1 AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        |dfg AS (SELECT grp, max(df) AS dfg FROM reg JOIN df1 USING (tok) GROUP BY grp),
+        |tfg AS (
+        |  SELECT t.doc_id, r.grp, count(*) AS tfg, max(t.dl) AS dl
+        |  FROM toks t JOIN reg r USING (tok)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS rk,
+        |         round(sum(ln(1.0 + (n_docs - dfg + 0.5) / (dfg + 0.5)) * (2.2 * tfg) /
+        |                   (tfg + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tfg JOIN dfg USING (grp), n
+        |  GROUP BY doc_id)
+        |SELECT rk AS doc_id, score FROM scored
+        |ORDER BY score DESC, rk LIMIT 20""".stripMargin,
     "q_synonym_bm25" ->
       """WITH n AS (
         |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl

@@ -641,6 +641,48 @@ object IncrementalPostings {
       .limit(k)
   }
 
+  /** BM25 with query-time synonym expansion over the maintained state —
+    * Lucene's SynonymQuery scoring (what Solr does when the query
+    * analyzer expands a term): each OR group scores as ONE pseudo-term,
+    * tf(doc) = Σ member tf, df = MAX member df (SynonymQuery#docFreq),
+    * so a synonym group never inflates idf the way separately-scored OR
+    * terms would. Same bucket-pruned read shape and constant-folded
+    * arithmetic as [[bm25Search]] (`bm25Search(ts)` ≡ singleton groups);
+    * the corpus-scoped twin is `Index.qSynonymBm25`, one oracle checks
+    * both. `tokenize` must match the state's merge tokenizer. */
+  def bm25SearchGroups(spark: SparkSession, rootPath: String,
+                       groups: Seq[Seq[String]], k: Int = 20,
+                       tokenize: Column => Column = split(_, " ")): DataFrame = {
+    require(groups.nonEmpty && groups.forall(_.nonEmpty),
+      "grouped ranked retrieval needs at least one non-empty term group")
+    import spark.implicits._
+    val uniq = groups.map(_.distinct)
+    val tokGroup = uniq.zipWithIndex
+      .flatMap { case (g, i) => g.map(t => (t, i)) }.toDF("tok", "grp")
+    val tagged = prunedEntries(spark, rootPath, uniq.flatten.distinct)
+      .select("tok", "doc_id", "tf")
+      .join(broadcast(tokGroup), "tok")
+      .localCheckpoint() // one read of the pruned buckets for df AND tf
+    val dfg = tagged.select("grp", "tok", "doc_id").distinct()
+      .groupBy("grp", "tok").agg(count(lit(1)).as("df"))
+      .groupBy("grp").agg(max(col("df")).as("df"))
+    val hits = tagged.groupBy("grp", "doc_id").agg(sum(col("tf")).as("tf"))
+      .join(broadcast(dfg), "grp")
+    val stats = docStats(spark, rootPath, tokenize)
+    prunedDocsForKeys(spark, rootPath, hits.select(col("doc_id").as("rowkey")))
+      .select(col("rowkey").as("doc_id"), size(tokenize(col("text"))).cast("long").as("dl"))
+      .join(broadcast(hits), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (lit(2.2) * col("tf")) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** TF-IDF ranked retrieval from the maintained state — same read shape
     * as [[bm25Search]] (bucket-pruned entries for tf/df, N from the stats
     * sidecar), same arithmetic as the corpus-scoped `q_tfidf_topk`

@@ -725,4 +725,31 @@ class IncrementalPostingsSpec extends SparkSpec {
         s"not cost more than the pruned read ($bNarrow bytes) — the " +
         "bytes measurement cannot see the payload, so the pin above is blind")
   }
+
+  test("bm25SearchGroups: singleton groups ≡ bm25Search; a synonym group sums tf, maxes df") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_postGrp").toString + "/postings"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      DocChange("1", 0, "put", "quick quick brown fox"),
+      DocChange("2", 1, "put", "fast merge path"),
+      DocChange("3", 2, "put", "quick fast fast sort"),
+      DocChange("4", 3, "put", "plain words no match")).toDF(), root)
+    // degenerate form: singleton groups are exactly the plain multi-term
+    // ranked retrieval (AND of pseudo-terms with their own df)
+    val singleton = IncrementalPostings
+      .bm25SearchGroups(spark, root, Seq(Seq("quick"), Seq("merge")))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val plain = IncrementalPostings.bm25Search(spark, root, Seq("quick", "merge"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(singleton === plain)
+    // synonym group {quick, fast}: one pseudo-term. Doc 3 carries group
+    // tf 1+2=3 and must outrank doc 1 (tf 2, same length), which outranks
+    // doc 2 (tf 1); doc 4 matches nothing. A naive per-term OR would
+    // score quick and fast separately (two idf terms) — the ranking
+    // below only holds under the summed-tf single-pseudo-term form.
+    val grouped = IncrementalPostings
+      .bm25SearchGroups(spark, root, Seq(Seq("quick", "fast")))
+      .collect().map(_.getString(0)).toSeq
+    assert(grouped === Seq("3", "1", "2"))
+  }
 }
