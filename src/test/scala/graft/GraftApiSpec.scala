@@ -278,4 +278,19 @@ class GraftApiSpec extends SparkSpec {
       spark.sql("SELECT vec_dot_f()").collect()
     }
   }
+
+  test("facade bootstrapPipeline scrubs through textTransform like the stream would") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_apiPii").toString
+    val corpus = Seq(
+      DocChange("1", 0, "put", "write to bob@corp.example.com today"),
+      DocChange("2", 1, "put", "nothing sensitive in here at all")).toDF()
+    g.bootstrapPipeline(corpus, s"$base/pipe",
+      textTransform = Some(graft.operators.Pii.redact _))
+    val stored = graft.streaming.IncrementalIndex
+      .readState(spark, graft.streaming.IngestPipeline.stateRoot(s"$base/pipe"))
+      .filter(org.apache.spark.sql.functions.col("rowkey") === "1")
+      .head().getAs[String]("text")
+    assert(stored === "write to <EMAIL> today", stored)
+  }
 }

@@ -388,6 +388,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("q_synonym_bm25_maintained: grouped ranking opens no corpus file; fetch never shuffles") {
+    val df = SparkEntry.queries("q_synonym_bm25_maintained")(spark, dir)
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "maintained grouped BM25 must be served from entries + sidecar + docs state")
+    val p = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("q_pii_redact: redaction is pure per-row expressions — no join, no exchange") {
     val p = plan("q_pii_redact")
     assert(!p.contains("Join"), p.take(800))
