@@ -420,7 +420,29 @@ object Index {
       .bm25SearchGroups(spark, maintainedFixture(spark, dir),
         Analyzer.expandQuery(Search.synonymQueryTerms, Search.demoSynonyms))
 
+  private def qWildcardMaintained(spark: SparkSession, dir: String): DataFrame =
+    // Solr wildcard over MAINTAINED state: prefix expands against the
+    // maintained vocabulary, expansion postings bucket-pruned, hit rows
+    // key-fetched — the fuzzy topology with a prefix predicate. Same
+    // oracle semantics as the corpus-scoped q_wildcard_search.
+    graft.streaming.IncrementalPostings
+      .wildcardSearch(spark, maintainedFixture(spark, dir), "s")
+      .orderBy("event_id")
+
+  private def qMmMaintained(spark: SparkSession, dir: String): DataFrame =
+    // edismax mm over MAINTAINED state: at-least-2-of-3 via the bucket-
+    // pruned entries' count-distinct, match count carried on the fetched
+    // rows.
+    graft.streaming.IncrementalPostings
+      .termSearchMinMatch(spark, maintainedFixture(spark, dir),
+        Seq("merge", "sort", "scan"), minMatch = 2)
+      .select(col("rowkey"), col("event_id"), col("op"), col("text"),
+        col("n_matched"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "q_wildcard_maintained" -> qWildcardMaintained,
+    "q_mm_maintained" -> qMmMaintained,
     "q_synonym_bm25" -> qSynonymBm25,
     "q_synonym_bm25_maintained" -> qSynonymBm25Maintained,
     "q_synonym_maintained" -> qSynonymMaintained,
@@ -445,6 +467,24 @@ object Index {
     "q_shuffle_order" -> qShuffleOrder)
 
   val oracle: Map[String, String] = Map(
+    "q_wildcard_maintained" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
+        |       'put' AS op, text
+        |FROM documents
+        |WHERE len(list_filter(string_split(text, ' '),
+        |                      t -> starts_with(t, 's'))) > 0
+        |ORDER BY event_id""".stripMargin,
+    "q_mm_maintained" ->
+      """SELECT CAST(d.doc_id AS VARCHAR) AS rowkey, d.doc_id AS event_id,
+        |       'put' AS op, d.text, m.n_matched
+        |FROM documents d JOIN (
+        |  SELECT doc_id, count(DISTINCT tok) AS n_matched
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('merge', 'sort', 'scan')
+        |  GROUP BY doc_id) m USING (doc_id)
+        |WHERE m.n_matched >= 2
+        |ORDER BY event_id""".stripMargin,
     "q_synonym_bm25_maintained" ->
       """WITH n AS (
         |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl

@@ -393,7 +393,38 @@ object Search {
       .orderBy("doc_id")
   }
 
+  private def qWildcardSearch(spark: SparkSession, dir: String): DataFrame = {
+    // S1 (wildcard flavor): Solr `q=text:s*` — docs containing ANY term
+    // with the prefix. Served from the materialized postings: the prefix
+    // scans the VOCABULARY (Solr's term-dictionary range scan — bounded
+    // by |vocab|, not the corpus), matched terms' posting lists union,
+    // and the corpus is touched only by the final keyed fetch.
+    val post = Index.sharedPostings(spark, dir)
+    val hits = post.filter(col("tok").startsWith("s"))
+      .select(explode(col("ids")).as("doc_id")).distinct()
+    Tables.documents(spark, dir).join(broadcast(hits), "doc_id")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  private def qMinShouldMatch(spark: SparkSession, dir: String): DataFrame = {
+    // S2 (edismax mm): docs matching at least 2 of the 3 query terms,
+    // match count carried — the middle ground between AND (all) and OR
+    // (any) that real Solr deployments tune. One posting read, one
+    // count-distinct aggregate; no corpus scan.
+    val terms = Seq("merge", "sort", "scan")
+    Index.sharedPostings(spark, dir)
+      .filter(col("tok").isin(terms: _*))
+      .select(col("tok"), explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_matched"))
+      .filter(col("n_matched") >= 2)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_wildcard_search" -> qWildcardSearch,
+    "q_min_should_match" -> qMinShouldMatch,
     "q_synonym_search" -> qSynonymSearch,
     "q_fulltext_search" -> qFulltextSearch,
     "q_fulltext_cjk" -> qFulltextCjk,
@@ -415,6 +446,20 @@ object Search {
     "q_suggest_prefix" -> qSuggestPrefix)
 
   val oracle: Map[String, String] = Map(
+    "q_wildcard_search" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE len(list_filter(string_split(text, ' '),
+        |                      t -> starts_with(t, 's'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_min_should_match" ->
+      """SELECT doc_id, n_matched FROM (
+        |  SELECT doc_id, count(DISTINCT tok) AS n_matched
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('merge', 'sort', 'scan')
+        |  GROUP BY doc_id)
+        |WHERE n_matched >= 2
+        |ORDER BY doc_id""".stripMargin,
     "q_synonym_search" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE (list_contains(string_split(text, ' '), 'quick')

@@ -543,6 +543,41 @@ object IncrementalPostings {
     docsState(spark, rootPath).join(broadcast(hits), "rowkey")
   }
 
+  /** Wildcard/prefix search over the maintained state — Solr's
+    * `field:pre*`: the prefix expands against the maintained VOCABULARY
+    * (a term-dictionary range scan, the same cost shape as Solr's; the
+    * expansion is data, never collected), then the expansion's postings
+    * are served bucket-pruned and the hit docs key-fetched — the
+    * [[fuzzySearch]] topology with a prefix predicate in place of edit
+    * distance. */
+  def wildcardSearch(spark: SparkSession, rootPath: String,
+                     prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "wildcard search needs a non-empty prefix")
+    val expansion = vocabulary(spark, rootPath)
+      .filter(col("tok").startsWith(prefix))
+      .select("tok")
+    val hits = prunedEntriesForTokens(spark, rootPath, expansion)
+      .select(col("doc_id").as("rowkey"))
+    prunedDocsForKeys(spark, rootPath, hits)
+  }
+
+  /** Minimum-should-match retrieval over the maintained state — Solr
+    * edismax's `mm` parameter: docs matching at least `minMatch` of the
+    * query terms, with the match count carried for ranking. Same
+    * bucket-pruned entries + broadcast-hit-list fetch as [[termSearch]]
+    * (`termSearch` ≡ `minMatch = terms.size`). */
+  def termSearchMinMatch(spark: SparkSession, rootPath: String,
+                         terms: Seq[String], minMatch: Int): DataFrame = {
+    val uniq = terms.distinct
+    require(minMatch >= 1 && minMatch <= uniq.size,
+      s"minMatch must be in [1, ${uniq.size}], got $minMatch")
+    val hits = prunedEntries(spark, rootPath, uniq)
+      .groupBy(col("doc_id").as("rowkey"))
+      .agg(countDistinct(col("tok")).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+    docsState(spark, rootPath).join(broadcast(hits), "rowkey")
+  }
+
   /** Grouped-OR retrieval over the maintained state — the query shape
     * query-time synonym expansion produces (Solr's SynonymGraphFilter at
     * query time): each group is an OR of interchangeable terms, groups
