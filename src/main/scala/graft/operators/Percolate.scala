@@ -46,15 +46,22 @@ object Percolate {
     * standing: every `all` term required, at least one `any` term (when
     * any are given), no `none` term present, every `phrases` entry
     * present as ADJACENT tokens (the positional form S12's phrase search
-    * answers, matched with the registry's analyzer), and the doc's
-    * `range` field inside the bound when one is given. */
+    * answers, matched with the registry's analyzer), the doc's `range`
+    * field inside the bound when one is given, and at least one member
+    * of EVERY `groups` entry present — the AND-of-ORs a query-time
+    * synonym expansion produces (each expanded term becomes one OR
+    * group), which a single `any` clause cannot express. */
   final case class StoredQuery(id: String, all: Seq[String],
                                any: Seq[String] = Nil,
                                none: Seq[String] = Nil,
                                phrases: Seq[String] = Nil,
-                               range: Option[RangePred] = None) {
-    require(all.nonEmpty || any.nonEmpty || phrases.nonEmpty || range.nonEmpty,
+                               range: Option[RangePred] = None,
+                               groups: Seq[Seq[String]] = Nil) {
+    require(all.nonEmpty || any.nonEmpty || phrases.nonEmpty ||
+        range.nonEmpty || groups.nonEmpty,
       s"stored query '$id' needs at least one positive predicate")
+    require(groups.forall(_.nonEmpty),
+      s"stored query '$id' has an empty OR group")
   }
 
   /** The fixed demo registry for the oracle key — term conjunctions over
@@ -104,12 +111,14 @@ object Percolate {
       val anyOk =
         if (q.any.isEmpty) lit(true) else q.any.map(has).reduce(_ || _)
       val noneOk = q.none.map(t => !has(t)).foldLeft(lit(true))(_ && _)
+      val groupsOk = q.groups.map(_.map(has).reduce(_ || _))
+        .foldLeft(lit(true))(_ && _)
       val phraseOk = q.phrases.map(hasPhrase(_, tokenize))
         .foldLeft(lit(true))(_ && _)
       val rangeOk = q.range.fold(lit(true))(r =>
         col(r.field).isNotNull &&
           col(r.field) >= r.lo && col(r.field) <= r.hi)
-      when(allOk && anyOk && noneOk && phraseOk && rangeOk, lit(q.id))
+      when(allOk && anyOk && noneOk && groupsOk && phraseOk && rangeOk, lit(q.id))
     }: _*)
     // project only what the compiled predicates consume: the distinct
     // token set always, the ordered array only when a phrase needs
@@ -153,7 +162,9 @@ object Percolate {
         q.any.distinct.map(t => (q.id, t, "any")) ++
         q.none.distinct.map(t => (q.id, t, "none")) ++
         q.phrases.distinct.map(p => (q.id, p, "phrase")) ++
-        q.range.map(r => (q.id, s"${r.field}:${r.lo}:${r.hi}", "range"))
+        q.range.map(r => (q.id, s"${r.field}:${r.lo}:${r.hi}", "range")) ++
+        q.groups.zipWithIndex.flatMap { case (g, i) =>
+          g.distinct.map(t => (q.id, t, s"grp$i")) }
     }
 
   /** Parse (query_id, term, role) rows back to [[StoredQuery]]s — the
@@ -166,12 +177,16 @@ object Percolate {
         val Array(f, lo, hi) = t.split(":", 3)
         RangePred(f, lo.toDouble, hi.toDouble)
       }
+      val groups = rs.filter(_._3.startsWith("grp"))
+        .groupBy(_._3.drop(3).toInt).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2))
       StoredQuery(id,
         all = rs.filter(_._3 == "all").map(_._2),
         any = rs.filter(_._3 == "any").map(_._2),
         none = rs.filter(_._3 == "none").map(_._2),
         phrases = rs.filter(_._3 == "phrase").map(_._2),
-        range = range)
+        range = range,
+        groups = groups)
     }.toSeq.sortBy(_.id)
 
   def matchesBool(docs: DataFrame, queries: Seq[StoredQuery],
@@ -193,7 +208,8 @@ object Percolate {
                        tokenize: Column => Column = split(_, " ")): DataFrame = {
     val termHits = tokenized(docs, tokenize)
       .select(col("doc_id"), explode(col("toks")).as("term"))
-      .join(broadcast(reg.filter(col("role").isin("all", "any", "none"))),
+      .join(broadcast(reg.filter(col("role").isin("all", "any", "none") ||
+          col("role").startsWith("grp"))),
         "term")
       .select("doc_id", "query_id", "role")
 
@@ -257,7 +273,9 @@ object Percolate {
     val sizes = reg.groupBy("query_id").agg(
         count(when(col("role") === "all", 1)).as("n_all"),
         count(when(col("role") === "any", 1)).as("n_any"),
-        count(when(col("role") === "range", 1)).as("n_range"))
+        count(when(col("role") === "range", 1)).as("n_range"),
+        countDistinct(when(col("role").startsWith("grp"), col("role")))
+          .as("n_groups"))
       .join(phraseKeys.groupBy("query_id")
         .agg(countDistinct(col("gram")).as("n_phrase")),
         Seq("query_id"), "left")
@@ -270,13 +288,16 @@ object Percolate {
         count(when(col("role") === "any", 1)).as("hit_any"),
         count(when(col("role") === "none", 1)).as("hit_none"),
         count(when(col("role") === "phrase", 1)).as("hit_phrase"),
-        count(when(col("role") === "range", 1)).as("hit_range"))
+        count(when(col("role") === "range", 1)).as("hit_range"),
+        countDistinct(when(col("role").startsWith("grp"), col("role")))
+          .as("hit_groups"))
       .join(broadcast(sizes), "query_id")
       .filter(col("hit_all") === col("n_all") &&
         (col("n_any") === 0 || col("hit_any") > 0) &&
         col("hit_none") === 0 &&
         col("hit_phrase") === col("n_phrase") &&
-        col("hit_range") === col("n_range"))
+        col("hit_range") === col("n_range") &&
+        col("hit_groups") === col("n_groups"))
       .select("doc_id", "query_id")
   }
 
@@ -325,10 +346,29 @@ object Percolate {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("query_id")
 
+  /** The AND-of-OR-groups registry for the fourth oracle key — the shape
+    * query-time synonym expansion registers (each expanded term = one OR
+    * group), beside a plain `all` and a `none`. */
+  val demoGroupQueries: Seq[StoredQuery] = Seq(
+    StoredQuery("fastish_tables", all = Nil,
+      groups = Seq(Seq("quick", "fast"), Seq("table", "row")),
+      none = Seq("error")),
+    StoredQuery("scan_vector_family", all = Seq("scan"),
+      groups = Seq(Seq("vector", "merge"))))
+
+  private def qPercolateGroups(spark: SparkSession, dir: String): DataFrame =
+    // the JOIN strategy end to end (large-registry path); PercolateSpec
+    // pins the compiled strategy equal on the same registry
+    matchesBool(Tables.documents(spark, dir), demoGroupQueries)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("query_id")
+
   val queries: Map[String, Q] = Map(
     "q_percolate" -> qPercolate,
     "q_percolate_bool" -> qPercolateBool,
-    "q_percolate_rich" -> qPercolateRich)
+    "q_percolate_rich" -> qPercolateRich,
+    "q_percolate_groups" -> qPercolateGroups)
 
   val oracle: Map[String, String] = Map(
     "q_percolate" ->
@@ -383,6 +423,20 @@ object Percolate {
         |    AND h.hit_none = 0)
         |SELECT query_id, count(*) AS n_docs FROM m
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percolate_groups" ->
+      """SELECT query_id, count(*) AS n_docs FROM (
+        |  SELECT doc_id, 'fastish_tables' AS query_id FROM documents
+        |  WHERE (list_contains(string_split(text, ' '), 'quick')
+        |      OR list_contains(string_split(text, ' '), 'fast'))
+        |    AND (list_contains(string_split(text, ' '), 'table')
+        |      OR list_contains(string_split(text, ' '), 'row'))
+        |    AND NOT list_contains(string_split(text, ' '), 'error')
+        |  UNION ALL
+        |  SELECT doc_id, 'scan_vector_family' FROM documents
+        |  WHERE list_contains(string_split(text, ' '), 'scan')
+        |    AND (list_contains(string_split(text, ' '), 'vector')
+        |      OR list_contains(string_split(text, ' '), 'merge'))
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_percolate_rich" ->
       """SELECT query_id, count(*) AS n_docs FROM (
         |  SELECT doc_id, 'phrase_fast_merge' AS query_id FROM documents

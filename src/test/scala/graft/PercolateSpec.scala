@@ -113,9 +113,39 @@ class PercolateSpec extends SparkSpec {
   }
 
   test("role rows round-trip: explodeRoles and fromRoleRows are inverses") {
-    val qs = Percolate.demoRichQueries ++ Percolate.demoBoolQueries
+    val qs = Percolate.demoRichQueries ++ Percolate.demoBoolQueries ++
+      Percolate.demoGroupQueries
     val back = Percolate.fromRoleRows(Percolate.explodeRoles(qs))
     assert(back.sortBy(_.id) === qs.sortBy(_.id))
+  }
+
+  test("AND-of-OR groups agree across both strategies; groups are conjunctive") {
+    val docs = Seq(
+      (1L, "quick table scan"),      // grp {quick,fast} + grp {table,row}
+      (2L, "fast row lookup"),       // other members of both groups
+      (3L, "quick lookup only"),     // first group only — must NOT match
+      (4L, "table row no speed"),    // second group only — must NOT match
+      (5L, "fast table error")       // both groups but none-term present
+    ).toDF("doc_id", "text")
+    val qs = Seq(Percolate.StoredQuery("g", all = Nil,
+      groups = Seq(Seq("quick", "fast"), Seq("table", "row")),
+      none = Seq("error")))
+    val expected = Set((1L, "g"), (2L, "g"))
+    assert(pairs(Percolate.matchesBool(docs, qs)) === expected)
+    assert(pairs(Percolate.matchesCompiledBool(docs, qs)) === expected)
+    // one term in TWO groups of one query satisfies both (distinct
+    // roles): doc 1's "scan" covers both groups alone; doc 2 ("row" but
+    // no scan/quick) fails the first group
+    val twice = Seq(Percolate.StoredQuery("t", all = Nil,
+      groups = Seq(Seq("scan", "quick"), Seq("scan", "row"))))
+    val eTwice = Set((1L, "t"))
+    assert(pairs(Percolate.matchesBool(docs, twice)) === eTwice)
+    assert(pairs(Percolate.matchesCompiledBool(docs, twice)) === eTwice)
+    // fixture-scale parity for the demo group registry
+    val fix = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = pairs(Percolate.matchesBool(fix, Percolate.demoGroupQueries))
+    assert(a === pairs(Percolate.matchesCompiledBool(fix, Percolate.demoGroupQueries)))
+    assert(a.nonEmpty)
   }
 
   test("phrase percolation is scheme-generic: CJK bigram adjacency, both strategies") {
