@@ -297,7 +297,27 @@ object Facets {
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
   }
 
+  private def qFacetInterval(spark: SparkSession, dir: String): DataFrame = {
+    // Solr interval faceting (facet.interval): arbitrary, possibly
+    // OVERLAPPING intervals over one numeric field — a floor-bucket
+    // groupBy (q_facet_range) cannot express overlap, so each interval
+    // is a conditional partial aggregate over ONE scan (the facet.query
+    // machinery with numeric bounds; rows may count toward several
+    // intervals).
+    def in(lo: Double, hi: Double) =
+      sum(when(col("o_totalprice") >= lo && col("o_totalprice") < hi, 1L)
+        .otherwise(0L))
+    Tables.orders(spark, dir).agg(
+        in(0, 50000).as("lo"),
+        in(25000, 150000).as("mid"),
+        sum(when(col("o_totalprice") >= 100000, 1L).otherwise(0L)).as("hi"))
+      .selectExpr("stack(3, '[0,50000)', lo, '[25000,150000)', mid, " +
+        "'[100000,inf)', hi) AS (interval, n)")
+      .orderBy("interval")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_facet_interval" -> qFacetInterval,
     "q_facet_stats" -> qFacetStats,
     "q_facet_stats_maintained" -> qFacetStatsMaintained,
     "q_facet_field" -> qFacetField,
@@ -314,6 +334,19 @@ object Facets {
     "q_group_top1" -> qGroupTop1)
 
   val oracle: Map[String, String] = Map(
+    "q_facet_interval" ->
+      """SELECT * FROM (
+        |  SELECT '[0,50000)' AS interval,
+        |         count(*) FILTER (o_totalprice >= 0 AND o_totalprice < 50000) AS n
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '[25000,150000)',
+        |         count(*) FILTER (o_totalprice >= 25000 AND o_totalprice < 150000)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '[100000,inf)', count(*) FILTER (o_totalprice >= 100000)
+        |  FROM orders)
+        |ORDER BY interval""".stripMargin,
     "q_facet_stats" ->
       """SELECT lang, source, count(*) AS n,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,

@@ -1145,6 +1145,21 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.registry(spark, root).map(_.id) === Seq("ok"))
   }
 
+  test("AND-of-OR group standing queries alert through the pipeline outbox") {
+    val root = Files.createTempDirectory("graft_pipePg").toString + "/pipe"
+    IngestPipeline.registerStoredQueries(spark, root, Seq(
+      graft.operators.Percolate.StoredQuery("syn_alert", all = Nil,
+        groups = Seq(Seq("quick", "fast"), Seq("table", "row")))))
+    applyB(root, 0, Seq(
+      DocChange("1", 0, "put", "fast table scan wins"),
+      DocChange("2", 1, "put", "quick lookup but no second group"),
+      DocChange("3", 2, "put", "row only and nothing speedy")))
+    val hits = IngestPipeline.alerts(spark, root).collect()
+      .map(r => (r.getAs[String]("rowkey"), r.getAs[String]("query_id"))).toSet
+    assert(hits === Set(("1", "syn_alert")),
+      "group coverage must be conjunctive through the persisted registry")
+  }
+
   test("duplicate ids within one registration call: last wins (upsert semantics)") {
     val root = Files.createTempDirectory("graft_pipePc3").toString + "/pipe"
     IngestPipeline.registerQueries(spark, root,
