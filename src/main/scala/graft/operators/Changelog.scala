@@ -112,6 +112,81 @@ object Changelog {
           round(max(when(col("event_type") === v, col("value"))), 2).as(v)): _*)
       .orderBy(col("rowkey").cast("long"))
 
+  private def qCounterState(spark: SparkSession, dir: String): DataFrame = {
+    // HBase `Increment` — O11's COMMUTATIVE sibling: per (row, qualifier)
+    // the value is the running SUM of deltas, with the row tombstone as
+    // a counter reset (delete-row over counter columns). Latest-wins
+    // answers "what is the field now"; this answers "how much has
+    // accumulated since the last reset" — the other half of what the
+    // reference's coprocessor sees in a mutation stream. One rowkey
+    // window masks pre-tombstone deltas; the per-cell fold is a partial
+    // aggregate over already-co-located rows.
+    val del = col("event_type") === Cfg.deleteClass
+    val wRow = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .withColumn("tomb", max(when(del, col("event_id"))).over(wRow))
+      .filter(!del && col("event_id") > coalesce(col("tomb"), lit(-1L)))
+      .groupBy(col("user_id"), col("event_type").as("qualifier"))
+      .agg(round(sum(col("value")), 2).as("total"),
+        count(lit(1)).as("n_incr"),
+        max(col("event_id")).as("last_id"))
+      .select(col("user_id").cast("string").as("rowkey"), col("qualifier"),
+        col("total"), col("n_incr"), col("last_id"))
+      .orderBy(col("rowkey").cast("long"), col("qualifier"))
+  }
+
+  /** A [[graft.streaming.CounterStore]] root built by merging the events
+    * changelog (as increment mutations) in TWO halves split on event_id
+    * — so the second merge genuinely folds deltas into partials the
+    * first one wrote, and its tombstones genuinely reset counters. */
+  private val counterFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  Materialize.onSessionFreed { s =>
+    val it = counterFixtures.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        Materialize.deleteLocalDir(new java.io.File(e.getValue).getParent)
+        it.remove()
+      }
+    }
+  }
+
+  private def counterFixture(spark: SparkSession, dir: String): String =
+    counterFixtures.computeIfAbsent((spark, dir), { case (s, d) =>
+      val t0 = System.nanoTime()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_counters").toString + "/state"
+      val changes = Tables.events(s, d).select(
+        col("user_id").cast("string").as("rowkey"),
+        when(col("event_type") === Cfg.deleteClass, lit(null: String))
+          .otherwise(col("event_type")).as("qualifier"),
+        col("event_id"),
+        when(col("event_type") === Cfg.deleteClass, "delete")
+          .otherwise("incr").as("op"),
+        col("value").as("delta"))
+      val mid = changes.agg(percentile_approx(col("event_id"), lit(0.5),
+        lit(100))).head().getLong(0)
+      graft.streaming.CounterStore.mergeCounters(
+        s, changes.filter(col("event_id") <= mid), root)
+      graft.streaming.CounterStore.mergeCounters(
+        s, changes.filter(col("event_id") > mid), root)
+      Materialize.recordBuild("counter_store_fixture", System.nanoTime() - t0)
+      root
+    })
+
+  private def qCounterMaintained(spark: SparkSession, dir: String): DataFrame =
+    // q_counter_state served from the MAINTAINED counter store: the sum
+    // was folded at MERGE time into O(1)-per-cell partials (never raw
+    // history — the reason HBase ships Increment), so the read is a pure
+    // scan-project with zero query-time aggregation. Same oracle as the
+    // scan form: two physical strategies, one semantics.
+    graft.streaming.CounterStore
+      .readCounters(spark, counterFixture(spark, dir))
+      .select(col("rowkey"), col("qualifier"),
+        round(col("total"), 2).as("total"), col("n_incr"), col("last_id"))
+      .orderBy(col("rowkey").cast("long"), col("qualifier"))
+
   private def qCellState(spark: SparkSession, dir: String): DataFrame = {
     // O6/O11 deepened to HBase's ACTUAL versioning unit: a put carries a
     // SUBSET of a row's cells, so the row's current document is the
@@ -515,6 +590,8 @@ object Changelog {
     "q_filter_nonempty" -> qFilterNonempty,
     "q_pivot_doc" -> qPivotDoc,
     "q_cell_state" -> qCellState,
+    "q_counter_state" -> qCounterState,
+    "q_counter_maintained" -> qCounterMaintained,
     "q_cell_versions" -> qCellVersions,
     "q_versions_maintained" -> qVersionsMaintained,
     "q_batch_count" -> qBatchCount,
@@ -529,6 +606,19 @@ object Changelog {
     "q_cursor_maintained" -> qCursorMaintained,
     "q_get_maintained" -> qGetMaintained,
     "q_point_lookup" -> qPointLookup)
+
+  private val counterStateSql =
+    """WITH tomb AS (
+      |  SELECT user_id, max(event_id) AS te FROM events
+      |  WHERE event_type = 'error' GROUP BY 1)
+      |SELECT CAST(e.user_id AS VARCHAR) AS rowkey, e.event_type AS qualifier,
+      |       round(sum(e.value), 2) AS total, count(*) AS n_incr,
+      |       max(e.event_id) AS last_id
+      |FROM events e LEFT JOIN tomb t USING (user_id)
+      |WHERE e.event_type <> 'error'
+      |  AND e.event_id > coalesce(t.te, -1)
+      |GROUP BY e.user_id, e.event_type
+      |ORDER BY CAST(rowkey AS BIGINT), qualifier""".stripMargin
 
   private val indexStateSql =
     """WITH ranked AS (
@@ -587,6 +677,8 @@ object Changelog {
         |       round(max(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
         |       round(max(value) FILTER (WHERE event_type = 'view'), 2) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_counter_state" -> counterStateSql,
+    "q_counter_maintained" -> counterStateSql,
     "q_cell_state" ->
       """WITH agg AS (
         |  SELECT CAST(user_id AS VARCHAR) AS rowkey, user_id,

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.streaming.CounterStore
+
+/** The commutative-aggregate counter state: sums fold at merge time,
+  * tombstones reset, and the high-water contract makes batch replay a
+  * no-op — HBase Increment's seqid discipline over bucketed parquet. */
+class CounterStoreSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("rowkey", StringType),
+    StructField("qualifier", StringType),
+    StructField("event_id", LongType),
+    StructField("op", StringType),
+    StructField("delta", DoubleType)))
+
+  private def df(rows: Seq[(String, String, Long, String, Double)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r._1, r._2, java.lang.Long.valueOf(r._3), r._4,
+          java.lang.Double.valueOf(r._5))), 2),
+      schema)
+
+  private def counters(root: String): Set[(String, String, Double, Long, Long)] =
+    CounterStore.readCounters(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("increments fold across merges; tombstone resets; post-reset deltas survive") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ctr1").toString + "/state"
+    CounterStore.mergeCounters(spark, df(Seq(
+      ("r1", "clicks", 1L, "incr", 2.0),
+      ("r1", "clicks", 2L, "incr", 3.0),
+      ("r1", "spend", 3L, "incr", 10.0),
+      ("r2", "clicks", 4L, "incr", 1.0))), root, numBuckets = 4)
+    assert(counters(root) === Set(
+      ("r1", "clicks", 5.0, 2L, 2L), ("r1", "spend", 10.0, 1L, 3L),
+      ("r2", "clicks", 1.0, 1L, 4L)))
+    // second merge: fold into existing partials + reset r2 mid-batch —
+    // its pre-tombstone delta dies, the post-tombstone one survives
+    CounterStore.mergeCounters(spark, df(Seq(
+      ("r1", "clicks", 5L, "incr", 4.0),
+      ("r2", "clicks", 6L, "incr", 9.0),
+      ("r2", null, 7L, "delete", 0.0),
+      ("r2", "clicks", 8L, "incr", 2.5))), root, numBuckets = 4)
+    assert(counters(root) === Set(
+      ("r1", "clicks", 9.0, 3L, 5L), ("r1", "spend", 10.0, 1L, 3L),
+      ("r2", "clicks", 2.5, 1L, 8L)))
+  }
+
+  test("replaying a committed batch is a no-op (high-water dedupe)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ctr2").toString + "/state"
+    val b1 = df(Seq(
+      ("r1", "clicks", 1L, "incr", 2.0),
+      ("r1", "clicks", 2L, "incr", 3.0)))
+    val b2 = df(Seq(
+      ("r1", "clicks", 3L, "incr", 7.0),
+      ("r3", null, 4L, "delete", 0.0)))
+    CounterStore.mergeCounters(spark, b1, root, numBuckets = 4)
+    CounterStore.mergeCounters(spark, b2, root, numBuckets = 4)
+    val before = counters(root)
+    CounterStore.mergeCounters(spark, b2, root, numBuckets = 4) // crash replay
+    assert(counters(root) === before,
+      "a replayed batch must not double-count")
+    assert(before === Set(("r1", "clicks", 12.0, 3L, 3L)))
+  }
+
+  test("intra-batch whole-row duplicates collapse; same-id distinct deltas both count") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ctr3").toString + "/state"
+    CounterStore.mergeCounters(spark, df(Seq(
+      ("r1", "clicks", 1L, "incr", 2.0),
+      ("r1", "clicks", 1L, "incr", 2.0),   // at-least-once duplicate
+      ("r1", "clicks", 2L, "incr", 5.0),
+      ("r1", "clicks", 2L, "incr", 6.0))), // distinct delta, same id
+      root, numBuckets = 4)
+    assert(counters(root) === Set(("r1", "clicks", 13.0, 3L, 2L)))
+  }
+
+  test("getCounters opens only the requested keys' buckets") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ctr4").toString + "/state"
+    CounterStore.mergeCounters(spark,
+      df((1 to 40).map(i => (s"r$i", "n", i.toLong, "incr", 1.0))),
+      root, numBuckets = 8)
+    val got = CounterStore.getCounters(spark, root, Seq("r7"))
+    assert(got.collect().map(_.getString(0)).toSeq === Seq("r7"))
+    val opened = got.inputFiles.map(_.replaceAll(".*/(b=\\d+)/.*", "$1")).distinct
+    assert(opened.length < 8, s"point get opened every bucket: ${opened.toSeq}")
+  }
+}
