@@ -110,6 +110,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_counter_state: tombstone mask and per-cell fold share one rowkey exchange") {
+    val p = plan("q_counter_state")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <= 2 hash exchanges (window + " +
+      s"group-key partial agg), got $exchanges:\n${p.take(900)}")
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("q_counter_maintained: the counter read is scan-project — no query-time aggregation") {
+    val df = SparkEntry.queries("q_counter_maintained")(spark, dir)
+    val p = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(!p.contains("HashAggregate"),
+      "maintained counters must be served from stored partials:\n" + p.take(900))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("q_versions_maintained: the cell-store read has NO query-time window") {
     // version rank is served from storage (enforced at merge, rewritten
     // wholly per touched bucket) — the read is scan-project + TTL filter
