@@ -207,8 +207,12 @@ object Bench {
         val t0 = System.nanoTime()
         val m = top(f())
         val sec = (System.nanoTime() - t0) / 1e9
+        // divide by the TRUTH set's size, not the nominal k: an exact
+        // search returning < k rows for a qid (tiny sf, filtered index)
+        // must not silently understate recall
         val recall = truth.map { case (q, t) =>
-          m.getOrElse(q, Set.empty[Long]).intersect(t).size / 10.0 }
+          m.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble /
+            math.max(t.size, 1) }
           .sum / truth.size
         (recall, sec)
       }
@@ -250,6 +254,18 @@ object Bench {
       java.nio.file.Files.write(out.resolve("bench.json"),
         (json + "\n").getBytes("UTF-8")): Unit
     } catch { case e: Throwable => System.err.println(s"bench.json write failed: $e") }
+    // The driver has twice captured only the TAIL of stdout, leaving the
+    // (single, long) JSON line truncated from the front and unparseable.
+    // Emit a compact self-contained summary as the very LAST line so even
+    // a tail capture yields a parseable record; the full per-key JSON is
+    // in .tmp/bench.json above.
+    locally {
+      val n = results.size
+      val worst = if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
+      println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_keys":$n,""" +
+        f""""per_key_avg":${if (n > 0) total / n else 0.0}%.4f,""" +
+        f""""worst_key":"${worst._1}","worst_sec":${worst._2}%.3f,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

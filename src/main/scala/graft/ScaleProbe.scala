@@ -187,10 +187,14 @@ object ScaleProbe {
     val corpusN = (0 until n).map(r => docChanges(
       base1.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
         .withColumn("text", taggedText(r)))).reduce(_ unionByName _)
+    // the sentinel offset/tag are derived from n so the "fresh" docs can
+    // never collide with replica key/token space at ANY factor (replicas
+    // use offsets 0..(n-1)·1e7 and tag indexes 0..n-1; a fixed 9e8/99
+    // sentinel collided with replicas 90/99 at factors >= 91)
     val freshBatch = docChanges(
       base1.limit(1000)
-        .withColumn("doc_id", col("doc_id") + lit(900000000L))
-        .withColumn("text", taggedText(99)))
+        .withColumn("doc_id", col("doc_id") + lit(n * 10000000L))
+        .withColumn("text", taggedText(n)))
     val (boot1, flush1, nd1) = ingestProbe(spark, corpus1, freshBatch, "s1")
     val (bootN, flushN, ndN) = ingestProbe(spark, corpusN, freshBatch, "sN")
 

@@ -54,7 +54,16 @@ object CounterStore {
     * ('incr'|'delete'), total DOUBLE (the raw delta for batch rows),
     * n_incr LONG (1 for batch rows), agg BOOLEAN (true for state
     * partials)`. */
-  def compactCounters(changes: DataFrame): DataFrame = {
+  /** The compaction input annotated with its keep/drop verdicts — the
+    * shared head of [[compactCounters]] (which keeps) and the merge's
+    * hw-drop metric (which counts the drops). `hw_dropped` marks exactly
+    * the rows the HIGH-WATER filter suppresses: raw non-delete rows that
+    * survive the tombstone but fall at or below their cell's folded
+    * last_id. Under the documented monotone-arrival contract those are
+    * replays; under a contract VIOLATION (a genuine out-of-order
+    * cross-batch increment) they are silent data loss — which is why the
+    * merge counts them (see [[lastMergeHwDrops]]). */
+  private def annotated(changes: DataFrame): DataFrame = {
     val del = col("op") === "delete"
     // intra-batch at-least-once duplicates collapse (CellStore's replay
     // dedupe); distinct deltas sharing an event_id survive as distinct
@@ -66,16 +75,33 @@ object CounterStore {
       // high water: raw rows at or below a partial's last_id are replays
       .withColumn("hw",
         max(when(col("agg") && !del, col("last_id"))).over(wCell))
-      .filter(when(del, col("last_id") === col("tomb")) // latest tombstone
-        .otherwise(
+      .withColumn("hw_dropped",
+        !del && !col("agg") &&
           col("last_id") > coalesce(col("tomb"), lit(-1L)) &&
-          (col("agg") || col("last_id") > coalesce(col("hw"), lit(-1L)))))
+          col("last_id") <= coalesce(col("hw"), lit(-1L)))
+      .withColumn("kept",
+        when(del, col("last_id") === col("tomb")) // latest tombstone
+          .otherwise(
+            col("last_id") > coalesce(col("tomb"), lit(-1L)) &&
+            (col("agg") || col("last_id") > coalesce(col("hw"), lit(-1L)))))
+  }
+
+  def compactCounters(changes: DataFrame): DataFrame =
+    annotated(changes)
+      .filter(col("kept"))
       .groupBy("rowkey", "qualifier", "op")
       .agg(max(col("last_id")).as("last_id"),
         sum(col("total")).as("total"),
         sum(col("n_incr")).as("n_incr"))
       .withColumn("agg", lit(true))
-  }
+
+  /** Rows the last [[mergeCounters]] suppressed as high-water replays —
+    * the observability seam for the monotone-arrival contract: expected
+    * checkpoint replays show up here too, but a NON-ZERO count outside a
+    * replay window means genuine out-of-order increments were dropped
+    * (the documented trade). Per-JVM, last-merge-wins — a side metric,
+    * not state. */
+  @volatile var lastMergeHwDrops: Long = 0L
 
   private def normalize(batch: DataFrame): DataFrame =
     batch.select(col("rowkey"), col("qualifier"),
@@ -101,14 +127,29 @@ object CounterStore {
       if (oldPaths.nonEmpty)
         spark.read.parquet(oldPaths: _*).withColumn("b", bucketCol(numBuckets))
       else withB.limit(0)
-    val merged = compactCounters(oldTouched.unionByName(withB))
+    // annotate once, cache: the kept rows feed the fold, the hw-dropped
+    // rows feed the replay-suppression metric — one window pass for both
+    val ann = annotated(oldTouched.unionByName(withB)).cache()
+    val merged = ann.filter(col("kept"))
+      .groupBy("rowkey", "qualifier", "op")
+      .agg(max(col("last_id")).as("last_id"),
+        sum(col("total")).as("total"),
+        sum(col("n_incr")).as("n_incr"))
+      .withColumn("agg", lit(true))
       .withColumn("b", bucketCol(numBuckets))
       .repartition(col("b")).cache()
     merged.count() // materialize before the swap touches the input paths
+    lastMergeHwDrops = ann.filter(col("hw_dropped")).count()
+    if (lastMergeHwDrops > 0)
+      System.err.println(s"CounterStore.mergeCounters: $lastMergeHwDrops " +
+        s"raw increment(s) at or below their cell's high water were " +
+        s"suppressed as replays at $statePath — expected under checkpoint " +
+        s"replay; outside a replay window this is the monotone-arrival " +
+        s"contract being violated (out-of-order increments dropped)")
     try StateStore.commitBuckets(spark, statePath, touchedDirs) { tmpRoot =>
       merged.sortWithinPartitions("b", "rowkey", "qualifier")
         .write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
-    } finally merged.unpersist(): Unit
+    } finally { merged.unpersist(); ann.unpersist(): Unit }
   }
 
   /** Live counters (tombstone rows filtered): (rowkey, qualifier, total,

@@ -62,12 +62,19 @@ class CounterStoreSpec extends SparkSpec {
       ("r1", "clicks", 3L, "incr", 7.0),
       ("r3", null, 4L, "delete", 0.0)))
     CounterStore.mergeCounters(spark, b1, root, numBuckets = 4)
+    assert(CounterStore.lastMergeHwDrops === 0L,
+      "a fresh batch suppresses nothing")
     CounterStore.mergeCounters(spark, b2, root, numBuckets = 4)
     val before = counters(root)
     CounterStore.mergeCounters(spark, b2, root, numBuckets = 4) // crash replay
     assert(counters(root) === before,
       "a replayed batch must not double-count")
     assert(before === Set(("r1", "clicks", 12.0, 3L, 3L)))
+    // the suppression is OBSERVABLE: the replayed increment (id 3 at the
+    // cell's high water) is counted, so operators can tell expected
+    // replay suppression from a monotone-arrival contract violation
+    assert(CounterStore.lastMergeHwDrops === 1L,
+      "the hw-suppressed replay row must be counted, not silent")
   }
 
   test("intra-batch whole-row duplicates collapse; same-id distinct deltas both count") {
