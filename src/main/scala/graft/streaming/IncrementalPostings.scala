@@ -52,7 +52,15 @@ object IncrementalPostings {
     StructField("tok", StringType), StructField("doc_id", StringType),
     StructField("tf", LongType),
     StructField("positions", org.apache.spark.sql.types.ArrayType(IntegerType)),
+    StructField("field", StringType),
     StructField("b", IntegerType)))
+
+  /** The default field name — what every single-field root indexes as,
+    * and what legacy pre-field entries/dstats rows adopt. The reference
+    * maps each HBase qualifier to its own Solr field
+    * (HbaseSolrIndexCoprocesser.java:45-49); a single-text-column root is
+    * the one-qualifier case. */
+  val DefaultField = "text"
 
   /** The documented merge-batch schema — the shape of the docs state. */
   private val docsSchema = StructType(Seq(
@@ -77,8 +85,17 @@ object IncrementalPostings {
     val tf =
       if (entries.columns.contains("tf")) entries
       else entries.withColumn("tf", lit(1L))
-    if (tf.columns.contains("positions")) tf
-    else tf.withColumn("positions", lit(null).cast("array<int>"))
+    val pos =
+      if (tf.columns.contains("positions")) tf
+      else tf.withColumn("positions", lit(null).cast("array<int>"))
+    // field adoption (the multi-field upgrade, round 11): a pre-field row
+    // indexed the root's single text column, so it IS the default field.
+    // Unlike positions, the default is exact — no information was lost —
+    // and on a root mixing pre- and post-upgrade buckets readMerged
+    // surfaces NULL for the legacy rows, coalesced here.
+    if (pos.columns.contains("field"))
+      pos.withColumn("field", coalesce(col("field"), lit(DefaultField)))
+    else pos.withColumn("field", lit(DefaultField))
   }
 
   private def docBucket(numBuckets: Int): Column =
@@ -104,14 +121,23 @@ object IncrementalPostings {
     }
   }
 
-  /** Per-doc-bucket stats rows (live doc count + total token length) for
-    * the dstats sidecar — a pure function of each bucket's docs content,
-    * which is what makes the sidecar idempotent under replay. */
-  private def bucketStats(docs: DataFrame, tokenize: Column => Column): DataFrame =
-    docs.groupBy("b").agg(
-      count(when(col("op") =!= "delete", lit(1))).as("n_docs"),
-      coalesce(sum(when(col("op") =!= "delete",
-        size(tokenize(col("text"))).cast("long"))), lit(0L)).as("dl_sum"))
+  /** Per-doc-bucket, PER-FIELD stats rows (live doc count + total token
+    * length) for the dstats sidecar — a pure function of each bucket's
+    * docs content, which is what makes the sidecar idempotent under
+    * replay. Lucene semantics per field: a doc counts toward a field's
+    * docCount (and its avgdl denominator) iff it HAS the field (non-null
+    * value) — exactly the rows the merge indexes for that field, so the
+    * sidecar and the entries can never disagree about N. Single-field
+    * roots write one row per bucket under [[DefaultField]]. */
+  private def bucketStats(docs: DataFrame, tokenize: Column => Column,
+                          fields: Seq[String]): DataFrame =
+    fields.map { f =>
+      docs.groupBy("b").agg(
+        count(when(col("op") =!= "delete" && col(f).isNotNull, lit(1))).as("n_docs"),
+        coalesce(sum(when(col("op") =!= "delete",
+          size(tokenize(col(f))).cast("long"))), lit(0L)).as("dl_sum"))
+        .withColumn("field", lit(f))
+    }.reduce(_ unionByName _)
 
   /** Whitespace tokenization by default; pass e.g. `Analyzer.cjk.tokens`
     * for space-free scripts. One row per (tok, doc) carrying the per-doc
@@ -127,19 +153,25 @@ object IncrementalPostings {
     * pure function of the doc's text, so replay reproduces identical
     * rows — the merge stays idempotent. */
   private def docToks(docs: DataFrame, tokenize: Column => Column,
-                      keepPositions: Boolean = true): DataFrame = {
-    val base = docs.filter(col("op") =!= "delete")
-    if (keepPositions)
-      base.select(col("rowkey").as("doc_id"),
-          posexplode(tokenize(col("text"))).as(Seq("pos", "tok")))
-        .groupBy("tok", "doc_id")
-        .agg(count(lit(1)).as("tf"),
-          sort_array(collect_list(col("pos"))).as("positions"))
-    else
-      base.select(col("rowkey").as("doc_id"), explode(tokenize(col("text"))).as("tok"))
-        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"),
-          lit(null).cast("array<int>").as("positions"))
-  }
+                      keepPositions: Boolean = true,
+                      fields: Seq[String] = Seq(DefaultField)): DataFrame =
+    fields.map { f =>
+      // a null field value means the doc doesn't HAVE the field — it
+      // indexes nothing for it (Lucene's absent-field semantics)
+      val base = docs.filter(col("op") =!= "delete" && col(f).isNotNull)
+      val toks =
+        if (keepPositions)
+          base.select(col("rowkey").as("doc_id"),
+              posexplode(tokenize(col(f))).as(Seq("pos", "tok")))
+            .groupBy("tok", "doc_id")
+            .agg(count(lit(1)).as("tf"),
+              sort_array(collect_list(col("pos"))).as("positions"))
+        else
+          base.select(col("rowkey").as("doc_id"), explode(tokenize(col(f))).as("tok"))
+            .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"),
+              lit(null).cast("array<int>").as("positions"))
+      toks.withColumn("field", lit(f))
+    }.reduce(_ unionByName _)
 
   /** Multi-bucket state read with schema MERGE across files: bucket
     * files written before a payload column existed (tf, positions — the
@@ -167,7 +199,39 @@ object IncrementalPostings {
                  tokenize: Column => Column = split(_, " "),
                  numBuckets: Int = IncrementalIndex.DefaultBuckets,
                  tokenizerName: Option[String] = None,
-                 keepPositions: Boolean = true): Unit = {
+                 keepPositions: Boolean = true): Unit =
+    mergeImpl(spark, batch, rootPath, Seq(DefaultField), tokenize, numBuckets,
+      tokenizerName, keepPositions)
+
+  /** Fold one MULTI-FIELD micro-batch into the persisted postings state —
+    * the reference's actual document shape: every HBase qualifier becomes
+    * its own Solr field (HbaseSolrIndexCoprocesser.java:45-49,
+    * `doc.addField(qualifier, value)`), so a document is (rowkey,
+    * event_id, op, one string column PER FIELD). Entries carry a `field`
+    * column ((tok, field, doc_id) is the posting key — Lucene's terms ARE
+    * (field, term) pairs); the dstats sidecar keeps per-field length
+    * stats, so per-field BM25 ([[bm25SearchFields]]) reads exact N/avgdl
+    * per field with no docs scan. A null field value means the doc
+    * doesn't have the field. The field list is pinned in a `_fields`
+    * root marker: single- and multi-field writers can never interleave
+    * on one root (a single-field merge would strand the other fields'
+    * stale postings — its removals only re-tokenize its own column). */
+  def mergeBatchFields(spark: SparkSession, batch: DataFrame, rootPath: String,
+                       fields: Seq[String],
+                       tokenize: Column => Column = split(_, " "),
+                       numBuckets: Int = IncrementalIndex.DefaultBuckets,
+                       tokenizerName: Option[String] = None,
+                       keepPositions: Boolean = true): Unit = {
+    require(fields.nonEmpty && fields.distinct == fields,
+      s"field list must be non-empty and duplicate-free, got $fields")
+    mergeImpl(spark, batch, rootPath, fields, tokenize, numBuckets,
+      tokenizerName, keepPositions)
+  }
+
+  private def mergeImpl(spark: SparkSession, batch: DataFrame, rootPath: String,
+                        fields: Seq[String], tokenize: Column => Column,
+                        numBuckets: Int, tokenizerName: Option[String],
+                        keepPositions: Boolean): Unit = {
     // the merge computes removals by RE-tokenizing each touched doc's old
     // text — entries written under one tokenizer and removed under
     // another never match, stranding stale postings forever. A named
@@ -178,6 +242,10 @@ object IncrementalPostings {
     // wherever the root outlives one writer.
     tokenizerName.foreach(n =>
       StateStore.ensureTag(spark, rootPath, "_tokenizer", n))
+    // the FIELD LIST is always checkable (it's data, not code): the first
+    // merge records it, and a later merge with a different list fails
+    // loudly instead of stranding the missing fields' stale postings
+    StateStore.ensureTag(spark, rootPath, "_fields", fields.mkString(","))
     val docsRoot = rootPath + "/docs"
     val entriesRoot = rootPath + "/entries"
 
@@ -210,9 +278,9 @@ object IncrementalPostings {
     // keys — so they always take the cheap explode path regardless of the
     // root's positions setting
     val removals = docToks(oldDocs.join(broadcast(touched), "rowkey"), tokenize,
-      keepPositions = false).cache()
+      keepPositions = false, fields).cache()
     val additions = docToks(mergedDocs.drop("b").join(broadcast(touched), "rowkey"),
-      tokenize, keepPositions).cache()
+      tokenize, keepPositions, fields).cache()
 
     val touchedTokB = removals.select(tokBucket(numBuckets).as("b"))
       .unionByName(additions.select(tokBucket(numBuckets).as("b")))
@@ -225,8 +293,8 @@ object IncrementalPostings {
     // the delta, additions so replay over an already-promoted bucket
     // cannot duplicate them.
     val newEntries = oldEntries
-      .join(removals, Seq("tok", "doc_id"), "left_anti")
-      .join(additions, Seq("tok", "doc_id"), "left_anti")
+      .join(removals, Seq("tok", "field", "doc_id"), "left_anti")
+      .join(additions, Seq("tok", "field", "doc_id"), "left_anti")
       .unionByName(additions)
       .withColumn("b", tokBucket(numBuckets))
       .repartition(col("b")) // one file per rewritten entry bucket
@@ -239,7 +307,7 @@ object IncrementalPostings {
     // the checkpointed replay recomputes them from the (already-new) docs.
     val statsRoot = rootPath + "/dstats"
     StateStore.ensureBucketCount(spark, statsRoot, numBuckets)
-    val stats = bucketStats(mergedDocs, tokenize)
+    val stats = bucketStats(mergedDocs, tokenize, fields)
 
     mergedDocs.count(); newEntries.count() // decouple from the input files
     try {
@@ -271,7 +339,7 @@ object IncrementalPostings {
       if (missing.nonEmpty) {
         val legacy = bucketStats(
           spark.read.parquet(missing.map(d => s"$docsRoot/$d"): _*)
-            .withColumn("b", docBucket(numBuckets)), tokenize)
+            .withColumn("b", docBucket(numBuckets)), tokenize, fields)
         StateStore.commitBuckets(spark, statsRoot, missing) { tmp =>
           legacy.write.partitionBy("b").mode("overwrite").parquet(tmp)
         }
@@ -357,17 +425,28 @@ object IncrementalPostings {
       // back to whitespace for an anonymous custom tokenizer — wrong
       // dl units with no error. Deriving from the index itself cannot
       // mismatch the index.
+      // per-FIELD recompute (the `_fields` marker names the root's fields;
+      // pre-marker roots are single-field by construction): a field's dl
+      // is the sum of the doc's entries' tfs FOR THAT FIELD — same
+      // tokenizer-free derivation as before, now keyed (doc, field) so a
+      // multi-field root's sidecar keeps exact per-field N/avgdl
+      val fields = StateStore.readTag(spark, rootPath, "_fields")
+        .map(_.split(",").toSeq).getOrElse(Seq(DefaultField))
       val live = readMerged(spark, dirs.map(d => s"$docsRoot/$d"))
         .withColumn("b", docBucket(newBuckets))
         .filter(col("op") =!= "delete")
-        .select(col("rowkey"), col("b"))
       val dl = allEntries(spark, rootPath)
-        .groupBy("doc_id").agg(sum("tf").as("dl"))
-      val stats = live.join(dl, live("rowkey") === dl("doc_id"), "left")
-        .groupBy("b").agg(
-          count(lit(1)).as("n_docs"),
-          coalesce(sum("dl"), lit(0L)).as("dl_sum"))
-        .cache()
+        .groupBy("doc_id", "field").agg(sum("tf").as("dl"))
+      val stats = fields.map { f =>
+        val had = live.filter(col(f).isNotNull).select(col("rowkey"), col("b"))
+        val dlf = dl.filter(col("field") === lit(f))
+          .withColumnRenamed("doc_id", "rowkey").drop("field")
+        had.join(dlf, Seq("rowkey"), "left")
+          .groupBy("b").agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum("dl"), lit(0L)).as("dl_sum"))
+          .withColumn("field", lit(f))
+      }.reduce(_ unionByName _).cache()
       stats.count() // decouple from the old dstats files before the swap
       try StateStore.commit(spark, statsRoot)(tmp =>
         stats.write.partitionBy("b").mode("overwrite").parquet(tmp))
@@ -614,7 +693,18 @@ object IncrementalPostings {
     val root = rootPath + "/dstats"
     val dirs = StateStore.liveBuckets(spark, root)
     val per =
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      if (dirs.nonEmpty) {
+        // the sidecar went per-field in round 11: single-field reads take
+        // the default field's rows (≡ all rows on a single-field root;
+        // legacy pre-field rows surface field = NULL under mergeSchema
+        // and ARE the default field). Summing across fields here would
+        // silently hand a multi-field root's combined length mass to a
+        // single-field ranking.
+        val raw = readMerged(spark, dirs.map(d => s"$root/$d"))
+        if (raw.columns.contains("field"))
+          raw.filter(coalesce(col("field"), lit(DefaultField)) === DefaultField)
+        else raw
+      }
       else
         // pre-sidecar root: a one-time corpus-sized fallback aggregate,
         // measured with the CALLER's tokenizer so dl and avgdl stay in
@@ -624,6 +714,112 @@ object IncrementalPostings {
           size(tokenize(col("text"))).cast("long").as("dl_sum"))
     per.agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
       .select(col("n_docs"), (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
+  }
+
+  /** PER-FIELD ranking statistics from the dstats sidecar — one row per
+    * field (field, n_docs, avgdl), where n_docs is the field's docCount
+    * (docs that HAVE the field — Lucene's per-field similarity statistic)
+    * and avgdl its exact-integer length sum over that count. ≤ bucket ×
+    * field rows of metadata, no docs scan. Legacy pre-field rows adopt
+    * [[DefaultField]]. */
+  def fieldStats(spark: SparkSession, rootPath: String): DataFrame = {
+    val root = rootPath + "/dstats"
+    val dirs = StateStore.liveBuckets(spark, root)
+    require(dirs.nonEmpty,
+      s"no dstats sidecar at $rootPath — merge a batch first")
+    val raw = readMerged(spark, dirs.map(d => s"$root/$d"))
+    val per =
+      if (raw.columns.contains("field"))
+        raw.withColumn("field", coalesce(col("field"), lit(DefaultField)))
+      else raw.withColumn("field", lit(DefaultField))
+    per.groupBy("field")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
+      .select(col("field"), col("n_docs"),
+        (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
+  }
+
+  /** Multi-field boosted term search over the maintained state — Solr
+    * edismax's `qf` (e.g. `qf=title^2 body`) with `tie=1.0`, i.e. the
+    * per-field term frequencies weighted by their field boosts and
+    * SUMMED. One bucket-pruned entries read serves every field: a term's
+    * postings for ALL fields live in the one bucket the term hashes to
+    * (the field is posting payload, not part of the hash key), so
+    * per-query I/O is the term's bucket + the hit docs' own buckets —
+    * never a corpus scan. Returns the live hit rows with per-field
+    * `tf_<field>` counts and the weighted `score`. Docs matching ONLY
+    * non-boosted fields are excluded (edismax searches `qf` fields
+    * only). */
+  def termSearchFields(spark: SparkSession, rootPath: String, term: String,
+                       boosts: Seq[(String, Double)]): DataFrame = {
+    require(boosts.nonEmpty && boosts.map(_._1).distinct.size == boosts.size,
+      s"qf needs a non-empty, duplicate-free field->boost list, got $boosts")
+    val ent = prunedEntries(spark, rootPath, Seq(term))
+    val tfAggs = boosts.map { case (f, _) =>
+      sum(when(col("field") === f, col("tf"))).as(s"tf_$f") }
+    val score = boosts.map { case (f, w) =>
+      coalesce(col(s"tf_$f"), lit(0L)) * lit(w) }.reduce(_ + _)
+    val hits = ent.groupBy(col("doc_id").as("rowkey"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+      .filter(boosts.map { case (f, _) => col(s"tf_$f").isNotNull }.reduce(_ || _))
+      .select(col("rowkey") +:
+        boosts.map { case (f, _) => coalesce(col(s"tf_$f"), lit(0L)).as(s"tf_$f") } :+
+        score.as("score"): _*)
+    prunedDocsForKeys(spark, rootPath, hits.select("rowkey"))
+      .join(broadcast(hits), "rowkey")
+  }
+
+  /** Multi-field BM25 over the maintained state — Lucene's per-field
+    * similarity under edismax `qf` with `tie=1.0`: every field is its own
+    * index with its OWN statistics (df per (term, field), docCount and
+    * avgdl per field from the [[fieldStats]] sidecar, dl per (doc,
+    * field) from the fetched rows), each (term, field) contribution is
+    * the standard BM25 term (k1=1.2, b=0.75, constant-folded literals as
+    * everywhere), weighted by the field boost, and summed per doc. Read
+    * shape is [[bm25Search]]'s: bucket-pruned entries (a (term, field)
+    * posting set is complete within the term's bucket, so df is exact),
+    * metadata-sized sidecar, hit-list-broadcast fetch of only the hit
+    * docs' buckets — no corpus file opened. `tokenize` must match the
+    * state's merge tokenizer. */
+  def bm25SearchFields(spark: SparkSession, rootPath: String,
+                       terms: Seq[String], boosts: Seq[(String, Double)],
+                       k: Int = 20,
+                       tokenize: Column => Column = split(_, " ")): DataFrame = {
+    require(terms.nonEmpty, "ranked retrieval needs at least one term")
+    require(boosts.nonEmpty && boosts.map(_._1).distinct.size == boosts.size,
+      s"qf needs a non-empty, duplicate-free field->boost list, got $boosts")
+    import spark.implicits._
+    val fieldNames = boosts.map(_._1)
+    val ent = prunedEntries(spark, rootPath, terms.distinct)
+      .filter(col("field").isin(fieldNames: _*))
+      .select("tok", "field", "doc_id", "tf")
+      .localCheckpoint() // one read of the pruned buckets for df AND tf
+    val hits = ent
+      .join(broadcast(ent.groupBy("tok", "field").agg(count(lit(1)).as("df"))),
+        Seq("tok", "field"))
+    val boostDf = boosts.toDF("field", "boost")
+    // per-field dl of the hit docs, from the fetched rows' own columns —
+    // ONE pass over the (bucket-pruned) fetch: the fields melt through a
+    // single explode instead of one read per field. A null field value
+    // (doc doesn't have the field) surfaces dl NULL and is dropped.
+    val docs = prunedDocsForKeys(spark, rootPath,
+      hits.select(col("doc_id").as("rowkey")))
+    val dls = docs.select(col("rowkey").as("doc_id"),
+        explode(array(fieldNames.map(f => struct(lit(f).as("field"),
+          size(tokenize(col(f))).cast("long").as("dl"))): _*)).as("fd"))
+      .select(col("doc_id"), col("fd.field").as("field"), col("fd.dl").as("dl"))
+      .filter(col("dl").isNotNull)
+    dls.join(broadcast(hits), Seq("doc_id", "field"))
+      .join(broadcast(fieldStats(spark, rootPath)), "field")
+      .join(broadcast(boostDf), "field")
+      .withColumn("contrib",
+        col("boost") *
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (lit(2.2) * col("tf")) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** The query terms' posting rows with their per-term df joined in —
