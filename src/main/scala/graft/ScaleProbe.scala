@@ -37,8 +37,18 @@ object ScaleProbe {
   private val Families = Seq(
     "q_index_state", "q_search_maintained", "q_bm25_maintained",
     "q_ann_pq_batch", "q_active_sweep", "q_facet_maintained",
-    "q_neardup_probe")
-  private val TaggedFamilies = Seq("q_span_dedup", "q_dedup_near")
+    "q_neardup_probe",
+    // round-10 families (round-11 verdict task 4): counter merge+read,
+    // cuboid-served nested facet stats, and the large-registry
+    // percolation strategy, all against the N× event/doc state
+    "q_counter_maintained", "q_facet_stats_maintained", "q_percolate_rich")
+  // tagged corpus: replica-prefixed tokens grow the VOCABULARY N× — the
+  // honest corpus for reads whose cost scales with vocabulary size.
+  // q_wildcard_maintained's prefix expansion is exactly that read (its
+  // prefix matches nothing in the tagged token space, so the timing
+  // isolates the vocabulary range-scan component — the growth term).
+  private val TaggedFamilies = Seq("q_span_dedup", "q_dedup_near",
+    "q_wildcard_maintained")
 
   private def taggedText(r: Int): org.apache.spark.sql.Column =
     concat_ws(" ", transform(split(col("text"), " "),
@@ -177,6 +187,37 @@ object ScaleProbe {
     val (tNq, bN) = buildDelta(timeFamilies(spark, Families, s"$root/asis"))
     val (tNt, bNt) = buildDelta(timeFamilies(spark, TaggedFamilies, s"$root/tagged"))
 
+    // Per-probe shingle budget (round-11 verdict task 5): the unbudgeted
+    // per-doc probe touches every entry bucket (a typical doc has more
+    // distinct shingles than the root has buckets), so its latency grows
+    // with state. The budget (bottom-K crc32 shingles generate candidates;
+    // scores stay exact full-sketch Jaccard) bounds the entries read.
+    // Timed against the SAME fixture state the q_neardup_probe family
+    // uses (already warm from the family passes), with result parity
+    // checked at each scale.
+    def probeAt(dir: String, budget: Int): (Double, Set[(String, Double)]) = {
+      val (proot, text) = graft.operators.Dedup.probeFixtureFor(spark, dir)
+      def run(): Unit = graft.streaming.IncrementalShingles
+        .nearDuplicates(spark, proot, text, threshold = 0.5,
+          maxQueryShingles = budget)
+        .write.format("noop").mode("overwrite").save()
+      run() // warm this variant (candidate collect + fetch plan)
+      val trials = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val rows = graft.streaming.IncrementalShingles
+        .nearDuplicates(spark, proot, text, threshold = 0.5,
+          maxQueryShingles = budget)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      (trials.min, rows)
+    }
+    val (pbE1, prE1) = probeAt(sfDir, 0)
+    val (pbB1, prB1) = probeAt(sfDir, 16)
+    val (pbEN, prEN) = probeAt(s"$root/asis", 0)
+    val (pbBN, prBN) = probeAt(s"$root/asis", 16)
+
     // ingest: tagged replicas preserve gate structure; the fresh flush
     // batch carries its own tag so the gate scores, not drops. The 1×
     // baseline is ONE tagged replica — tagging changes token shapes, so
@@ -206,6 +247,9 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"scale_probe","factor":$n,"sf":"$sfDir","families":$all,""" +
+      f""""probe_budget":{"k":16,"exact_1x":$pbE1%.3f,"b16_1x":$pbB1%.3f,""" +
+      f""""exact_nx":$pbEN%.3f,"b16_nx":$pbBN%.3f,""" +
+      f""""parity_1x":${prE1 == prB1},"parity_nx":${prEN == prBN}},""" +
       f""""build_sec":{"q1":${b1 + b1t}%.1f,"qN":${bN + bNt}%.1f,"exponent":${exp(b1 + b1t, bN + bNt)}%.2f},""" +
       f""""ingest":{"docs1":$nd1,"docsN":$ndN,"bootstrap1":$boot1%.1f,"bootstrapN":$bootN%.1f,""" +
       f""""bootstrap_exponent":${exp(boot1, bootN)}%.2f,"flush1k_vs_1x_state":$flush1%.2f,""" +

@@ -245,8 +245,10 @@ object IncrementalShingles {
     * ≥ `threshold`, best match first. */
   def nearDuplicates(spark: SparkSession, rootPath: String, text: String,
                      threshold: Double = 0.8,
-                     dfCap: Int = graft.operators.Dedup.DfCap): DataFrame =
-    nearDuplicatesWith(spark, rootPath, text, WordShingles, threshold, dfCap)
+                     dfCap: Int = graft.operators.Dedup.DfCap,
+                     maxQueryShingles: Int = 0): DataFrame =
+    nearDuplicatesWith(spark, rootPath, text, WordShingles, threshold, dfCap,
+      maxQueryShingles)
 
   /** [[nearDuplicates]] over a SPACE-FREE (CJK) maintained sketch state —
     * the online ingestion-time check for the reference's actual language:
@@ -257,22 +259,57 @@ object IncrementalShingles {
     * `scheme = CharSketch`. */
   def nearDuplicatesChar(spark: SparkSession, rootPath: String, text: String,
                          threshold: Double = 0.8,
-                         dfCap: Int = graft.operators.Dedup.SketchDfCap): DataFrame =
-    nearDuplicatesWith(spark, rootPath, text, CharSketch, threshold, dfCap)
+                         dfCap: Int = graft.operators.Dedup.SketchDfCap,
+                         maxQueryShingles: Int = 0): DataFrame =
+    nearDuplicatesWith(spark, rootPath, text, CharSketch, threshold, dfCap,
+      maxQueryShingles)
 
+  /** `maxQueryShingles` (0 = unbounded, the default and the oracle-checked
+    * exact contract) caps how many of the QUERY's shingles generate
+    * candidates — the per-probe latency bound for a growing state. With
+    * the full shingle set, a probe touches up to min(|qsh|, buckets)
+    * entry buckets, and since a typical document has more distinct
+    * shingles than the root has buckets, probe I/O degrades to the WHOLE
+    * entries state as it grows (measured: 1.1 s at 1×, 8.1 s at 30× —
+    * SCALE.md). Budgeted, the probe reads ≤ maxQueryShingles buckets —
+    * with enough buckets, a fixed fraction of state per probe.
+    *
+    * Selection is the deterministic BOTTOM-K of crc32(shingle) — the
+    * bottom-k-sketch estimator's selection, reproducible across runs and
+    * engines, and uncorrelated with bucket assignment's crc32-mod-N only
+    * in the low bits (different reduction of the same hash; candidate
+    * generation needs any-shared-shingle, not distinct buckets, so
+    * correlation is harmless). The recall trade against the exact
+    * contract: a true near-dup at Jaccard J shares ≥ J/(1+J)… in
+    * practice ≥ J of the query's shingles in expectation, so it escapes
+    * K probed shingles only if ALL K land in the unshared minority —
+    * ≤ (1−J)^K for hash-uncorrelated overlap (J=0.8, K=16 → ~6.6e-12);
+    * adversarial corpora can do worse, which is why the default stays
+    * exact. The SCORE is unchanged either way: exact Jaccard against the
+    * FULL query sketch, recomputed from fetched texts — the budget bounds
+    * candidate generation only, exactly like the df cap. */
   private def nearDuplicatesWith(spark: SparkSession, rootPath: String,
                                  text: String, scheme: SketchScheme,
-                                 threshold: Double, dfCap: Int): DataFrame = {
+                                 threshold: Double, dfCap: Int,
+                                 maxQueryShingles: Int = 0): DataFrame = {
     requireScheme(spark, rootPath, scheme)
     val qsh = scheme.sketchLocal(text).distinct
     if (qsh.isEmpty) // too short to sketch: no candidates — empty, not an error
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
+    val probeSh =
+      if (maxQueryShingles > 0 && qsh.size > maxQueryShingles) {
+        def crc(s: String): Long = {
+          val c = new java.util.zip.CRC32()
+          c.update(s.getBytes("UTF-8")); c.getValue
+        }
+        qsh.sortBy(s => (crc(s), s)).take(maxQueryShingles)
+      } else qsh
     // one pass over the pruned entries: per-shingle df and posting list
     // together, cap filter, then the union of surviving posting lists.
     // The candidate list is collected — bounded by dfCap × |query
     // shingles| by construction — so the live-row fetch below prunes to
     // the candidates' own doc buckets (the HBase-Get shape).
-    val candIds = IncrementalPostings.prunedEntries(spark, rootPath, qsh)
+    val candIds = IncrementalPostings.prunedEntries(spark, rootPath, probeSh)
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
       .filter(col("df") <= dfCap)

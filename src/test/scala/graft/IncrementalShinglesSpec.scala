@@ -235,6 +235,47 @@ class IncrementalShinglesSpec extends SparkSpec {
     assert(probe(threshold = 0.5) === Map("3" -> 0.6))
   }
 
+  test("per-probe shingle budget bounds candidate generation; scores stay exact") {
+    val root = Files.createTempDirectory("graft_shingB").toString + "/shingles"
+    merge(root,
+      DocChange("1", 0, "put", "alpha beta gamma delta epsilon zeta"),
+      DocChange("2", 1, "put", "completely different words entirely here now"),
+      DocChange("3", 2, "put", "alpha beta gamma delta epsilon eta"))
+    val q = "alpha beta gamma delta epsilon zeta"
+    def probe(budget: Int): Map[String, Double] =
+      IncrementalShingles.nearDuplicates(spark, root, q, threshold = 0.5,
+        maxQueryShingles = budget).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = probe(0)
+    assert(exact === Map("1" -> 1.0, "3" -> 0.6))
+    // budget 2 of the 4 query shingles: doc 3 shares 3 of them, so at
+    // most one budgeted shingle can be unshared — both dups are found
+    // DETERMINISTICALLY, and the scores are the exact full-sketch
+    // Jaccards, not budget-truncated ones (the budget bounds candidate
+    // generation only, like the df cap)
+    assert(probe(2) === exact)
+    // a budget >= |query shingles| is the exact probe verbatim
+    assert(probe(100) === exact)
+    // the budgeted entries read opens ONLY the bottom-K (crc32) shingles'
+    // buckets — the per-probe I/O bound
+    def crc(s: String): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(s.getBytes("UTF-8")); c.getValue
+    }
+    def bucketOf(key: String): String =
+      s"b=${java.lang.Math.floorMod(crc(key), IncrementalIndex.DefaultBuckets.toLong)}"
+    val qShingles = Seq("alpha beta gamma", "beta gamma delta",
+      "gamma delta epsilon", "delta epsilon zeta")
+    val bottom2 = qShingles.sortBy(s => (crc(s), s)).take(2)
+    val wanted = bottom2.map(bucketOf).toSet
+    val entryFiles = graft.streaming.IncrementalPostings
+      .prunedEntries(spark, root, bottom2).inputFiles
+    assert(entryFiles.nonEmpty)
+    for (f <- entryFiles)
+      assert(wanted.exists(b => f.contains(s"/$b/")),
+        s"budgeted probe read an entry file outside the bottom-K buckets: $f")
+  }
+
   test("batch probe equals per-doc probes; dedupGate admits only novel puts") {
     val root = Files.createTempDirectory("graft_shingB").toString + "/shingles"
     merge(root,
