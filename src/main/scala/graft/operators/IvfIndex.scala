@@ -548,7 +548,15 @@ object IvfIndex {
     * ids (a pushed `vec_id IN (...)` — row-group stats prune the rest)
     * for the EXACT rerank. The result equals [[search]] whenever the true
     * top-k survives the shortlist (the recall contract IvfIndexSpec pins);
-    * `shortlist` is the recall/IO knob. The two driver-side materializations
+    * `shortlist` is the recall/IO knob — and it is CLUSTER-SIZE-RELATIVE,
+    * not absolute: on tightly-clustered data the true top-k sit inside a
+    * near-tie set the size of the query's whole cluster, ADC noise cannot
+    * order near-ties, so a shortlist below the tie-set size starves the
+    * exact rerank regardless of centroid quality (measured: recall 0.28
+    * at shortlist=100 under ~417-member clusters, 1.00 at 500 —
+    * RecallProbe, SCALE.md). Size it ≥ the expected near-tie set
+    * (≈ N/nlist on clustered data), keeping the ≥ 10× k floor for the
+    * unclustered case. The two driver-side materializations
     * are bounded by construction: the ADC table is m×k codebook rows and
     * the id list is `shortlist` longs — metadata, never data. */
   def searchPq(spark: SparkSession, path: String, query: Seq[Float],
