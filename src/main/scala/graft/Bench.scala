@@ -16,6 +16,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b: time just those keys (focused
+    // re-measure of a suspected drift — Verify's SPARK_GRAFT_ONLY twin);
+    // SPARK_GRAFT_BENCH_TRIALS overrides the min-of-N trial count.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val trialsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,7 +36,9 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Warmup: execute every query once, untimed (artifact builds land here;
     // their cost is captured by the build clock and reported below).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val benchKeys = SparkEntry.queries.filter { case (k, _) =>
+      only.forall(_.contains(k)) }
+    benchKeys.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
     // Second warmup pass: the probe/maintained fixtures built during the
@@ -43,7 +51,7 @@ object Bench {
     // artifact_builds, e.g. round 8's 12× simhash_fp) made warmup churn
     // read as a query regression. All fixtures exist after pass one, so
     // pass two triggers no further invalidation.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benchKeys.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
     val warmupBuildSec = graft.operators.Materialize.buildSeconds
@@ -55,12 +63,12 @@ object Bench {
       // a failed query must not masquerade as a fast success
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benchKeys.map { case (name, fn) =>
       // Collect predecessors' garbage before timing: otherwise a query's
       // trials pay GC debt accrued by whichever queries happened to run
       // before it in map order, which is noise, not the query's cost.
       System.gc()
-      val trials = Seq.fill(3)(timeOnce(fn))
+      val trials = Seq.fill(trialsN)(timeOnce(fn))
       name -> (if (trials.exists(_ < 0)) -1.0 else trials.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -187,7 +195,7 @@ object Bench {
     // arithmetic, but only this measures how often the probed/PQ
     // shortlist MISSES true neighbors (the recall/latency tradeoff the
     // probes/shortlist defaults buy; SCALE.md carries the analysis).
-    val annJson = try {
+    val annJson = if (only.nonEmpty) "" else try {
       import org.apache.spark.sql.functions._
       val aRoot = java.nio.file.Files.createTempDirectory("graft_benchAnn")
       val root = aRoot.toString + "/ivf"
@@ -197,25 +205,8 @@ object Bench {
       val qs = e.filter(col("vec_id") % 61 === 0).limit(32)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .localCheckpoint()
-      def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-        df.select("qid", "vec_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-      val truth = top(graft.operators.IvfIndex.searchBatch(spark, root, qs,
+      val truth = AnnEval.top(graft.operators.IvfIndex.searchBatch(spark, root, qs,
         k = 10, probes = 16)) // probes = nlist ⇒ exact over the index
-      def run(f: () => org.apache.spark.sql.DataFrame): (Double, Double) = {
-        val t0 = System.nanoTime()
-        val m = top(f())
-        val sec = (System.nanoTime() - t0) / 1e9
-        // divide by the TRUTH set's size, not the nominal k: an exact
-        // search returning < k rows for a qid (tiny sf, filtered index)
-        // must not silently understate recall
-        val recall = truth.map { case (q, t) =>
-          m.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble /
-            math.max(t.size, 1) }
-          .sum / truth.size
-        (recall, sec)
-      }
       val settings = Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "ivf_p1" -> (() => graft.operators.IvfIndex.searchBatch(spark, root, qs, 10, probes = 1)),
         "ivf_p2" -> (() => graft.operators.IvfIndex.searchBatch(spark, root, qs, 10, probes = 2)),
@@ -224,10 +215,7 @@ object Bench {
         "pq_p4_sl100" -> (() => graft.operators.IvfIndex.searchBatchPq(spark, root, qs, 10, probes = 4)),
         "pq_p4_sl30" -> (() => graft.operators.IvfIndex.searchBatchPq(spark, root, qs, 10, probes = 4, shortlist = 30)))
       val entries = settings.map { case (name, f) =>
-        top(f()): Unit // warm EXECUTES the plan (codegen, broadcasts) so
-                       // the timed run measures the query, not first-run JIT
-        val (r, sec) = run(f)
-        f"""\"$name\":{"recall":$r%.3f,"sec":$sec%.2f}"""
+        AnnEval.entryJson(name, truth, f)
       }.mkString(",")
       try graft.operators.Materialize.deleteLocalDir(aRoot.toString)
       catch { case _: Throwable => }
@@ -235,7 +223,8 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"ann recall bench failed: $t"); ""
     }
-    val ingestJson = ingestAt("ingest", _ => 1000L, withBootstrap = true,
+    val ingestJson = if (only.nonEmpty) "" else
+      ingestAt("ingest", _ => 1000L, withBootstrap = true,
         fullFeatures = true) +
       ingestAt("ingest_bulk", total => math.min(total, 10000L),
         withBootstrap = false) +

@@ -76,11 +76,6 @@ object RecallProbe {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .localCheckpoint()
 
-    def top(df: DataFrame): Map[Long, Set[Long]] =
-      df.select("qid", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
-
     def cellBalance(): Double = {
       val counts = spark.read.parquet(root + "/vectors")
         .groupBy("cell").count().select("count")
@@ -89,7 +84,7 @@ object RecallProbe {
     }
 
     def measure(label: String): String = {
-      val truth = top(graft.operators.IvfIndex.searchBatch(spark, root, qs,
+      val truth = AnnEval.top(graft.operators.IvfIndex.searchBatch(spark, root, qs,
         k = 10, probes = nlist)) // probes = nlist ⇒ exact over the index
       val settings = Seq[(String, () => DataFrame)](
         "ivf_p1" -> (() => graft.operators.IvfIndex.searchBatch(spark, root, qs, 10, probes = 1)),
@@ -105,15 +100,7 @@ object RecallProbe {
         // absolute.
         "pq_p4_sl500" -> (() => graft.operators.IvfIndex.searchBatchPq(spark, root, qs, 10, probes = 4, shortlist = 500)))
       val entries = settings.map { case (name, f) =>
-        top(f()): Unit // warm: codegen/broadcast outside the timed run
-        val t0 = System.nanoTime()
-        val m = top(f())
-        val sec = (System.nanoTime() - t0) / 1e9
-        val recall = truth.map { case (q, t) =>
-          m.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble /
-            math.max(t.size, 1) }
-          .sum / truth.size
-        f""""$name":{"recall":$recall%.3f,"sec":$sec%.2f}"""
+        AnnEval.entryJson(name, truth, f)
       }.mkString(",")
       f""""$label":{"n_queries":${qs.count()},"max_cell_frac":${cellBalance()}%.3f,$entries}"""
     }

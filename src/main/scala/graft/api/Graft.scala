@@ -116,6 +116,20 @@ class Graft(spark: SparkSession, dir: String,
   def searchMaintained(rootPath: String, terms: Seq[String]): DataFrame =
     IncrementalPostings.termSearch(spark, rootPath, terms)
 
+  /** Multi-field boosted term search (edismax `qf`, tie=1) over a
+    * maintained multi-field root (`mergeBatchFields`): per-field tf
+    * weighted by the field boosts, hit rows key-fetched. */
+  def searchFields(rootPath: String, term: String,
+                   boosts: Seq[(String, Double)]): DataFrame =
+    IncrementalPostings.termSearchFields(spark, rootPath, term, boosts)
+
+  /** Per-field BM25 under `qf` boosts (Lucene's per-field similarity —
+    * each field its own df/docCount/avgdl/dl) over a maintained
+    * multi-field root. */
+  def bm25Fields(rootPath: String, terms: Seq[String],
+                 boosts: Seq[(String, Double)], k: Int = 20): DataFrame =
+    IncrementalPostings.bm25SearchFields(spark, rootPath, terms, boosts, k)
+
   /** Point lookup (HBase Get/multi-Get) against a maintained index
     * state: opens only the keys' own bucket dirs; pages inside prune via
     * the clustered write order. */
@@ -205,8 +219,11 @@ class Graft(spark: SparkSession, dir: String,
     * bucket-pruned index, exact Jaccard scored on the fetched live rows;
     * no corpus or index scan. The ingestion-time dedup gate. */
   def nearDuplicatesOf(rootPath: String, text: String,
-                       threshold: Double = 0.8): DataFrame =
-    IncrementalShingles.nearDuplicates(spark, rootPath, text, threshold)
+                       threshold: Double = 0.8,
+                       maxQueryShingles: Int = 0,
+                       maxCandidates: Int = 0): DataFrame =
+    IncrementalShingles.nearDuplicates(spark, rootPath, text, threshold,
+      maxQueryShingles = maxQueryShingles, maxCandidates = maxCandidates)
 
   /** [[nearDuplicatesOf]] for SPACE-FREE (CJK) text against a maintained
     * char-sketch state (merged with `scheme = CharSketch`) — the online

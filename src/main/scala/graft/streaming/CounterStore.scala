@@ -86,14 +86,19 @@ object CounterStore {
             (col("agg") || col("last_id") > coalesce(col("hw"), lit(-1L)))))
   }
 
-  def compactCounters(changes: DataFrame): DataFrame =
-    annotated(changes)
-      .filter(col("kept"))
+  /** The per-cell fold over the annotated frame's kept rows — one body
+    * shared by [[compactCounters]] and the merge (two copies would drift
+    * on the next schema change). */
+  private def fold(ann: DataFrame): DataFrame =
+    ann.filter(col("kept"))
       .groupBy("rowkey", "qualifier", "op")
       .agg(max(col("last_id")).as("last_id"),
         sum(col("total")).as("total"),
         sum(col("n_incr")).as("n_incr"))
       .withColumn("agg", lit(true))
+
+  def compactCounters(changes: DataFrame): DataFrame =
+    fold(annotated(changes))
 
   /** Rows the last [[mergeCounters]] suppressed as high-water replays —
     * the observability seam for the monotone-arrival contract: expected
@@ -118,6 +123,10 @@ object CounterStore {
                     numBuckets: Int = DefaultBuckets): Unit = {
     val withB = normalize(batch).withColumn("b", bucketCol(numBuckets))
     val touched = withB.select("b").distinct().collect().map(_.getInt(0)).sorted
+    // an empty batch suppresses nothing: reset BEFORE the early return so
+    // the last-merge-wins metric can never attribute a previous merge's
+    // drops to a no-op batch
+    lastMergeHwDrops = 0L
     if (touched.isEmpty) return
     StateStore.ensureBucketCount(spark, statePath, numBuckets)
     val live = StateStore.liveBuckets(spark, statePath).toSet
@@ -130,12 +139,7 @@ object CounterStore {
     // annotate once, cache: the kept rows feed the fold, the hw-dropped
     // rows feed the replay-suppression metric — one window pass for both
     val ann = annotated(oldTouched.unionByName(withB)).cache()
-    val merged = ann.filter(col("kept"))
-      .groupBy("rowkey", "qualifier", "op")
-      .agg(max(col("last_id")).as("last_id"),
-        sum(col("total")).as("total"),
-        sum(col("n_incr")).as("n_incr"))
-      .withColumn("agg", lit(true))
+    val merged = fold(ann)
       .withColumn("b", bucketCol(numBuckets))
       .repartition(col("b")).cache()
     merged.count() // materialize before the swap touches the input paths

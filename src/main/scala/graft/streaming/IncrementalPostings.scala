@@ -134,7 +134,11 @@ object IncrementalPostings {
     fields.map { f =>
       docs.groupBy("b").agg(
         count(when(col("op") =!= "delete" && col(f).isNotNull, lit(1))).as("n_docs"),
-        coalesce(sum(when(col("op") =!= "delete",
+        // the isNotNull guard must mirror n_docs': under legacy sizeOfNull
+        // (ANSI off) size(tokenize(NULL)) is -1, and an unguarded sum
+        // would silently SUBTRACT one per null-field doc — dl_sum and the
+        // entries would then disagree about the field's length mass
+        coalesce(sum(when(col("op") =!= "delete" && col(f).isNotNull,
           size(tokenize(col(f))).cast("long"))), lit(0L)).as("dl_sum"))
         .withColumn("field", lit(f))
     }.reduce(_ unionByName _)
@@ -580,13 +584,24 @@ object IncrementalPostings {
     * their distinct bucket ids (≤ bucket count) are collected, and only
     * those doc buckets are opened. The batch form of the HBase-Get-shaped
     * [[prunedDocs]] fetch. */
+  /** Zero rows in the docs state's OWN schema: a multi-field root's docs
+    * carry per-field columns, and an empty fetch must still resolve them
+    * (the per-field dl melt selects the field columns even when the hit
+    * list is empty). Falls back to the documented single-field schema
+    * only when the root has no committed docs at all. */
+  private def emptyDocs(spark: SparkSession, docsRoot: String): DataFrame = {
+    val live = StateStore.liveBuckets(spark, docsRoot)
+    if (live.nonEmpty) readMerged(spark, Seq(s"$docsRoot/${live.head}")).limit(0)
+    else emptyDf(spark, docsSchema)
+  }
+
   private[graft] def prunedDocsForKeys(spark: SparkSession, rootPath: String,
                                        keys: DataFrame): DataFrame = {
     val docsRoot = rootPath + "/docs"
     val dirs = bucketDirsForFrame(spark, docsRoot, keys, "rowkey")
     val docs =
       if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$docsRoot/$d"))
-      else emptyDf(spark, docsSchema)
+      else emptyDocs(spark, docsRoot)
     docs.filter(col("op") =!= "delete").join(keys.select("rowkey").distinct(), "rowkey")
   }
 
@@ -601,7 +616,7 @@ object IncrementalPostings {
     val dirs = StateStore.bucketDirsFor(spark, docsRoot, rowkeys)
     val docs =
       if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$docsRoot/$d"))
-      else emptyDf(spark, docsSchema)
+      else emptyDocs(spark, docsRoot)
     docs.filter(col("op") =!= "delete").filter(col("rowkey").isin(rowkeys: _*))
   }
 
@@ -690,6 +705,16 @@ object IncrementalPostings {
     * double — the same arithmetic as the corpus-scoped BM25's `avg`. */
   def docStats(spark: SparkSession, rootPath: String,
                tokenize: Column => Column = split(_, " ")): DataFrame = {
+    // guard symmetry with the `_fields` WRITE marker: a single-field
+    // ranked read against a multi-field root would filter the sidecar to
+    // a field that doesn't exist and score every document with NULL
+    // statistics — silently. Fail loudly instead, like the write path.
+    StateStore.readTag(spark, rootPath, "_fields").foreach { f =>
+      if (f != DefaultField) throw new IllegalStateException(
+        s"state at $rootPath is a multi-field root (fields=$f); " +
+          "single-field ranked reads have no statistics here — use " +
+          "bm25SearchFields/termSearchFields with explicit field boosts")
+    }
     val root = rootPath + "/dstats"
     val dirs = StateStore.liveBuckets(spark, root)
     val per =
@@ -789,6 +814,10 @@ object IncrementalPostings {
       s"qf needs a non-empty, duplicate-free field->boost list, got $boosts")
     import spark.implicits._
     val fieldNames = boosts.map(_._1)
+    // sidecar first: an un-merged root fails HERE with fieldStats'
+    // "merge a batch first" instead of an unresolved-column error from
+    // the per-field dl melt over the empty docs fallback
+    val fstats = fieldStats(spark, rootPath)
     val ent = prunedEntries(spark, rootPath, terms.distinct)
       .filter(col("field").isin(fieldNames: _*))
       .select("tok", "field", "doc_id", "tf")
@@ -809,7 +838,7 @@ object IncrementalPostings {
       .select(col("doc_id"), col("fd.field").as("field"), col("fd.dl").as("dl"))
       .filter(col("dl").isNotNull)
     dls.join(broadcast(hits), Seq("doc_id", "field"))
-      .join(broadcast(fieldStats(spark, rootPath)), "field")
+      .join(broadcast(fstats), "field")
       .join(broadcast(boostDf), "field")
       .withColumn("contrib",
         col("boost") *

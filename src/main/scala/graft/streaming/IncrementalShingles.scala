@@ -246,9 +246,10 @@ object IncrementalShingles {
   def nearDuplicates(spark: SparkSession, rootPath: String, text: String,
                      threshold: Double = 0.8,
                      dfCap: Int = graft.operators.Dedup.DfCap,
-                     maxQueryShingles: Int = 0): DataFrame =
+                     maxQueryShingles: Int = 0,
+                     maxCandidates: Int = 0): DataFrame =
     nearDuplicatesWith(spark, rootPath, text, WordShingles, threshold, dfCap,
-      maxQueryShingles)
+      maxQueryShingles, maxCandidates)
 
   /** [[nearDuplicates]] over a SPACE-FREE (CJK) maintained sketch state —
     * the online ingestion-time check for the reference's actual language:
@@ -260,9 +261,10 @@ object IncrementalShingles {
   def nearDuplicatesChar(spark: SparkSession, rootPath: String, text: String,
                          threshold: Double = 0.8,
                          dfCap: Int = graft.operators.Dedup.SketchDfCap,
-                         maxQueryShingles: Int = 0): DataFrame =
+                         maxQueryShingles: Int = 0,
+                         maxCandidates: Int = 0): DataFrame =
     nearDuplicatesWith(spark, rootPath, text, CharSketch, threshold, dfCap,
-      maxQueryShingles)
+      maxQueryShingles, maxCandidates)
 
   /** `maxQueryShingles` (0 = unbounded, the default and the oracle-checked
     * exact contract) caps how many of the QUERY's shingles generate
@@ -287,11 +289,29 @@ object IncrementalShingles {
     * adversarial corpora can do worse, which is why the default stays
     * exact. The SCORE is unchanged either way: exact Jaccard against the
     * FULL query sketch, recomputed from fetched texts — the budget bounds
-    * candidate generation only, exactly like the df cap. */
+    * candidate generation only, exactly like the df cap.
+    *
+    * `maxCandidates` (0 = unbounded) bounds the other growth axis — the
+    * candidate doc FETCH. The shingle budget caps how many entry buckets
+    * a probe reads, but on a corpus where candidates multiply with state
+    * (verbatim replication, boilerplate families) the surviving posting
+    * lists alone touch nearly every DOC bucket — measured: rescaling the
+    * 10× root to 256 buckets cut the entries scan yet moved probe latency
+    * only −8%, pinning the cost on the fetch. The bound consumes posting
+    * lists RAREST shingle first (df ascending — Lucene's cost-ordering:
+    * the rarest shared shingle is the most selective evidence, and a true
+    * near-dup at Jaccard J shares ~J of the query's shingles, so it
+    * appears in some rare list long before the budget fills) and stops
+    * ADDING lists once the accumulated distinct-candidate set reaches the
+    * budget — whole lists only, so the fetch is ≤ maxCandidates + dfCap
+    * docs and the result stays deterministic. Same contract as the
+    * shingle budget: candidate generation is bounded, the SCORE on every
+    * surviving candidate is the exact full-sketch Jaccard. */
   private def nearDuplicatesWith(spark: SparkSession, rootPath: String,
                                  text: String, scheme: SketchScheme,
                                  threshold: Double, dfCap: Int,
-                                 maxQueryShingles: Int = 0): DataFrame = {
+                                 maxQueryShingles: Int = 0,
+                                 maxCandidates: Int = 0): DataFrame = {
     requireScheme(spark, rootPath, scheme)
     val qsh = scheme.sketchLocal(text).distinct
     if (qsh.isEmpty) // too short to sketch: no candidates — empty, not an error
@@ -309,13 +329,28 @@ object IncrementalShingles {
     // The candidate list is collected — bounded by dfCap × |query
     // shingles| by construction — so the live-row fetch below prunes to
     // the candidates' own doc buckets (the HBase-Get shape).
-    val candIds = IncrementalPostings.prunedEntries(spark, rootPath, probeSh)
+    val candAgg = IncrementalPostings.prunedEntries(spark, rootPath, probeSh)
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
       .filter(col("df") <= dfCap)
-      .select(explode(col("ids")).as("rowkey"))
-      .distinct()
-      .collect().map(_.getString(0)).toSeq
+    val candIds: Seq[String] =
+      if (maxCandidates > 0) {
+        // same driver-side bound as the unbudgeted collect (dfCap ×
+        // |probeSh| rows ceiling); the per-list ids order from
+        // collect_set is nondeterministic but harmless — lists are
+        // consumed whole, so membership, not order, decides the set
+        val lists = candAgg.select(col("df"), col("tok"), col("ids"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+          .sortBy { case (df, tok, _) => (df, tok) }
+        val acc = scala.collection.mutable.LinkedHashSet.empty[String]
+        val it = lists.iterator
+        while (it.hasNext && acc.size < maxCandidates) acc ++= it.next()._3
+        acc.toSeq
+      } else candAgg
+        .select(explode(col("ids")).as("rowkey"))
+        .distinct()
+        .collect().map(_.getString(0)).toSeq
     if (candIds.isEmpty)
       return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
     // array_sort at plan time (foldable literal → constant-folded once);

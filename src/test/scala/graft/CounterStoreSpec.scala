@@ -75,6 +75,11 @@ class CounterStoreSpec extends SparkSpec {
     // replay suppression from a monotone-arrival contract violation
     assert(CounterStore.lastMergeHwDrops === 1L,
       "the hw-suppressed replay row must be counted, not silent")
+    // last-merge-wins means a NO-OP batch resets the metric — a previous
+    // merge's drops must never be attributed to an empty batch
+    CounterStore.mergeCounters(spark, df(Seq.empty), root, numBuckets = 4)
+    assert(CounterStore.lastMergeHwDrops === 0L,
+      "an empty batch must reset the hw-drop metric, not inherit the previous merge's")
   }
 
   test("intra-batch whole-row duplicates collapse; same-id distinct deltas both count") {

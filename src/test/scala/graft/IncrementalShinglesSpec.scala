@@ -276,6 +276,52 @@ class IncrementalShinglesSpec extends SparkSpec {
         s"budgeted probe read an entry file outside the bottom-K buckets: $f")
   }
 
+  test("per-probe candidate budget bounds the doc fetch rarest-shingle-first; scores stay exact") {
+    val root = Files.createTempDirectory("graft_shingC").toString + "/shingles"
+    // one true near-dup sharing two RARE shingles; five boilerplate docs
+    // sharing one COMMON shingle with the query — the candidate-explosion
+    // shape the budget exists for (state grows, every probe shingle drags
+    // in a crowd of sub-threshold candidates that only exist to be
+    // fetched, scored, and discarded)
+    merge(root,
+      (DocChange("t1", 0, "put", "alpha beta gamma delta zeta") +:
+        (1 to 5).map(i => DocChange(s"b$i", i.toLong, "put",
+          s"gamma delta epsilon uniq$i word$i"))): _*)
+    val q = "alpha beta gamma delta epsilon"
+    def probe(maxCand: Int, threshold: Double = 0.4): Map[String, Double] =
+      IncrementalShingles.nearDuplicates(spark, root, q, threshold,
+        dfCap = 100, maxCandidates = maxCand).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = probe(0)
+    assert(exact === Map("t1" -> 0.5))
+    // budget 1: the rarest (df=1) shingles are t1's, so the fetch stops
+    // after t1 alone — same answer, 1/6 of the docs fetched; a generous
+    // budget degenerates to the exact probe verbatim
+    assert(probe(1) === exact)
+    assert(probe(100) === exact)
+    // the budgeted fetch opens ONLY the budget-surviving candidate's doc
+    // bucket; the unbudgeted probe provably fetched more (the crowd)
+    def bucketOf(key: String): String = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(key.getBytes("UTF-8"))
+      s"b=${java.lang.Math.floorMod(crc.getValue, IncrementalIndex.DefaultBuckets.toLong)}"
+    }
+    def docBuckets(maxCand: Int): Set[String] =
+      IncrementalShingles.nearDuplicates(spark, root, q, 0.4,
+        dfCap = 100, maxCandidates = maxCand)
+        .inputFiles.filter(_.contains("/docs/"))
+        .flatMap(f => "b=\\d+".r.findFirstIn(f)).toSet
+    assert(docBuckets(1) === Set(bucketOf("t1")),
+      "budget-1 probe must fetch only the rarest-shingle candidate's bucket")
+    assert(docBuckets(1).subsetOf(docBuckets(0)) && docBuckets(0).size > 1,
+      "the unbudgeted probe should demonstrate the crowd fetch the budget cuts")
+    // the documented trade: BELOW the rare-shingle threshold the budget
+    // can drop sub-threshold candidates the exact probe would have scored
+    // (b docs at jaccard 0.2) — which is why the default stays exact
+    assert(probe(0, threshold = 0.15).keySet === Set("t1", "b1", "b2", "b3", "b4", "b5"))
+    assert(probe(1, threshold = 0.15) === Map("t1" -> 0.5))
+  }
+
   test("batch probe equals per-doc probes; dedupGate admits only novel puts") {
     val root = Files.createTempDirectory("graft_shingB").toString + "/shingles"
     merge(root,

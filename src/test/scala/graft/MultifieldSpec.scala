@@ -137,6 +137,26 @@ class MultifieldSpec extends SparkSpec {
         s"per-field bm25 fetched a doc bucket outside the hits': $f")
   }
 
+  test("a query term absent from the index returns empty, and single-field ranked reads fail loudly") {
+    val root = newRoot("edge")
+    merge(root, FieldDoc("1", 0, "put", "merge sort", "spark rows"))
+    // empty hit list: the per-field dl melt must resolve against the docs
+    // state's OWN schema (a naive single-field fallback frame lacks the
+    // field columns and crashed this with UNRESOLVED_COLUMN)
+    assert(IncrementalPostings.bm25SearchFields(spark, root,
+      Seq("zzz_absent_term"), Seq("title" -> 2.0, "body" -> 1.0))
+      .count() === 0L)
+    // ...and so must the boosted term search
+    assert(IncrementalPostings.termSearchFields(spark, root,
+      "zzz_absent_term", Seq("title" -> 2.0, "body" -> 1.0)).count() === 0L)
+    // guard symmetry with the _fields WRITE marker: a single-field ranked
+    // read has no statistics on a multi-field root — loud, not null scores
+    val ex = intercept[IllegalStateException] {
+      IncrementalPostings.bm25Search(spark, root, Seq("merge")).collect()
+    }
+    assert(ex.getMessage.contains("multi-field"))
+  }
+
   test("the _fields marker keeps single- and multi-field writers off each other's roots") {
     val root = newRoot("guard")
     merge(root, FieldDoc("1", 0, "put", "merge sort", "spark rows"))
