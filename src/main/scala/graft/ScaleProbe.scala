@@ -41,7 +41,10 @@ object ScaleProbe {
     // round-10 families (round-11 verdict task 4): counter merge+read,
     // cuboid-served nested facet stats, and the large-registry
     // percolation strategy, all against the N× event/doc state
-    "q_counter_maintained", "q_facet_stats_maintained", "q_percolate_rich")
+    "q_counter_maintained", "q_facet_stats_maintained", "q_percolate_rich",
+    // round-11's own addition: the per-field BM25 read over the maintained
+    // multi-field postings — N× posting lists and per-field sidecars
+    "q_multifield_bm25_maintained")
   // tagged corpus: replica-prefixed tokens grow the VOCABULARY N× — the
   // honest corpus for reads whose cost scales with vocabulary size.
   // q_wildcard_maintained's prefix expansion is exactly that read (its
