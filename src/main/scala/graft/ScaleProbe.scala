@@ -152,9 +152,13 @@ object ScaleProbe {
   }
 
   /** Bootstrap the given corpus, then time one gated 1000-doc flush of
-    * FRESH (tag-disjoint) docs against the bootstrapped state. */
+    * FRESH (tag-disjoint) docs against the bootstrapped state, plus the
+    * gate-DECISION cost alone (exact vs candidate-budget 200) — the
+    * state-probe component the budget targets, isolated from the merges
+    * and the admission-log commit. Returns (bootstrapSec, flushSec,
+    * nDocs, gateExactSec, gateBudgetSec). */
   private def ingestProbe(spark: SparkSession, corpus: DataFrame,
-                          fresh: DataFrame, label: String): (Double, Double, Long) = {
+                          fresh: DataFrame, label: String): (Double, Double, Long, Double, Double) = {
     // phase hygiene: drop every SQL-cache entry accumulated by the family
     // and probe phases. A stale entry can match a merge-internal cache by
     // plan fingerprint ("Data has already been cached"), and AQE's
@@ -177,10 +181,25 @@ object ScaleProbe {
     graft.streaming.IngestPipeline.applyBatch(spark, batch, root,
       batchId = 1L)
     val flushSec = (System.nanoTime() - t1) / 1e9
+    // gate-only decisions over the same batch (now stored, so each doc
+    // finds at least its own copy — the self-exempt update path, which
+    // costs the same probe): min-of-3 after one warm run per variant
+    def gateSec(maxCand: Int): Double = {
+      def run(): Unit = graft.streaming.IncrementalShingles
+        .gateDecisions(spark, graft.streaming.IngestPipeline.shingleRoot(root),
+          batch, maxCandidates = maxCand)
+        .write.format("noop").mode("overwrite").save()
+      run()
+      Seq.fill(3) {
+        val g0 = System.nanoTime(); run(); (System.nanoTime() - g0) / 1e9
+      }.min
+    }
+    val gateExact = gateSec(0)
+    val gateBudget = gateSec(200)
     try graft.operators.Materialize.deleteLocalDir(
       new java.io.File(root).getParent)
     catch { case _: Throwable => }
-    (bootSec, flushSec, nDocs)
+    (bootSec, flushSec, nDocs, gateExact, gateBudget)
   }
 
   private def docChanges(d: DataFrame): DataFrame =
@@ -316,8 +335,8 @@ object ScaleProbe {
       base1.limit(1000)
         .withColumn("doc_id", col("doc_id") + lit(n * 10000000L))
         .withColumn("text", taggedText(n)))
-    val (boot1, flush1, nd1) = ingestProbe(spark, corpus1, freshBatch, "s1")
-    val (bootN, flushN, ndN) = ingestProbe(spark, corpusN, freshBatch, "sN")
+    val (boot1, flush1, nd1, gE1, gB1) = ingestProbe(spark, corpus1, freshBatch, "s1")
+    val (bootN, flushN, ndN, gEN, gBN) = ingestProbe(spark, corpusN, freshBatch, "sN")
 
     def exp(a: Double, b: Double): Double =
       math.log(b / a) / math.log(n.toDouble)
@@ -338,7 +357,9 @@ object ScaleProbe {
       f""""build_sec":{"q1":${b1 + b1t}%.1f,"qN":${bN + bNt}%.1f,"exponent":${exp(b1 + b1t, bN + bNt)}%.2f},""" +
       f""""ingest":{"docs1":$nd1,"docsN":$ndN,"bootstrap1":$boot1%.1f,"bootstrapN":$bootN%.1f,""" +
       f""""bootstrap_exponent":${exp(boot1, bootN)}%.2f,"flush1k_vs_1x_state":$flush1%.2f,""" +
-      f""""flush1k_vs_${n}x_state":$flushN%.2f}}"""
+      f""""flush1k_vs_${n}x_state":$flushN%.2f,""" +
+      f""""gate_exact_1x":$gE1%.2f,"gate_b200_1x":$gB1%.2f,""" +
+      f""""gate_exact_${n}x":$gEN%.2f,"gate_b200_${n}x":$gBN%.2f}}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get(".tmp")

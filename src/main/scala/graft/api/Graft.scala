@@ -235,17 +235,24 @@ class Graft(spark: SparkSession, dir: String,
   /** Batch form of [[nearDuplicatesOf]]: `docs` is (qid STRING, text) —
     * one job probes the maintained state for the whole batch. */
   def nearDuplicatesOfBatch(rootPath: String, docs: DataFrame,
-                            threshold: Double = 0.8): DataFrame =
-    IncrementalShingles.nearDuplicatesBatch(spark, rootPath, docs, threshold)
+                            threshold: Double = 0.8,
+                            maxCandidates: Int = 0): DataFrame =
+    IncrementalShingles.nearDuplicatesBatch(spark, rootPath, docs, threshold,
+      maxCandidates = maxCandidates)
 
   /** The ingestion admission filter: drop changelog puts whose text
     * already near-duplicates the maintained state at `rootPath`; novel
-    * puts and all deletes pass through, ready for the merge sinks. */
+    * puts and all deletes pass through, ready for the merge sinks.
+    * `maxCandidates` (0 = exact) bounds the per-doc candidate fetch
+    * rarest-shingle-first — the gate-latency knob for long-lived states
+    * (see [[graft.streaming.IncrementalShingles.gateDecisions]]). */
   def dedupGate(rootPath: String, batch: DataFrame,
                 threshold: Double = 0.8,
                 scheme: IncrementalShingles.SketchScheme =
-                  IncrementalShingles.WordShingles): DataFrame =
-    IncrementalShingles.dedupGate(spark, rootPath, batch, threshold, scheme)
+                  IncrementalShingles.WordShingles,
+                maxCandidates: Int = 0): DataFrame =
+    IncrementalShingles.dedupGate(spark, rootPath, batch, threshold, scheme,
+      maxCandidates)
 
   /** The reference's ENTIRE write path as one stream: each micro-batch is
     * admission-filtered by the dedup gate, then merged into the row-state
@@ -270,7 +277,8 @@ class Graft(spark: SparkSession, dir: String,
                           maintainHorizons: Long => (Long, Long) =
                             _ => (Long.MinValue, Long.MinValue),
                           bucketByteBudget: Long = 0L,
-                          textTransform: Option[Column => Column] = None): StreamingQuery =
+                          textTransform: Option[Column => Column] = None,
+                          gateMaxCandidates: Int = 0): StreamingQuery =
     IngestPipeline.start(changes, pipelineRoot, checkpoint, threshold,
       intervalSeconds = cfg.commitIntervalSec,
       firstDelaySeconds = cfg.firstDelaySec,
@@ -282,7 +290,8 @@ class Graft(spark: SparkSession, dir: String,
       maintainEvery = maintainEvery,
       maintainHorizons = maintainHorizons,
       bucketByteBudget = bucketByteBudget,
-      textTransform = textTransform)
+      textTransform = textTransform,
+      gateMaxCandidates = gateMaxCandidates)
 
   /** The pipeline's ingest provenance — every (rowkey, verdict, dup_of,
     * batch_id) the gate decided: `admitted`, `quality_reject` (failed the

@@ -390,12 +390,13 @@ object IncrementalShingles {
   def nearDuplicatesBatch(spark: SparkSession, rootPath: String, docs: DataFrame,
                           threshold: Double = 0.8,
                           dfCap: Int = graft.operators.Dedup.DfCap,
-                          scheme: SketchScheme = WordShingles): DataFrame =
+                          scheme: SketchScheme = WordShingles,
+                          maxCandidates: Int = 0): DataFrame =
     nearDuplicatesBatchSketched(spark, rootPath,
       docs.select(col("qid"),
         array_sort(array_distinct(scheme.sketch(col("text")))).as("qs"))
         .localCheckpoint(),
-      threshold, dfCap, scheme)
+      threshold, dfCap, scheme, maxCandidates)
 
   /** [[nearDuplicatesBatch]] over PRE-SKETCHED queries — `sk` is (qid,
     * qs ARRAY<STRING>), the distinct sketch set per doc, SORTED ascending
@@ -411,10 +412,24 @@ object IncrementalShingles {
     * Short-circuit: a root with NO live entry buckets (fresh pipeline,
     * bootstrap) has no candidates by definition — answered from the
     * bucket listing alone, no jobs, which is what keeps the first
-    * batches of a new pipeline gate-overhead-free. */
+    * batches of a new pipeline gate-overhead-free.
+    *
+    * `maxCandidates` (0 = unbounded, the exact default) is the per-doc
+    * probe's candidate budget in batch form: per qid, posting lists are
+    * consumed RAREST shingle first (df ascending, tok tiebreak) and a
+    * list is taken only while the ids consumed BEFORE it stay under the
+    * budget — whole lists, so each qid's candidate set is ≤ budget +
+    * dfCap and the selection is deterministic. One difference from the
+    * per-doc form, documented rather than hidden: the running count here
+    * is PRE-dedup (a windowed sum over list sizes — a distinct-count
+    * running total is not expressible as a window), so on replica-heavy
+    * states the batch form stops a list or two earlier than the per-doc
+    * form would; both bound the fetch identically and both keep the
+    * rarest (most selective) evidence first. Scores on every surviving
+    * candidate are the exact capped Jaccard either way. */
   private[graft] def nearDuplicatesBatchSketched(spark: SparkSession,
       rootPath: String, sk: DataFrame, threshold: Double, dfCap: Int,
-      scheme: SketchScheme): DataFrame = {
+      scheme: SketchScheme, maxCandidates: Int = 0): DataFrame = {
     requireScheme(spark, rootPath, scheme)
     if (StateStore.liveBuckets(spark, rootPath + "/entries").isEmpty)
       return spark.range(0).select(lit("").as("qid"), lit("").as("rowkey"),
@@ -433,9 +448,22 @@ object IncrementalShingles {
     // df-cap-bounded by construction (≤ dfCap × |batch shingles| rows);
     // checkpointed so the fetch's bucket-id collect and the join read one
     // materialization
-    val cands = hit.select(col("tok"), explode(col("ids")).as("rowkey"))
-      .join(qsh, "tok")
-      .select(col("qid"), col("rowkey")).distinct().localCheckpoint()
+    val candPairs =
+      if (maxCandidates > 0) {
+        // rarest-first per qid: one window over batch-sized rows (the
+        // df-capped hits joined back to their qids), lists kept whole
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("df"), col("tok"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        hit.join(qsh, "tok")
+          .withColumn("consumed", coalesce(sum(size(col("ids"))).over(w), lit(0L)))
+          .filter(col("consumed") < maxCandidates)
+          .select(col("qid"), explode(col("ids")).as("rowkey"))
+      } else
+        hit.select(col("tok"), explode(col("ids")).as("rowkey"))
+          .join(qsh, "tok")
+          .select(col("qid"), col("rowkey"))
+    val cands = candPairs.distinct().localCheckpoint()
     // EXACT |A∩B| per candidate pair from the entries already read: every
     // shared shingle is by definition one of the batch's shingles, whose
     // posting bucket the pruned read opened — so counting matched (tok,
@@ -555,10 +583,24 @@ object IncrementalShingles {
     * durably BEFORE any merge and replays them verbatim after a crash
     * (the gate reads the very state its pipeline advances, so re-deciding
     * against half-merged state could admit a different set; a logged
-    * decision cannot). */
+    * decision cannot).
+    *
+    * `maxCandidates` (0 = exact, the default) bounds pass 1's per-doc
+    * candidate fetch rarest-shingle-first
+    * ([[nearDuplicatesBatchSketched]]) — the latency knob for a gate
+    * running against a long-lived state. The budget is part of the
+    * decision procedure: selection is deterministic, so crash replay of
+    * an UNLOGGED batch re-derives the same decisions, and logged
+    * decisions replay verbatim regardless. The trade is the documented
+    * one — a true near-dup can escape a filled budget, admitting a
+    * duplicate the exact gate would have dropped (and, second-order, a
+    * doc that escapes pass 1 re-enters the intra-batch pass, which can
+    * shift WHICH member of an intra-batch pair is kept — the admitted
+    * set is still pairwise-near-dup-free within the batch). */
   def gateDecisions(spark: SparkSession, rootPath: String, batch: DataFrame,
                     threshold: Double = 0.8,
-                    scheme: SketchScheme = WordShingles): DataFrame = {
+                    scheme: SketchScheme = WordShingles,
+                    maxCandidates: Int = 0): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
     // document granularity first: the latest event per rowkey is what the
     // merge would keep, so it alone decides admission for the rowkey.
@@ -581,7 +623,7 @@ object IncrementalShingles {
     // batch's most expensive plan) executes twice per gate
     val dupBest = nearDuplicatesBatchSketched(spark, rootPath,
         latest.select(col("rowkey").as("qid"), col("qs")), threshold,
-        scheme.dfCap, scheme)
+        scheme.dfCap, scheme, maxCandidates)
       .filter(col("qid") =!= col("rowkey"))
       .groupBy("qid")
       .agg(min_by(col("rowkey"), struct(-col("jaccard"), col("rowkey"))).as("dup_of"))
@@ -620,8 +662,10 @@ object IncrementalShingles {
     * always pass through unchanged, ready for the merge sinks. */
   def dedupGate(spark: SparkSession, rootPath: String, batch: DataFrame,
                 threshold: Double = 0.8,
-                scheme: SketchScheme = WordShingles): DataFrame =
-    gatedBatch(batch, gateDecisions(spark, rootPath, batch, threshold, scheme))
+                scheme: SketchScheme = WordShingles,
+                maxCandidates: Int = 0): DataFrame =
+    gatedBatch(batch, gateDecisions(spark, rootPath, batch, threshold, scheme,
+      maxCandidates))
 
   /** Apply a decisions frame (rowkey, verdict) to a batch: deletes plus
     * the puts of admitted rowkeys — the filter half of [[dedupGate]],

@@ -471,7 +471,8 @@ object IngestPipeline {
                                   scheme: IncrementalShingles.SketchScheme,
                                   admitIf: Option[Column],
                                   semanticThreshold: Option[Double] = None,
-                                  semanticProbes: Int = 2): DataFrame = {
+                                  semanticProbes: Int = 2,
+                                  gateMaxCandidates: Int = 0): DataFrame = {
     val dir = admissionDir(pipelineRoot, batchId)
     if (!StateStore.nonEmpty(spark, dir)) {
       // threshold > 1.0: text gate disarmed — every put rowkey is
@@ -482,7 +483,8 @@ object IngestPipeline {
             .select(col("rowkey"), lit("admitted").as("verdict"),
               lit(null).cast("string").as("dup_of"))
         else IncrementalShingles.gateDecisions(
-          spark, shingleRoot(pipelineRoot), b, threshold, scheme)
+          spark, shingleRoot(pipelineRoot), b, threshold, scheme,
+          gateMaxCandidates)
       val textDecisions = admitIf match {
         case None => textGate(batch)
         case Some(pred) =>
@@ -642,10 +644,11 @@ object IngestPipeline {
                  semanticThreshold: Option[Double] = None,
                  semanticProbes: Int = 2,
                  tokenizerName: Option[String] = None,
-                 textTransform: Option[Column => Column] = None): Unit = {
+                 textTransform: Option[Column => Column] = None,
+                 gateMaxCandidates: Int = 0): Unit = {
     applyBatchTimed(spark, batch, pipelineRoot, batchId, threshold, numBuckets,
       tokenize, scheme, admitIf, annNlist, annIters, semanticThreshold,
-      semanticProbes, tokenizerName, textTransform): Unit
+      semanticProbes, tokenizerName, textTransform, gateMaxCandidates): Unit
   }
 
   /** [[applyBatch]] returning (gateSeconds, mergeSeconds) — the per-batch
@@ -664,7 +667,8 @@ object IngestPipeline {
                  semanticThreshold: Option[Double] = None,
                  semanticProbes: Int = 2,
                  tokenizerName: Option[String] = None,
-                 textTransform: Option[Column => Column] = None): (Double, Double) = {
+                 textTransform: Option[Column => Column] = None,
+                 gateMaxCandidates: Int = 0): (Double, Double) = {
     val t0 = System.nanoTime()
     // the text transform (PII redaction, normalization) runs FIRST —
     // before the gate sees the batch — so raw text never reaches the
@@ -681,7 +685,7 @@ object IngestPipeline {
     val effBuckets = StateStore.bucketCount(spark, stateRoot(pipelineRoot))
       .getOrElse(numBuckets)
     val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
-      scheme, admitIf, semanticThreshold, semanticProbes)
+      scheme, admitIf, semanticThreshold, semanticProbes, gateMaxCandidates)
     val t1 = System.nanoTime()
     mergeAll(spark, batch, decisions, pipelineRoot, effBuckets, tokenize,
       scheme, annNlist, annIters, tokenizerName, Some(batchId))
@@ -1606,7 +1610,8 @@ object IngestPipeline {
               _ => (Long.MinValue, Long.MinValue),
             annSkewThreshold: Double = 4.0,
             bucketByteBudget: Long = 0L,
-            textTransform: Option[Column => Column] = None): StreamingQuery = {
+            textTransform: Option[Column => Column] = None,
+            gateMaxCandidates: Int = 0): StreamingQuery = {
     val gate = IncrementalIndex.firstBatchGate(firstDelaySeconds)
     // cross-process single-writer fence: this start() claims the root;
     // any later claimant (second stream, rescale, replacement driver)
@@ -1622,7 +1627,8 @@ object IngestPipeline {
         fence.check(batch.sparkSession)
         applyBatch(batch.sparkSession, batch, pipelineRoot, id,
           threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters,
-          semanticThreshold, semanticProbes, tokenizerName, textTransform)
+          semanticThreshold, semanticProbes, tokenizerName, textTransform,
+          gateMaxCandidates)
         if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0) {
           val (he, hb) = maintainHorizons(id)
           // this thread holds the stream's fence — maintenance (and any

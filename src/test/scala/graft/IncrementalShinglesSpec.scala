@@ -322,6 +322,57 @@ class IncrementalShinglesSpec extends SparkSpec {
     assert(probe(1, threshold = 0.15) === Map("t1" -> 0.5))
   }
 
+  test("batch probe and gate honor the candidate budget rarest-first") {
+    val root = Files.createTempDirectory("graft_shingD").toString + "/shingles"
+    merge(root,
+      (DocChange("t1", 0, "put", "alpha beta gamma delta zeta") +:
+        (1 to 5).map(i => DocChange(s"b$i", i.toLong, "put",
+          s"gamma delta epsilon uniq$i word$i"))): _*)
+    // two arrivals in one batch: qA has a rare-shingle true dup plus the
+    // common-shingle crowd; qB shares ONLY the crowd shingle (its sole
+    // list is taken first regardless of budget — per-qid selection)
+    val arrivals = Seq(
+      ("qA", "alpha beta gamma delta epsilon"),
+      ("qB", "gamma delta epsilon somethingelse entirely")).toDF("qid", "text")
+    def batch(maxCand: Int, threshold: Double): Map[(String, String), Double] =
+      IncrementalShingles.nearDuplicatesBatch(spark, root, arrivals, threshold,
+        dfCap = 100, maxCandidates = maxCand).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = batch(0, 0.4)
+    // exact: qA matches t1 (0.5); qB's best crowd match is 1/(3+3-1)=0.2 —
+    // nothing at 0.4
+    assert(exact === Map(("qA", "t1") -> 0.5))
+    // budget 1: qA's rarest lists are t1's — same verdict set; a generous
+    // budget degenerates to exact
+    assert(batch(1, 0.4) === exact)
+    assert(batch(1000, 0.4) === exact)
+    // the trade at a low threshold: exact sees qA's crowd AND qB's crowd;
+    // budget 1 keeps qA's t1 (rarest-first) and for qB the crowd list IS
+    // the rarest (only) evidence, so it still scores — per-qid budgets
+    // must not starve a doc whose only candidates are common
+    val exactLow = batch(0, 0.15)
+    assert(exactLow.keys.map(_._1).toSet === Set("qA", "qB"))
+    assert(exactLow.count(_._1._1 == "qB") === 5)
+    val budgetLow = batch(1, 0.15)
+    assert(budgetLow(("qA", "t1")) === 0.5)
+    assert(budgetLow.exists(_._1._1 == "qB"),
+      "qB's only (common) posting list must be consumed under any budget")
+    // the gate composes the budget: a state dup is still caught when its
+    // evidence is rare, and decisions stay deterministic across calls
+    val gBatch = Seq(
+      ("t1x", 100L, "put", "alpha beta gamma delta zeta"), // exact dup of t1
+      ("n1", 101L, "put", "completely novel content words here today")
+    ).toDF("rowkey", "event_id", "op", "text")
+    def verdicts(maxCand: Int): Map[String, String] =
+      IncrementalShingles.gateDecisions(spark, root, gBatch, threshold = 0.5,
+        maxCandidates = maxCand).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val v1 = verdicts(1)
+    assert(v1 === Map("t1x" -> "state_dup", "n1" -> "admitted"))
+    assert(v1 === verdicts(1), "budgeted gate decisions must be deterministic")
+    assert(verdicts(0) === v1)
+  }
+
   test("batch probe equals per-doc probes; dedupGate admits only novel puts") {
     val root = Files.createTempDirectory("graft_shingB").toString + "/shingles"
     merge(root,
