@@ -155,10 +155,12 @@ object ScaleProbe {
     * FRESH (tag-disjoint) docs against the bootstrapped state, plus the
     * gate-DECISION cost alone (exact vs candidate-budget 200) — the
     * state-probe component the budget targets, isolated from the merges
-    * and the admission-log commit. Returns (bootstrapSec, flushSec,
-    * nDocs, gateExactSec, gateBudgetSec). */
+    * and the admission-log commit — for the full 1000-doc batch AND a
+    * 50-doc small-flush slice (the shape where batch amortization is
+    * weakest). Returns (bootstrapSec, flushSec, nDocs, gateExactSec,
+    * gateBudgetSec, gate50ExactSec, gate50BudgetSec). */
   private def ingestProbe(spark: SparkSession, corpus: DataFrame,
-                          fresh: DataFrame, label: String): (Double, Double, Long, Double, Double) = {
+                          fresh: DataFrame, label: String): (Double, Double, Long, Double, Double, Double, Double) = {
     // phase hygiene: drop every SQL-cache entry accumulated by the family
     // and probe phases. A stale entry can match a merge-internal cache by
     // plan fingerprint ("Data has already been cached"), and AQE's
@@ -184,22 +186,30 @@ object ScaleProbe {
     // gate-only decisions over the same batch (now stored, so each doc
     // finds at least its own copy — the self-exempt update path, which
     // costs the same probe): min-of-3 after one warm run per variant
-    def gateSec(maxCand: Int): Double = {
+    def gateSecFor(b: DataFrame, maxCand: Int): Double = {
       def run(): Unit = graft.streaming.IncrementalShingles
         .gateDecisions(spark, graft.streaming.IngestPipeline.shingleRoot(root),
-          batch, maxCandidates = maxCand)
+          b, maxCandidates = maxCand)
         .write.format("noop").mode("overwrite").save()
       run()
       Seq.fill(3) {
         val g0 = System.nanoTime(); run(); (System.nanoTime() - g0) / 1e9
       }.min
     }
-    val gateExact = gateSec(0)
-    val gateBudget = gateSec(200)
+    val gateExact = gateSecFor(batch, 0)
+    val gateBudget = gateSecFor(batch, 200)
+    // the small-flush shape: 50 docs against the same state — here the
+    // batch-amortization argument is weakest (per-doc probe cost is the
+    // batch cost / 50), so this is the deployment where the candidate
+    // budget either pays or provably doesn't
+    val small = batch.limit(50).localCheckpoint()
+    small.count()
+    val gate50Exact = gateSecFor(small, 0)
+    val gate50Budget = gateSecFor(small, 200)
     try graft.operators.Materialize.deleteLocalDir(
       new java.io.File(root).getParent)
     catch { case _: Throwable => }
-    (bootSec, flushSec, nDocs, gateExact, gateBudget)
+    (bootSec, flushSec, nDocs, gateExact, gateBudget, gate50Exact, gate50Budget)
   }
 
   private def docChanges(d: DataFrame): DataFrame =
@@ -335,8 +345,8 @@ object ScaleProbe {
       base1.limit(1000)
         .withColumn("doc_id", col("doc_id") + lit(n * 10000000L))
         .withColumn("text", taggedText(n)))
-    val (boot1, flush1, nd1, gE1, gB1) = ingestProbe(spark, corpus1, freshBatch, "s1")
-    val (bootN, flushN, ndN, gEN, gBN) = ingestProbe(spark, corpusN, freshBatch, "sN")
+    val (boot1, flush1, nd1, gE1, gB1, g5E1, g5B1) = ingestProbe(spark, corpus1, freshBatch, "s1")
+    val (bootN, flushN, ndN, gEN, gBN, g5EN, g5BN) = ingestProbe(spark, corpusN, freshBatch, "sN")
 
     def exp(a: Double, b: Double): Double =
       math.log(b / a) / math.log(n.toDouble)
@@ -359,7 +369,9 @@ object ScaleProbe {
       f""""bootstrap_exponent":${exp(boot1, bootN)}%.2f,"flush1k_vs_1x_state":$flush1%.2f,""" +
       f""""flush1k_vs_${n}x_state":$flushN%.2f,""" +
       f""""gate_exact_1x":$gE1%.2f,"gate_b200_1x":$gB1%.2f,""" +
-      f""""gate_exact_${n}x":$gEN%.2f,"gate_b200_${n}x":$gBN%.2f}}"""
+      f""""gate_exact_${n}x":$gEN%.2f,"gate_b200_${n}x":$gBN%.2f,""" +
+      f""""gate50_exact_1x":$g5E1%.2f,"gate50_b200_1x":$g5B1%.2f,""" +
+      f""""gate50_exact_${n}x":$g5EN%.2f,"gate50_b200_${n}x":$g5BN%.2f}}"""
     println(json)
     try {
       val out = java.nio.file.Paths.get(".tmp")

@@ -121,6 +121,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("candidate budget yields a subset of the exact probe with identical scores, per-doc and batch") {
+    // The budget bounds candidate GENERATION only: every (candidate,
+    // score) a budgeted probe returns must appear, with the SAME score,
+    // in the exact probe's result — and a budget larger than the corpus
+    // degenerates to the exact probe verbatim. Holds for any corpus, any
+    // budget, both probe forms (their selection rules differ — driver
+    // fold vs windowed pre-dedup total — but both only ever shrink the
+    // candidate set).
+    import graft.streaming.IncrementalShingles
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = for {
+      n <- Gen.choose(3, 9)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    for (seed <- 1 to 3) {
+      val texts = Gen.listOfN(14, docGen)
+        .pureApply(Gen.Parameters.default, Seed(100L + seed))
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_budP$seed").toString + "/sh"
+      IncrementalShingles.mergeBatch(spark,
+        texts.zipWithIndex.map { case (t, i) => DocChange(i.toString, i.toLong, "put", t) }
+          .toDF(), root)
+      val queries = texts.take(3)
+      for (qt <- queries; budget <- Seq(1, 3, 10000)) {
+        val exact = IncrementalShingles
+          .nearDuplicates(spark, root, qt, threshold = 0.3)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+        val bud = IncrementalShingles
+          .nearDuplicates(spark, root, qt, threshold = 0.3,
+            maxCandidates = budget)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+        assert(bud.subsetOf(exact),
+          s"seed $seed budget $budget: budgeted pairs ${bud -- exact} not in exact")
+        if (budget == 10000)
+          assert(bud === exact, s"seed $seed: generous budget must equal exact")
+      }
+      val batchDf = queries.zipWithIndex.map { case (t, i) => (s"q$i", t) }
+        .toDF("qid", "text")
+      val exactB = IncrementalShingles
+        .nearDuplicatesBatch(spark, root, batchDf, threshold = 0.3)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      for (budget <- Seq(1, 3, 10000)) {
+        val budB = IncrementalShingles
+          .nearDuplicatesBatch(spark, root, batchDf, threshold = 0.3,
+            maxCandidates = budget)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+        assert(budB.subsetOf(exactB),
+          s"seed $seed batch budget $budget: ${budB -- exactB} not in exact")
+        if (budget == 10000)
+          assert(budB === exactB, s"seed $seed: generous batch budget must equal exact")
+      }
+    }
+  }
+
   test("cjk bigram invariants hold for random space-free BMP text") {
     // For any space-free text of n >= 2 code points: exactly n-1 tokens,
     // every token is 2 chars, adjacent tokens overlap by one char, and
