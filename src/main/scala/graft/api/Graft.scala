@@ -385,6 +385,13 @@ class Graft(spark: SparkSession, dir: String,
       .limit(k)
   }
 
+  /** Context-window chunking of the corpus — ≤ `w`-token windows at
+    * stride `s` (w−s tokens of overlap) with (doc_id, chunk_id)
+    * provenance; the step between curation and sequence packing in a
+    * training pipeline. */
+  def chunkDocuments(w: Int = 32, s: Int = 24): DataFrame =
+    graft.operators.TextAnalysis.chunks(documents, w, s)
+
   /** Adjacent-token phrase search (exact for whitespace analysis). */
   def phrase(words: Seq[String]): DataFrame =
     documents.filter(concat(lit(" "), col("text"), lit(" "))

@@ -44,6 +44,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok"))
       .limit(50)
 
+  /** Context-window size (tokens) and stride for [[qTextChunks]] — W−S
+    * tokens of overlap so no boundary context is lost between chunks. */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** Context-window chunking — the step between curation and
+    * `q_pack_batches` in a training pipeline: every document becomes
+    * ceil(max(n−w, 0)/s) + 1 windows of ≤ w tokens at stride s, each
+    * chunk carrying its provenance (doc_id, chunk_id) and token count;
+    * consecutive chunks overlap w−s tokens so no boundary context is
+    * lost. Pure per-row codegen (transform + posexplode over the one
+    * token array): embarrassingly parallel, no shuffle — the shape that
+    * holds verbatim at 100 TB. */
+  def chunks(docs: DataFrame, w: Int, s: Int): DataFrame = {
+    require(w > 0 && s > 0 && s <= w, s"need 0 < stride <= window, got w=$w s=$s")
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("nch",
+        (ceil(greatest(col("n") - w, lit(0)).cast("double") / s) + 1)
+          .cast("int"))
+      .select(col("doc_id"), col("n"), posexplode(expr(
+        s"transform(sequence(0, nch - 1), " +
+          s"k -> array_join(slice(t, k * $s + 1, $w), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        least(lit(w), col("n") - col("pos") * s).cast("long").as("n_tok"),
+        col("col").as("chunk_text"))
+  }
+
+  private def qTextChunks(spark: SparkSession, dir: String): DataFrame =
+    chunks(Tables.documents(spark, dir), ChunkW, ChunkS)
+      .orderBy("doc_id", "chunk_id")
+
   private def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     // Whitespace tokens + a BPE-ish alnum-run count (regex word pieces).
     Tables.documents(spark, dir)
@@ -296,6 +329,7 @@ object TextAnalysis {
     "q_collocations" -> qCollocations,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams,
     "q_text_tokens" -> qTextTokens,
+    "q_text_chunks" -> qTextChunks,
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
     "q_quality_score" -> qQualityScore,
@@ -323,6 +357,17 @@ object TextAnalysis {
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "q_text_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents)
+        |SELECT doc_id, k AS chunk_id,
+        |       least(32, n - k * 24) AS n_tok,
+        |       array_to_string(list_slice(t, k * 24 + 1, k * 24 + 32), ' ') AS chunk_text
+        |FROM c, unnest(generate_series(0,
+        |       cast(ceil(greatest(n - 32, 0) / 24.0) AS bigint))) AS g(k)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
         |       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_alnum, n_chars
