@@ -22,6 +22,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val trialsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    // fail fast, not mid-bench: 0/negative trials made Seq.fill empty and
+    // trials.min throw after the (long) warmup; a typo'd BENCH_ONLY key
+    // silently produced an empty bench that read as a clean run
+    require(trialsN > 0, s"SPARK_GRAFT_BENCH_TRIALS must be >= 1, got $trialsN")
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown keys: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,17 +72,39 @@ object Bench {
       // a failed query must not masquerade as a fast success
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val results = benchKeys.map { case (name, fn) =>
+    // Per-key detail: ALL trial times plus the key's wall-clock start —
+    // min-of-N absorbs transient noise but also HIDES it; when the
+    // round artifact shows one key over the bar while every quiet
+    // re-measure is fine (r11's q_fuzzy_maintained: driver 2.854 s vs
+    // three quiet runs at 0.65–0.94 s), the per-trial record is what
+    // distinguishes "this plan is slow" (all rounds' trials slow) from
+    // "the box was busy for these N seconds" (one contiguous trial
+    // window inflated, neighbors' trials in the same window inflated
+    // too). t0_epoch_ms timestamps make the window checkable against
+    // box-level evidence.
+    case class KeyRun(min: Double, trials: Seq[Double], t0EpochMs: Long)
+    val detail = benchKeys.map { case (name, fn) =>
       // Collect predecessors' garbage before timing: otherwise a query's
       // trials pay GC debt accrued by whichever queries happened to run
       // before it in map order, which is noise, not the query's cost.
       System.gc()
+      val t0 = System.currentTimeMillis()
       val trials = Seq.fill(trialsN)(timeOnce(fn))
-      name -> (if (trials.exists(_ < 0)) -1.0 else trials.min)
+      name -> KeyRun(if (trials.exists(_ < 0)) -1.0 else trials.min, trials, t0)
     }
+    val results = detail.map { case (k, r) => k -> r.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val trialsJson = detail.map { case (k, r) =>
+      s"\"" + k + "\":{\"t0_epoch_ms\":" + r.t0EpochMs + ",\"trials\":" +
+        r.trials.map(t => f"$t%.3f").mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val ok = results.filter(_._2 >= 0)
+    val nFailed = results.size - ok.size
+    // total/worst over SUCCESSFUL keys only: folding -1 sentinels in
+    // shrank the total and could never surface as worst_key, so a
+    // tail-only capture read a failing run as clean
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
     // Build attribution is read AFTER the timed loop: a build whose warmup
     // run failed (exceptions are swallowed above) re-runs inside a timed
     // trial — it must still appear in artifact_build_sec, and the clock
@@ -233,7 +264,7 @@ object Bench {
       ingestAt("ingest_10k", total => math.min(total, 10000L),
         withBootstrap = false, doubled = true)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap$annJson$ingestJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"trial_detail":$trialsJson,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap$annJson$ingestJson}"""
     println(json)
     // Stdout of driver runs has been truncated before (BENCH_r06 lost 16
     // per-query numbers to a clipped capture) — persist the full line too.
@@ -249,11 +280,21 @@ object Bench {
     // a tail capture yields a parseable record; the full per-key JSON is
     // in .tmp/bench.json above.
     locally {
-      val n = results.size
-      val worst = if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
+      val n = ok.size
+      val worst = if (ok.nonEmpty) ok.maxBy(_._2) else ("", 0.0)
+      // worst_trials: the worst key's FULL trial vector + start time, so
+      // even a tail-only driver capture carries enough to attribute an
+      // outlier to a time window (all trials inflated ⇒ contention
+      // spanning the window; one trial ⇒ min-of-N already absorbed it)
+      val wDetail = detail.collectFirst { case (k, r) if k == worst._1 => r }
+      val wTrials = wDetail.map(r => r.trials.map(t => f"$t%.3f")
+        .mkString("[", ",", "]")).getOrElse("[]")
+      val wT0 = wDetail.map(_.t0EpochMs).getOrElse(0L)
       println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_keys":$n,""" +
+        f""""n_failed":$nFailed,""" +
         f""""per_key_avg":${if (n > 0) total / n else 0.0}%.4f,""" +
-        f""""worst_key":"${worst._1}","worst_sec":${worst._2}%.3f,"sf":"$sfDir"}""")
+        f""""worst_key":"${worst._1}","worst_sec":${worst._2}%.3f,""" +
+        f""""worst_trials":$wTrials,"worst_t0_epoch_ms":$wT0,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -100,13 +100,23 @@ object CounterStore {
   def compactCounters(changes: DataFrame): DataFrame =
     fold(annotated(changes))
 
-  /** Rows the last [[mergeCounters]] suppressed as high-water replays —
-    * the observability seam for the monotone-arrival contract: expected
-    * checkpoint replays show up here too, but a NON-ZERO count outside a
-    * replay window means genuine out-of-order increments were dropped
-    * (the documented trade). Per-JVM, last-merge-wins — a side metric,
-    * not state. */
-  @volatile var lastMergeHwDrops: Long = 0L
+  /** Rows the last [[mergeCounters]] ON THIS ROOT suppressed as
+    * high-water replays — the observability seam for the monotone-arrival
+    * contract: expected checkpoint replays show up here too, but a
+    * NON-ZERO count outside a replay window means genuine out-of-order
+    * increments were dropped (the documented trade). Keyed per statePath
+    * so concurrent pipelines in one JVM never overwrite each other's
+    * counts (a process-global last-merge-wins field was unreliable
+    * exactly when multiple roots merge at once); [[mergeCounters]] also
+    * RETURNS the count so callers needn't consult the map at all.
+    * Per-JVM side metric, not state. */
+  private val hwDropsByRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The last merge's hw-replay drop count for `statePath` (0 if this JVM
+    * has not merged that root). */
+  def lastMergeHwDrops(statePath: String): Long =
+    Option(hwDropsByRoot.get(statePath)).map(_.longValue).getOrElse(0L)
 
   private def normalize(batch: DataFrame): DataFrame =
     batch.select(col("rowkey"), col("qualifier"),
@@ -118,16 +128,18 @@ object CounterStore {
   /** Merge one batch of increment/delete mutations (schema: rowkey,
     * qualifier, event_id, op, delta) into the bucketed counter state.
     * Same crash contract as [[CellStore.mergeCells]]; same monotone
-    * high-water replay contract as the object doc. */
+    * high-water replay contract as the object doc. Returns the number of
+    * raw increments suppressed as high-water replays (also readable
+    * afterwards via [[lastMergeHwDrops]]). */
   def mergeCounters(spark: SparkSession, batch: DataFrame, statePath: String,
-                    numBuckets: Int = DefaultBuckets): Unit = {
+                    numBuckets: Int = DefaultBuckets): Long = {
     val withB = normalize(batch).withColumn("b", bucketCol(numBuckets))
     val touched = withB.select("b").distinct().collect().map(_.getInt(0)).sorted
     // an empty batch suppresses nothing: reset BEFORE the early return so
     // the last-merge-wins metric can never attribute a previous merge's
     // drops to a no-op batch
-    lastMergeHwDrops = 0L
-    if (touched.isEmpty) return
+    hwDropsByRoot.put(statePath, 0L)
+    if (touched.isEmpty) return 0L
     StateStore.ensureBucketCount(spark, statePath, numBuckets)
     val live = StateStore.liveBuckets(spark, statePath).toSet
     val touchedDirs = touched.toSeq.map(b => s"b=$b")
@@ -143,9 +155,10 @@ object CounterStore {
       .withColumn("b", bucketCol(numBuckets))
       .repartition(col("b")).cache()
     merged.count() // materialize before the swap touches the input paths
-    lastMergeHwDrops = ann.filter(col("hw_dropped")).count()
-    if (lastMergeHwDrops > 0)
-      System.err.println(s"CounterStore.mergeCounters: $lastMergeHwDrops " +
+    val hwDrops = ann.filter(col("hw_dropped")).count()
+    hwDropsByRoot.put(statePath, hwDrops)
+    if (hwDrops > 0)
+      System.err.println(s"CounterStore.mergeCounters: $hwDrops " +
         s"raw increment(s) at or below their cell's high water were " +
         s"suppressed as replays at $statePath — expected under checkpoint " +
         s"replay; outside a replay window this is the monotone-arrival " +
@@ -154,6 +167,7 @@ object CounterStore {
       merged.sortWithinPartitions("b", "rowkey", "qualifier")
         .write.partitionBy("b").mode("overwrite").parquet(tmpRoot)
     } finally { merged.unpersist(); ann.unpersist(): Unit }
+    hwDrops
   }
 
   /** Live counters (tombstone rows filtered): (rowkey, qualifier, total,

@@ -587,11 +587,16 @@ object IncrementalPostings {
   /** Zero rows in the docs state's OWN schema: a multi-field root's docs
     * carry per-field columns, and an empty fetch must still resolve them
     * (the per-field dl melt selects the field columns even when the hit
-    * list is empty). Falls back to the documented single-field schema
-    * only when the root has no committed docs at all. */
+    * list is empty). Reads EVERY live bucket's footer (mergeSchema over
+    * all of them, still metadata-only under limit(0)) — a single bucket
+    * could miss columns added after that bucket last merged, reproducing
+    * the UNRESOLVED_COLUMN crash this exists to prevent. Falls back to
+    * the documented single-field schema only when the root has no
+    * committed docs at all. */
   private def emptyDocs(spark: SparkSession, docsRoot: String): DataFrame = {
     val live = StateStore.liveBuckets(spark, docsRoot)
-    if (live.nonEmpty) readMerged(spark, Seq(s"$docsRoot/${live.head}")).limit(0)
+    if (live.nonEmpty)
+      readMerged(spark, live.map(d => s"$docsRoot/$d")).limit(0)
     else emptyDf(spark, docsSchema)
   }
 
@@ -829,14 +834,17 @@ object IncrementalPostings {
     // per-field dl of the hit docs, from the fetched rows' own columns —
     // ONE pass over the (bucket-pruned) fetch: the fields melt through a
     // single explode instead of one read per field. A null field value
-    // (doc doesn't have the field) surfaces dl NULL and is dropped.
+    // (doc doesn't have the field) surfaces dl -1 under this engine's
+    // legacy sizeOfNull (size(NULL) = -1, not NULL — same semantics as
+    // the bucketStats guard) and is dropped by the >= 0 filter; the
+    // isNotNull leg covers a future ANSI flip where size(NULL) IS NULL.
     val docs = prunedDocsForKeys(spark, rootPath,
       hits.select(col("doc_id").as("rowkey")))
     val dls = docs.select(col("rowkey").as("doc_id"),
         explode(array(fieldNames.map(f => struct(lit(f).as("field"),
           size(tokenize(col(f))).cast("long").as("dl"))): _*)).as("fd"))
       .select(col("doc_id"), col("fd.field").as("field"), col("fd.dl").as("dl"))
-      .filter(col("dl").isNotNull)
+      .filter(col("dl").isNotNull && col("dl") >= 0)
     dls.join(broadcast(hits), Seq("doc_id", "field"))
       .join(broadcast(fstats), "field")
       .join(broadcast(boostDf), "field")

@@ -61,24 +61,32 @@ class CounterStoreSpec extends SparkSpec {
     val b2 = df(Seq(
       ("r1", "clicks", 3L, "incr", 7.0),
       ("r3", null, 4L, "delete", 0.0)))
-    CounterStore.mergeCounters(spark, b1, root, numBuckets = 4)
-    assert(CounterStore.lastMergeHwDrops === 0L,
+    assert(CounterStore.mergeCounters(spark, b1, root, numBuckets = 4) === 0L,
       "a fresh batch suppresses nothing")
     CounterStore.mergeCounters(spark, b2, root, numBuckets = 4)
     val before = counters(root)
-    CounterStore.mergeCounters(spark, b2, root, numBuckets = 4) // crash replay
+    // crash replay — the suppression is OBSERVABLE both as the return
+    // value and per-root, so operators can tell expected replay
+    // suppression from a monotone-arrival contract violation
+    assert(CounterStore.mergeCounters(spark, b2, root, numBuckets = 4) === 1L,
+      "the hw-suppressed replay row must be counted, not silent")
     assert(counters(root) === before,
       "a replayed batch must not double-count")
     assert(before === Set(("r1", "clicks", 12.0, 3L, 3L)))
-    // the suppression is OBSERVABLE: the replayed increment (id 3 at the
-    // cell's high water) is counted, so operators can tell expected
-    // replay suppression from a monotone-arrival contract violation
-    assert(CounterStore.lastMergeHwDrops === 1L,
-      "the hw-suppressed replay row must be counted, not silent")
-    // last-merge-wins means a NO-OP batch resets the metric — a previous
-    // merge's drops must never be attributed to an empty batch
-    CounterStore.mergeCounters(spark, df(Seq.empty), root, numBuckets = 4)
-    assert(CounterStore.lastMergeHwDrops === 0L,
+    assert(CounterStore.lastMergeHwDrops(root) === 1L,
+      "the per-root metric must match the last merge on THIS root")
+    // the metric is keyed per root: a concurrent merge on a DIFFERENT
+    // root must not overwrite this root's count
+    val other = java.nio.file.Files
+      .createTempDirectory("graft_ctr2b").toString + "/state"
+    CounterStore.mergeCounters(spark, df(Seq(
+      ("x1", "clicks", 1L, "incr", 1.0))), other, numBuckets = 4)
+    assert(CounterStore.lastMergeHwDrops(root) === 1L,
+      "a merge on another root must not clobber this root's drop count")
+    // a NO-OP batch on THIS root resets the metric — a previous merge's
+    // drops must never be attributed to an empty batch
+    assert(CounterStore.mergeCounters(spark, df(Seq.empty), root, numBuckets = 4) === 0L)
+    assert(CounterStore.lastMergeHwDrops(root) === 0L,
       "an empty batch must reset the hw-drop metric, not inherit the previous merge's")
   }
 
