@@ -118,10 +118,22 @@ class Graft(spark: SparkSession, dir: String,
 
   /** Multi-field boosted term search (edismax `qf`, tie=1) over a
     * maintained multi-field root (`mergeBatchFields`): per-field tf
-    * weighted by the field boosts, hit rows key-fetched. */
-  def searchFields(rootPath: String, term: String,
+    * summed over the query terms, weighted by the field boosts, hit rows
+    * key-fetched. */
+  def searchFields(rootPath: String, terms: Seq[String],
                    boosts: Seq[(String, Double)]): DataFrame =
-    IncrementalPostings.termSearchFields(spark, rootPath, term, boosts)
+    IncrementalPostings.termSearchFields(spark, rootPath, terms, boosts)
+
+  /** Edismax `qf` + `pf` (phrase-field proximity boost) over a
+    * maintained multi-field root: the [[searchFields]] score plus
+    * `pf_boost × contiguous-phrase count` per pf field, served from the
+    * positions payload — pf boosts qf hits, it never admits new docs. */
+  def searchFieldsPhrase(rootPath: String, terms: Seq[String],
+                         boosts: Seq[(String, Double)],
+                         phrase: Seq[String],
+                         pf: Seq[(String, Double)]): DataFrame =
+    IncrementalPostings.phraseBoostSearchFields(spark, rootPath, terms,
+      boosts, phrase, pf)
 
   /** Per-field BM25 under `qf` boosts (Lucene's per-field similarity —
     * each field its own df/docCount/avgdl/dl) over a maintained

@@ -53,6 +53,13 @@ object Multifield {
   private val Fields: Seq[String] = Boosts.map(_._1)
   private val SearchTerm = "merge"
   private val Bm25Terms = Seq("merge", "sort")
+  /** Multi-term `qf` query + its `pf` phrase — the deployed edismax form
+    * pairs them (`qf=title^2 body` + `pf=title^3 body^1.5`: docs where
+    * the whole phrase appears contiguously in a pf field get a
+    * proximity boost on top of the per-term qf score). */
+  private val QfTerms = Seq("merge", "sort")
+  private val Phrase = Seq("merge", "sort")
+  private val PfBoosts: Seq[(String, Double)] = Seq("title" -> 3.0, "body" -> 1.5)
 
   /** The decorated two-field corpus: (doc_id, title, body). */
   private[graft] def fielded(spark: SparkSession, dir: String): DataFrame = {
@@ -83,6 +90,57 @@ object Multifield {
       .filter(col("tf_title") > 0 || col("tf_body") > 0)
       .withColumn("score",
         col("tf_title") * lit(2.0) + col("tf_body") * lit(1.0))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** Per-field tf SUMMED over the multi-term query — edismax `qf` with
+    * more than one term (tie=1.0 sums fields; terms sum within a field
+    * because each term contributes its own tf). */
+  private def qfTfIn(field: String): Column =
+    QfTerms.map(t => tfIn(field, t)).reduce(_ + _)
+
+  /** Contiguous-phrase occurrence count in a field's token array: the
+    * number of positions where Phrase(0), Phrase(1), … appear adjacent.
+    * Pure per-row codegen (sequence + filter over the token array), no
+    * shuffle — the corpus-scoped mirror of the maintained positions-
+    * payload intersection. */
+  private def phraseTfIn(field: String): Column = {
+    val toks = split(col(field), " ")
+    val span = Phrase.length
+    when(size(toks) < span, lit(0L)).otherwise(
+      size(filter(sequence(lit(1), size(toks) - lit(span - 1)),
+        i => Phrase.zipWithIndex.map { case (t, s) =>
+          element_at(toks, i + s) === lit(t) }.reduce(_ && _)))
+        .cast("long"))
+  }
+
+  private def qMultifieldQf(spark: SparkSession, dir: String): DataFrame =
+    // multi-term qf (qf=title^2 body on ["merge","sort"]): per-field tf
+    // summed over the terms, boost-weighted — one pass over the
+    // materialized fielded corpus, TakeOrderedAndProject shape.
+    sharedFielded(spark, dir)
+      .select(col("doc_id"),
+        qfTfIn("title").as("tf_title"),
+        qfTfIn("body").as("tf_body"))
+      .filter(col("tf_title") > 0 || col("tf_body") > 0)
+      .withColumn("score",
+        col("tf_title") * lit(2.0) + col("tf_body") * lit(1.0))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  private def qMultifieldPf(spark: SparkSession, dir: String): DataFrame =
+    // qf + pf: the multi-term qf score PLUS pf_boost × contiguous-phrase
+    // count per pf field, for docs already matching qf (pf boosts, it
+    // never admits new docs — Solr edismax semantics). Still one corpus
+    // pass: both tf and phrase counts are per-row expressions.
+    sharedFielded(spark, dir)
+      .select(col("doc_id"),
+        qfTfIn("title").as("tf_title"),
+        qfTfIn("body").as("tf_body"),
+        phraseTfIn("title").as("pf_title"),
+        phraseTfIn("body").as("pf_body"))
+      .filter(col("tf_title") > 0 || col("tf_body") > 0)
+      .withColumn("score",
+        col("tf_title") * lit(2.0) + col("tf_body") * lit(1.0) +
+          col("pf_title") * lit(3.0) + col("pf_body") * lit(1.5))
       .orderBy(col("score").desc, col("doc_id"))
 
   private def qMultifieldBm25(spark: SparkSession, dir: String): DataFrame = {
@@ -160,9 +218,32 @@ object Multifield {
     // arithmetic as the corpus-scoped q_multifield_search — one oracle
     // checks both.
     graft.streaming.IncrementalPostings
-      .termSearchFields(spark, fixture(spark, dir), SearchTerm, Boosts)
+      .termSearchFields(spark, fixture(spark, dir), Seq(SearchTerm), Boosts)
       .select(col("rowkey"), col("event_id"),
         col("tf_title"), col("tf_body"), col("score"))
+      .orderBy(col("score").desc, col("event_id"))
+
+  private def qMultifieldQfMaintained(spark: SparkSession, dir: String): DataFrame =
+    // MULTI-term qf over maintained state: one bucket-pruned entries read
+    // covers every (term, field), per-field tf summed over the terms.
+    // Same arithmetic as q_multifield_qf — one oracle checks both.
+    graft.streaming.IncrementalPostings
+      .termSearchFields(spark, fixture(spark, dir), QfTerms, Boosts)
+      .select(col("rowkey"), col("event_id"),
+        col("tf_title"), col("tf_body"), col("score"))
+      .orderBy(col("score").desc, col("event_id"))
+
+  private def qMultifieldPfMaintained(spark: SparkSession, dir: String): DataFrame =
+    // qf + pf over maintained state: qf tf from the pruned entries,
+    // phrase counts from the POSITIONS payload (per-field start-witness
+    // intersection) — no corpus scan, no re-tokenization at read time.
+    // Same arithmetic as q_multifield_pf.
+    graft.streaming.IncrementalPostings
+      .phraseBoostSearchFields(spark, fixture(spark, dir),
+        QfTerms, Boosts, Phrase, PfBoosts)
+      .select(col("rowkey"), col("event_id"),
+        col("tf_title"), col("tf_body"),
+        col("pf_title"), col("pf_body"), col("score"))
       .orderBy(col("score").desc, col("event_id"))
 
   private def qMultifieldBm25Maintained(spark: SparkSession, dir: String): DataFrame =
@@ -177,7 +258,11 @@ object Multifield {
     "q_multifield_search" -> qMultifieldSearch,
     "q_multifield_bm25" -> qMultifieldBm25,
     "q_multifield_maintained" -> qMultifieldMaintained,
-    "q_multifield_bm25_maintained" -> qMultifieldBm25Maintained)
+    "q_multifield_bm25_maintained" -> qMultifieldBm25Maintained,
+    "q_multifield_qf" -> qMultifieldQf,
+    "q_multifield_qf_maintained" -> qMultifieldQfMaintained,
+    "q_multifield_pf" -> qMultifieldPf,
+    "q_multifield_pf_maintained" -> qMultifieldPfMaintained)
 
   /** The shared field-derivation CTE (DuckDB). */
   private val fieldedCte =
@@ -229,7 +314,46 @@ object Multifield {
       |  JOIN boosts b USING (field)
       |  GROUP BY tf.doc_id)""".stripMargin
 
+  /** Multi-term qf + pf CTE: per-field tf summed over the two terms,
+    * contiguous-phrase counts via index filters over the token lists
+    * (range(1, len) is end-exclusive, so i+1 stays in bounds). */
+  private val qfPfCte = fieldedCte +
+    """,
+      |m AS (
+      |  SELECT doc_id,
+      |         len(list_filter(tt, t -> t = 'merge'))
+      |           + len(list_filter(tt, t -> t = 'sort')) AS tf_title,
+      |         len(list_filter(bt, t -> t = 'merge'))
+      |           + len(list_filter(bt, t -> t = 'sort')) AS tf_body,
+      |         len(list_filter(range(1, len(tt)),
+      |               i -> tt[i] = 'merge' AND tt[i+1] = 'sort')) AS pf_title,
+      |         len(list_filter(range(1, len(bt)),
+      |               i -> bt[i] = 'merge' AND bt[i+1] = 'sort')) AS pf_body
+      |  FROM fd),
+      |s AS (
+      |  SELECT doc_id, tf_title, tf_body, pf_title, pf_body,
+      |         tf_title * 2.0 + tf_body * 1.0 AS qf_score,
+      |         tf_title * 2.0 + tf_body * 1.0
+      |           + pf_title * 3.0 + pf_body * 1.5 AS score
+      |  FROM m WHERE tf_title > 0 OR tf_body > 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_multifield_qf" -> ("WITH " + qfPfCte +
+      "\nSELECT doc_id, tf_title, tf_body, qf_score AS score FROM s" +
+      "\nORDER BY qf_score DESC, doc_id"),
+    "q_multifield_qf_maintained" -> ("WITH " + qfPfCte +
+      """
+        |SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
+        |       tf_title, tf_body, qf_score AS score
+        |FROM s ORDER BY qf_score DESC, event_id""".stripMargin),
+    "q_multifield_pf" -> ("WITH " + qfPfCte +
+      "\nSELECT doc_id, tf_title, tf_body, pf_title, pf_body, score FROM s" +
+      "\nORDER BY score DESC, doc_id"),
+    "q_multifield_pf_maintained" -> ("WITH " + qfPfCte +
+      """
+        |SELECT CAST(doc_id AS VARCHAR) AS rowkey, doc_id AS event_id,
+        |       tf_title, tf_body, pf_title, pf_body, score
+        |FROM s ORDER BY score DESC, event_id""".stripMargin),
     "q_multifield_search" -> ("WITH " + searchCte +
       "\nSELECT doc_id, tf_title, tf_body, score FROM s" +
       "\nORDER BY score DESC, doc_id"),

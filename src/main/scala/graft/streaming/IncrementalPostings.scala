@@ -770,32 +770,116 @@ object IncrementalPostings {
 
   /** Multi-field boosted term search over the maintained state — Solr
     * edismax's `qf` (e.g. `qf=title^2 body`) with `tie=1.0`, i.e. the
-    * per-field term frequencies weighted by their field boosts and
-    * SUMMED. One bucket-pruned entries read serves every field: a term's
-    * postings for ALL fields live in the one bucket the term hashes to
-    * (the field is posting payload, not part of the hash key), so
-    * per-query I/O is the term's bucket + the hit docs' own buckets —
-    * never a corpus scan. Returns the live hit rows with per-field
-    * `tf_<field>` counts and the weighted `score`. Docs matching ONLY
-    * non-boosted fields are excluded (edismax searches `qf` fields
-    * only). */
-  def termSearchFields(spark: SparkSession, rootPath: String, term: String,
+    * per-field term frequencies (summed over the query's DISTINCT terms
+    * — real `qf` queries are multi-term) weighted by their field boosts
+    * and SUMMED. One bucket-pruned entries read serves every (term,
+    * field): a term's postings for ALL fields live in the one bucket the
+    * term hashes to (the field is posting payload, not part of the hash
+    * key), so per-query I/O is the terms' buckets + the hit docs' own
+    * buckets — never a corpus scan. Returns the live hit rows with
+    * per-field `tf_<field>` counts and the weighted `score`. Docs
+    * matching ONLY non-boosted fields are excluded (edismax searches
+    * `qf` fields only). */
+  def termSearchFields(spark: SparkSession, rootPath: String,
+                       terms: Seq[String],
                        boosts: Seq[(String, Double)]): DataFrame = {
+    val hits = qfHits(spark, rootPath, terms, boosts)
+    prunedDocsForKeys(spark, rootPath, hits.select("rowkey"))
+      .join(broadcast(hits), "rowkey")
+  }
+
+  /** The `qf` hit frame shared by [[termSearchFields]] and
+    * [[phraseBoostSearchFields]]: (rowkey, tf_<field>…, score) — per-doc
+    * per-field tf summed over the query terms, boost-weighted. Σ df(term)
+    * input rows from the bucket-pruned entries; never a corpus scan. */
+  private def qfHits(spark: SparkSession, rootPath: String,
+                     terms: Seq[String],
+                     boosts: Seq[(String, Double)]): DataFrame = {
+    require(terms.nonEmpty, "qf needs at least one term")
     require(boosts.nonEmpty && boosts.map(_._1).distinct.size == boosts.size,
       s"qf needs a non-empty, duplicate-free field->boost list, got $boosts")
-    val ent = prunedEntries(spark, rootPath, Seq(term))
+    val ent = prunedEntries(spark, rootPath, terms.distinct)
     val tfAggs = boosts.map { case (f, _) =>
       sum(when(col("field") === f, col("tf"))).as(s"tf_$f") }
     val score = boosts.map { case (f, w) =>
       coalesce(col(s"tf_$f"), lit(0L)) * lit(w) }.reduce(_ + _)
-    val hits = ent.groupBy(col("doc_id").as("rowkey"))
+    ent.groupBy(col("doc_id").as("rowkey"))
       .agg(tfAggs.head, tfAggs.tail: _*)
       .filter(boosts.map { case (f, _) => col(s"tf_$f").isNotNull }.reduce(_ || _))
       .select(col("rowkey") +:
         boosts.map { case (f, _) => coalesce(col(s"tf_$f"), lit(0L)).as(s"tf_$f") } :+
         score.as("score"): _*)
-    prunedDocsForKeys(spark, rootPath, hits.select("rowkey"))
-      .join(broadcast(hits), "rowkey")
+  }
+
+  /** Per-(doc, field) phrase frequency from the POSITIONS payload — the
+    * number of positions where the whole phrase occurs contiguously in
+    * that field, for exactly the `fields` given: the classic positional
+    * start-witness intersection ([[phraseSearch]]'s algorithm) COUNTED
+    * per field instead of collapsed to a match set. Input is the phrase
+    * terms' bucket-pruned entries (Σ tf(term) position rows); output is
+    * ≤ |matching (doc, field)| rows. Fails loudly on a positions-free
+    * row, like [[phraseSearch]]. */
+  private def phraseTfFields(spark: SparkSession, rootPath: String,
+                             phrase: Seq[String],
+                             fields: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "a phrase boost needs >= 2 terms")
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.toDF("tok", "slot")
+    prunedEntries(spark, rootPath, phrase.distinct)
+      .filter(col("field").isin(fields: _*))
+      .select(col("tok"), col("field"), col("doc_id"),
+        when(col("positions").isNull, raise_error(concat(
+          lit("no position payload for term '"), col("tok"),
+          lit("' of doc "), col("doc_id"),
+          lit(" (pre-positions row or keepPositions=false root); "),
+          lit("re-put the doc or use the corpus-scoped phrase boost"))))
+          .otherwise(col("positions")).as("positions"))
+      .join(broadcast(slots), "tok")
+      .select(col("doc_id"), col("field"), col("slot"),
+        explode(col("positions")).as("pos"))
+      .groupBy(col("doc_id"), col("field"), (col("pos") - col("slot")).as("start"))
+      .agg(countDistinct(col("slot")).as("nslots"))
+      .filter(col("nslots") === phrase.length)
+      .groupBy("doc_id", "field")
+      .agg(count(lit(1)).as("phrase_tf"))
+  }
+
+  /** Edismax `qf` + `pf` over the maintained state — the full deployed
+    * form: the multi-term [[termSearchFields]] score, PLUS a phrase-
+    * proximity boost for documents where the query terms appear as a
+    * contiguous phrase in a `pf` field (Solr's `pf=title^3 body^1.5`:
+    * docs already matching the main query get `pfBoost_f × phraseTf_f`
+    * added — pf boosts, it never admits new docs). The phrase
+    * frequencies come from the round-9 POSITIONS payload
+    * ([[phraseTfFields]]); the whole read is two bucket-pruned entry
+    * passes over the same buckets (qf tf + phrase positions) and the hit
+    * docs' keyed fetch — no corpus scan. Returns the live hit rows with
+    * `tf_<field>` counts, `pf_<field>` phrase counts, and the combined
+    * `score`. */
+  def phraseBoostSearchFields(spark: SparkSession, rootPath: String,
+                              terms: Seq[String],
+                              boosts: Seq[(String, Double)],
+                              phrase: Seq[String],
+                              pf: Seq[(String, Double)]): DataFrame = {
+    require(pf.nonEmpty && pf.map(_._1).distinct.size == pf.size,
+      s"pf needs a non-empty, duplicate-free field->boost list, got $pf")
+    val hits = qfHits(spark, rootPath, terms, boosts)
+    val ptf = phraseTfFields(spark, rootPath, phrase, pf.map(_._1))
+    val pfWide = ptf.groupBy(col("doc_id").as("rowkey"))
+      .pivot("field", pf.map(_._1)).sum("phrase_tf")
+      .select(col("rowkey") +: pf.map { case (f, _) =>
+        coalesce(col(f), lit(0L)).as(s"pf_$f") }: _*)
+    val pfScore = pf.map { case (f, w) =>
+      coalesce(col(s"pf_$f"), lit(0L)) * lit(w) }.reduce(_ + _)
+    // left join: pf BOOSTS qf hits, it never admits a phrase-only doc
+    val boosted = hits.withColumnRenamed("score", "qf_score")
+      .join(pfWide, Seq("rowkey"), "left")
+      .select(col("rowkey") +:
+        (boosts.map { case (f, _) => col(s"tf_$f") } ++
+          pf.map { case (f, _) => coalesce(col(s"pf_$f"), lit(0L)).as(s"pf_$f") }) :+
+        (col("qf_score") + pfScore).as("score"): _*)
+    prunedDocsForKeys(spark, rootPath, boosted.select("rowkey"))
+      .join(broadcast(boosted), "rowkey")
   }
 
   /** Multi-field BM25 over the maintained state — Lucene's per-field

@@ -37,9 +37,9 @@ class MultifieldSpec extends SparkSpec {
       FieldDoc("A", 0, "put", "merge alpha", "beta gamma"),
       FieldDoc("B", 1, "put", "alpha delta", "merge gamma"))
     val titleHeavy = ranking(IncrementalPostings.termSearchFields(
-      spark, root, "merge", Seq("title" -> 2.0, "body" -> 1.0)))
+      spark, root, Seq("merge"), Seq("title" -> 2.0, "body" -> 1.0)))
     val bodyHeavy = ranking(IncrementalPostings.termSearchFields(
-      spark, root, "merge", Seq("body" -> 2.0, "title" -> 1.0)))
+      spark, root, Seq("merge"), Seq("body" -> 2.0, "title" -> 1.0)))
     assert(titleHeavy === Seq("A", "B"))
     assert(bodyHeavy === Seq("B", "A"), "swapping qf boosts must flip the order")
 
@@ -63,7 +63,7 @@ class MultifieldSpec extends SparkSpec {
     assert(stats("title") === ((3L, 2.0)))
     assert(stats("body") === ((3L, 10.0 / 3.0)))
     // df is per (term, field): 'merge' appears in 2 titles but 1 body
-    val ent = IncrementalPostings.termSearchFields(spark, root, "merge",
+    val ent = IncrementalPostings.termSearchFields(spark, root, Seq("merge"),
       Seq("title" -> 1.0, "body" -> 1.0))
     val tfs = ent.select("rowkey", "tf_title", "tf_body").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -81,11 +81,11 @@ class MultifieldSpec extends SparkSpec {
     merge(root, FieldDoc("2", 3, "delete", "", ""))
     // stale replay below the tombstone: must stay dead
     merge(root, FieldDoc("2", 1, "put", "hash join", "merge pass"))
-    val hits = IncrementalPostings.termSearchFields(spark, root, "merge",
+    val hits = IncrementalPostings.termSearchFields(spark, root, Seq("merge"),
       Seq("title" -> 2.0, "body" -> 1.0))
     assert(hits.count() === 0L,
       "old postings of an updated doc and all postings of a deleted doc must be gone")
-    val scan = IncrementalPostings.termSearchFields(spark, root, "scan",
+    val scan = IncrementalPostings.termSearchFields(spark, root, Seq("scan"),
       Seq("title" -> 2.0, "body" -> 1.0)).collect()
     assert(scan.map(_.getAs[String]("rowkey")).toSeq === Seq("1"))
     // the sidecar tracked the post-update lengths (title 2, body 2 of doc 1)
@@ -109,7 +109,7 @@ class MultifieldSpec extends SparkSpec {
     }
     // qf term search: every entries file read hashes to the TERM's bucket
     // (all fields of a term share its bucket — field is payload)
-    val frame = IncrementalPostings.termSearchFields(spark, root, "merge",
+    val frame = IncrementalPostings.termSearchFields(spark, root, Seq("merge"),
       Seq("title" -> 2.0, "body" -> 1.0))
     val entryFiles = frame.inputFiles.filter(_.contains("/entries/"))
     assert(entryFiles.nonEmpty)
@@ -137,6 +137,96 @@ class MultifieldSpec extends SparkSpec {
         s"per-field bm25 fetched a doc bucket outside the hits': $f")
   }
 
+  test("multi-term qf sums per-field tf across the query terms") {
+    val root = newRoot("qfmulti")
+    merge(root,
+      FieldDoc("A", 0, "put", "merge alpha", "sort beta"),
+      FieldDoc("B", 1, "put", "gamma delta", "sort sort"),
+      FieldDoc("C", 2, "put", "epsilon zeta", "eta theta"))
+    val got = IncrementalPostings.termSearchFields(spark, root,
+      Seq("merge", "sort"), Seq("title" -> 2.0, "body" -> 1.0))
+      .select("rowkey", "tf_title", "tf_body", "score").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // A: merge in title (1), sort in body (1) → 2·1 + 1·1 = 3
+    // B: sort twice in body → 2; C: no qf term → absent
+    assert(got === Map("A" -> ((1L, 1L, 3.0)), "B" -> ((0L, 2L, 2.0))))
+  }
+
+  test("the pf phrase boost flips a ranking that qf alone would decide the other way") {
+    val root = newRoot("pf")
+    // SCATTER outscores PHRASE on qf alone (more term occurrences:
+    // tf_title=2 ⇒ 4.0 vs 2.0+1.0=... ):
+    //   scatter: merge×2 in title            → qf = 2·2 = 4.0, no adjacency
+    //   phrase:  "merge sort" adjacent title → qf = 2·(1+1) = 4.0... need strict
+    // make scatter strictly higher on qf: merge×2 + sort×1 scattered
+    merge(root,
+      FieldDoc("scatter", 0, "put", "merge alpha merge beta sort", "x y"),
+      FieldDoc("phrase", 1, "put", "merge sort gamma", "x y"))
+    val qf = Seq("title" -> 2.0, "body" -> 1.0)
+    val terms = Seq("merge", "sort")
+    val noPf = ranking(IncrementalPostings.termSearchFields(spark, root, terms, qf))
+    assert(noPf === Seq("scatter", "phrase"),
+      "without pf the scattered doc must win on raw tf (6.0 vs 4.0)")
+    val withPf = ranking(IncrementalPostings.phraseBoostSearchFields(
+      spark, root, terms, qf, Seq("merge", "sort"), Seq("title" -> 3.0)))
+    assert(withPf === Seq("phrase", "scatter"),
+      "the pf proximity boost (4.0 + 3.0 = 7.0 vs 6.0) must flip the order")
+  }
+
+  test("pf boosts qf hits only — a phrase-only doc is never admitted, and counts are per-field") {
+    val root = newRoot("pfedge")
+    merge(root,
+      // matches qf terms AND has the phrase twice in body, once in title
+      FieldDoc("both", 0, "put", "merge sort alpha", "merge sort x merge sort"),
+      // has the phrase but NO qf term (qf searches 'alpha' only here)
+      FieldDoc("phraseonly", 1, "put", "merge sort", "merge sort"))
+    val got = IncrementalPostings.phraseBoostSearchFields(spark, root,
+      terms = Seq("alpha"), boosts = Seq("title" -> 2.0, "body" -> 1.0),
+      phrase = Seq("merge", "sort"),
+      pf = Seq("title" -> 3.0, "body" -> 1.5))
+      .select("rowkey", "pf_title", "pf_body", "score").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // both: qf = 2·1 = 2.0; pf = 3·1 + 1.5·2 = 6.0 → 8.0
+    assert(got === Map("both" -> ((1L, 2L, 8.0))),
+      "pf must boost existing hits only and count the phrase per field")
+    // repeated-term phrase needs two distinct adjacent positions ("a a"):
+    merge(root, FieldDoc("rep", 2, "put", "alpha echo echo", "echo zulu"))
+    val rep = IncrementalPostings.phraseBoostSearchFields(spark, root,
+      terms = Seq("alpha"), boosts = Seq("title" -> 1.0),
+      phrase = Seq("echo", "echo"), pf = Seq("title" -> 1.0, "body" -> 1.0))
+      .select("rowkey", "pf_title", "pf_body").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep("rep") === ((1L, 0L)),
+      "'echo echo' occurs once in the title (positions 1,2) and never in the body")
+  }
+
+  test("pf reads stay bucket-pruned to the query/phrase terms' buckets — no corpus scan") {
+    val root = newRoot("pfpins")
+    val batch = graft.operators.Multifield.fielded(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("string").as("rowkey"),
+        col("doc_id").as("event_id"), lit("put").as("op"),
+        col("title"), col("body"))
+    IncrementalPostings.mergeBatchFields(spark, batch, root, fields)
+    def bucketOf(key: String): String = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(key.getBytes("UTF-8"))
+      s"b=${java.lang.Math.floorMod(crc.getValue, graft.streaming.IncrementalIndex.DefaultBuckets.toLong)}"
+    }
+    val frame = IncrementalPostings.phraseBoostSearchFields(spark, root,
+      Seq("merge", "sort"), Seq("title" -> 2.0, "body" -> 1.0),
+      Seq("merge", "sort"), Seq("title" -> 3.0, "body" -> 1.5))
+    val okBuckets = Set(bucketOf("merge"), bucketOf("sort"))
+    val entryFiles = frame.inputFiles.filter(_.contains("/entries/"))
+    assert(entryFiles.nonEmpty)
+    for (f <- entryFiles)
+      assert(okBuckets.exists(b => f.contains(s"/$b/")),
+        s"pf search read an entry bucket outside the query terms': $f")
+    assert(frame.inputFiles.forall(_.contains("/postings/")),
+      "pf search must be served from maintained state only")
+  }
+
   test("a query term absent from the index returns empty, and single-field ranked reads fail loudly") {
     val root = newRoot("edge")
     merge(root, FieldDoc("1", 0, "put", "merge sort", "spark rows"))
@@ -148,7 +238,7 @@ class MultifieldSpec extends SparkSpec {
       .count() === 0L)
     // ...and so must the boosted term search
     assert(IncrementalPostings.termSearchFields(spark, root,
-      "zzz_absent_term", Seq("title" -> 2.0, "body" -> 1.0)).count() === 0L)
+      Seq("zzz_absent_term"), Seq("title" -> 2.0, "body" -> 1.0)).count() === 0L)
     // guard symmetry with the _fields WRITE marker: a single-field ranked
     // read has no statistics on a multi-field root — loud, not null scores
     val ex = intercept[IllegalStateException] {
