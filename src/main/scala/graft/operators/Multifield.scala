@@ -61,13 +61,22 @@ object Multifield {
   private val Phrase = Seq("merge", "sort")
   private val PfBoosts: Seq[(String, Double)] = Seq("title" -> 3.0, "body" -> 1.5)
 
-  /** The decorated two-field corpus: (doc_id, title, body). */
+  /** The decorated two-field corpus: (doc_id, title, body, title_toks,
+    * body_toks). The PRE-SPLIT token arrays ride along so downstream tf /
+    * phrase counts never re-tokenize the strings — the round-12 bench
+    * convicted `q_multifield_pf`'s repeated `split(body)` (six independent
+    * splits per row once the interpreted HOF disabled CSE); the artifact
+    * exists precisely to stop re-derivation, so the arrays belong IN it. */
   private[graft] def fielded(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      array_join(slice(toks, 1, TitleLen), " ").as("title"),
-      array_join(slice(toks, TitleLen + 1, 1000000), " ").as("body"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        slice(toks, 1, TitleLen).as("title_toks"),
+        slice(toks, TitleLen + 1, 1000000).as("body_toks"))
+      .select(col("doc_id"),
+        array_join(col("title_toks"), " ").as("title"),
+        array_join(col("body_toks"), " ").as("body"),
+        col("title_toks"), col("body_toks"))
   }
 
   /** [[fielded]] MATERIALIZED once per session — the BM25 form derives
@@ -76,8 +85,14 @@ object Multifield {
   private def sharedFielded(spark: SparkSession, dir: String): DataFrame =
     Materialize.artifact(spark, "multifield_fields", dir)(fielded(spark, dir))
 
+  /** Term frequency over the artifact's PRE-SPLIT token array, via the
+    * codegen'd [[graft.functions.PhraseCount]] (a 1-token phrase IS tf) —
+    * the declarative `size(filter(...))` is a higher-order function, which
+    * Spark evaluates interpreted (CodegenFallback), and its presence also
+    * disabled CSE across the projection (the round-12 `q_multifield_pf`
+    * conviction). */
   private def tfIn(field: String, term: String): Column =
-    size(filter(split(col(field), " "), t => t === term)).cast("long")
+    graft.functions.PhraseCount.phrase_count(col(s"${field}_toks"), Seq(term))
 
   private def qMultifieldSearch(spark: SparkSession, dir: String): DataFrame =
     // edismax qf=title^2 body, tie=1.0 over a raw term: per-field tf,
@@ -98,20 +113,15 @@ object Multifield {
   private def qfTfIn(field: String): Column =
     QfTerms.map(t => tfIn(field, t)).reduce(_ + _)
 
-  /** Contiguous-phrase occurrence count in a field's token array: the
-    * number of positions where Phrase(0), Phrase(1), … appear adjacent.
-    * Pure per-row codegen (sequence + filter over the token array), no
-    * shuffle — the corpus-scoped mirror of the maintained positions-
-    * payload intersection. */
-  private def phraseTfIn(field: String): Column = {
-    val toks = split(col(field), " ")
-    val span = Phrase.length
-    when(size(toks) < span, lit(0L)).otherwise(
-      size(filter(sequence(lit(1), size(toks) - lit(span - 1)),
-        i => Phrase.zipWithIndex.map { case (t, s) =>
-          element_at(toks, i + s) === lit(t) }.reduce(_ && _)))
-        .cast("long"))
-  }
+  /** Contiguous-phrase occurrence count in a field's pre-split token
+    * array — one compiled O(len) scan per row via the codegen'd
+    * [[graft.functions.PhraseCount]], no shuffle: the corpus-scoped
+    * mirror of the maintained positions-payload intersection. (The
+    * round-12 form — `sequence` + `filter` + per-slot `element_at`, an
+    * interpreted HOF over a re-split string — was the suite's one 2 s-bar
+    * breach; see PhraseCount's Scaladoc.) */
+  private def phraseTfIn(field: String): Column =
+    graft.functions.PhraseCount.phrase_count(col(s"${field}_toks"), Phrase)
 
   private def qMultifieldQf(spark: SparkSession, dir: String): DataFrame =
     // multi-term qf (qf=title^2 body on ["merge","sort"]): per-field tf
@@ -152,7 +162,7 @@ object Multifield {
     import spark.implicits._
     val perField = Fields.map { f =>
       sharedFielded(spark, dir).select(col("doc_id"), lit(f).as("field"),
-        split(col(f), " ").as("toks"))
+        col(s"${f}_toks").as("toks"))
     }.reduce(_ unionByName _)
     val dl = perField.select(col("doc_id"), col("field"),
       size(col("toks")).cast("long").as("dl"))

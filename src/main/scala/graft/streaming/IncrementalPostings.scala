@@ -794,16 +794,26 @@ object IncrementalPostings {
     * input rows from the bucket-pruned entries; never a corpus scan. */
   private def qfHits(spark: SparkSession, rootPath: String,
                      terms: Seq[String],
-                     boosts: Seq[(String, Double)]): DataFrame = {
+                     boosts: Seq[(String, Double)]): DataFrame =
+    qfHitsFrom(prunedEntries(spark, rootPath, terms.distinct), terms, boosts)
+
+  /** [[qfHits]] over an already-read entries frame — so
+    * [[phraseBoostSearchFields]] can serve qf tf AND phrase positions from
+    * ONE bucket-pruned read (the qf terms and the phrase terms usually
+    * overlap; round 12's shipped key had them identical, and the two
+    * independent `prunedEntries` reads opened and decoded the same
+    * buckets twice). */
+  private def qfHitsFrom(ent: DataFrame, terms: Seq[String],
+                         boosts: Seq[(String, Double)]): DataFrame = {
     require(terms.nonEmpty, "qf needs at least one term")
     require(boosts.nonEmpty && boosts.map(_._1).distinct.size == boosts.size,
       s"qf needs a non-empty, duplicate-free field->boost list, got $boosts")
-    val ent = prunedEntries(spark, rootPath, terms.distinct)
+    val e = ent.filter(col("tok").isin(terms.distinct: _*))
     val tfAggs = boosts.map { case (f, _) =>
       sum(when(col("field") === f, col("tf"))).as(s"tf_$f") }
     val score = boosts.map { case (f, w) =>
       coalesce(col(s"tf_$f"), lit(0L)) * lit(w) }.reduce(_ + _)
-    ent.groupBy(col("doc_id").as("rowkey"))
+    e.groupBy(col("doc_id").as("rowkey"))
       .agg(tfAggs.head, tfAggs.tail: _*)
       .filter(boosts.map { case (f, _) => col(s"tf_$f").isNotNull }.reduce(_ || _))
       .select(col("rowkey") +:
@@ -816,29 +826,52 @@ object IncrementalPostings {
     * that field, for exactly the `fields` given: the classic positional
     * start-witness intersection ([[phraseSearch]]'s algorithm) COUNTED
     * per field instead of collapsed to a match set. Input is the phrase
-    * terms' bucket-pruned entries (Σ tf(term) position rows); output is
-    * ≤ |matching (doc, field)| rows. Fails loudly on a positions-free
-    * row, like [[phraseSearch]]. */
-  private def phraseTfFields(spark: SparkSession, rootPath: String,
+    * terms' entry rows (from the caller's shared bucket-pruned read, pre-
+    * restricted to the qf HIT docs — pf is boost-only, so a non-hit doc's
+    * rows can never affect results and are dropped BEFORE the positions
+    * check); output is ≤ |matching (doc, field)| rows. Fails loudly on a
+    * positions-free row of a HIT doc, like [[phraseSearch]] — a
+    * positions-free row of a non-hit doc (legacy or keepPositions=false
+    * re-put) no longer aborts the query (round-12 ADVICE). */
+  private def phraseTfFields(spark: SparkSession, ent: DataFrame,
+                             hitKeys: DataFrame,
                              phrase: Seq[String],
                              fields: Seq[String]): DataFrame = {
     require(phrase.length >= 2, "a phrase boost needs >= 2 terms")
     import spark.implicits._
     val slots = phrase.zipWithIndex.toDF("tok", "slot")
-    prunedEntries(spark, rootPath, phrase.distinct)
+    // The null-positions guard lives AFTER an explode_outer, not in a
+    // pre-explode projection: a plain explode makes Catalyst infer
+    // `size(positions) > 0 AND isnotnull(positions)` from the generator —
+    // a filter CONTAINING the raise_error CASE — and push it below the
+    // hit-docs semi-join to the scan, re-widening the blast radius this
+    // join exists to shrink. explode_outer infers nothing (its output is
+    // nullable: a null array yields one null-pos row, which the guard
+    // converts to the loud failure), and the guard can't be pushed below
+    // the generator whose output it references. A kept entry row always
+    // has non-empty positions (tf ≥ 1), so pos-null ⟺ positions-null.
+    ent.filter(col("tok").isin(phrase.distinct: _*))
       .filter(col("field").isin(fields: _*))
-      .select(col("tok"), col("field"), col("doc_id"),
-        when(col("positions").isNull, raise_error(concat(
+      .join(broadcast(hitKeys.select(col("rowkey").as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .join(broadcast(slots), "tok")
+      .select(col("tok"), col("doc_id"), col("field"), col("slot"),
+        explode_outer(col("positions")).as("pos0"))
+      .select(col("doc_id"), col("field"), col("slot"),
+        when(col("pos0").isNull, raise_error(concat(
           lit("no position payload for term '"), col("tok"),
           lit("' of doc "), col("doc_id"),
           lit(" (pre-positions row or keepPositions=false root); "),
           lit("re-put the doc or use the corpus-scoped phrase boost"))))
-          .otherwise(col("positions")).as("positions"))
-      .join(broadcast(slots), "tok")
-      .select(col("doc_id"), col("field"), col("slot"),
-        explode(col("positions")).as("pos"))
+          .otherwise(col("pos0")).as("pos"))
+      // count(1), not countDistinct(slot) (which plans an Expand): for a
+      // fixed (doc, field, start), slot s contributes at most ONE row —
+      // its witnessing position is pinned to start + s and a term's
+      // positions are distinct — so the row count IS the distinct-slot
+      // count (repeated phrase terms are distinct slots, same as
+      // [[phraseSearch]])
       .groupBy(col("doc_id"), col("field"), (col("pos") - col("slot")).as("start"))
-      .agg(countDistinct(col("slot")).as("nslots"))
+      .agg(count(lit(1)).as("nslots"))
       .filter(col("nslots") === phrase.length)
       .groupBy("doc_id", "field")
       .agg(count(lit(1)).as("phrase_tf"))
@@ -851,11 +884,12 @@ object IncrementalPostings {
     * docs already matching the main query get `pfBoost_f × phraseTf_f`
     * added — pf boosts, it never admits new docs). The phrase
     * frequencies come from the round-9 POSITIONS payload
-    * ([[phraseTfFields]]); the whole read is two bucket-pruned entry
-    * passes over the same buckets (qf tf + phrase positions) and the hit
-    * docs' keyed fetch — no corpus scan. Returns the live hit rows with
-    * `tf_<field>` counts, `pf_<field>` phrase counts, and the combined
-    * `score`. */
+    * ([[phraseTfFields]]); the whole read is ONE bucket-pruned entry pass
+    * over the union of the qf and phrase terms' buckets
+    * (`localCheckpoint`ed, the [[termHits]] discipline — qf tf and phrase
+    * positions are both served from it) and the hit docs' keyed fetch —
+    * no corpus scan. Returns the live hit rows with `tf_<field>` counts,
+    * `pf_<field>` phrase counts, and the combined `score`. */
   def phraseBoostSearchFields(spark: SparkSession, rootPath: String,
                               terms: Seq[String],
                               boosts: Seq[(String, Double)],
@@ -863,12 +897,25 @@ object IncrementalPostings {
                               pf: Seq[(String, Double)]): DataFrame = {
     require(pf.nonEmpty && pf.map(_._1).distinct.size == pf.size,
       s"pf needs a non-empty, duplicate-free field->boost list, got $pf")
-    val hits = qfHits(spark, rootPath, terms, boosts)
-    val ptf = phraseTfFields(spark, rootPath, phrase, pf.map(_._1))
+    // one read of the union'd pruned buckets serves qf tf AND phrase
+    // positions (in the deployed form the term sets overlap or coincide;
+    // two independent prunedEntries reads decoded the same buckets twice)
+    val ent = prunedEntries(spark, rootPath, (terms ++ phrase).distinct)
+      .select("tok", "field", "doc_id", "tf", "positions")
+      .localCheckpoint()
+    val hits = qfHitsFrom(ent, terms, boosts)
+    val ptf = phraseTfFields(spark, ent, hits.select("rowkey"),
+      phrase, pf.map(_._1))
+    // conditional aggregation, not .pivot(): pivot plans TWO extra
+    // aggregates (pre-agg + pivotfirst) for what is one grouped sum per
+    // known field — the field list is the pf spec, never discovered
     val pfWide = ptf.groupBy(col("doc_id").as("rowkey"))
-      .pivot("field", pf.map(_._1)).sum("phrase_tf")
-      .select(col("rowkey") +: pf.map { case (f, _) =>
-        coalesce(col(f), lit(0L)).as(s"pf_$f") }: _*)
+      .agg(pf.map { case (f, _) =>
+          coalesce(sum(when(col("field") === f, col("phrase_tf"))), lit(0L))
+            .as(s"pf_$f") }.head,
+        pf.map { case (f, _) =>
+          coalesce(sum(when(col("field") === f, col("phrase_tf"))), lit(0L))
+            .as(s"pf_$f") }.tail: _*)
     val pfScore = pf.map { case (f, w) =>
       coalesce(col(s"pf_$f"), lit(0L)) * lit(w) }.reduce(_ + _)
     // left join: pf BOOSTS qf hits, it never admits a phrase-only doc
@@ -1078,9 +1125,13 @@ object IncrementalPostings {
     * from the entries' position lists by adjacency intersection, the
     * classic positional-index algorithm: an occurrence of slot-i's term at
     * position p witnesses a phrase START at p − i, and a document matches
-    * iff some start is witnessed by EVERY slot (`countDistinct(slot) ==
-    * phrase length` — repeated terms in the phrase are distinct slots, so
-    * "a a" requires two adjacent positions, not one counted twice).
+    * iff some start is witnessed by EVERY slot (row count per start ==
+    * phrase length: slot s's witness is pinned to position start + s and
+    * a term's positions are distinct, so each slot contributes at most
+    * one row — plain count(1) IS the distinct-slot count, without
+    * countDistinct's Expand. Repeated terms in the phrase are distinct
+    * slots, so "a a" requires two adjacent positions, not one counted
+    * twice).
     * Read shape is [[termSearch]]'s: the entries read is bucket-pruned to
     * the phrase's distinct terms, per-query work is Σ tf(term) position
     * rows, and the matched rows are key-fetched from only their own doc
@@ -1107,7 +1158,7 @@ object IncrementalPostings {
       .join(broadcast(slots), "tok")
       .select(col("doc_id"), col("slot"), explode(col("positions")).as("pos"))
       .groupBy(col("doc_id"), (col("pos") - col("slot")).as("start"))
-      .agg(countDistinct(col("slot")).as("nslots"))
+      .agg(count(lit(1)).as("nslots"))
       .filter(col("nslots") === phrase.length)
     prunedDocsForKeys(spark, rootPath,
       starts.select(col("doc_id").as("rowkey")).distinct())

@@ -202,6 +202,35 @@ class MultifieldSpec extends SparkSpec {
       "'echo echo' occurs once in the title (positions 1,2) and never in the body")
   }
 
+  test("a positions-free row of a NON-hit doc never aborts pf; a hit doc's still fails loudly") {
+    val root = newRoot("pfblast")
+    // hit doc: matches qf ('alpha') and has the phrase, WITH positions
+    merge(root, FieldDoc("hit", 0, "put", "alpha merge sort", "x y"))
+    // positions-free doc that contains the phrase terms but NO qf term —
+    // it can never affect results (pf is boost-only) and must be dropped
+    // BEFORE the null-positions check (round-12 ADVICE), not abort the query
+    IncrementalPostings.mergeBatchFields(spark,
+      Seq(FieldDoc("stray", 1, "put", "merge sort only", "z")).toDF(),
+      root, fields, keepPositions = false)
+    val got = IncrementalPostings.phraseBoostSearchFields(spark, root,
+      terms = Seq("alpha"), boosts = Seq("title" -> 2.0, "body" -> 1.0),
+      phrase = Seq("merge", "sort"), pf = Seq("title" -> 3.0, "body" -> 1.5))
+      .select("rowkey", "pf_title").collect()
+    assert(got.map(r => r.getString(0) -> r.getLong(1)).toMap === Map("hit" -> 1L))
+    // but a positions-free row of a doc that IS a qf hit still fails
+    // loudly — its phrase count is genuinely unknowable
+    IncrementalPostings.mergeBatchFields(spark,
+      Seq(FieldDoc("badhit", 2, "put", "alpha merge sort", "w")).toDF(),
+      root, fields, keepPositions = false)
+    val ex = intercept[Exception] {
+      IncrementalPostings.phraseBoostSearchFields(spark, root,
+        terms = Seq("alpha"), boosts = Seq("title" -> 2.0, "body" -> 1.0),
+        phrase = Seq("merge", "sort"), pf = Seq("title" -> 3.0, "body" -> 1.5))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("pf reads stay bucket-pruned to the query/phrase terms' buckets — no corpus scan") {
     val root = newRoot("pfpins")
     val batch = graft.operators.Multifield.fielded(spark, "/root/testdata/sf0.001")
@@ -217,12 +246,19 @@ class MultifieldSpec extends SparkSpec {
     val frame = IncrementalPostings.phraseBoostSearchFields(spark, root,
       Seq("merge", "sort"), Seq("title" -> 2.0, "body" -> 1.0),
       Seq("merge", "sort"), Seq("title" -> 3.0, "body" -> 1.5))
+    // the qf∪pf entries read rides ONE checkpointed pruned-entries frame
+    // (round 13) — pin pruning on the frame the checkpoint is built from
+    // (the bm25Search pin pattern), and prove the final plan reads NO
+    // entry file at all (both tf and positions fed the checkpoint)
     val okBuckets = Set(bucketOf("merge"), bucketOf("sort"))
-    val entryFiles = frame.inputFiles.filter(_.contains("/entries/"))
+    val entryFiles = IncrementalPostings.prunedEntries(spark, root,
+      Seq("merge", "sort")).inputFiles.filter(_.contains("/entries/"))
     assert(entryFiles.nonEmpty)
     for (f <- entryFiles)
       assert(okBuckets.exists(b => f.contains(s"/$b/")),
         s"pf search read an entry bucket outside the query terms': $f")
+    assert(frame.inputFiles.count(_.contains("/entries/")) === 0,
+      "pf's final frame re-read the entries instead of the checkpointed read")
     assert(frame.inputFiles.forall(_.contains("/postings/")),
       "pf search must be served from maintained state only")
   }
