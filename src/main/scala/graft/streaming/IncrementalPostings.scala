@@ -783,7 +783,11 @@ object IncrementalPostings {
   def termSearchFields(spark: SparkSession, rootPath: String,
                        terms: Seq[String],
                        boosts: Seq[(String, Double)]): DataFrame = {
-    val hits = qfHits(spark, rootPath, terms, boosts)
+    // checkpoint the hit list: it is consumed THREE times (the bucket-dir
+    // collect inside prunedDocsForKeys, the pruning join, the final
+    // broadcast), and without the checkpoint each consumer re-decodes the
+    // pruned entry buckets from parquet
+    val hits = qfHits(spark, rootPath, terms, boosts).localCheckpoint()
     prunedDocsForKeys(spark, rootPath, hits.select("rowkey"))
       .join(broadcast(hits), "rowkey")
   }
@@ -821,15 +825,16 @@ object IncrementalPostings {
         score.as("score"): _*)
   }
 
-  /** Per-(doc, field) phrase frequency from the POSITIONS payload — the
-    * number of positions where the whole phrase occurs contiguously in
-    * that field, for exactly the `fields` given: the classic positional
-    * start-witness intersection ([[phraseSearch]]'s algorithm) COUNTED
-    * per field instead of collapsed to a match set. Input is the phrase
-    * terms' entry rows (from the caller's shared bucket-pruned read, pre-
-    * restricted to the qf HIT docs — pf is boost-only, so a non-hit doc's
-    * rows can never affect results and are dropped BEFORE the positions
-    * check); output is ≤ |matching (doc, field)| rows. Fails loudly on a
+  /** Per-doc, per-field phrase frequency from the POSITIONS payload —
+    * one row per matching doc (`rowkey`, `pf_<field>`…): the number of
+    * positions where the whole phrase occurs contiguously in each of the
+    * `fields` given, the classic positional start-witness intersection
+    * ([[phraseSearch]]'s algorithm) COUNTED per field instead of
+    * collapsed to a match set. Input is the phrase terms' entry rows
+    * (from the caller's shared bucket-pruned read, pre-restricted to the
+    * qf HIT docs — pf is boost-only, so a non-hit doc's rows can never
+    * affect results and are dropped BEFORE the positions
+    * check); output is ≤ |matching doc| rows. Fails loudly on a
     * positions-free row of a HIT doc, like [[phraseSearch]] — a
     * positions-free row of a non-hit doc (legacy or keepPositions=false
     * re-put) no longer aborts the query (round-12 ADVICE). */
@@ -873,8 +878,14 @@ object IncrementalPostings {
       .groupBy(col("doc_id"), col("field"), (col("pos") - col("slot")).as("start"))
       .agg(count(lit(1)).as("nslots"))
       .filter(col("nslots") === phrase.length)
-      .groupBy("doc_id", "field")
-      .agg(count(lit(1)).as("phrase_tf"))
+      // widen to one row per doc HERE (conditional per-field counts)
+      // instead of a (doc, field) groupBy followed by the caller's (doc)
+      // pivot — the chained regroup was a third shuffle for nothing
+      .groupBy(col("doc_id").as("rowkey"))
+      .agg(fields.map(f =>
+          sum(when(col("field") === f, 1L)).as(s"pf_$f")).head,
+        fields.map(f =>
+          sum(when(col("field") === f, 1L)).as(s"pf_$f")).tail: _*)
   }
 
   /** Edismax `qf` + `pf` over the maintained state — the full deployed
@@ -904,27 +915,24 @@ object IncrementalPostings {
       .select("tok", "field", "doc_id", "tf", "positions")
       .localCheckpoint()
     val hits = qfHitsFrom(ent, terms, boosts)
-    val ptf = phraseTfFields(spark, ent, hits.select("rowkey"),
+    // already wide — one row per hit doc with per-field phrase counts
+    // (conditional aggregation inside phraseTfFields' own groupBy; a
+    // .pivot() here would plan TWO extra aggregates for a known field list)
+    val pfWide = phraseTfFields(spark, ent, hits.select("rowkey"),
       phrase, pf.map(_._1))
-    // conditional aggregation, not .pivot(): pivot plans TWO extra
-    // aggregates (pre-agg + pivotfirst) for what is one grouped sum per
-    // known field — the field list is the pf spec, never discovered
-    val pfWide = ptf.groupBy(col("doc_id").as("rowkey"))
-      .agg(pf.map { case (f, _) =>
-          coalesce(sum(when(col("field") === f, col("phrase_tf"))), lit(0L))
-            .as(s"pf_$f") }.head,
-        pf.map { case (f, _) =>
-          coalesce(sum(when(col("field") === f, col("phrase_tf"))), lit(0L))
-            .as(s"pf_$f") }.tail: _*)
     val pfScore = pf.map { case (f, w) =>
       coalesce(col(s"pf_$f"), lit(0L)) * lit(w) }.reduce(_ + _)
-    // left join: pf BOOSTS qf hits, it never admits a phrase-only doc
+    // left join: pf BOOSTS qf hits, it never admits a phrase-only doc.
+    // Checkpointed: `boosted` is consumed three times (bucket-dir collect,
+    // pruning join, final broadcast) and its subtree — qf agg + the whole
+    // phrase-intersection pipeline — would otherwise run once per consumer.
     val boosted = hits.withColumnRenamed("score", "qf_score")
       .join(pfWide, Seq("rowkey"), "left")
       .select(col("rowkey") +:
         (boosts.map { case (f, _) => col(s"tf_$f") } ++
           pf.map { case (f, _) => coalesce(col(s"pf_$f"), lit(0L)).as(s"pf_$f") }) :+
         (col("qf_score") + pfScore).as("score"): _*)
+      .localCheckpoint()
     prunedDocsForKeys(spark, rootPath, boosted.select("rowkey"))
       .join(broadcast(boosted), "rowkey")
   }

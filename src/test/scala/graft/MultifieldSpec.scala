@@ -108,14 +108,20 @@ class MultifieldSpec extends SparkSpec {
       s"b=${java.lang.Math.floorMod(crc.getValue, graft.streaming.IncrementalIndex.DefaultBuckets.toLong)}"
     }
     // qf term search: every entries file read hashes to the TERM's bucket
-    // (all fields of a term share its bucket — field is payload)
+    // (all fields of a term share its bucket — field is payload). The hit
+    // list is checkpointed (round 13), so pin pruning on the frame the
+    // checkpoint is built from (the pf pin's pattern) and prove the final
+    // plan re-reads NO entry file
     val frame = IncrementalPostings.termSearchFields(spark, root, Seq("merge"),
       Seq("title" -> 2.0, "body" -> 1.0))
-    val entryFiles = frame.inputFiles.filter(_.contains("/entries/"))
+    val entryFiles = IncrementalPostings.prunedEntries(spark, root,
+      Seq("merge")).inputFiles.filter(_.contains("/entries/"))
     assert(entryFiles.nonEmpty)
     for (f <- entryFiles)
       assert(f.contains(s"/${bucketOf("merge")}/"),
         s"qf search read an entry bucket outside the term's: $f")
+    assert(frame.inputFiles.count(_.contains("/entries/")) === 0,
+      "qf's final frame re-read the entries instead of the checkpointed hits")
     // ... and no corpus file: every input is under the state root
     assert(frame.inputFiles.forall(_.contains("/postings/")),
       "qf search must be served from maintained state only")
