@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
   * and per-query numbers stay comparable round-over-round. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // every emitted double goes through a locale-sensitive f"…%.3f"
+    // interpolator; under a comma-decimal default locale the JSON line
+    // would be unparseable — pin the process locale once instead of
+    // wrapping each of the ~15 format sites (round-12 ADVICE)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b: time just those keys (focused

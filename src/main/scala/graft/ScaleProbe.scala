@@ -217,6 +217,8 @@ object ScaleProbe {
       col("doc_id").as("event_id"), lit("put").as("op"), col("text"))
 
   def main(args: Array[String]): Unit = {
+    // pin the locale: the emitted JSON doubles use f"…%.3f" (see Bench)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -297,14 +299,15 @@ object ScaleProbe {
     // (the pipeline's growth-gated auto-rescale) so K probed shingles
     // read ≤ K of many small buckets. Measured here on a rescaled COPY of
     // the N× fixture root (the family timings keep their own root
-    // untouched). Two SEPARATE parity contracts, reported separately:
-    // the rescaled EXACT leg must match the un-rescaled exact result
-    // (rescale is a pure re-bucketing — a miss is a bug, so it's
-    // require()d below); the rescaled BUDGETED leg is ALLOWED to differ
-    // by the documented recall trade, so its flag is recorded, never
-    // asserted.
+    // untouched). Two SEPARATE parity contracts: the rescaled EXACT leg
+    // must match the un-rescaled exact result (rescale is a pure
+    // re-bucketing — a miss is a bug, so it's require()d below and NOT
+    // emitted: the require's loud abort is the signal, a JSON field here
+    // could only ever read true); the rescaled BUDGETED leg is ALLOWED
+    // to differ by the documented recall trade, so its flag is recorded,
+    // never asserted.
     val RescaledBuckets = 256
-    val (rsE, rsB, rsC, rsExactParity, rsB16Parity) = {
+    val (rsE, rsB, rsC, rsB16Parity) = {
       val (prootN, textN) = graft.operators.Dedup.probeFixtureFor(spark, s"$root/asis")
       val rsRoot = java.nio.file.Files
         .createTempDirectory("graft_rsprobe").toString + "/shingles"
@@ -331,7 +334,7 @@ object ScaleProbe {
       try graft.operators.Materialize.deleteLocalDir(
         new java.io.File(rsRoot).getParent)
       catch { case _: Throwable => }
-      (e, b, c, re == prEN, rb == prEN)
+      (e, b, c, rb == prEN)
     }
 
     // ingest: tagged replicas preserve gate structure; the fresh flush
@@ -370,7 +373,7 @@ object ScaleProbe {
       f""""c${CandCap}_parity_nx":${prCN == prEN},""" +
       f""""rescaled_buckets":$RescaledBuckets,"rescaled_exact_nx":$rsE%.3f,""" +
       f""""rescaled_b16_nx":$rsB%.3f,"rescaled_b16_c${CandCap}_nx":$rsC%.3f,""" +
-      f""""rescaled_exact_parity":$rsExactParity,"rescaled_b16_parity":$rsB16Parity},""" +
+      f""""rescaled_b16_parity":$rsB16Parity},""" +
       f""""build_sec":{"q1":${b1 + b1t}%.1f,"qN":${bN + bNt}%.1f,"exponent":${exp(b1 + b1t, bN + bNt)}%.2f},""" +
       f""""ingest":{"docs1":$nd1,"docsN":$ndN,"bootstrap1":$boot1%.1f,"bootstrapN":$bootN%.1f,""" +
       f""""bootstrap_exponent":${exp(boot1, bootN)}%.2f,"flush1k_vs_1x_state":$flush1%.2f,""" +

@@ -113,10 +113,26 @@ object CounterStore {
   private val hwDropsByRoot =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** One canonical key per root: an unnormalized variant of the same path
+    * (trailing slash, `./`-relative vs absolute) must read the SAME
+    * metric slot, not silently 0 (round-12 ADVICE). Hadoop Path handles
+    * the slash/scheme canonicalization; the explicit absolutize covers
+    * relative-vs-absolute spellings of a local root. */
+  private def rootKey(statePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // local root: `file:`-URI, relative, and trailing-slash spellings
+      // all collapse to one absolute filesystem path
+      val raw = if (scheme == null) statePath else p.toUri.getPath
+      new java.io.File(raw).getAbsolutePath.stripSuffix("/")
+    } else p.toUri.toString.stripSuffix("/")
+  }
+
   /** The last merge's hw-replay drop count for `statePath` (0 if this JVM
     * has not merged that root). */
   def lastMergeHwDrops(statePath: String): Long =
-    Option(hwDropsByRoot.get(statePath)).map(_.longValue).getOrElse(0L)
+    Option(hwDropsByRoot.get(rootKey(statePath))).map(_.longValue).getOrElse(0L)
 
   private def normalize(batch: DataFrame): DataFrame =
     batch.select(col("rowkey"), col("qualifier"),
@@ -138,7 +154,7 @@ object CounterStore {
     // an empty batch suppresses nothing: reset BEFORE the early return so
     // the last-merge-wins metric can never attribute a previous merge's
     // drops to a no-op batch
-    hwDropsByRoot.put(statePath, 0L)
+    hwDropsByRoot.put(rootKey(statePath), 0L)
     if (touched.isEmpty) return 0L
     StateStore.ensureBucketCount(spark, statePath, numBuckets)
     val live = StateStore.liveBuckets(spark, statePath).toSet
@@ -156,7 +172,7 @@ object CounterStore {
       .repartition(col("b")).cache()
     merged.count() // materialize before the swap touches the input paths
     val hwDrops = ann.filter(col("hw_dropped")).count()
-    hwDropsByRoot.put(statePath, hwDrops)
+    hwDropsByRoot.put(rootKey(statePath), hwDrops)
     if (hwDrops > 0)
       System.err.println(s"CounterStore.mergeCounters: $hwDrops " +
         s"raw increment(s) at or below their cell's high water were " +

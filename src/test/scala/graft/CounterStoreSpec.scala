@@ -83,6 +83,12 @@ class CounterStoreSpec extends SparkSpec {
       ("x1", "clicks", 1L, "incr", 1.0))), other, numBuckets = 4)
     assert(CounterStore.lastMergeHwDrops(root) === 1L,
       "a merge on another root must not clobber this root's drop count")
+    // spelling variants of the SAME root read the same slot, never a
+    // silent 0 (round-12 ADVICE): trailing slash and file:-scheme URI
+    assert(CounterStore.lastMergeHwDrops(root + "/") === 1L,
+      "a trailing-slash spelling of the root must read the same metric")
+    assert(CounterStore.lastMergeHwDrops("file:" + root) === 1L,
+      "a file:-URI spelling of the root must read the same metric")
     // a NO-OP batch on THIS root resets the metric — a previous merge's
     // drops must never be attributed to an empty batch
     assert(CounterStore.mergeCounters(spark, df(Seq.empty), root, numBuckets = 4) === 0L)
