@@ -25,7 +25,7 @@ object SparkEntry {
     Changelog.queries ++ Search.queries ++ Facets.queries ++ Fetch.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Vectors.queries ++
       Multimodal.queries ++ Index.queries ++ Temporal.queries ++
-      Percolate.queries ++ Pii.queries ++ Multifield.queries
+      Percolate.queries ++ Pii.queries ++ Multifield.queries ++ Hybrid.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted for non-SQL-expressible ops (HLL sketches). */
@@ -33,5 +33,5 @@ object SparkEntry {
     Changelog.oracle ++ Search.oracle ++ Facets.oracle ++ Fetch.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Vectors.oracle ++
       Multimodal.oracle ++ Index.oracle ++ Temporal.oracle ++
-      Percolate.oracle ++ Pii.oracle ++ Multifield.oracle
+      Percolate.oracle ++ Pii.oracle ++ Multifield.oracle ++ Hybrid.oracle
 }

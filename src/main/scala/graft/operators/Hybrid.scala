@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Hybrid retrieval — BM25 ⊕ vector fusion, the standard first-stage
+  * retrieval for RAG / training-data curation (SURVEY.md §2.B S4 deepened;
+  * the reference's search-then-fetch topology at
+  * `/root/reference/README.md:12-13` is exactly the first-stage shape this
+  * completes: Solr hit list → HBase fetch, here lexical hit list ⊕ ANN hit
+  * list → fused ranking).
+  *
+  * Two fusion rules, both rank-arithmetic over the legs' top-N:
+  *  - RRF (reciprocal rank fusion, Cormack et al.): score(d) =
+  *    Σ_legs 1/(K + rank_leg(d)), K = 60 — the parameter-free standard;
+  *    an absent leg contributes 0.
+  *  - weighted sum: min-max-normalize each leg's (rounded) scores over
+  *    its own top-N, fuse 0.7·z_bm25 + 0.3·z_vec; an absent leg
+  *    contributes 0.
+  *
+  * Ranks are assigned over ROUNDED leg scores (4 dp, the repo-wide oracle
+  * discipline) with an id tie-break, so Spark and DuckDB rank identical
+  * orderings.
+  *
+  * 100 TB: each leg is already the scale path — BM25 from the standing
+  * postings (bucket-pruned in the maintained form), the vector leg a
+  * TakeOrderedAndProject scan (corpus form) or a probed IVF read
+  * (maintained form). Fusion itself touches only 2×N ≤ 100 rank rows —
+  * a full-outer join of two driver-bounded lists; the corpus never moves
+  * through the fusion. The maintained twin's plan reads ONLY the postings
+  * state and the IVF index (spec-pinned: zero corpus files).
+  */
+object Hybrid {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Terms = Seq("merge", "sort")
+  private[graft] val LegDepth = 50
+  private[graft] val RrfK = 60
+  private val TopK = 20
+  private val WBm25 = 0.7
+  private val WVec = 0.3
+
+  /** Top-[[LegDepth]] of a scored leg as (id, score, rank): distributed
+    * top-N first (TakeOrderedAndProject — no global sort), then ranks
+    * assigned on the ≤ N surviving rows (the unpartitioned window is over
+    * a driver-bounded list, never the corpus). */
+  private def rankLeg(leg: DataFrame, id: Column, score: Column,
+                      n: Int = LegDepth): DataFrame = {
+    val top = leg.select(id.as("id"), score.as("score"))
+      .orderBy(col("score").desc, col("id")).limit(n)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("id"))))
+  }
+
+  /** RRF fusion of two ranked legs: 1/(K+rank) summed, absent leg = 0.
+    * The fused score is computed from the NULLABLE ranks (so absence
+    * contributes exactly 0), then ranks are exported 0-filled. */
+  private[graft] def rrfFuse(bm: DataFrame, v: DataFrame,
+                             k: Int = RrfK, top: Int = TopK): DataFrame =
+    bm.select(col("id"), col("rank").as("brank"))
+      .join(v.select(col("id"), col("rank").as("vrank")), Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("brank"), lit(0L)).cast("long").as("bm25_rank"),
+        coalesce(col("vrank"), lit(0L)).cast("long").as("vec_rank"),
+        round(coalesce(lit(1.0) / (lit(k) + col("brank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("vrank")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(top)
+
+  /** Weighted-sum fusion: each leg min-max-normalized over its own top-N
+    * (a constant leg normalizes to 1.0), absent leg contributes 0. */
+  private def weightedFuse(bm: DataFrame, v: DataFrame): DataFrame = {
+    def normed(leg: DataFrame, z: String): DataFrame = {
+      val ext = leg.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      leg.crossJoin(broadcast(ext))
+        .select(col("id"), col("rank"),
+          when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("score") - col("mn")) / (col("mx") - col("mn")))
+            .as(z))
+    }
+    normed(bm, "zb").withColumnRenamed("rank", "brank")
+      .join(normed(v, "zv").withColumnRenamed("rank", "vrank"),
+        Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("brank"), lit(0L)).cast("long").as("bm25_rank"),
+        coalesce(col("vrank"), lit(0L)).cast("long").as("vec_rank"),
+        round(coalesce(col("zb") * lit(WBm25), lit(0.0)) +
+          coalesce(col("zv") * lit(WVec), lit(0.0)), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  /** Corpus BM25 leg — q_bm25_topk's index-served arithmetic (same
+    * constant-folded literals, one round at the end), ranked. */
+  private def bm25LegCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Index.docLens(spark, dir)
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = Index.sharedPostings(spark, dir)
+      .filter(col("tok").isin(Terms: _*))
+      .select(col("df"), explode(col("hits")).as("h"))
+      .select(col("h.doc_id").as("doc_id"), col("h.tf").as("tf"), col("df"))
+    val scored = lens.join(broadcast(tf), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (lit(2.2) * col("tf")) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"))
+    rankLeg(scored, col("doc_id"), col("score"))
+  }
+
+  /** Corpus vector leg — q_vector_topk's brute-force cosine (query =
+    * vec 0's embedding, vec 0 excluded), ranked on the rounded sim. */
+  private def vecLegCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Vectors.dot("embedding", "qv"), 4).as("sim"))
+    rankLeg(scored, col("vec_id"), col("sim"))
+  }
+
+  private def qHybridSearch(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(bm25LegCorpus(spark, dir), vecLegCorpus(spark, dir))
+
+  private def qHybridWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedFuse(bm25LegCorpus(spark, dir), vecLegCorpus(spark, dir))
+
+  /** Hybrid retrieval over MAINTAINED state — the reusable API: lexical
+    * leg from the standing postings ([[graft.streaming.IncrementalPostings
+    * .bm25Search]], bucket-pruned entries + keyed dl fetch), vector leg
+    * from the maintained IVF index ([[IvfIndex.search]]), RRF-fused. The
+    * plan reads ONLY the two state roots — no corpus file (spec-pinned).
+    * `probes` = nlist makes the vector leg exact (every cell read), which
+    * is what lets DuckDB check the fused ranking; production uses fewer
+    * probes for the documented recall trade. */
+  def hybridSearchMaintained(spark: SparkSession, postingsRoot: String,
+                             ivfRoot: String, terms: Seq[String],
+                             qv: Seq[Float], probes: Int,
+                             legDepth: Int = LegDepth, rrfK: Int = RrfK,
+                             top: Int = TopK): DataFrame = {
+    // bm25Search orders ties by the STRING rowkey; rank with the same
+    // tie-break (the oracle casts to VARCHAR), then join ids numerically
+    val bmRanked = rankLeg(
+      graft.streaming.IncrementalPostings
+        .bm25Search(spark, postingsRoot, terms, k = legDepth),
+      col("doc_id"), col("score"), legDepth)
+      .select(col("id").cast("long").as("id"), col("rank"))
+    val vRanked = rankLeg(
+      graft.operators.IvfIndex
+        .search(spark, ivfRoot, qv, k = legDepth, probes = probes)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim")),
+      col("vec_id"), col("sim"), legDepth)
+    rrfFuse(bmRanked, vRanked, rrfK, top)
+  }
+
+  private def qHybridMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // Fixture reuse, no new artifact: lexical over Index's maintained
+    // postings (converged ≡ documents), vector over Vectors' maintained
+    // IVF fixture (upserts + deletes, every mutation SQL-expressible —
+    // q_ann_maintained's own oracle discipline). Query = q_ann_maintained's
+    // (the pre-delete embedding of id 100).
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+      .head().getSeq[Float](1)
+    hybridSearchMaintained(spark,
+      Index.maintainedFixture(spark, dir),
+      Vectors.annFixture(spark, dir),
+      Terms, qv, probes = Vectors.AnnFixtureNlist)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_hybrid_search" -> qHybridSearch,
+    "q_hybrid_weighted" -> qHybridWeighted,
+    "q_hybrid_maintained" -> qHybridMaintained)
+
+  /** The shared leg CTEs (DuckDB): BM25 over documents (q_bm25_topk's
+    * formula), brute-force cosine over embeddings. */
+  private val corpusLegsCte =
+    """n AS (
+      |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |               unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok IN ('merge', 'sort')
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |b AS (
+      |  SELECT doc_id,
+      |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
+      |                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      |  FROM tf JOIN df USING (tok), n GROUP BY doc_id),
+      |bl AS (
+      |  SELECT doc_id, score,
+      |         row_number() OVER (ORDER BY score DESC, doc_id) AS brank
+      |  FROM b QUALIFY brank <= 50),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |v AS (
+      |  SELECT vec_id AS doc_id,
+      |         round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+      |  FROM embeddings, q WHERE vec_id <> 0),
+      |vl AS (
+      |  SELECT doc_id, sim,
+      |         row_number() OVER (ORDER BY sim DESC, doc_id) AS vrank
+      |  FROM v QUALIFY vrank <= 50)""".stripMargin
+
+  private val rrfSelect =
+    """SELECT COALESCE(bl.doc_id, vl.doc_id) AS doc_id,
+      |       COALESCE(brank, 0) AS bm25_rank, COALESCE(vrank, 0) AS vec_rank,
+      |       round(COALESCE(1.0 / (60 + brank), 0) +
+      |             COALESCE(1.0 / (60 + vrank), 0), 6) AS rrf
+      |FROM bl FULL JOIN vl ON bl.doc_id = vl.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_hybrid_search" -> ("WITH " + corpusLegsCte + "\n" + rrfSelect),
+    "q_hybrid_weighted" -> ("WITH " + corpusLegsCte + """,
+      |bx AS (SELECT min(score) AS bmn, max(score) AS bmx FROM bl),
+      |vx AS (SELECT min(sim) AS vmn, max(sim) AS vmx FROM vl),
+      |bn AS (
+      |  SELECT doc_id, brank,
+      |         CASE WHEN bmx = bmn THEN 1.0
+      |              ELSE (score - bmn) / (bmx - bmn) END AS zb
+      |  FROM bl, bx),
+      |vn AS (
+      |  SELECT doc_id, vrank,
+      |         CASE WHEN vmx = vmn THEN 1.0
+      |              ELSE (sim - vmn) / (vmx - vmn) END AS zv
+      |  FROM vl, vx)
+      |SELECT COALESCE(bn.doc_id, vn.doc_id) AS doc_id,
+      |       COALESCE(brank, 0) AS bm25_rank, COALESCE(vrank, 0) AS vec_rank,
+      |       round(COALESCE(zb * 0.7, 0) + COALESCE(zv * 0.3, 0), 4) AS score
+      |FROM bn FULL JOIN vn ON bn.doc_id = vn.doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    "q_hybrid_maintained" ->
+      // lexical leg ties rank by the VARCHAR rowkey (the maintained
+      // index's key type); the vector leg brute-forces the POST-
+      // MAINTENANCE set: ids 0-9 re-embedded to id+100's embedding,
+      // vec_id % 37 = 11 and id 100 deleted (q_ann_maintained's fixture)
+      """WITH n AS (
+        |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |               unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('merge', 'sort')
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |b AS (
+        |  SELECT doc_id,
+        |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
+        |                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tf JOIN df USING (tok), n GROUP BY doc_id),
+        |bl AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC,
+        |                            CAST(doc_id AS VARCHAR)) AS brank
+        |  FROM b QUALIFY brank <= 50),
+        |m AS (
+        |  SELECT a.vec_id,
+        |         CASE WHEN a.vec_id < 10 THEN u.embedding
+        |              ELSE a.embedding END AS emb
+        |  FROM embeddings a
+        |  LEFT JOIN embeddings u ON u.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id % 37 <> 11 AND a.vec_id <> 100),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
+        |vl AS (
+        |  SELECT vec_id AS doc_id,
+        |         row_number() OVER (
+        |           ORDER BY round(list_dot_product(emb::DOUBLE[], qv), 4) DESC,
+        |           vec_id) AS vrank
+        |  FROM m, q QUALIFY vrank <= 50)
+        |SELECT COALESCE(bl.doc_id, vl.doc_id) AS doc_id,
+        |       COALESCE(brank, 0) AS bm25_rank, COALESCE(vrank, 0) AS vec_rank,
+        |       round(COALESCE(1.0 / (60 + brank), 0) +
+        |             COALESCE(1.0 / (60 + vrank), 0), 6) AS rrf
+        |FROM bl FULL JOIN vl ON bl.doc_id = vl.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
+}

@@ -277,7 +277,7 @@ object Index {
     }
   }
 
-  private def maintainedFixture(spark: SparkSession, dir: String): String =
+  private[graft] def maintainedFixture(spark: SparkSession, dir: String): String =
     maintainedFixtures.computeIfAbsent((spark, dir), { case (s, d) =>
       val t0 = System.nanoTime()
       val root = java.nio.file.Files.createTempDirectory("graft_mpost").toString + "/postings"

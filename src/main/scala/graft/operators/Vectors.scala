@@ -265,7 +265,7 @@ object Vectors {
 
   private[graft] val AnnFixtureNlist = 8
 
-  private def annFixture(spark: SparkSession, dir: String): String =
+  private[graft] def annFixture(spark: SparkSession, dir: String): String =
     annStates.computeIfAbsent((spark, dir), { case (s, d) =>
       val t0 = System.nanoTime()
       val root = java.nio.file.Files.createTempDirectory("graft_annm").toString + "/ivf"
