@@ -191,7 +191,14 @@ object Temporal {
     activeIntervalCounts(errors, sess, "event_id").orderBy("event_id")
   }
 
-  private def qActiveSweep(spark: SparkSession, dir: String): DataFrame = {
+  private def qActiveSweep(spark: SparkSession, dir: String): DataFrame =
+    activeSweep(Tables.events(spark, dir), 6L * 3600000000L) // 6 h segments
+
+  /** The boundary-sweep active-interval count, segment width exposed so
+    * the growth probe can vary |segments| at a fixed corpus (the
+    * round-12 verdict's one-factor-at-a-time decomposition ask) —
+    * semantics identical at every width. */
+  private[graft] def activeSweep(ev: DataFrame, segUs: Long): DataFrame = {
     // SAME semantics as q_range_join — "how many sessions are active at
     // each error event" — by the boundary-SWEEP algorithm instead of the
     // pairwise grid join: every interval contributes +1 at start and -1
@@ -214,8 +221,7 @@ object Temporal {
     // bounded metadata, broadcast back). A point with no boundary before
     // it in its own segment takes the segment's incoming count. Same
     // shape as q_del_batch_count's segmented rank.
-    val segUs = 6L * 3600000000L // 6 h — tune so |segments| stays metadata
-    val ev = Tables.events(spark, dir)
+    // segUs tunes |segments| to stay metadata-sized at the default
     val sess = sessions(ev)
     val bounds = sess.select(col("start_us").as("ts"), lit(1L).as("d"))
       .unionByName(sess.select((col("end_us") + 1).as("ts"), lit(-1L).as("d")))

@@ -83,7 +83,12 @@ object IncrementalPostings {
     * matching the doc ([[phraseSearch]]'s contract). */
   private def withTf(entries: DataFrame): DataFrame = {
     val tf =
-      if (entries.columns.contains("tf")) entries
+      if (entries.columns.contains("tf"))
+        // fill per-ROW legacy nulls too: on a root mixing pre- and
+        // post-upgrade buckets (mergeSchema read) or under the explicit-
+        // schema read (readEntriesRaw), a pre-tf file surfaces tf as
+        // null — the documented default is 1, uniformly
+        entries.withColumn("tf", coalesce(col("tf"), lit(1L)))
       else entries.withColumn("tf", lit(1L))
     val pos =
       if (tf.columns.contains("positions")) tf
@@ -188,11 +193,38 @@ object IncrementalPostings {
   private def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
+  /** Entries read under the EXPLICIT post-upgrade schema instead of a
+    * mergeSchema footer sweep: parquet surfaces a column absent from a
+    * file as null under an explicit schema, so pre-tf/positions/field
+    * files keep exactly the null-for-their-rows semantics the
+    * mergeSchema read gave them ([[withTf]] fills the defaults either
+    * way) — WITHOUT the distributed footer-merge job mergeSchema runs
+    * per read. That job was pure fixed cost on the flush path (gate
+    * probe + two entry merges per batch), and its footer sweep grows
+    * with the touched-file count at scale. The entries schema is closed
+    * (tok, doc_id, tf, positions, field — the multi-field upgrade is the
+    * newest column), unlike the DOCS schema, which is root-dependent
+    * (multi-field roots store their field columns), so docs reads keep
+    * mergeSchema. */
+  private def readEntriesRaw(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(StructType(entriesSchema.filterNot(_.name == "b")))
+      .parquet(paths: _*)
+
   private def readBuckets(spark: SparkSession, root: String, dirs: Seq[String],
                           fallback: => DataFrame): DataFrame = {
     val live = StateStore.liveBuckets(spark, root).toSet
     val paths = dirs.filter(live.contains).map(d => s"$root/$d")
     if (paths.nonEmpty) readMerged(spark, paths) else fallback
+  }
+
+  /** [[readBuckets]] for ENTRY buckets — the explicit-schema read
+    * ([[readEntriesRaw]]), no footer-merge job. */
+  private def readEntryBuckets(spark: SparkSession, root: String,
+                               dirs: Seq[String],
+                               fallback: => DataFrame): DataFrame = {
+    val live = StateStore.liveBuckets(spark, root).toSet
+    val paths = dirs.filter(live.contains).map(d => s"$root/$d")
+    if (paths.nonEmpty) readEntriesRaw(spark, paths) else fallback
   }
 
   /** Fold one micro-batch (rowkey STRING, event_id LONG, op put|delete,
@@ -290,7 +322,7 @@ object IncrementalPostings {
       .unionByName(additions.select(tokBucket(numBuckets).as("b")))
       .distinct().collect().map(_.getInt(0)).sorted
     val entryDirs = touchedTokB.toSeq.map(b => s"b=$b")
-    val oldEntries = withTf(readBuckets(spark, entriesRoot, entryDirs,
+    val oldEntries = withTf(readEntryBuckets(spark, entriesRoot, entryDirs,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         entriesSchema).drop("b")))
     // Double anti-join (see crash protocol in the class doc): removals for
@@ -473,7 +505,7 @@ object IncrementalPostings {
     val root = rootPath + "/entries"
     val dirs = StateStore.liveBuckets(spark, root)
     withTf(
-      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$root/$d"))
+      if (dirs.nonEmpty) readEntriesRaw(spark, dirs.map(d => s"$root/$d"))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         entriesSchema).drop("b"))
   }
@@ -539,9 +571,13 @@ object IncrementalPostings {
   def docsState(spark: SparkSession, rootPath: String): DataFrame = {
     val root = rootPath + "/docs"
     val dirs = StateStore.liveBuckets(spark, root)
+    // marker-derived schema (docsSchemaFor): single-footer inference
+    // could miss a field column absent from the one sampled bucket
     val docs =
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
-      else emptyDf(spark, docsSchema)
+      if (dirs.nonEmpty)
+        spark.read.schema(docsSchemaFor(spark, rootPath))
+          .parquet(dirs.map(d => s"$root/$d"): _*)
+      else emptyDocs(spark, rootPath)
     docs.filter(col("op") =!= "delete")
   }
 
@@ -555,7 +591,7 @@ object IncrementalPostings {
     val entriesRoot = rootPath + "/entries"
     val dirs = StateStore.bucketDirsFor(spark, entriesRoot, toks)
     val entries = withTf(
-      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$entriesRoot/$d"))
+      if (dirs.nonEmpty) readEntriesRaw(spark, dirs.map(d => s"$entriesRoot/$d"))
       else emptyDf(spark, entriesSchema).drop("b"))
     entries.filter(col("tok").isin(toks: _*))
   }
@@ -574,7 +610,7 @@ object IncrementalPostings {
     val entriesRoot = rootPath + "/entries"
     val dirs = bucketDirsForFrame(spark, entriesRoot, toks, "tok")
     val entries = withTf(
-      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$entriesRoot/$d"))
+      if (dirs.nonEmpty) readEntriesRaw(spark, dirs.map(d => s"$entriesRoot/$d"))
       else emptyDf(spark, entriesSchema).drop("b"))
     entries.join(toks.select("tok").distinct(), "tok")
   }
@@ -584,29 +620,42 @@ object IncrementalPostings {
     * their distinct bucket ids (≤ bucket count) are collected, and only
     * those doc buckets are opened. The batch form of the HBase-Get-shaped
     * [[prunedDocs]] fetch. */
-  /** Zero rows in the docs state's OWN schema: a multi-field root's docs
-    * carry per-field columns, and an empty fetch must still resolve them
-    * (the per-field dl melt selects the field columns even when the hit
-    * list is empty). Reads EVERY live bucket's footer (mergeSchema over
-    * all of them, still metadata-only under limit(0)) — a single bucket
-    * could miss columns added after that bucket last merged, reproducing
-    * the UNRESOLVED_COLUMN crash this exists to prevent. Falls back to
-    * the documented single-field schema only when the root has no
-    * committed docs at all. */
-  private def emptyDocs(spark: SparkSession, docsRoot: String): DataFrame = {
-    val live = StateStore.liveBuckets(spark, docsRoot)
-    if (live.nonEmpty)
-      readMerged(spark, live.map(d => s"$docsRoot/$d")).limit(0)
-    else emptyDf(spark, docsSchema)
-  }
+  /** The docs state's schema from the root's own `_fields` marker — the
+    * authority for which per-field columns a fields root stores (the
+    * marker is ensured at every fields merge, and it is what keeps
+    * single- and multi-field writers off each other's roots), so the
+    * read-path fetches resolve every field column WITHOUT a mergeSchema
+    * footer sweep: that sweep ran as a distributed job per fetch — pure
+    * fixed cost on the gate and on every maintained query's read path —
+    * and a SINGLE-footer inference could miss columns added after that
+    * bucket last merged (the UNRESOLVED_COLUMN crash this schema
+    * derivation, like the sweep before it, exists to prevent). Files
+    * written before a field column existed surface it as null for their
+    * rows, exactly as under mergeSchema. */
+  private def docsSchemaFor(spark: SparkSession, rootPath: String): StructType =
+    StateStore.readTag(spark, rootPath, "_fields") match {
+      case Some(fs) => StructType(
+        docsSchema.filterNot(_.name == "text") ++
+          fs.split(",").toSeq.map(f => StructField(f, StringType)))
+      case None => docsSchema
+    }
+
+  /** Zero rows in the docs state's OWN schema ([[docsSchemaFor]]): a
+    * multi-field root's docs carry per-field columns, and an empty fetch
+    * must still resolve them (the per-field dl melt selects the field
+    * columns even when the hit list is empty). */
+  private def emptyDocs(spark: SparkSession, rootPath: String): DataFrame =
+    emptyDf(spark, docsSchemaFor(spark, rootPath))
 
   private[graft] def prunedDocsForKeys(spark: SparkSession, rootPath: String,
                                        keys: DataFrame): DataFrame = {
     val docsRoot = rootPath + "/docs"
     val dirs = bucketDirsForFrame(spark, docsRoot, keys, "rowkey")
     val docs =
-      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$docsRoot/$d"))
-      else emptyDocs(spark, docsRoot)
+      if (dirs.nonEmpty)
+        spark.read.schema(docsSchemaFor(spark, rootPath))
+          .parquet(dirs.map(d => s"$docsRoot/$d"): _*)
+      else emptyDocs(spark, rootPath)
     docs.filter(col("op") =!= "delete").join(keys.select("rowkey").distinct(), "rowkey")
   }
 
@@ -620,8 +669,10 @@ object IncrementalPostings {
     val docsRoot = rootPath + "/docs"
     val dirs = StateStore.bucketDirsFor(spark, docsRoot, rowkeys)
     val docs =
-      if (dirs.nonEmpty) readMerged(spark, dirs.map(d => s"$docsRoot/$d"))
-      else emptyDocs(spark, docsRoot)
+      if (dirs.nonEmpty)
+        spark.read.schema(docsSchemaFor(spark, rootPath))
+          .parquet(dirs.map(d => s"$docsRoot/$d"): _*)
+      else emptyDocs(spark, rootPath)
     docs.filter(col("op") =!= "delete").filter(col("rowkey").isin(rowkeys: _*))
   }
 

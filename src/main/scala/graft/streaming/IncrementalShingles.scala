@@ -218,6 +218,35 @@ object IncrementalShingles {
       .select(col("tok").as("s"),
         sort_array(transform(col("ids"), _.cast("long"))).as("ids"))
 
+  /** How much of the maintained shingle state the df cap is DROPPING —
+    * (saturated shingle count, vocabulary fraction, posting-MASS
+    * fraction): shingles with df > `dfCap` carry no near-dup signal but
+    * quadratic candidate fan-out, so [[shingleIndex]] and the online
+    * probe exclude them; this is the observability for that trade
+    * (round-12 verdict task 4). The MASS fraction (Σ df of saturated
+    * shingles / Σ df) is the decision metric: it is the share of entry
+    * rows candidate generation never reads — when it grows past ~0.5 the
+    * state is storing mostly crowd shingles and the per-token-df SIDECAR
+    * (drop saturated shingles at MERGE time instead of read time,
+    * SCALE.md's recorded trigger) starts paying for itself. None when
+    * the root has no entries. Vocabulary-sized aggregate over the
+    * entries — monitoring cadence, not per batch. */
+  def dfSaturation(spark: SparkSession, rootPath: String,
+                   dfCap: Int): Option[(Long, Double, Double)] = {
+    if (StateStore.liveBuckets(spark, rootPath + "/entries").isEmpty)
+      return None
+    val agg = IncrementalPostings.postings(spark, rootPath)
+      .agg(count(lit(1)).as("v"),
+        count(when(col("df") > dfCap, 1)).as("sat"),
+        sum(col("df")).as("mass"),
+        coalesce(sum(when(col("df") > dfCap, col("df"))), lit(0L)).as("satmass"))
+      .head()
+    val (v, sat) = (agg.getLong(0), agg.getLong(1))
+    if (v == 0L) None
+    else Some((sat, sat.toDouble / v,
+      agg.getLong(3).toDouble / math.max(1L, agg.getLong(2))))
+  }
+
   /** Query-time near-duplicate probe against the MAINTAINED state — the
     * ingestion-time dedup check a training-data pipeline runs per arriving
     * document, with no corpus scan anywhere (the online form of the batch

@@ -1070,6 +1070,22 @@ object IngestPipeline {
         ("rollup", "groups",
           IncrementalRollup.read(spark, sp).count().toDouble))
     }
+    // df-cap saturation: the share of the shingle vocabulary (and of its
+    // posting mass) candidate generation drops at the cap — the per-
+    // token-df-sidecar trigger metric (SCALE.md's recorded decision);
+    // cap comes from the root's OWN scheme marker, the forget discipline
+    val shScheme = StateStore
+      .readTag(spark, shingleRoot(pipelineRoot), "_scheme")
+      .map(IncrementalShingles.schemeNamed)
+      .getOrElse(IncrementalShingles.WordShingles)
+    val dfSat = IncrementalShingles
+      .dfSaturation(spark, shingleRoot(pipelineRoot), shScheme.dfCap)
+      .toSeq.flatMap { case (sat, vFrac, massFrac) =>
+        Seq(("shingle_entries", "df_cap", shScheme.dfCap.toDouble),
+          ("shingle_entries", "df_saturated", sat.toDouble),
+          ("shingle_entries", "df_saturated_frac", vFrac),
+          ("shingle_entries", "df_saturated_mass_frac", massFrac))
+      }
     (keyedStats("row_state", stateRoot(pipelineRoot), tombstoned = true) ++
       keyedStats("postings_docs", postingsRoot(pipelineRoot) + "/docs",
         tombstoned = true) ++
@@ -1078,7 +1094,7 @@ object IngestPipeline {
       keyedStats("shingle_docs", shingleRoot(pipelineRoot) + "/docs",
         tombstoned = true) ++
       keyedStats("shingle_entries", shingleRoot(pipelineRoot) + "/entries",
-        tombstoned = false) ++
+        tombstoned = false) ++ dfSat ++
       vec ++ roll ++ admStats)
       .toDF("state", "metric", "value")
       .orderBy("state", "metric")
@@ -1092,12 +1108,16 @@ object IngestPipeline {
     * state family (avg-per-bucket × bucket count — the rewrite-cost base
     * every merge pays); `rescaledTo` is the new bucket count when the
     * growth gate tripped an in-place rescale (None: gate off or under
-    * budget). */
+    * budget). `dfSaturatedMassFrac` is the post-GC share of the shingle
+    * state's posting mass above the df cap
+    * ([[IncrementalShingles.dfSaturation]] — the per-token-df-sidecar
+    * trigger; None when the pipeline has no shingle entries). */
   final case class MaintenanceReport(annSkewBefore: Option[Double],
                                      annRebuilt: Boolean,
                                      annSkewAfter: Option[Double],
                                      bucketPressureBytes: Long = 0L,
-                                     rescaledTo: Option[Int] = None)
+                                     rescaledTo: Option[Int] = None,
+                                     dfSaturatedMassFrac: Option[Double] = None)
 
   /** The pipeline's MAINTENANCE pass — [[applyBatch]]'s operational
     * counterpart, run on a maintenance cadence (every N batches, or
@@ -1223,7 +1243,18 @@ object IngestPipeline {
         rescale(spark, pipelineRoot, target, scheme, tokName, heldFence)
         Some(target)
       }
-    MaintenanceReport(skewBefore, rebuilt, skewAfter, pressure, rescaledTo)
+    // post-GC df-cap saturation (the per-token-df-sidecar trigger) — the
+    // maintenance pass is exactly when an operator decides whether the
+    // cap's read-time drop should become a merge-time one
+    val satScheme = StateStore
+      .readTag(spark, shingleRoot(pipelineRoot), "_scheme")
+      .map(IncrementalShingles.schemeNamed)
+      .getOrElse(IncrementalShingles.WordShingles)
+    val dfSat = IncrementalShingles
+      .dfSaturation(spark, shingleRoot(pipelineRoot), satScheme.dfCap)
+      .map(_._3)
+    MaintenanceReport(skewBefore, rebuilt, skewAfter, pressure, rescaledTo,
+      dfSat)
   }
 
   /** Re-bucket every hash-bucketed state under the pipeline to

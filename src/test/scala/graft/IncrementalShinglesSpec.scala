@@ -50,6 +50,28 @@ class IncrementalShinglesSpec extends SparkSpec {
     assert(!got.keys.exists(_.contains("scan filter")), "doc 3 stayed dead")
   }
 
+  test("dfSaturation reports the capped vocabulary and posting-mass fractions") {
+    val root = Files.createTempDirectory("graft_shsat").toString + "/shingles"
+    assert(IncrementalShingles.dfSaturation(spark, root, 2).isEmpty,
+      "an unmerged root has no saturation reading")
+    // one crowd shingle ('merge sort spill', df 3) + each doc's own tail
+    // shingle (df 1) — cap 2 saturates exactly the crowd
+    merge(root,
+      DocChange("1", 0, "put", "merge sort spill aa"),
+      DocChange("2", 1, "put", "merge sort spill bb"),
+      DocChange("3", 2, "put", "merge sort spill cc"))
+    val Some((sat, vFrac, massFrac)) =
+      IncrementalShingles.dfSaturation(spark, root, 2)
+    // vocabulary: 'merge sort spill' (df 3, saturated) + 'sort spill aa'
+    // /bb/cc (df 1 each) = 4 shingles; mass 3 + 3×1 = 6
+    assert(sat === 1L)
+    assert(vFrac === 0.25)
+    assert(massFrac === 0.5)
+    // at the production cap nothing here saturates
+    assert(IncrementalShingles.dfSaturation(spark, root, Dedup.DfCap)
+      === Some((0L, 0.0, 0.0)))
+  }
+
   test("chunked merges over the fixture corpus equal the batch index; Materialize serves the maintained table") {
     val root = Files.createTempDirectory("graft_shingF").toString + "/shingles"
     val changes = Tables.documents(spark, fixtureDir)

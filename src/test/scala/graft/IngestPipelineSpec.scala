@@ -575,6 +575,14 @@ class IngestPipelineSpec extends SparkSpec {
     assert(m0(("vectors", "cell_skew")) >= 1.5)
     assert(m0(("admissions", "verdict_admitted")) === 23.0)
     assert(m0(("admissions", "batches")) === 2.0)
+    // df-cap saturation rows (round 13): the cap is reported, the
+    // fractions are well-formed, and on this tiny fixture no shingle can
+    // exceed the word-scheme cap — the metric reads 0, never NaN/absent
+    assert(m0(("shingle_entries", "df_cap")) ===
+      graft.operators.Dedup.DfCap.toDouble)
+    assert(m0(("shingle_entries", "df_saturated")) === 0.0)
+    assert(m0(("shingle_entries", "df_saturated_frac")) === 0.0)
+    assert(m0(("shingle_entries", "df_saturated_mass_frac")) === 0.0)
     // one maintenance call: tombstone GC on all three keyed states,
     // admission-log compaction (the default — provenance survives, the
     // listing shrinks), and the drift-gated online quantizer retrain
@@ -588,6 +596,9 @@ class IngestPipelineSpec extends SparkSpec {
       .map(_.getName).filter(n => n.startsWith("batch")).toSet
     assert(admDirs === Set("batches=0-1", "batch=2")) // below-horizon dirs folded
     assert(report.annRebuilt && report.annSkewBefore.exists(_ >= 1.5))
+    // maintain reports the post-GC df-cap saturation (Some(0.0) here:
+    // shingle entries exist, none saturated)
+    assert(report.dfSaturatedMassFrac === Some(0.0))
     // the snapshot reflects the pass: tombstones gone, skew re-read
     val m1 = metrics()
     assert(m1(("row_state", "tombstones")) === 0.0)
