@@ -130,6 +130,50 @@ object Hybrid {
   private def qHybridWeighted(spark: SparkSession, dir: String): DataFrame =
     weightedFuse(bm25LegCorpus(spark, dir), vecLegCorpus(spark, dir))
 
+  /** Retrieve-then-RERANK — the OTHER standard first-stage shape (fusion
+    * merges two rankings; rerank re-orders one ranking by the other's
+    * score): BM25 top-N as the candidate set, each candidate re-scored
+    * by embedding cosine to the query vector, top-k by the new score. A
+    * candidate without a vector is DROPPED (nothing to rerank with),
+    * which is the documented semantics in both forms. */
+  private def qHybridRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    bm25LegCorpus(spark, dir)
+      .select(col("id").as("doc_id"), col("rank").cast("long").as("bm25_rank"))
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("bm25_rank"),
+        round(Vectors.dot("embedding", "qv"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  private def qHybridRerankMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // maintained twin: BM25 candidates from the standing postings, their
+    // vectors key-fetched from the maintained IVF index's own cells
+    // ([[IvfIndex.vectorsForIds]] — the HBase-Get shape, no embeddings
+    // scan); candidates deleted from the index drop out of the rerank
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+      .head().getSeq[Float](1)
+    val cand = rankLeg(
+      graft.streaming.IncrementalPostings
+        .bm25Search(spark, Index.maintainedFixture(spark, dir), Terms,
+          k = LegDepth),
+      col("doc_id"), col("score"), LegDepth)
+      .select(col("id").cast("long").as("vec_id"),
+        col("rank").cast("long").as("bm25_rank"))
+      .localCheckpoint() // consumed by the fetch's bucket collects + join
+    IvfIndex.vectorsForIds(spark, Vectors.annFixture(spark, dir),
+        cand.select("vec_id"))
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id").as("doc_id"), col("bm25_rank"),
+        round(graft.functions.VecDotFloat.vec_dot(col("embedding"),
+          typedlit(qv)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
   /** Hybrid retrieval over MAINTAINED state — the reusable API: lexical
     * leg from the standing postings ([[graft.streaming.IncrementalPostings
     * .bm25Search]], bucket-pruned entries + keyed dl fetch), vector leg
@@ -175,7 +219,9 @@ object Hybrid {
   val queries: Map[String, Q] = Map(
     "q_hybrid_search" -> qHybridSearch,
     "q_hybrid_weighted" -> qHybridWeighted,
-    "q_hybrid_maintained" -> qHybridMaintained)
+    "q_hybrid_maintained" -> qHybridMaintained,
+    "q_hybrid_rerank" -> qHybridRerank,
+    "q_hybrid_rerank_maintained" -> qHybridRerankMaintained)
 
   /** The shared leg CTEs (DuckDB): BM25 over documents (q_bm25_topk's
     * formula), brute-force cosine over embeddings. */
@@ -218,6 +264,47 @@ object Hybrid {
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_hybrid_rerank" -> ("WITH " + corpusLegsCte + """
+      |SELECT bl.doc_id, brank AS bm25_rank,
+      |       round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+      |FROM bl JOIN embeddings ON bl.doc_id = vec_id, q
+      |ORDER BY sim DESC, bl.doc_id LIMIT 20""".stripMargin),
+    "q_hybrid_rerank_maintained" ->
+      // candidates ranked with the maintained index's STRING-rowkey
+      // tie-break; vectors are the POST-MAINTENANCE set (ids 0-9
+      // re-embedded, %37=11 and 100 deleted — deleted candidates drop)
+      """WITH n AS (
+        |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |               unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('merge', 'sort')
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+        |b AS (
+        |  SELECT doc_id,
+        |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
+        |                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tf JOIN df USING (tok), n GROUP BY doc_id),
+        |bl AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC,
+        |                            CAST(doc_id AS VARCHAR)) AS brank
+        |  FROM b QUALIFY brank <= 50),
+        |m AS (
+        |  SELECT a.vec_id,
+        |         CASE WHEN a.vec_id < 10 THEN u.embedding
+        |              ELSE a.embedding END AS emb
+        |  FROM embeddings a
+        |  LEFT JOIN embeddings u ON u.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id % 37 <> 11 AND a.vec_id <> 100),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100)
+        |SELECT bl.doc_id, brank AS bm25_rank,
+        |       round(list_dot_product(emb::DOUBLE[], qv), 4) AS sim
+        |FROM bl JOIN m ON bl.doc_id = m.vec_id, q
+        |ORDER BY sim DESC, bl.doc_id LIMIT 20""".stripMargin,
     "q_hybrid_search" -> ("WITH " + corpusLegsCte + "\n" + rrfSelect),
     "q_hybrid_weighted" -> ("WITH " + corpusLegsCte + """,
       |bx AS (SELECT min(score) AS bmn, max(score) AS bmx FROM bl),

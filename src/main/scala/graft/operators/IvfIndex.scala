@@ -438,6 +438,40 @@ object IvfIndex {
       .select("vec_id")
   }
 
+  /** The stored vectors for exactly `vecIds` — the HBase-Get shape for
+    * embeddings (the fetch a retrieve-then-RERANK pipeline runs on its
+    * first-stage hit list): the id→cell sidecar locates the ids' cells
+    * (≤ [[IdBuckets]] metadata dirs read), only THOSE cell dirs are
+    * opened, and the ids join against their own cells' rows. Per-call
+    * I/O is O(id buckets + hit cells), never the index. Ids absent from
+    * the index yield no row (a deleted doc has no vector to rerank
+    * with). Returns (vec_id, embedding). */
+  def vectorsForIds(spark: SparkSession, path: String,
+                    vecIds: DataFrame): DataFrame = {
+    heal(spark, path)
+    val vecRoot = path + "/vectors"
+    val idsRoot = path + "/ids"
+    val ids = vecIds.select(col("vec_id")).distinct()
+    val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
+    val empty = ids.limit(0)
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    if (liveIds.isEmpty) return empty
+    val idB = ids.select(idBucket.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idDirs = idB.toSeq.map(b => s"b=$b").filter(liveIds.contains)
+    if (idDirs.isEmpty) return empty
+    val cells = spark.read.parquet(idDirs.map(d => s"$idsRoot/$d"): _*)
+      .join(broadcast(ids), "vec_id")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val live = StateStore.liveBuckets(spark, vecRoot, "cell=").toSet
+    val dirs = cells.toSeq.map(c => s"cell=$c").filter(live.contains)
+    if (dirs.isEmpty) return empty
+    spark.read.option("basePath", vecRoot)
+      .parquet(dirs.map(d => s"$vecRoot/$d"): _*)
+      .join(broadcast(ids), "vec_id")
+      .select("vec_id", "embedding")
+  }
+
   /** Cell-occupancy skew of a built index: the largest cell's size over
     * the mean size across ALL trained cells (empty cells count — drift
     * typically empties cells while overfilling one, and both halves

@@ -67,15 +67,65 @@ class HybridSpec extends SparkSpec {
     assert(got === Map(7L -> one, 8L -> one))
   }
 
-  test("the maintained twin reads ONLY the two state roots — no corpus file") {
-    val frame = Hybrid.queries("q_hybrid_maintained")(
-      spark, "/root/testdata/sf0.001")
-    val inputs = frame.inputFiles
-    assert(inputs.nonEmpty)
-    for (f <- inputs)
-      assert(f.contains("/postings/") || f.contains("/ivf/"),
-        s"hybrid maintained read outside the postings/IVF state roots: $f")
-    assert(!inputs.exists(_.contains("/testdata/")),
-      "hybrid maintained must never scan a corpus parquet")
+  test("vectorsForIds: keyed fetch opens only the ids' own cells; absent ids yield no row") {
+    val tmp = Files.createTempDirectory("graft_hybv").toString
+    val ivf = tmp + "/ivf"
+    // two well-separated clusters so the trained cells split them
+    val vecs = (0L until 8L).map(i =>
+      (i, if (i < 4) Array(1f, 0.01f * i) else Array(-1f, 0.01f * i)))
+    IvfIndex.build(vecs.toDF("vec_id", "embedding"), ivf, nlist = 2, iters = 3)
+    val got = IvfIndex.vectorsForIds(spark, ivf,
+      Seq(1L, 2L, 99L).toDF("vec_id"))
+    val rows = got.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "exactly the present ids, absent id 99 yields no row")
+    // both requested ids live in the SAME cluster → one cell dir opened
+    val cellFiles = got.inputFiles.filter(_.contains("/vectors/"))
+    assert(cellFiles.nonEmpty)
+    assert(cellFiles.map(f => f.split("/vectors/")(1).split("/")(0)).toSet.size === 1,
+      s"fetch of two same-cluster ids must open ONE cell dir, got $cellFiles")
+  }
+
+  test("rerank reorders the lexical candidates by vector score; a deleted candidate drops") {
+    val tmp = Files.createTempDirectory("graft_hybr").toString
+    val postings = tmp + "/postings"
+    val ivf = tmp + "/ivf"
+    // lexical order: A (tf 3) > C (tf 2) > B (tf 1); vector scores flip
+    // it: B ~1.0 > C ~0.8 > A ~0.0. D matches lexically but is DELETED
+    // from the index → dropped from the rerank entirely.
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("1", 1L, "put", "merge merge merge x"),
+      ("2", 2L, "put", "merge y"),
+      ("3", 3L, "put", "merge merge z"),
+      ("4", 4L, "put", "merge merge merge merge w")
+    ).toDF("rowkey", "event_id", "op", "text"), postings)
+    IvfIndex.build(Seq(
+      (1L, Array(0f, 1f)), (2L, Array(1f, 0f)),
+      (3L, Array(0.8f, 0.6f)), (4L, Array(1f, 0.1f))
+    ).toDF("vec_id", "embedding"), ivf, nlist = 1, iters = 2)
+    IvfIndex.delete(spark, ivf, Seq(4L).toDF("vec_id"))
+    val cand = IncrementalPostings.bm25Search(spark, postings, Seq("merge"), k = 4)
+      .select(col("doc_id").cast("long").as("vec_id"))
+    val got = IvfIndex.vectorsForIds(spark, ivf, cand)
+      .select(col("vec_id"),
+        graft.functions.VecDotFloat.vec_dot(col("embedding"),
+          typedlit(Seq(1f, 0f))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 3L, 1L),
+      s"rerank must order by vector sim (B > C > A) and drop deleted D, got $got")
+  }
+
+  test("the maintained twins read ONLY the two state roots — no corpus file") {
+    for (key <- Seq("q_hybrid_maintained", "q_hybrid_rerank_maintained")) {
+      val frame = Hybrid.queries(key)(spark, "/root/testdata/sf0.001")
+      val inputs = frame.inputFiles
+      assert(inputs.nonEmpty, key)
+      for (f <- inputs)
+        assert(f.contains("/postings/") || f.contains("/ivf/"),
+          s"$key read outside the postings/IVF state roots: $f")
+      assert(!inputs.exists(_.contains("/testdata/")),
+        s"$key must never scan a corpus parquet")
+    }
   }
 }
