@@ -182,24 +182,35 @@ object Hybrid {
     * `probes` = nlist makes the vector leg exact (every cell read), which
     * is what lets DuckDB check the fused ranking; production uses fewer
     * probes for the documented recall trade. */
-  def hybridSearchMaintained(spark: SparkSession, postingsRoot: String,
+  /** The two maintained legs, ranked — shared by the RRF and weighted
+    * maintained twins. bm25Search orders ties by the STRING rowkey; rank
+    * with the same tie-break (the oracle casts to VARCHAR), then join
+    * ids numerically. */
+  private def maintainedLegs(spark: SparkSession, postingsRoot: String,
                              ivfRoot: String, terms: Seq[String],
                              qv: Seq[Float], probes: Int,
-                             legDepth: Int = LegDepth, rrfK: Int = RrfK,
-                             top: Int = TopK): DataFrame = {
-    // bm25Search orders ties by the STRING rowkey; rank with the same
-    // tie-break (the oracle casts to VARCHAR), then join ids numerically
+                             legDepth: Int): (DataFrame, DataFrame) = {
     val bmRanked = rankLeg(
       graft.streaming.IncrementalPostings
         .bm25Search(spark, postingsRoot, terms, k = legDepth),
       col("doc_id"), col("score"), legDepth)
-      .select(col("id").cast("long").as("id"), col("rank"))
+      .select(col("id").cast("long").as("id"), col("score"), col("rank"))
     val vRanked = rankLeg(
       graft.operators.IvfIndex
         .search(spark, ivfRoot, qv, k = legDepth, probes = probes)
         .select(col("vec_id"), round(col("sim"), 4).as("sim")),
       col("vec_id"), col("sim"), legDepth)
-    rrfFuse(bmRanked, vRanked, rrfK, top)
+    (bmRanked, vRanked)
+  }
+
+  def hybridSearchMaintained(spark: SparkSession, postingsRoot: String,
+                             ivfRoot: String, terms: Seq[String],
+                             qv: Seq[Float], probes: Int,
+                             legDepth: Int = LegDepth, rrfK: Int = RrfK,
+                             top: Int = TopK): DataFrame = {
+    val (bm, v) = maintainedLegs(spark, postingsRoot, ivfRoot, terms, qv,
+      probes, legDepth)
+    rrfFuse(bm, v, rrfK, top)
   }
 
   private def qHybridMaintained(spark: SparkSession, dir: String): DataFrame = {
@@ -216,10 +227,24 @@ object Hybrid {
       Terms, qv, probes = Vectors.AnnFixtureNlist)
   }
 
+  private def qHybridWeightedMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // the weighted fusion's maintained twin — same legs as
+    // q_hybrid_maintained, min-max fusion instead of RRF: the fusion
+    // rule is orthogonal to where the legs are served from
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+      .head().getSeq[Float](1)
+    val (bm, v) = maintainedLegs(spark,
+      Index.maintainedFixture(spark, dir),
+      Vectors.annFixture(spark, dir),
+      Terms, qv, Vectors.AnnFixtureNlist, LegDepth)
+    weightedFuse(bm, v)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_hybrid_search" -> qHybridSearch,
     "q_hybrid_weighted" -> qHybridWeighted,
     "q_hybrid_maintained" -> qHybridMaintained,
+    "q_hybrid_weighted_maintained" -> qHybridWeightedMaintained,
     "q_hybrid_rerank" -> qHybridRerank,
     "q_hybrid_rerank_maintained" -> qHybridRerankMaintained)
 
@@ -262,6 +287,71 @@ object Hybrid {
       |             COALESCE(1.0 / (60 + vrank), 0), 6) AS rrf
       |FROM bl FULL JOIN vl ON bl.doc_id = vl.doc_id
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  /** The min-max weighted-fusion tail over `bl`/`vl` legs (appended to a
+    * legs CTE) — shared by the corpus and maintained weighted keys. */
+  private val weightedTail = """,
+    |bx AS (SELECT min(score) AS bmn, max(score) AS bmx FROM bl),
+    |vx AS (SELECT min(sim) AS vmn, max(sim) AS vmx FROM vl),
+    |bn AS (
+    |  SELECT doc_id, brank,
+    |         CASE WHEN bmx = bmn THEN 1.0
+    |              ELSE (score - bmn) / (bmx - bmn) END AS zb
+    |  FROM bl, bx),
+    |vn AS (
+    |  SELECT doc_id, vrank,
+    |         CASE WHEN vmx = vmn THEN 1.0
+    |              ELSE (sim - vmn) / (vmx - vmn) END AS zv
+    |  FROM vl, vx)
+    |SELECT COALESCE(bn.doc_id, vn.doc_id) AS doc_id,
+    |       COALESCE(brank, 0) AS bm25_rank, COALESCE(vrank, 0) AS vec_rank,
+    |       round(COALESCE(zb * 0.7, 0) + COALESCE(zv * 0.3, 0), 4) AS score
+    |FROM bn FULL JOIN vn ON bn.doc_id = vn.doc_id
+    |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** The maintained legs CTE (DuckDB): BM25 over documents (the
+    * converged maintained postings ≡ documents; ties rank by the
+    * maintained index's STRING rowkey), brute-force cosine over the
+    * POST-MAINTENANCE vector set (ids 0-9 re-embedded to id+100's
+    * embedding, vec_id % 37 = 11 and id 100 deleted —
+    * q_ann_maintained's fixture). */
+  private val maintainedLegsCte =
+    """n AS (
+      |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |               unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok IN ('merge', 'sort')
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |b AS (
+      |  SELECT doc_id,
+      |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
+      |                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      |  FROM tf JOIN df USING (tok), n GROUP BY doc_id),
+      |bl AS (
+      |  SELECT doc_id, score,
+      |         row_number() OVER (ORDER BY score DESC,
+      |                            CAST(doc_id AS VARCHAR)) AS brank
+      |  FROM b QUALIFY brank <= 50),
+      |m AS (
+      |  SELECT a.vec_id,
+      |         CASE WHEN a.vec_id < 10 THEN u.embedding
+      |              ELSE a.embedding END AS emb
+      |  FROM embeddings a
+      |  LEFT JOIN embeddings u ON u.vec_id = a.vec_id + 100
+      |  WHERE a.vec_id % 37 <> 11 AND a.vec_id <> 100),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
+      |v AS (
+      |  SELECT vec_id AS doc_id,
+      |         round(list_dot_product(emb::DOUBLE[], qv), 4) AS sim
+      |  FROM m, q),
+      |vl AS (
+      |  SELECT doc_id, sim,
+      |         row_number() OVER (ORDER BY sim DESC, doc_id) AS vrank
+      |  FROM v QUALIFY vrank <= 50)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_hybrid_rerank" -> ("WITH " + corpusLegsCte + """
@@ -306,67 +396,9 @@ object Hybrid {
         |FROM bl JOIN m ON bl.doc_id = m.vec_id, q
         |ORDER BY sim DESC, bl.doc_id LIMIT 20""".stripMargin,
     "q_hybrid_search" -> ("WITH " + corpusLegsCte + "\n" + rrfSelect),
-    "q_hybrid_weighted" -> ("WITH " + corpusLegsCte + """,
-      |bx AS (SELECT min(score) AS bmn, max(score) AS bmx FROM bl),
-      |vx AS (SELECT min(sim) AS vmn, max(sim) AS vmx FROM vl),
-      |bn AS (
-      |  SELECT doc_id, brank,
-      |         CASE WHEN bmx = bmn THEN 1.0
-      |              ELSE (score - bmn) / (bmx - bmn) END AS zb
-      |  FROM bl, bx),
-      |vn AS (
-      |  SELECT doc_id, vrank,
-      |         CASE WHEN vmx = vmn THEN 1.0
-      |              ELSE (sim - vmn) / (vmx - vmn) END AS zv
-      |  FROM vl, vx)
-      |SELECT COALESCE(bn.doc_id, vn.doc_id) AS doc_id,
-      |       COALESCE(brank, 0) AS bm25_rank, COALESCE(vrank, 0) AS vec_rank,
-      |       round(COALESCE(zb * 0.7, 0) + COALESCE(zv * 0.3, 0), 4) AS score
-      |FROM bn FULL JOIN vn ON bn.doc_id = vn.doc_id
-      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    "q_hybrid_weighted" -> ("WITH " + corpusLegsCte + weightedTail),
+    "q_hybrid_weighted_maintained" ->
+      ("WITH " + maintainedLegsCte + weightedTail),
     "q_hybrid_maintained" ->
-      // lexical leg ties rank by the VARCHAR rowkey (the maintained
-      // index's key type); the vector leg brute-forces the POST-
-      // MAINTENANCE set: ids 0-9 re-embedded to id+100's embedding,
-      // vec_id % 37 = 11 and id 100 deleted (q_ann_maintained's fixture)
-      """WITH n AS (
-        |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
-        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |               unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  WHERE tok IN ('merge', 'sort')
-        |  GROUP BY doc_id, tok),
-        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
-        |b AS (
-        |  SELECT doc_id,
-        |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
-        |                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-        |  FROM tf JOIN df USING (tok), n GROUP BY doc_id),
-        |bl AS (
-        |  SELECT doc_id,
-        |         row_number() OVER (ORDER BY score DESC,
-        |                            CAST(doc_id AS VARCHAR)) AS brank
-        |  FROM b QUALIFY brank <= 50),
-        |m AS (
-        |  SELECT a.vec_id,
-        |         CASE WHEN a.vec_id < 10 THEN u.embedding
-        |              ELSE a.embedding END AS emb
-        |  FROM embeddings a
-        |  LEFT JOIN embeddings u ON u.vec_id = a.vec_id + 100
-        |  WHERE a.vec_id % 37 <> 11 AND a.vec_id <> 100),
-        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
-        |vl AS (
-        |  SELECT vec_id AS doc_id,
-        |         row_number() OVER (
-        |           ORDER BY round(list_dot_product(emb::DOUBLE[], qv), 4) DESC,
-        |           vec_id) AS vrank
-        |  FROM m, q QUALIFY vrank <= 50)
-        |SELECT COALESCE(bl.doc_id, vl.doc_id) AS doc_id,
-        |       COALESCE(brank, 0) AS bm25_rank, COALESCE(vrank, 0) AS vec_rank,
-        |       round(COALESCE(1.0 / (60 + brank), 0) +
-        |             COALESCE(1.0 / (60 + vrank), 0), 6) AS rrf
-        |FROM bl FULL JOIN vl ON bl.doc_id = vl.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)
+      ("WITH " + maintainedLegsCte + "\n" + rrfSelect))
 }

@@ -117,7 +117,8 @@ class HybridSpec extends SparkSpec {
   }
 
   test("the maintained twins read ONLY the two state roots — no corpus file") {
-    for (key <- Seq("q_hybrid_maintained", "q_hybrid_rerank_maintained")) {
+    for (key <- Seq("q_hybrid_maintained", "q_hybrid_weighted_maintained",
+        "q_hybrid_rerank_maintained")) {
       val frame = Hybrid.queries(key)(spark, "/root/testdata/sf0.001")
       val inputs = frame.inputFiles
       assert(inputs.nonEmpty, key)
