@@ -12,13 +12,17 @@ import graft.Tables
   * completes: Solr hit list → HBase fetch, here lexical hit list ⊕ ANN hit
   * list → fused ranking).
   *
-  * Two fusion rules, both rank-arithmetic over the legs' top-N:
+  * Three first-stage shapes, each with corpus and maintained forms:
   *  - RRF (reciprocal rank fusion, Cormack et al.): score(d) =
   *    Σ_legs 1/(K + rank_leg(d)), K = 60 — the parameter-free standard;
   *    an absent leg contributes 0.
   *  - weighted sum: min-max-normalize each leg's (rounded) scores over
   *    its own top-N, fuse 0.7·z_bm25 + 0.3·z_vec; an absent leg
   *    contributes 0.
+  *  - retrieve-then-RERANK: BM25 top-N candidates re-scored by
+  *    embedding cosine (the maintained form key-fetches candidate
+  *    vectors from the IVF index's own cells — [[IvfIndex
+  *    .vectorsForIds]]); a candidate without a vector drops.
   *
   * Ranks are assigned over ROUNDED leg scores (4 dp, the repo-wide oracle
   * discipline) with an id tie-break, so Spark and DuckDB rank identical
