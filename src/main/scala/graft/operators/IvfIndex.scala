@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 import graft.streaming.StateStore
 
 /** Persisted IVF (inverted-file) vector index — the materialized form of
@@ -451,10 +452,17 @@ object IvfIndex {
     heal(spark, path)
     val vecRoot = path + "/vectors"
     val idsRoot = path + "/ids"
-    val ids = vecIds.select(col("vec_id")).distinct()
+    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
     val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
-    val empty = ids.limit(0)
-      .withColumn("embedding", lit(null).cast("array<float>"))
+    // fixed schema, not ids.limit(0): the empty frame must carry the
+    // STORED types (vec_id LONG, embedding ARRAY<FLOAT>) — inheriting the
+    // caller's vec_id type (e.g. INT) made the result schema differ
+    // across code paths for the same call (round-13 ADVICE)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
     if (liveIds.isEmpty) return empty
     val idB = ids.select(idBucket.as("b")).distinct()
       .collect().map(_.getInt(0)).sorted

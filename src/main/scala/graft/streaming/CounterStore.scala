@@ -122,10 +122,14 @@ object CounterStore {
     val p = new org.apache.hadoop.fs.Path(statePath)
     val scheme = p.toUri.getScheme
     if (scheme == null || scheme == "file") {
-      // local root: `file:`-URI, relative, and trailing-slash spellings
-      // all collapse to one absolute filesystem path
+      // local root: `file:`-URI, relative, `./`-relative, and
+      // trailing-slash spellings all collapse to one absolute NORMALIZED
+      // filesystem path — File.getAbsolutePath keeps `.`/`..` segments
+      // ('./x' → '/cwd/./x' ≠ '/cwd/x'), which would silently split the
+      // metric slot this key exists to unify (round-13 ADVICE)
       val raw = if (scheme == null) statePath else p.toUri.getPath
-      new java.io.File(raw).getAbsolutePath.stripSuffix("/")
+      java.nio.file.Paths.get(raw).toAbsolutePath.normalize
+        .toString.stripSuffix("/")
     } else p.toUri.toString.stripSuffix("/")
   }
 

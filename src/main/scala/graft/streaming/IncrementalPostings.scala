@@ -523,9 +523,14 @@ object IncrementalPostings {
     * suggester/spellchecker serve from the standing index. The entries'
     * tf column makes `n` the occurrence count, so maintained-state
     * vocabulary reads rank identically to the corpus-scoped
-    * `q_suggest_prefix`/`q_spell_correct`. */
+    * `q_suggest_prefix`/`q_spell_correct`. Aggregated straight from the
+    * entries — NOT via [[postings]], whose sort_array(collect_set(id))
+    * materializes a posting-mass-sized id array per token that a
+    * (df, n) read never looks at (round-13 ADVICE). */
   def vocabulary(spark: SparkSession, rootPath: String): DataFrame =
-    postings(spark, rootPath).select(col("tok"), col("df"), col("n"))
+    allEntries(spark, rootPath).groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("n"))
 
   /** Prefix completions from the MAINTAINED vocabulary, ranked by corpus
     * occurrence count — the same ranking as the corpus-scoped suggester. */
@@ -1191,6 +1196,14 @@ object IncrementalPostings {
     * countDistinct's Expand. Repeated terms in the phrase are distinct
     * slots, so "a a" requires two adjacent positions, not one counted
     * twice).
+    * The start-group key includes FIELD (like [[phraseTfFields]]): a
+    * multi-field root stores one entry row per (tok, doc, field), so a
+    * (doc, start) group without field would mix witnesses across fields
+    * — 'a'@1 in title plus 'a'@1 in body would count as two slots of a
+    * two-term phrase, and a genuine per-field match could be rejected
+    * when cross-field rows push the count past the phrase length. A
+    * phrase matches within ONE field; matching fields collapse to the
+    * doc set afterwards.
     * Read shape is [[termSearch]]'s: the entries read is bucket-pruned to
     * the phrase's distinct terms, per-query work is Σ tf(term) position
     * rows, and the matched rows are key-fetched from only their own doc
@@ -1208,6 +1221,7 @@ object IncrementalPostings {
     val slots = phrase.zipWithIndex.toDF("tok", "slot")
     val starts = prunedEntries(spark, rootPath, phrase.distinct)
       .select(col("tok"), col("doc_id"),
+        coalesce(col("field"), lit(DefaultField)).as("field"),
         when(col("positions").isNull, raise_error(concat(
           lit("no position payload for term '"), col("tok"),
           lit("' of doc "), col("doc_id"),
@@ -1215,8 +1229,10 @@ object IncrementalPostings {
           lit("re-put the doc or use the corpus-scoped phrase query"))))
           .otherwise(col("positions")).as("positions"))
       .join(broadcast(slots), "tok")
-      .select(col("doc_id"), col("slot"), explode(col("positions")).as("pos"))
-      .groupBy(col("doc_id"), (col("pos") - col("slot")).as("start"))
+      .select(col("doc_id"), col("field"), col("slot"),
+        explode(col("positions")).as("pos"))
+      .groupBy(col("doc_id"), col("field"),
+        (col("pos") - col("slot")).as("start"))
       .agg(count(lit(1)).as("nslots"))
       .filter(col("nslots") === phrase.length)
     prunedDocsForKeys(spark, rootPath,

@@ -230,12 +230,16 @@ object IncrementalShingles {
     * (drop saturated shingles at MERGE time instead of read time,
     * SCALE.md's recorded trigger) starts paying for itself. None when
     * the root has no entries. Vocabulary-sized aggregate over the
-    * entries — monitoring cadence, not per batch. */
+    * entries — monitoring cadence, not per batch; reads df via
+    * [[IncrementalPostings.vocabulary]] (a plain countDistinct), NOT
+    * [[IncrementalPostings.postings]], whose per-token sorted id arrays
+    * are posting-mass-sized shuffle/memory a df read never inspects
+    * (round-13 ADVICE). */
   def dfSaturation(spark: SparkSession, rootPath: String,
                    dfCap: Int): Option[(Long, Double, Double)] = {
     if (StateStore.liveBuckets(spark, rootPath + "/entries").isEmpty)
       return None
-    val agg = IncrementalPostings.postings(spark, rootPath)
+    val agg = IncrementalPostings.vocabulary(spark, rootPath)
       .agg(count(lit(1)).as("v"),
         count(when(col("df") > dfCap, 1)).as("sat"),
         sum(col("df")).as("mass"),

@@ -89,6 +89,12 @@ class CounterStoreSpec extends SparkSpec {
       "a trailing-slash spelling of the root must read the same metric")
     assert(CounterStore.lastMergeHwDrops("file:" + root) === 1L,
       "a file:-URI spelling of the root must read the same metric")
+    // `.`-segment spellings too (round-13 ADVICE): getAbsolutePath keeps
+    // `.` segments, so '/x/./state' read a DIFFERENT slot than '/x/state'
+    // — the silent 0 the canonical key exists to prevent
+    val dotted = root.patch(root.lastIndexOf('/'), "/.", 0)
+    assert(CounterStore.lastMergeHwDrops(dotted) === 1L,
+      s"a '.'-segment spelling ($dotted) of the root must read the same metric")
     // a NO-OP batch on THIS root resets the metric — a previous merge's
     // drops must never be attributed to an empty batch
     assert(CounterStore.mergeCounters(spark, df(Seq.empty), root, numBuckets = 4) === 0L)

@@ -84,6 +84,25 @@ class HybridSpec extends SparkSpec {
     assert(cellFiles.nonEmpty)
     assert(cellFiles.map(f => f.split("/vectors/")(1).split("/")(0)).toSet.size === 1,
       s"fetch of two same-cluster ids must open ONE cell dir, got $cellFiles")
+    // the result schema is the STORED one on every code path — the empty
+    // path must not inherit the caller's vec_id type (round-13 ADVICE:
+    // an INT-typed id frame made empty and non-empty results disagree)
+    val stored = got.schema
+    val emptyViaInts = IvfIndex.vectorsForIds(spark, ivf,
+      Seq(999).toDF("vec_id"))   // INT ids, no hit → empty branch
+    assert(emptyViaInts.schema === stored,
+      s"empty-path schema ${emptyViaInts.schema} must equal stored $stored")
+    val freshRoot = Files.createTempDirectory("graft_hybv2").toString + "/ivf"
+    IvfIndex.build(vecs.toDF("vec_id", "embedding"), freshRoot,
+      nlist = 2, iters = 1)
+    val emptyNoLive = IvfIndex.vectorsForIds(spark, freshRoot,
+      spark.emptyDataFrame.withColumn("vec_id", lit(1)).limit(0)
+        .select(col("vec_id").cast("int").as("vec_id")))
+    assert(emptyNoLive.schema === stored,
+      "the no-matching-bucket empty path must also carry the stored schema")
+    // INT-typed ids still FETCH (the keyed join casts, not the caller)
+    assert(IvfIndex.vectorsForIds(spark, ivf, Seq(1, 2).toDF("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
   test("rerank reorders the lexical candidates by vector score; a deleted candidate drops") {

@@ -289,6 +289,25 @@ class MultifieldSpec extends SparkSpec {
     assert(ex.getMessage.contains("multi-field"))
   }
 
+  test("phraseSearch on a fields root witnesses starts WITHIN one field, never across") {
+    val root = newRoot("phrase")
+    // T: genuine title phrase — but 'beta'@1 ALSO appears in body, so a
+    //    field-blind (doc, start) group would count 3 rows ≠ 2 and REJECT
+    //    the real match (round-13 ADVICE).
+    // F: 'alpha'@1 in title AND body, no 'beta' anywhere — field-blind
+    //    counting sees 2 rows at start=1 (== phrase length) and FALSELY
+    //    matches; per-field each group has 1 slot and F is excluded.
+    // B: phrase genuinely in body only — still a match (any ONE field).
+    merge(root,
+      FieldDoc("T", 0, "put", "alpha beta", "zeta beta"),
+      FieldDoc("F", 1, "put", "pad alpha", "pad alpha"),
+      FieldDoc("B", 2, "put", "zeta eta", "alpha beta"))
+    val got = IncrementalPostings.phraseSearch(spark, root, Seq("alpha", "beta"))
+      .select("rowkey").collect().map(_.getString(0)).toSet
+    assert(got === Set("T", "B"),
+      "phrase must match per-field: T (title), B (body), never F (cross-field)")
+  }
+
   test("the _fields marker keeps single- and multi-field writers off each other's roots") {
     val root = newRoot("guard")
     merge(root, FieldDoc("1", 0, "put", "merge sort", "spark rows"))
