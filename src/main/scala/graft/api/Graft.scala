@@ -492,12 +492,22 @@ class Graft(spark: SparkSession, dir: String,
     * Pass `pq` to also train product-quantization codebooks and store
     * 4-bit-code shortlist forms alongside the vectors ([[ivfSearchPq]]). */
   def buildIvfIndex(path: String, nlist: Int = 16, iters: Int = 5,
-                    pq: Option[IvfIndex.PqSpec] = None): Unit =
-    IvfIndex.build(embeddings, path, nlist, iters, pq)
+                    pq: Option[IvfIndex.PqSpec] = None,
+                    attrs: Seq[String] = Nil): Unit =
+    IvfIndex.build(embeddings, path, nlist, iters, pq, attrs)
 
   /** Probed ANN search against a persisted IVF index. */
   def ivfSearch(path: String, query: Seq[Float], k: Int = 10, probes: Int = 2): DataFrame =
     IvfIndex.search(spark, path, query, k, probes)
+
+  /** Probed ANN search composed with a metadata predicate over the
+    * index's stored attribute columns ([[buildIvfIndex]]'s `attrs`) —
+    * "nearest neighbors among docs with lang='en'". The predicate applies
+    * INSIDE the probed cells, before the top-k, so k fills whenever the
+    * probed cells hold ≥ k matches (post-filtering a top-k under-fills). */
+  def ivfSearchFiltered(path: String, query: Seq[Float], predicate: Column,
+                        k: Int = 10, probes: Int = 2): DataFrame =
+    IvfIndex.searchFiltered(spark, path, query, predicate, k, probes)
 
   /** Memory-bounded probed search against a PQ-enabled index: ADC
     * shortlist over the (column-pruned) codes, exact rerank of the top

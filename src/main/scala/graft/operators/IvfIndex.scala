@@ -180,15 +180,41 @@ object IvfIndex {
     codebooksOpt(spark, path).isDefined
   }
 
+  /** Column names the index derives or uses transiently — an attribute
+    * column may not shadow them ([[build]]'s `attrs` validation). */
+  private val ReservedCols = Set("vec_id", "embedding", "cell", "codes",
+    "sim", "cent", "rn", "csim", "b", "adc", "upserted", "qid", "qv")
+
+  /** The attribute columns a root was built with (the `_attrs` marker
+    * written by [[build]]); empty for a plain or pre-attribute index. */
+  private[graft] def attrsOf(spark: SparkSession, path: String): Seq[String] =
+    StateStore.readTag(spark, path, "_attrs")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
   /** Train the coarse quantizer and materialize the index. Seeding is the
     * `nlist` smallest vec_ids — deterministic, so rebuilds are stable.
     * Each iteration checkpoints the (tiny) centroid table to truncate the
     * iterative lineage. Alongside the cell-partitioned vectors, an
     * id→cell sidecar (`<path>/ids`, bucketed by vec_id hash) records each
     * vector's current cell so [[upsert]] can find and clear a moved
-    * vector's old copy without scanning the index. */
+    * vector's old copy without scanning the index.
+    *
+    * `attrs` names metadata columns of `vectors` to store ALONGSIDE the
+    * embeddings in the cell files (the colocated-attribute layout every
+    * filtered-ANN engine uses): [[searchFiltered]] then evaluates a
+    * predicate over them INSIDE the probed cells — pushed to the parquet
+    * scan of only those files — with no join against a metadata table at
+    * query time. The attribute set is pinned in an `_attrs` root marker;
+    * [[upsert]] requires every later batch to carry the same columns and
+    * [[rebuild]] carries them through retrains. Quantizer training reads
+    * only (vec_id, embedding) regardless — attributes never widen the
+    * Lloyd iterations' shuffles. */
   def build(vectors: DataFrame, path: String, nlist: Int = 16, iters: Int = 5,
-            pq: Option[PqSpec] = None): Unit = {
+            pq: Option[PqSpec] = None, attrs: Seq[String] = Nil): Unit = {
+    require(attrs.forall(a => !ReservedCols.contains(a)),
+      s"attribute columns may not use reserved names: " +
+        attrs.filter(ReservedCols.contains).mkString(","))
+    require(attrs.distinct == attrs, "duplicate attribute column names")
     // Rebuild = REPLACE: clear any previous index first, as one unit. The
     // three writes below are not mutually atomic; replacing from scratch
     // means a crash mid-build leaves an obviously-incomplete index whose
@@ -197,7 +223,9 @@ object IvfIndex {
     // make later upserts clear the wrong cells silently.
     val spark0 = vectors.sparkSession
     heal(spark0, path) // resolve any interrupted root swap before replacing
-    val e = vectors.select(col("vec_id"), col("embedding"))
+    val full = vectors.select(
+      (Seq("vec_id", "embedding") ++ attrs).map(col): _*)
+    val e = full.select(col("vec_id"), col("embedding"))
     // input-only validation BEFORE the destructive delete below: a call
     // rejected on its parameters must not have wiped a healthy index first
     val pqDim = pq.map { spec =>
@@ -236,7 +264,9 @@ object IvfIndex {
     }
     // repartition by the partition column: one file per cell/id-bucket dir,
     // so a probe opens |probed cells| files, not |cells × writer partitions|
-    val assignedRaw = assign(e, centroids)
+    // (the final assign runs on `full`, so attribute columns ride into the
+    // cell files — training above never touched them)
+    val assignedRaw = assign(full, centroids)
     val assigned = cbOpt.map(encode(assignedRaw, _)).getOrElse(assignedRaw)
       .repartition(col("cell")).cache()
     try {
@@ -246,6 +276,8 @@ object IvfIndex {
         .write.mode("overwrite").partitionBy("b").parquet(path + "/ids")
       // after the overwrite (which replaces the whole ids dir, marker included)
       StateStore.ensureBucketCount(assigned.sparkSession, path + "/ids", IdBuckets)
+      if (attrs.nonEmpty)
+        StateStore.ensureTag(spark0, path, "_attrs", attrs.mkString(","))
     } finally assigned.unpersist(): Unit
   }
 
@@ -294,9 +326,20 @@ object IvfIndex {
       throw new IllegalStateException(
         s"index at $path has vectors but no id map — rebuild it with IvfIndex.build")
     StateStore.ensureBucketCount(spark, idsRoot, IdBuckets)
+    // an attribute-carrying root requires every batch to carry its attrs
+    // (`_attrs` marker, [[build]]): silently writing rows WITHOUT them
+    // would leave cell files whose schemas disagree, and a later filtered
+    // probe would resolve the predicate column as missing
+    val attrs = attrsOf(spark, path)
+    val absent = attrs.filterNot(vectors.columns.contains)
+    if (absent.nonEmpty) throw new IllegalStateException(
+      s"index at $path stores attribute columns [${attrs.mkString(",")}] " +
+        s"but the upsert batch is missing [${absent.mkString(",")}] — " +
+        "every upsert into an attribute-carrying index must supply them")
     // cache the batch: the duplicate check and assign() both consume it,
     // and the caller's frame may be expensive
-    val batch = vectors.select(col("vec_id"), col("embedding")).cache()
+    val batch = vectors.select(
+      (Seq("vec_id", "embedding") ++ attrs).map(col): _*).cache()
     require(batch.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
       "upsert batch contains duplicate vec_ids — resolve to one embedding per id first")
     val assigned = assign(batch, centroids(spark, path)).cache()
@@ -559,9 +602,14 @@ object IvfIndex {
       val r = cb.agg(max(col("s")), max(col("code"))).head()
       PqSpec(m = r.getInt(0) + 1, k = math.max(2, r.getInt(1) + 1))
     }
+    // attribute columns survive the retrain: re-read them with the
+    // vectors and hand the set back to build, which re-pins the marker
+    val attrs = attrsOf(spark, path)
     val live = spark.read.parquet(path + "/vectors")
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
-    StateStore.commit(spark, path)(tmp => build(live, tmp, nlist, iters, pqSpec))
+      .select((Seq("vec_id", "embedding") ++ attrs).map(col): _*)
+      .localCheckpoint()
+    StateStore.commit(spark, path)(tmp =>
+      build(live, tmp, nlist, iters, pqSpec, attrs))
   }
 
   /** Retrofit PQ onto a built plain-IVF index: trains codebooks on the
@@ -771,7 +819,30 @@ object IvfIndex {
     * top `probes` cells' partitions for the exact top-k. The cell list is
     * collected — it is nlist rows of metadata, never data. */
   def search(spark: SparkSession, path: String, query: Seq[Float],
-             k: Int = 10, probes: Int = 2): DataFrame = {
+             k: Int = 10, probes: Int = 2): DataFrame =
+    searchFiltered(spark, path, query, lit(true), k, probes)
+
+  /** Probed ANN search COMPOSED with a metadata predicate — Solr's `fq`
+    * applied to vector retrieval ("nearest neighbors among docs with
+    * lang='en'", the most common production vector-search shape). Same
+    * probe as [[search]]; `predicate` references the attribute columns the
+    * index was built with ([[build]]'s `attrs`, colocated in the cell
+    * files), so it evaluates INSIDE the probed cells, pushed down to the
+    * parquet scan of only those files — no metadata join, no extra I/O.
+    *
+    * k-fill semantics: the predicate applies BEFORE the top-k, so the
+    * result holds k rows whenever the probed cells contain ≥ k matching
+    * vectors — never the under-filled list that post-filtering a top-k
+    * produces (filter-after-rank returns only the matchers that happened
+    * to rank in the unfiltered top k). Like every probed read, recall
+    * beyond the probed cells is governed by `probes`: a highly selective
+    * predicate concentrates matches in few cells, so filtered searches
+    * warrant more probes than unfiltered ones (probes = nlist is exact).
+    * A predicate over a column the index does not store fails loudly at
+    * resolution. */
+  def searchFiltered(spark: SparkSession, path: String, query: Seq[Float],
+                     predicate: Column, k: Int = 10,
+                     probes: Int = 2): DataFrame = {
     val qv = typedlit(query)
     val probed = centroids(spark, path)
       .withColumn("csim", dotDD(col("cent"), qv))
@@ -783,6 +854,7 @@ object IvfIndex {
     StateStore.liveBuckets(spark, path + "/vectors", "cell=")
     spark.read.parquet(path + "/vectors") // partition-discovered `cell` column
       .filter(col("cell").isin(probed: _*)) // prunes to probed directories
+      .filter(predicate) // pre-top-k: never under-fills k (scan-pushed)
       .withColumn("sim", dotDD(col("embedding"), qv))
       .select(col("vec_id"), col("cell"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -271,13 +271,19 @@ object Vectors {
       val root = java.nio.file.Files.createTempDirectory("graft_annm").toString + "/ivf"
       val e = Tables.embeddings(s, d)
       // built WITH PQ so the same fixture proves the codes column rides
-      // the upsert/delete cell rewrites below (q_ann_pq_maintained)
-      IvfIndex.build(e.select("vec_id", "embedding"), root,
-        nlist = AnnFixtureNlist, iters = 2, pq = Some(IvfIndex.PqSpec()))
+      // the upsert/delete cell rewrites below (q_ann_pq_maintained), and
+      // WITH the label attribute so the same fixture serves the filtered
+      // probe (q_ann_filtered_maintained) — attrs colocate in cell files
+      IvfIndex.build(e.select("vec_id", "embedding", "label"), root,
+        nlist = AnnFixtureNlist, iters = 2, pq = Some(IvfIndex.PqSpec()),
+        attrs = Seq("label"))
+      // the re-embed keeps each doc's OWN label (metadata outlives an
+      // embedding update), so the oracle's label column is just e.label
       val delta = e.as("a")
         .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 100)
         .filter(col("a.vec_id") < 10)
-        .select(col("a.vec_id").as("vec_id"), col("b.embedding").as("embedding"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.embedding").as("embedding"), col("a.label").as("label"))
       IvfIndex.upsert(s, root, delta)
       IvfIndex.delete(s, root,
         e.filter(col("vec_id") % 37 === 11 || col("vec_id") === 100)
@@ -337,6 +343,44 @@ object Vectors {
       .orderBy("qid", "rank")
   }
 
+  private def qAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    // X3 × S3: IVF probe COMPOSED with a metadata predicate — "nearest
+    // neighbors among docs with lang='en'" (Solr's fq over ranking,
+    // README.md:6's aggregation+retrieval over the same fields). The
+    // predicate applies BEFORE the top-k, inside the probed cell, so k
+    // fills whenever the cell holds ≥ k matches — post-filtering the
+    // unfiltered top-k would under-fill it. At 100 TB the metadata lives
+    // IN the cell files (IvfIndex.build attrs) and this join disappears
+    // into a scan-pushed filter — q_ann_filtered_maintained is that form.
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("label").as("qlabel"), col("embedding").as("qv"))
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("label") === col("qlabel"))
+      .join(allowed, "vec_id") // predicate before the rank: k-fill holds
+      .withColumn("sim", round(dot("embedding", "qv"), 4))
+      .select("vec_id", "lang", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def qAnnFilteredMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // X3 × S3 (maintained): IvfIndex.searchFiltered against the
+    // attribute-carrying maintained fixture — the predicate evaluates
+    // inside the probed cell files (scan-pushed, no metadata join).
+    // probes = nlist makes it the exact filtered answer, which is what
+    // lets DuckDB brute-force the same maintained set + predicate.
+    val root = annFixture(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+      .select("embedding", "label").head()
+    IvfIndex.searchFiltered(spark, root, q.getSeq[Float](0),
+        col("label") === lit(q.getInt(1)), k = 10, probes = AnnFixtureNlist)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+  }
+
   private def qMultimodalJoin(spark: SparkSession, dir: String): DataFrame =
     // X5: one row carrying text metadata + typed vector. doc_id==vec_id by
     // fixture construction; the dimension + norm checks prove the vector
@@ -357,6 +401,8 @@ object Vectors {
     "q_vector_centroid" -> qVectorCentroid,
     "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_ann_maintained" -> qAnnMaintained,
+    "q_ann_filtered" -> qAnnFiltered,
+    "q_ann_filtered_maintained" -> qAnnFilteredMaintained,
     "q_ann_pq_maintained" -> qAnnPqMaintained,
     "q_ann_pq_batch" -> qAnnPqBatch,
     "q_embed_lsh_dup" -> qEmbedLshDup,
@@ -429,6 +475,30 @@ object Vectors {
         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100)
         |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
         |FROM final, q
+        |ORDER BY list_dot_product(embedding::DOUBLE[], qv) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT label AS qlabel, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, d.lang,
+        |       round(list_dot_product(e.embedding::DOUBLE[], qv), 4) AS sim
+        |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q
+        |WHERE e.label = qlabel AND d.lang = 'en' AND e.vec_id <> 0
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_ann_filtered_maintained" ->
+      """WITH delta AS (
+        |  SELECT a.vec_id, b.embedding
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+        |  WHERE a.vec_id < 10),
+        |final AS (
+        |  SELECT e.vec_id, coalesce(d.embedding, e.embedding) AS embedding,
+        |         e.label
+        |  FROM embeddings e LEFT JOIN delta d ON e.vec_id = d.vec_id
+        |  WHERE e.vec_id % 37 <> 11 AND e.vec_id <> 100),
+        |q AS (SELECT embedding::DOUBLE[] AS qv, label AS qlabel
+        |      FROM embeddings WHERE vec_id = 100)
+        |SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+        |FROM final, q WHERE final.label = qlabel
         |ORDER BY list_dot_product(embedding::DOUBLE[], qv) DESC, vec_id
         |LIMIT 10""".stripMargin,
     // the PQ read path reranks its (corpus-sized-by-parameter) shortlist

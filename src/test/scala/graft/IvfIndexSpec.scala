@@ -390,4 +390,96 @@ class IvfIndexSpec extends SparkSpec {
       assert(math.abs(bruteMap(r.getLong(0)) - r.getDouble(2)) < 1e-12)
     }
   }
+
+  // ---- filtered search: metadata predicate composed with the probe ----
+
+  /** Two well-separated clusters (cells split them at nlist=2): cluster A
+    * around (1,0) with ids 0–11 at increasing angle (descending sim to
+    * query (1,0)) — ids 0–5 grp='hot', 6–11 grp='cold' — and cluster B
+    * around (-1,0) with ids 20–27, all 'cold'. */
+  private def filteredFixture(): String = {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_ivfF").toString + "/ivf"
+    val a = (0 until 12).map { i =>
+      val th = 0.02 * (i + 1)
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat),
+        if (i < 6) "hot" else "cold")
+    }
+    val b = (20 until 28).map { i =>
+      val th = math.Pi - 0.02 * (i - 19)
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat), "cold")
+    }
+    IvfIndex.build((a ++ b).toDF("vec_id", "embedding", "grp"), p,
+      nlist = 2, iters = 3, attrs = Seq("grp"))
+    p
+  }
+
+  test("searchFiltered fills k from the probed cell where post-filtering the top-k would under-fill") {
+    val p = filteredFixture()
+    val q = Seq(1f, 0f)
+    // the probed cell's unfiltered top-6 is entirely 'hot' (ids 0–5):
+    // post-filtering THAT list by grp='cold' would return zero rows —
+    // the under-fill searchFiltered's pre-top-k predicate exists to avoid
+    val unfiltered = IvfIndex.search(spark, p, q, k = 6, probes = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(unfiltered === (0L to 5L),
+      s"fixture precondition: unfiltered top-6 must be the hot ids, got $unfiltered")
+    val filtered = IvfIndex.searchFiltered(spark, p, q,
+      col("grp") === "cold", k = 4, probes = 1)
+    val rows = filtered.collect()
+    assert(rows.map(_.getLong(0)).toSeq === (6L to 9L),
+      "k must FILL with the best matching vectors of the probed cell")
+    // the predicate composed with the probe still opens ONLY the probed
+    // cell's files (partition pruning survives the metadata filter), and
+    // the predicate itself reaches the scan as a pushed data filter
+    val plan = filtered.queryExecution.executedPlan
+    val partFilters = plan.toString.split("PartitionFilters: \\[")
+      .drop(1).map(_.takeWhile(_ != ']')).mkString(";")
+    assert(partFilters.contains("cell"), plan.toString)
+    assert(plan.toString.contains("PushedFilters: [IsNotNull(grp), EqualTo(grp,cold)"),
+      plan.toString)
+    val totalFiles = spark.read.parquet(p + "/vectors").inputFiles.length
+    val filesRead = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"filtered probe read $filesRead of $totalFiles files")
+    // probing every cell + predicate == exact brute-force filtered top-k
+    val exact = IvfIndex.searchFiltered(spark, p, q,
+      col("grp") === "cold", k = 4, probes = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact === (6L to 9L))
+  }
+
+  test("attribute columns ride upsert/delete/rebuild; a batch missing them fails loudly") {
+    import spark.implicits._
+    val p = filteredFixture()
+    val q = Seq(1f, 0f)
+    // upsert without the root's attrs: rejected before any write
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.upsert(spark, p, Seq((50L, Array(1f, 0f))).toDF("vec_id", "embedding"))
+    }
+    assert(ex.getMessage.contains("grp"), ex.getMessage)
+    // upsert WITH attrs: id 0 flips hot→cold and becomes the best 'cold'
+    IvfIndex.upsert(spark, p,
+      Seq((0L, Array(1f, 0f), "cold")).toDF("vec_id", "embedding", "grp"))
+    assert(IvfIndex.searchFiltered(spark, p, q, col("grp") === "cold",
+        k = 1, probes = 2).head().getLong(0) === 0L)
+    // delete drops the row from the filtered view like any other read
+    IvfIndex.delete(spark, p, Seq(0L).toDF("vec_id"))
+    assert(IvfIndex.searchFiltered(spark, p, q, col("grp") === "cold",
+        k = 1, probes = 2).head().getLong(0) === 6L)
+    // rebuild retrains the quantizer and carries the attrs through
+    IvfIndex.rebuild(spark, p, nlist = 2, iters = 2)
+    assert(IvfIndex.searchFiltered(spark, p, q, col("grp") === "cold",
+        k = 4, probes = 2).collect().map(_.getLong(0)).toSeq === (6L to 9L))
+    // a reserved or shadowing attribute name is rejected at build
+    val bad = intercept[IllegalArgumentException] {
+      IvfIndex.build(Seq((1L, Array(1f, 0f), 3)).toDF("vec_id", "embedding", "cell"),
+        Files.createTempDirectory("graft_ivfR").toString + "/ivf",
+        nlist = 1, iters = 1, attrs = Seq("cell"))
+    }
+    assert(bad.getMessage.contains("reserved"))
+  }
 }
