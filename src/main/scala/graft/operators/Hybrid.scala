@@ -154,20 +154,14 @@ object Hybrid {
   }
 
   private def qHybridRerankMaintained(spark: SparkSession, dir: String): DataFrame = {
-    // maintained twin: BM25 candidates from the standing postings, their
-    // vectors key-fetched from the maintained IVF index's own cells
-    // ([[IvfIndex.vectorsForIds]] — the HBase-Get shape, no embeddings
-    // scan); candidates deleted from the index drop out of the rerank
-    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
-      .head().getSeq[Float](1)
-    val cand = rankLeg(
-      graft.streaming.IncrementalPostings
-        .bm25Search(spark, Index.maintainedFixture(spark, dir), Terms,
-          k = LegDepth),
-      col("doc_id"), col("score"), LegDepth)
-      .select(col("id").cast("long").as("vec_id"),
+    // maintained twin: BM25 candidates from the SHARED persisted lexical
+    // leg, their vectors key-fetched from the maintained IVF index's own
+    // cells ([[IvfIndex.vectorsForIds]] — the HBase-Get shape, no
+    // embeddings scan); candidates deleted from the index drop out
+    val qv = fixtureQueryVec(spark, dir)
+    val cand = sharedMaintainedLegs(spark, dir)._1
+      .select(col("id").as("vec_id"),
         col("rank").cast("long").as("bm25_rank"))
-      .localCheckpoint() // consumed by the fetch's bucket collects + join
     IvfIndex.vectorsForIds(spark, Vectors.annFixture(spark, dir),
         cand.select("vec_id"))
       .join(broadcast(cand), "vec_id")
@@ -178,19 +172,28 @@ object Hybrid {
       .limit(TopK)
   }
 
-  /** Hybrid retrieval over MAINTAINED state — the reusable API: lexical
-    * leg from the standing postings ([[graft.streaming.IncrementalPostings
-    * .bm25Search]], bucket-pruned entries + keyed dl fetch), vector leg
-    * from the maintained IVF index ([[IvfIndex.search]]), RRF-fused. The
-    * plan reads ONLY the two state roots — no corpus file (spec-pinned).
-    * `probes` = nlist makes the vector leg exact (every cell read), which
-    * is what lets DuckDB check the fused ranking; production uses fewer
-    * probes for the documented recall trade. */
   /** The two maintained legs, ranked — shared by the RRF and weighted
     * maintained twins. bm25Search orders ties by the STRING rowkey; rank
     * with the same tie-break (the oracle casts to VARCHAR), then join
-    * ids numerically. */
-  private def maintainedLegs(spark: SparkSession, postingsRoot: String,
+    * ids numerically.
+    *
+    * TWO-ROOT READ COHERENCE: this is the engine's first read spanning
+    * two state roots in one result. Each leg is internally consistent —
+    * a root's buckets commit atomically per batch, so a leg never sees a
+    * torn WITHIN-root state — but the two roots swap at different
+    * instants, so a read racing a live batch that writes both roots can
+    * fuse a post-batch lexical leg with a pre-batch vector leg (or vice
+    * versa). The contract is the single-root registry-swap one
+    * (round-8): MIXED-EPOCH, NEVER TORN — a doc mutated between the two
+    * leg reads contributes each leg's own snapshot (e.g. a doc deleted
+    * from the IVF root after the lexical read fuses with vec_rank 0,
+    * exactly as if the vector leg had not matched it), and no read
+    * errors or partial-bucket states are possible. Spec-pinned
+    * (HybridSpec "mixed-epoch"). Callers needing one-epoch fusion run
+    * hybrid reads inside the same maintenance slot that serializes
+    * writers ([[graft.streaming.WriterFence]] discipline) — the exact
+    * guidance SCALE.md records for single-root maintained reads. */
+  private[graft] def maintainedLegs(spark: SparkSession, postingsRoot: String,
                              ivfRoot: String, terms: Seq[String],
                              qv: Seq[Float], probes: Int,
                              legDepth: Int): (DataFrame, DataFrame) = {
@@ -207,6 +210,16 @@ object Hybrid {
     (bmRanked, vRanked)
   }
 
+  /** Hybrid retrieval over MAINTAINED state — the reusable API: lexical
+    * leg from the standing postings ([[graft.streaming.IncrementalPostings
+    * .bm25Search]], bucket-pruned entries + keyed dl fetch), vector leg
+    * from the maintained IVF index ([[IvfIndex.search]]), RRF-fused. The
+    * plan reads ONLY the two state roots — no corpus file (spec-pinned).
+    * `probes` = nlist makes the vector leg exact (every cell read), which
+    * is what lets DuckDB check the fused ranking; production uses fewer
+    * probes for the documented recall trade. Reads racing a live batch
+    * fuse mixed-epoch, never torn — [[maintainedLegs]]' two-root
+    * coherence contract. */
   def hybridSearchMaintained(spark: SparkSession, postingsRoot: String,
                              ivfRoot: String, terms: Seq[String],
                              qv: Seq[Float], probes: Int,
@@ -217,30 +230,64 @@ object Hybrid {
     rrfFuse(bm, v, rrfK, top)
   }
 
+  /** The fixture twins' ranked legs, built ONCE per (session, dir) and
+    * served persisted to all three maintained fusion keys (the
+    * [[Index.sharedPostings]] seam): RRF and weighted fuse both legs;
+    * rerank consumes the lexical leg as its candidate list. The legs are
+    * ≤ [[LegDepth]] rows each — the artifact stores rank lists, never
+    * state or corpus rows. */
+  private def sharedMaintainedLegs(spark: SparkSession,
+                                   dir: String): (DataFrame, DataFrame) = {
+    val qv = fixtureQueryVec(spark, dir)
+    val bm = Materialize.artifact(spark, "hybrid_bm_leg", dir) {
+      rankLeg(
+        graft.streaming.IncrementalPostings
+          .bm25Search(spark, Index.maintainedFixture(spark, dir), Terms,
+            k = LegDepth),
+        col("doc_id"), col("score"), LegDepth)
+        .select(col("id").cast("long").as("id"), col("score"), col("rank"))
+    }
+    val v = Materialize.artifact(spark, "hybrid_vec_leg", dir) {
+      rankLeg(
+        IvfIndex.search(spark, Vectors.annFixture(spark, dir), qv,
+            k = LegDepth, probes = Vectors.AnnFixtureNlist)
+          .select(col("vec_id"), round(col("sim"), 4).as("sim")),
+        col("vec_id"), col("sim"), LegDepth)
+    }
+    (bm, v)
+  }
+
+  /** The fixture query vector (the pre-delete embedding of id 100 —
+    * q_ann_maintained's query), collected once per (session, dir): three
+    * fusion twins share it, and the collect is a corpus action the fused
+    * PLANS must never contain. */
+  private val queryVecs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Float]]()
+  Materialize.onSessionFreed { s =>
+    queryVecs.keySet.removeIf(_._1 eq s)
+  }
+  private def fixtureQueryVec(spark: SparkSession, dir: String): Seq[Float] =
+    queryVecs.computeIfAbsent((spark, dir), { case (s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") === 100)
+        .head().getSeq[Float](1)
+    })
+
   private def qHybridMaintained(spark: SparkSession, dir: String): DataFrame = {
     // Fixture reuse, no new artifact: lexical over Index's maintained
     // postings (converged ≡ documents), vector over Vectors' maintained
     // IVF fixture (upserts + deletes, every mutation SQL-expressible —
     // q_ann_maintained's own oracle discipline). Query = q_ann_maintained's
-    // (the pre-delete embedding of id 100).
-    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
-      .head().getSeq[Float](1)
-    hybridSearchMaintained(spark,
-      Index.maintainedFixture(spark, dir),
-      Vectors.annFixture(spark, dir),
-      Terms, qv, probes = Vectors.AnnFixtureNlist)
+    // (the pre-delete embedding of id 100). Legs come persisted from the
+    // shared seam — one leg-pair build serves all three fusion twins.
+    val (bm, v) = sharedMaintainedLegs(spark, dir)
+    rrfFuse(bm, v)
   }
 
   private def qHybridWeightedMaintained(spark: SparkSession, dir: String): DataFrame = {
     // the weighted fusion's maintained twin — same legs as
     // q_hybrid_maintained, min-max fusion instead of RRF: the fusion
     // rule is orthogonal to where the legs are served from
-    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
-      .head().getSeq[Float](1)
-    val (bm, v) = maintainedLegs(spark,
-      Index.maintainedFixture(spark, dir),
-      Vectors.annFixture(spark, dir),
-      Terms, qv, Vectors.AnnFixtureNlist, LegDepth)
+    val (bm, v) = sharedMaintainedLegs(spark, dir)
     weightedFuse(bm, v)
   }
 

@@ -135,17 +135,87 @@ class HybridSpec extends SparkSpec {
       s"rerank must order by vector sim (B > C > A) and drop deleted D, got $got")
   }
 
+  test("two-root reads racing a mutation fuse MIXED-EPOCH, never torn (coherence contract)") {
+    // The documented contract (Hybrid.maintainedLegs): the two state
+    // roots swap at different instants, so a hybrid read interleaved
+    // with a batch that writes both roots fuses each leg from its OWN
+    // snapshot — no error, no partial-bucket read, each leg internally
+    // consistent. Simulated here literally: read the lexical leg, commit
+    // a merge to BOTH roots between the leg reads, then read the vector
+    // leg and fuse.
+    val tmp = Files.createTempDirectory("graft_hybe").toString
+    val postings = tmp + "/postings"
+    val ivf = tmp + "/ivf"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("1", 1L, "put", "merge sort pad"),
+      ("2", 2L, "put", "merge merge sort")
+    ).toDF("rowkey", "event_id", "op", "text"), postings)
+    IvfIndex.build(Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding"), ivf, nlist = 1, iters = 1)
+    // leg 1 READ: materialize the lexical ranking at epoch 0
+    val (bm0, _) = Hybrid.maintainedLegs(spark, postings, ivf,
+      Seq("merge", "sort"), Seq(1f, 0f), probes = 1, legDepth = 10)
+    val bmRows = bm0.collect()   // the pre-batch snapshot, pinned
+    val bmSnap = spark.createDataFrame(
+      spark.sparkContext.parallelize(bmRows.toIndexedSeq), bm0.schema)
+    // the racing batch commits to BOTH roots between the leg reads:
+    // doc 1 is deleted everywhere, doc 3 arrives everywhere
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("1", 3L, "delete", null.asInstanceOf[String]),
+      ("3", 4L, "put", "merge sort sort")
+    ).toDF("rowkey", "event_id", "op", "text"), postings)
+    IvfIndex.delete(spark, ivf, Seq(1L).toDF("vec_id"))
+    IvfIndex.upsert(spark, ivf, Seq((3L, Array(0.9f, 0.43589f)))
+      .toDF("vec_id", "embedding"))
+    // leg 2 READ at epoch 1, then fuse across the epochs
+    val (_, v1) = Hybrid.maintainedLegs(spark, postings, ivf,
+      Seq("merge", "sort"), Seq(1f, 0f), probes = 1, legDepth = 10)
+    val fused = Hybrid.rrfFuse(bmSnap, v1)
+      .select("doc_id", "bm25_rank", "vec_rank").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: lexical epoch still ranks it; deleted from the vector root
+    // → vec_rank 0, exactly as if the vector leg had not matched — the
+    // documented absent-leg semantics, never an error or a ghost row
+    assert(fused(1L)._1 > 0L && fused(1L)._2 === 0L,
+      s"deleted-between-legs doc must fuse as vector-absent, got $fused")
+    // doc 3: arrived between the legs — vector leg only
+    assert(fused(3L)._1 === 0L && fused(3L)._2 > 0L,
+      s"arrived-between-legs doc must fuse as lexical-absent, got $fused")
+    // doc 2 lives in both epochs: both legs contribute
+    assert(fused(2L)._1 > 0L && fused(2L)._2 > 0L)
+  }
+
   test("the maintained twins read ONLY the two state roots — no corpus file") {
+    val dir = "/root/testdata/sf0.001"
+    // The twins consume the SHARED persisted leg pair, so their fused
+    // plans read cached blocks, not files; the only file-reading stage is
+    // the leg build itself — pin THAT to the two state roots. Same legs,
+    // same roots, same parameters as the shared seam.
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+      .head().getSeq[Float](1)
+    val (bm, v) = Hybrid.maintainedLegs(spark,
+      graft.operators.Index.maintainedFixture(spark, dir),
+      graft.operators.Vectors.annFixture(spark, dir),
+      Seq("merge", "sort"), qv, graft.operators.Vectors.AnnFixtureNlist, 50)
+    for ((leg, name) <- Seq((bm, "bm25 leg"), (v, "vector leg"))) {
+      val inputs = leg.inputFiles
+      assert(inputs.nonEmpty, name)
+      for (f <- inputs)
+        assert(f.contains("/postings/") || f.contains("/ivf/"),
+          s"$name read outside the postings/IVF state roots: $f")
+      assert(!inputs.exists(_.contains("/testdata/")),
+        s"$name must never scan a corpus parquet")
+    }
+    // and the fused twins add NO file read of their own (legs persisted)
     for (key <- Seq("q_hybrid_maintained", "q_hybrid_weighted_maintained",
         "q_hybrid_rerank_maintained")) {
-      val frame = Hybrid.queries(key)(spark, "/root/testdata/sf0.001")
-      val inputs = frame.inputFiles
-      assert(inputs.nonEmpty, key)
+      val inputs = Hybrid.queries(key)(spark, dir).inputFiles
+      assert(!inputs.exists(_.contains("/testdata/")),
+        s"$key must never scan a corpus parquet")
       for (f <- inputs)
         assert(f.contains("/postings/") || f.contains("/ivf/"),
           s"$key read outside the postings/IVF state roots: $f")
-      assert(!inputs.exists(_.contains("/testdata/")),
-        s"$key must never scan a corpus parquet")
     }
   }
 }
