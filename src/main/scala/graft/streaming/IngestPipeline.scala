@@ -1111,13 +1111,20 @@ object IngestPipeline {
     * budget). `dfSaturatedMassFrac` is the post-GC share of the shingle
     * state's posting mass above the df cap
     * ([[IncrementalShingles.dfSaturation]] — the per-token-df-sidecar
-    * trigger; None when the pipeline has no shingle entries). */
+    * trigger; None when the pipeline has no shingle entries).
+    * `dfSidecarAdvised` is that trigger FIRED: the saturated mass
+    * fraction exceeded `dfSatAdviseThreshold` this pass — the state is
+    * majority crowd-shingles and the cap's read-time drop should become
+    * a merge-time one (the per-token-df sidecar, SCALE.md's recorded
+    * decision rule); [[maintain]] also logs a WARN naming the deferral
+    * so the signal cannot pass unseen in an unmonitored report. */
   final case class MaintenanceReport(annSkewBefore: Option[Double],
                                      annRebuilt: Boolean,
                                      annSkewAfter: Option[Double],
                                      bucketPressureBytes: Long = 0L,
                                      rescaledTo: Option[Int] = None,
-                                     dfSaturatedMassFrac: Option[Double] = None)
+                                     dfSaturatedMassFrac: Option[Double] = None,
+                                     dfSidecarAdvised: Boolean = false)
 
   /** The pipeline's MAINTENANCE pass — [[applyBatch]]'s operational
     * counterpart, run on a maintenance cadence (every N batches, or
@@ -1174,7 +1181,8 @@ object IngestPipeline {
                annSkewThreshold: Double = 4.0,
                compactAdmissionLog: Boolean = true,
                bucketByteBudget: Long = 0L,
-               heldFence: Option[WriterFence.Fence] = None): MaintenanceReport = {
+               heldFence: Option[WriterFence.Fence] = None,
+               dfSatAdviseThreshold: Double = 0.5): MaintenanceReport = {
     require(annSkewThreshold > 1.0,
       "annSkewThreshold must exceed 1.0 (perfect balance)")
     // marker-first, like forget: a maintain against a rescaled root must
@@ -1253,9 +1261,25 @@ object IngestPipeline {
     val dfSat = IncrementalShingles
       .dfSaturation(spark, shingleRoot(pipelineRoot), satScheme.dfCap)
       .map(_._3)
+    // ARM the recorded decision rule (SCALE.md): past the threshold the
+    // state is storing mostly crowd shingles — the read-time df-cap drop
+    // should become a merge-time one (per-token-df sidecar). The engine
+    // defers the sidecar itself (the read-time cap stays correct, just
+    // I/O-wasteful), but the deferral is loud: a WARN plus a report flag,
+    // so it is an operator decision, never an unnoticed default.
+    val advised = dfSat.exists(_ > dfSatAdviseThreshold)
+    if (advised) log.warn(
+      s"shingle state at ${shingleRoot(pipelineRoot)}: " +
+        f"df-saturated posting-mass fraction ${dfSat.get}%.3f exceeds " +
+        f"$dfSatAdviseThreshold%.2f — candidate generation now skips the " +
+        "majority of stored entry rows at read time; arm the per-token-df " +
+        "sidecar (drop shingles at df cap during merge) to stop paying " +
+        "their write+storage cost (SCALE.md df-cap decision rule)")
     MaintenanceReport(skewBefore, rebuilt, skewAfter, pressure, rescaledTo,
-      dfSat)
+      dfSat, advised)
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Re-bucket every hash-bucketed state under the pipeline to
     * `newBuckets` — the 100×-growth move: bucket count is the rewrite-

@@ -597,8 +597,20 @@ class IngestPipelineSpec extends SparkSpec {
     assert(admDirs === Set("batches=0-1", "batch=2")) // below-horizon dirs folded
     assert(report.annRebuilt && report.annSkewBefore.exists(_ >= 1.5))
     // maintain reports the post-GC df-cap saturation (Some(0.0) here:
-    // shingle entries exist, none saturated)
+    // shingle entries exist, none saturated) and does NOT advise the
+    // per-token-df sidecar below the threshold
     assert(report.dfSaturatedMassFrac === Some(0.0))
+    assert(!report.dfSidecarAdvised,
+      "an unsaturated state must not trip the sidecar advice")
+    // the decision rule ARMS past the threshold (round-13 verdict task):
+    // with the threshold forced below the measured fraction, the same
+    // pass flags the report (and WARNs) — the deferral is loud, not a
+    // silently-absorbed default
+    val armed = IngestPipeline.maintain(spark, root,
+      horizonEventId = 100, horizonBatchId = 2,
+      annNlist = 2, annIters = 2, dfSatAdviseThreshold = -0.1)
+    assert(armed.dfSidecarAdvised,
+      "a saturated-past-threshold state must advise the df sidecar")
     // the snapshot reflects the pass: tombstones gone, skew re-read
     val m1 = metrics()
     assert(m1(("row_state", "tombstones")) === 0.0)
