@@ -44,7 +44,21 @@ object ScaleProbe {
     "q_counter_maintained", "q_facet_stats_maintained", "q_percolate_rich",
     // round-11's own addition: the per-field BM25 read over the maintained
     // multi-field postings — N× posting lists and per-field sidecars
-    "q_multifield_bm25_maintained")
+    "q_multifield_bm25_maintained",
+    // round-14 (round-13 verdict task 4): the two-root hybrid read — the
+    // one new plan shape with no measurement above sf0.1; legs are
+    // probe-bounded (bucket-pruned BM25 + probed IVF), expected
+    // flat-to-mild
+    "q_hybrid_maintained", "q_hybrid_rerank_maintained")
+
+  /** Session artifacts to DROP before every run of a family, so the probe
+    * times the family's real read instead of a cache hit: the hybrid
+    * twins serve their ranked legs from the Materialize seam (one build
+    * per session — correct for Bench's warm-read protocol, but here the
+    * leg build IS the scaling question). */
+  private val ColdArtifacts: Map[String, Seq[String]] = Map(
+    "q_hybrid_maintained" -> Seq("hybrid_bm_leg", "hybrid_vec_leg"),
+    "q_hybrid_rerank_maintained" -> Seq("hybrid_bm_leg", "hybrid_vec_leg"))
   // tagged corpus: replica-prefixed tokens grow the VOCABULARY N× — the
   // honest corpus for reads whose cost scales with vocabulary size.
   // q_wildcard_maintained's prefix expansion is exactly that read (its
@@ -131,9 +145,12 @@ object ScaleProbe {
     java.nio.file.Files.writeString(marker, stamp): Unit
   }
 
-  private def runQ(spark: SparkSession, name: String, dir: String): Unit =
+  private def runQ(spark: SparkSession, name: String, dir: String): Unit = {
+    ColdArtifacts.getOrElse(name, Nil)
+      .foreach(a => graft.operators.Materialize.invalidate(a, dir))
     SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
+  }
 
   /** Warmup twice (fixture/artifact builds land here), then min-of-3. */
   private def timeFamilies(spark: SparkSession, names: Seq[String],

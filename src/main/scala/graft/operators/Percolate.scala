@@ -204,6 +204,15 @@ object Percolate {
     * as a collected Seq nor as a compiled projection). Per-query term
     * counts derive from the same frame, so storage and match semantics
     * cannot desync. */
+  /** Distinct-gram count at or under which the phrase stage uses the
+    * compiled containment scan (docs × grams nested-loop, one
+    * [[graft.functions.GramCount]] per pair) instead of the k-gram array
+    * expansion + array-keyed join. The scan costs ~|grams| first-token
+    * compares per doc token; the expansion costs one slice allocation +
+    * array hash per doc token per registry length — so the scan wins
+    * while the gram set is small and the expansion amortizes past it. */
+  private[graft] val GramScanMax = 32L
+
   def matchesBoolFrame(docs: DataFrame, reg: DataFrame,
                        tokenize: Column => Column = split(_, " ")): DataFrame = {
     val termHits = tokenized(docs, tokenize)
@@ -228,12 +237,81 @@ object Percolate {
       .withColumn("k", size(col("gram")))
     val ks = phraseKeys.select("k").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
+    // distinct grams are registry METADATA (≤ |phrase rows|); their count
+    // picks the physical strategy below
+    val gramSet = phraseKeys.select("gram").distinct()
+    val nGrams = if (ks.isEmpty) 0L else gramSet.count()
     val phraseHits =
       if (ks.isEmpty) termHits.limit(0)
-      else {
+      else if (nGrams <= GramScanMax) {
+        // SMALL GRAM SET — compiled containment scan: docs × grams pairs
+        // (broadcast nested-loop, the gram side is ≤ GramScanMax rows),
+        // each pair decided by ONE codegen'd early-exit token scan
+        // ([[graft.functions.GramCount]] — [[graft.functions.PhraseCount]]
+        // with the phrase as a column, because here phrases are DATA).
+        // This replaces the per-doc k-gram ARRAY EXPANSION (|doc tokens|
+        // slice allocations per doc per registry length, through an
+        // interpreted higher-order transform, then an array-keyed join +
+        // distinct) with a zero-allocation pass — the dominant constant
+        // of the family's corpus-linear slope (SCALE.md §growth,
+        // round-13 decomposition; same HOF→codegen move that retired
+        // q_multifield_pf in round 13).
         val ot = docs.select(col("doc_id"), tokenize(col("text")).as("ot"))
+        ot.join(broadcast(gramSet),
+            graft.functions.GramCount.gram_count(col("ot"), col("gram")) > 0)
+          .join(broadcast(phraseKeys.select("query_id", "gram")), Seq("gram"))
+          // distinct on (doc, query, gram): two DIFFERENT matched phrases
+          // of one query count twice, a duplicate registry row once
+          .select("doc_id", "query_id", "gram").distinct()
+          .select(col("doc_id"), col("query_id"), lit("phrase").as("role"))
+      } else {
+        // LARGE GRAM SET — gram expansion: one pass builds every k-gram
+        // and joins all grams at once (amortizes when the registry holds
+        // many phrases), RAREST-TERM-PREFILTERED when the corpus says it
+        // prunes (the Lucene cost-ordering move the online probe's
+        // candidate cap already uses): a doc can match a phrase only if
+        // it contains the phrase's rarest corpus token, so gram arrays
+        // are generated only for docs holding some k-length phrase's
+        // anchor. The anchor df pass is one token explode + broadcast
+        // semi-join + partial count — small next to the expansion it
+        // gates at this registry size. The gate only APPLIES when the
+        // anchors' summed df stays under half the corpus (the sum upper-
+        // bounds their union): on a corpus where every phrase token is
+        // common — tiny vocabularies, stopword-y phrases — the filter
+        // passes ~everything and would be pure overhead (measured, round
+        // 14: +1.7 s at 30× on the uniform-vocabulary fixture).
+        val ot = docs.select(col("doc_id"), tokenize(col("text")).as("ot"))
+        val phraseTokSet = phraseKeys
+          .select(explode(col("gram")).as("term")).distinct()
+        val tokDf = tokenized(docs, tokenize)
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .join(broadcast(phraseTokSet), "term")
+          .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val anchorRows = phraseKeys
+          .select(col("gram"), col("k")).distinct()
+          .select(col("gram"), col("k"), explode(col("gram")).as("term"))
+          .join(broadcast(tokDf), Seq("term"), "left")
+          // a token absent from the corpus has df 0 — the PERFECT anchor
+          // (no doc can match its phrase, the filter drops everything)
+          .na.fill(0L, Seq("df"))
+          .groupBy("gram", "k")
+          .agg(min_by(struct(col("term"), col("df")),
+            struct(col("df"), col("term"))).as("a"))
+          .select(col("k"), col("a.term").as("anchor"), col("a.df").as("df"))
+          .collect()
+        val nDocs = docs.select(col("doc_id")).count()
+        val selective =
+          anchorRows.iterator.map(_.getLong(2)).sum < 0.5 * nDocs
+        val anchorsByK: Map[Int, Seq[String]] =
+          if (!selective) Map.empty
+          else anchorRows.groupBy(_.getInt(0)).map { case (k, rows) =>
+            k -> rows.map(_.getString(1)).toSeq.distinct.sorted }
         val grams = ks.map { k =>
-          ot.select(col("doc_id"), explode(expr(
+          val anchors = anchorsByK.getOrElse(k, Nil)
+          val src = // k=0 (a phrase that analyzes to nothing) has no anchor
+            if (anchors.isEmpty) ot
+            else ot.filter(arrays_overlap(col("ot"), typedlit(anchors)))
+          src.select(col("doc_id"), explode(expr(
               s"transform(sequence(1, greatest(1, size(ot) - ${k - 1})), " +
                 s"i -> slice(ot, i, $k))")).as("gram"))
             .withColumn("k", lit(k))

@@ -112,6 +112,50 @@ class PercolateSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("phrase strategies agree across the GramScanMax dispatch and the anchor gate") {
+    // Three physical strategies, one semantics: the compiled projection,
+    // the small-gram-set containment SCAN (≤ GramScanMax distinct grams,
+    // codegen'd GramCount pairs), and the large-gram-set EXPANSION with
+    // the selectivity-gated rarest-anchor prefilter. Force each and pin
+    // them to the compiled answer.
+    val fix = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("n_chars"))
+    // >GramScanMax distinct phrases: 30 nonsense bigrams (absent from the
+    // corpus — df-0 anchors, the SELECTIVE branch: the prefilter prunes
+    // every doc) + the demo phrases (common tokens) + filler real-word
+    // bigrams. Total distinct grams > 32 → expansion path.
+    val nonsense = (0 until 30).map(i =>
+      Percolate.StoredQuery(s"gz$i", all = Nil,
+        phrases = Seq(s"zqx$i wvu$i")))
+    val real = Seq(
+      Percolate.StoredQuery("pf", all = Nil, phrases = Seq("fast merge")),
+      Percolate.StoredQuery("pq", all = Nil, phrases = Seq("slow query")),
+      Percolate.StoredQuery("pm", all = Nil,
+        phrases = Seq("merge sort", "query plan")))
+    val big = nonsense ++ real
+    assert(Percolate.explodeRoles(big).count(_._3 == "phrase") >
+      Percolate.GramScanMax,
+      "fixture precondition: the registry must exceed GramScanMax grams")
+    val viaFrame = pairs(Percolate.matchesBool(fix, big))
+    assert(viaFrame === pairs(Percolate.matchesCompiledBool(fix, big)))
+    assert(viaFrame.nonEmpty && viaFrame.forall(_._2.startsWith("p")),
+      "nonsense phrases must match nothing; real phrases must still match")
+    // the NON-selective large registry (all-common tokens — the gate must
+    // SKIP the filter and still agree): 40 copies of the demo phrases
+    // under distinct ids, plus distinct common-word filler grams
+    val common = Seq("fast", "merge", "slow", "query", "plan", "sort",
+      "scan", "spark", "data", "table")
+    val filler = (0 until 40).map { i =>
+      val a = common(i % common.size); val b = common((i / 2 + 1) % common.size)
+      Percolate.StoredQuery(s"cf$i", all = Nil, phrases = Seq(s"$a $b"))
+    }
+    val viaFrame2 = pairs(Percolate.matchesBool(fix, filler))
+    assert(viaFrame2 === pairs(Percolate.matchesCompiledBool(fix, filler)))
+    assert(viaFrame2.nonEmpty)
+  }
+
   test("role rows round-trip: explodeRoles and fromRoleRows are inverses") {
     val qs = Percolate.demoRichQueries ++ Percolate.demoBoolQueries ++
       Percolate.demoGroupQueries
