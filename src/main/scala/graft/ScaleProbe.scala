@@ -49,7 +49,11 @@ object ScaleProbe {
     // one new plan shape with no measurement above sf0.1; legs are
     // probe-bounded (bucket-pruned BM25 + probed IVF), expected
     // flat-to-mild
-    "q_hybrid_maintained", "q_hybrid_rerank_maintained")
+    "q_hybrid_maintained", "q_hybrid_rerank_maintained",
+    // round-14's own addition: the filtered IVF probe — predicate
+    // evaluated inside the probed cell files (no metadata join); the
+    // growth term should be cell size (corpus / nlist), not corpus
+    "q_ann_filtered_maintained")
 
   /** Session artifacts to DROP before every run of a family, so the probe
     * times the family's real read instead of a cache hit: the hybrid
@@ -58,7 +62,10 @@ object ScaleProbe {
     * leg build IS the scaling question). */
   private val ColdArtifacts: Map[String, Seq[String]] = Map(
     "q_hybrid_maintained" -> Seq("hybrid_bm_leg", "hybrid_vec_leg"),
-    "q_hybrid_rerank_maintained" -> Seq("hybrid_bm_leg", "hybrid_vec_leg"))
+    "q_hybrid_rerank_maintained" -> Seq("hybrid_bm_leg", "hybrid_vec_leg"),
+    // not probed as a family yet, but recorded so a future addition
+    // times the real filtered two-root read, not a leg-cache hit
+    "q_hybrid_filtered_maintained" -> Seq("hybrid_bmf_leg", "hybrid_vecf_leg"))
   // tagged corpus: replica-prefixed tokens grow the VOCABULARY N× — the
   // honest corpus for reads whose cost scales with vocabulary size.
   // q_wildcard_maintained's prefix expansion is exactly that read (its

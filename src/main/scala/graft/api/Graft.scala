@@ -509,6 +509,29 @@ class Graft(spark: SparkSession, dir: String,
                         k: Int = 10, probes: Int = 2): DataFrame =
     IvfIndex.searchFiltered(spark, path, query, predicate, k, probes)
 
+  /** Hybrid BM25 ⊕ vector first-stage retrieval over maintained state
+    * (RRF fusion): lexical leg from a standing postings root, vector leg
+    * a probed read of a persisted IVF index. Mixed-epoch, never torn,
+    * when racing a live batch ([[graft.operators.Hybrid.maintainedLegs]]'
+    * two-root coherence contract). */
+  def hybridSearch(postingsRoot: String, ivfRoot: String,
+                   terms: Seq[String], qv: Seq[Float], probes: Int = 2,
+                   legDepth: Int = 50): DataFrame =
+    graft.operators.Hybrid.hybridSearchMaintained(spark, postingsRoot,
+      ivfRoot, terms, qv, probes, legDepth)
+
+  /** [[hybridSearch]] composed with a metadata predicate over the IVF
+    * index's stored attribute columns — the fq-over-hybrid shape: the
+    * vector leg evaluates it inside the probed cells, the lexical leg's
+    * candidates key-fetch their metadata from the same store; both legs
+    * filter BEFORE their top-Ns (k-fill), stats stay the full state's. */
+  def hybridSearchFiltered(postingsRoot: String, ivfRoot: String,
+                           terms: Seq[String], qv: Seq[Float],
+                           predicate: Column, probes: Int = 2,
+                           legDepth: Int = 50): DataFrame =
+    graft.operators.Hybrid.hybridSearchFilteredMaintained(spark,
+      postingsRoot, ivfRoot, terms, qv, predicate, probes, legDepth)
+
   /** Memory-bounded probed search against a PQ-enabled index: ADC
     * shortlist over the (column-pruned) codes, exact rerank of the top
     * `shortlist` ids — equals [[ivfSearch]] whenever the true top-k

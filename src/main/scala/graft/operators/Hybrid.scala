@@ -24,6 +24,10 @@ import graft.Tables
   *    vectors from the IVF index's own cells — [[IvfIndex
   *    .vectorsForIds]]); a candidate without a vector drops.
   *
+  * Plus the FILTERED composition (Solr's fq over the whole first stage):
+  * a metadata predicate applied to BOTH legs before their top-Ns —
+  * [[hybridSearchFilteredMaintained]] / `q_hybrid_filtered(_maintained)`.
+  *
   * Ranks are assigned over ROUNDED leg scores (4 dp, the repo-wide oracle
   * discipline) with an id tie-break, so Spark and DuckDB rank identical
   * orderings.
@@ -96,16 +100,19 @@ object Hybrid {
       .limit(TopK)
   }
 
-  /** Corpus BM25 leg — q_bm25_topk's index-served arithmetic (same
-    * constant-folded literals, one round at the end), ranked. */
-  private def bm25LegCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** Corpus BM25 scores PRE top-N — q_bm25_topk's index-served arithmetic
+    * (same constant-folded literals, one round at the end). Exposed
+    * unranked so the filtered form can apply its predicate BEFORE the
+    * rank truncation (k-fill) while the stats stay the full corpus's
+    * (fq never changes idf/avgdl — Lucene's filter discipline). */
+  private def bm25ScoredCorpus(spark: SparkSession, dir: String): DataFrame = {
     val lens = Index.docLens(spark, dir)
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = Index.sharedPostings(spark, dir)
       .filter(col("tok").isin(Terms: _*))
       .select(col("df"), explode(col("hits")).as("h"))
       .select(col("h.doc_id").as("doc_id"), col("h.tf").as("tf"), col("df"))
-    val scored = lens.join(broadcast(tf), "doc_id")
+    lens.join(broadcast(tf), "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -113,26 +120,51 @@ object Hybrid {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(round(sum(col("contrib")), 4).as("score"))
-    rankLeg(scored, col("doc_id"), col("score"))
   }
+
+  /** Corpus BM25 leg — [[bm25ScoredCorpus]], ranked. */
+  private def bm25LegCorpus(spark: SparkSession, dir: String): DataFrame =
+    rankLeg(bm25ScoredCorpus(spark, dir), col("doc_id"), col("score"))
 
   /** Corpus vector leg — q_vector_topk's brute-force cosine (query =
     * vec 0's embedding, vec 0 excluded), ranked on the rounded sim. */
-  private def vecLegCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private def vecScoredCorpus(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val scored = e.filter(col("vec_id") =!= 0)
+    e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(Vectors.dot("embedding", "qv"), 4).as("sim"))
-    rankLeg(scored, col("vec_id"), col("sim"))
   }
+
+  private def vecLegCorpus(spark: SparkSession, dir: String): DataFrame =
+    rankLeg(vecScoredCorpus(spark, dir), col("vec_id"), col("sim"))
 
   private def qHybridSearch(spark: SparkSession, dir: String): DataFrame =
     rrfFuse(bm25LegCorpus(spark, dir), vecLegCorpus(spark, dir))
 
   private def qHybridWeighted(spark: SparkSession, dir: String): DataFrame =
     weightedFuse(bm25LegCorpus(spark, dir), vecLegCorpus(spark, dir))
+
+  private def qHybridFiltered(spark: SparkSession, dir: String): DataFrame = {
+    // S4 × S3: hybrid fusion COMPOSED with a metadata predicate (Solr's
+    // fq over a hybrid ranking — "retrieve among docs with lang='en'",
+    // the tenant/language-scoped RAG shape). The predicate applies to
+    // EACH leg before its top-N (k-fill: both legs fill their depth from
+    // matching docs; post-filtering the fused list would under-fill and,
+    // worse, rank matchers by their position among non-matchers), and
+    // scoring stats stay the full corpus's (fq never changes idf).
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select("doc_id")
+    val bm = rankLeg(
+      bm25ScoredCorpus(spark, dir).join(allowed, "doc_id"),
+      col("doc_id"), col("score"))
+    val v = rankLeg(
+      vecScoredCorpus(spark, dir)
+        .join(allowed.withColumnRenamed("doc_id", "vec_id"), "vec_id"),
+      col("vec_id"), col("sim"))
+    rrfFuse(bm, v)
+  }
 
   /** Retrieve-then-RERANK — the OTHER standard first-stage shape (fusion
     * merges two rankings; rerank re-orders one ranking by the other's
@@ -230,6 +262,68 @@ object Hybrid {
     rrfFuse(bm, v, rrfK, top)
   }
 
+  /** [[hybridSearchMaintained]] COMPOSED with a metadata predicate —
+    * Solr's fq applied to BOTH legs of a hybrid ranking ("retrieve among
+    * docs with label = X"), this round's filtered-ANN semantics extended
+    * to the full first stage. One attribute store answers the predicate
+    * for both legs: the vector leg pushes it into the probed cell files
+    * ([[IvfIndex.searchFiltered]] — scan-pushed, pre-top-k), and the
+    * lexical leg's candidates fetch THEIR metadata from the same store
+    * by key ([[IvfIndex.attrsForIds]], the HBase-Get shape — candidate-
+    * bounded, never a corpus or metadata-table scan), filter, then rank.
+    * k-fill holds leg-wise: each leg fills its depth from MATCHING docs
+    * (the predicate applies before both top-Ns), while scoring stats
+    * stay the full state's (a filter never changes idf — Lucene's fq
+    * discipline). A doc absent from the attribute store DROPS from the
+    * lexical leg (unknown metadata never matches — the rerank twin's
+    * drop semantics, and exactly right for docs deleted from the index).
+    * Two-root coherence is [[maintainedLegs]]' contract: mixed-epoch,
+    * never torn. `predicate` references the index's attribute columns;
+    * `probes` governs vector-leg recall as in [[IvfIndex
+    * .searchFiltered]] — selective predicates warrant more probes. */
+  def hybridSearchFilteredMaintained(spark: SparkSession,
+      postingsRoot: String, ivfRoot: String, terms: Seq[String],
+      qv: Seq[Float], predicate: Column, probes: Int,
+      legDepth: Int = LegDepth, rrfK: Int = RrfK,
+      top: Int = TopK): DataFrame = {
+    val (bmF, vF) = filteredLegs(spark, postingsRoot, ivfRoot, terms, qv,
+      predicate, probes, legDepth)
+    rrfFuse(bmF, vF, rrfK, top)
+  }
+
+  /** The two PREDICATE-FILTERED maintained legs, ranked. Lexical: one
+    * entry-bucket read yields the candidate ids (checkpointed hit
+    * frame); their metadata comes back by key, the predicate prunes
+    * them, and only the SURVIVORS' doc buckets are opened for the dl
+    * fetch — a selective predicate cuts the expensive half of lexical
+    * scoring, not just the final rank (restricting candidates never
+    * changes a survivor's score — bm25ScoredFrom's contract). Vector:
+    * the scan-pushed filtered probe. Like the rerank twin, ids must be
+    * numeric-compatible rowkeys (the IVF store keys by LONG vec_id).
+    * Two-root coherence: [[maintainedLegs]]' contract. */
+  private[graft] def filteredLegs(spark: SparkSession, postingsRoot: String,
+      ivfRoot: String, terms: Seq[String], qv: Seq[Float],
+      predicate: Column, probes: Int,
+      legDepth: Int): (DataFrame, DataFrame) = {
+    val hits = graft.streaming.IncrementalPostings
+      .bm25Hits(spark, postingsRoot, terms)
+    val cand = hits.select(col("doc_id").cast("long").as("vec_id")).distinct()
+    val allowed = IvfIndex.attrsForIds(spark, ivfRoot, cand)
+      .filter(predicate)
+      .select(col("vec_id").cast("string").as("doc_id"))
+    val bmF = rankLeg(
+      graft.streaming.IncrementalPostings
+        .bm25ScoredFrom(spark, postingsRoot, hits, Some(allowed)),
+      col("doc_id"), col("score"), legDepth)
+      .select(col("id").cast("long").as("id"), col("score"), col("rank"))
+    val vF = rankLeg(
+      IvfIndex.searchFiltered(spark, ivfRoot, qv, predicate,
+          k = legDepth, probes = probes)
+        .select(col("vec_id"), round(col("sim"), 4).as("sim")),
+      col("vec_id"), col("sim"), legDepth)
+    (bmF, vF)
+  }
+
   /** The fixture twins' ranked legs, built ONCE per (session, dir) and
     * served persisted to all three maintained fusion keys (the
     * [[Index.sharedPostings]] seam): RRF and weighted fuse both legs;
@@ -283,6 +377,41 @@ object Hybrid {
     rrfFuse(bm, v)
   }
 
+  /** The fixture query LABEL (vec 100's — the filtered keys' predicate
+    * value), collected once per (session, dir) like [[fixtureQueryVec]]:
+    * a per-call head() would re-scan embeddings on every bench trial for
+    * a driver-bounded parameter. */
+  private val queryLabels =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+  Materialize.onSessionFreed { s =>
+    queryLabels.keySet.removeIf(_._1 eq s)
+  }
+  private def fixtureQueryLabel(spark: SparkSession, dir: String): Int =
+    queryLabels.computeIfAbsent((spark, dir), { case (s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") === 100)
+        .select("label").head().getInt(0)
+    })
+
+  private def qHybridFilteredMaintained(spark: SparkSession, dir: String): DataFrame = {
+    // the filtered-hybrid maintained twin over the same two fixture
+    // roots: predicate = q_ann_filtered_maintained's (label of vec 100,
+    // stored as a colocated attribute), query = the fixture query
+    // vector. Legs come persisted from the Materialize seam like every
+    // other fusion twin's (Bench's warm-read protocol; a scale probe of
+    // the COLD two-root read invalidates them per run — ScaleProbe's
+    // ColdArtifacts); the cold leaf reads stay measured by
+    // q_ann_filtered_maintained and the bm25 family.
+    val pred = col("label") === lit(fixtureQueryLabel(spark, dir))
+    val qv = fixtureQueryVec(spark, dir)
+    val postingsRoot = Index.maintainedFixture(spark, dir)
+    val ivfRoot = Vectors.annFixture(spark, dir)
+    lazy val built = filteredLegs(spark, postingsRoot, ivfRoot, Terms, qv,
+      pred, probes = Vectors.AnnFixtureNlist, legDepth = LegDepth)
+    val bm = Materialize.artifact(spark, "hybrid_bmf_leg", dir)(built._1)
+    val v = Materialize.artifact(spark, "hybrid_vecf_leg", dir)(built._2)
+    rrfFuse(bm, v)
+  }
+
   private def qHybridWeightedMaintained(spark: SparkSession, dir: String): DataFrame = {
     // the weighted fusion's maintained twin — same legs as
     // q_hybrid_maintained, min-max fusion instead of RRF: the fusion
@@ -297,7 +426,9 @@ object Hybrid {
     "q_hybrid_maintained" -> qHybridMaintained,
     "q_hybrid_weighted_maintained" -> qHybridWeightedMaintained,
     "q_hybrid_rerank" -> qHybridRerank,
-    "q_hybrid_rerank_maintained" -> qHybridRerankMaintained)
+    "q_hybrid_rerank_maintained" -> qHybridRerankMaintained,
+    "q_hybrid_filtered" -> qHybridFiltered,
+    "q_hybrid_filtered_maintained" -> qHybridFilteredMaintained)
 
   /** The shared leg CTEs (DuckDB): BM25 over documents (q_bm25_topk's
     * formula), brute-force cosine over embeddings. */
@@ -404,7 +535,92 @@ object Hybrid {
       |         row_number() OVER (ORDER BY sim DESC, doc_id) AS vrank
       |  FROM v QUALIFY vrank <= 50)""".stripMargin
 
+  /** The corpus legs CTE with the lang='en' predicate applied INSIDE each
+    * leg, before its rank truncation — the k-fill semantics the Spark
+    * side pins (filter-then-rank, never rank-then-filter). Stats (n, df,
+    * avgdl) stay the FULL corpus's: fq never changes idf. */
+  private val filteredCorpusLegsCte =
+    """n AS (
+      |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |               unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok IN ('merge', 'sort')
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |b AS (
+      |  SELECT doc_id,
+      |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
+      |                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      |  FROM tf JOIN df USING (tok), n GROUP BY doc_id),
+      |bl AS (
+      |  SELECT doc_id, score,
+      |         row_number() OVER (ORDER BY score DESC, doc_id) AS brank
+      |  FROM b JOIN allowed USING (doc_id) QUALIFY brank <= 50),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |v AS (
+      |  SELECT vec_id AS doc_id,
+      |         round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim
+      |  FROM embeddings JOIN allowed ON vec_id = allowed.doc_id, q
+      |  WHERE vec_id <> 0),
+      |vl AS (
+      |  SELECT doc_id, sim,
+      |         row_number() OVER (ORDER BY sim DESC, doc_id) AS vrank
+      |  FROM v QUALIFY vrank <= 50)""".stripMargin
+
+  /** The maintained legs CTE with the label predicate (label of vec 100,
+    * the stored attribute) applied inside each leg: the lexical leg keeps
+    * only candidates PRESENT in the maintained vector set with a matching
+    * label (the attr-store drop semantics — deleted docs have no
+    * metadata), the vector leg is the filtered probe. */
+  private val filteredMaintainedLegsCte =
+    """n AS (
+      |  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |               unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok IN ('merge', 'sort')
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      |b AS (
+      |  SELECT doc_id,
+      |         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (2.2 * tf) /
+      |                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      |  FROM tf JOIN df USING (tok), n GROUP BY doc_id),
+      |m AS (
+      |  SELECT a.vec_id,
+      |         CASE WHEN a.vec_id < 10 THEN u.embedding
+      |              ELSE a.embedding END AS emb,
+      |         a.label
+      |  FROM embeddings a
+      |  LEFT JOIN embeddings u ON u.vec_id = a.vec_id + 100
+      |  WHERE a.vec_id % 37 <> 11 AND a.vec_id <> 100),
+      |q AS (SELECT embedding::DOUBLE[] AS qv, label AS qlabel
+      |      FROM embeddings WHERE vec_id = 100),
+      |bl AS (
+      |  SELECT b.doc_id, score,
+      |         row_number() OVER (ORDER BY score DESC,
+      |                            CAST(b.doc_id AS VARCHAR)) AS brank
+      |  FROM b JOIN m ON m.vec_id = b.doc_id, q
+      |  WHERE m.label = qlabel QUALIFY brank <= 50),
+      |v AS (
+      |  SELECT vec_id AS doc_id,
+      |         round(list_dot_product(emb::DOUBLE[], qv), 4) AS sim
+      |  FROM m, q WHERE label = qlabel),
+      |vl AS (
+      |  SELECT doc_id, sim,
+      |         row_number() OVER (ORDER BY sim DESC, doc_id) AS vrank
+      |  FROM v QUALIFY vrank <= 50)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_hybrid_filtered" -> ("WITH " + filteredCorpusLegsCte + "\n" + rrfSelect),
+    "q_hybrid_filtered_maintained" ->
+      ("WITH " + filteredMaintainedLegsCte + "\n" + rrfSelect),
     "q_hybrid_rerank" -> ("WITH " + corpusLegsCte + """
       |SELECT bl.doc_id, brank AS bm25_rank,
       |       round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim

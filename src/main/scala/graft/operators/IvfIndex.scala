@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StructField, StructType}
 import graft.streaming.StateStore
 
 /** Persisted IVF (inverted-file) vector index — the materialized form of
@@ -276,8 +276,16 @@ object IvfIndex {
         .write.mode("overwrite").partitionBy("b").parquet(path + "/ids")
       // after the overwrite (which replaces the whole ids dir, marker included)
       StateStore.ensureBucketCount(assigned.sparkSession, path + "/ids", IdBuckets)
-      if (attrs.nonEmpty)
+      if (attrs.nonEmpty) {
         StateStore.ensureTag(spark0, path, "_attrs", attrs.mkString(","))
+        // the stored (vec_id, attrs) schema, pinned so [[attrsForIds]]'
+        // empty paths return the stored types without a footer read;
+        // fields recorded nullable because a parquet read-back always is
+        StateStore.ensureTag(spark0, path, "_attrs_schema",
+          StructType(assigned.schema.fields.filter(f =>
+            f.name == "vec_id" || attrs.contains(f.name))
+            .map(_.copy(nullable = true))).json)
+      }
     } finally assigned.unpersist(): Unit
   }
 
@@ -521,6 +529,62 @@ object IvfIndex {
       .parquet(dirs.map(d => s"$vecRoot/$d"): _*)
       .join(broadcast(ids), "vec_id")
       .select("vec_id", "embedding")
+  }
+
+  /** The stored attribute rows for exactly `vecIds` — [[vectorsForIds]]'s
+    * keyed-fetch shape over the COLOCATED METADATA ([[build]]'s `attrs`)
+    * instead of the embeddings: the id→cell sidecar locates the ids'
+    * cells (≤ [[IdBuckets]] metadata dirs read), only THOSE cell dirs are
+    * opened, and the scan reads just the (vec_id, attrs) columns — the
+    * embedding pages are never decoded (parquet column pruning). Ids
+    * absent from the index yield no row: the index is the metadata
+    * authority, so an absent doc has nothing to satisfy a predicate with
+    * (the drop semantics [[Hybrid]]'s filtered lexical leg documents —
+    * symmetric with the rerank twin's "no vector, nothing to rerank
+    * with"). Returns (vec_id, <attrs…>) with the STORED schema on every
+    * code path — empty paths read it from the `_attrs_schema` marker
+    * ([[build]]), falling back to one live cell's footer for roots built
+    * before the marker existed. Fails loudly on an attribute-less root:
+    * silently returning zero columns would make every predicate
+    * vacuously unresolvable downstream. */
+  def attrsForIds(spark: SparkSession, path: String, vecIds: DataFrame): DataFrame = {
+    heal(spark, path)
+    val attrs = attrsOf(spark, path)
+    require(attrs.nonEmpty,
+      s"index at $path stores no attribute columns — build it with attrs = …")
+    val vecRoot = path + "/vectors"
+    val idsRoot = path + "/ids"
+    val cols = "vec_id" +: attrs
+    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    def empty: DataFrame = {
+      val schema = StateStore.readTag(spark, path, "_attrs_schema")
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse {
+          val live = StateStore.liveBuckets(spark, vecRoot, "cell=")
+          require(live.nonEmpty, s"index at $path has neither an " +
+            "_attrs_schema marker nor a live cell to derive the schema from")
+          StructType(spark.read.parquet(s"$vecRoot/${live.head}")
+            .schema.fields.filter(f => cols.contains(f.name)))
+        }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
+    if (liveIds.isEmpty) return empty
+    val idB = ids.select(idBucket.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idDirs = idB.toSeq.map(b => s"b=$b").filter(liveIds.contains)
+    if (idDirs.isEmpty) return empty
+    val cells = spark.read.parquet(idDirs.map(d => s"$idsRoot/$d"): _*)
+      .join(broadcast(ids), "vec_id")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val live = StateStore.liveBuckets(spark, vecRoot, "cell=").toSet
+    val dirs = cells.toSeq.map(c => s"cell=$c").filter(live.contains)
+    if (dirs.isEmpty) return empty
+    spark.read.option("basePath", vecRoot)
+      .parquet(dirs.map(d => s"$vecRoot/$d"): _*)
+      .join(broadcast(ids), "vec_id")
+      .select(cols.map(col): _*)
   }
 
   /** Cell-occupancy skew of a built index: the largest cell's size over

@@ -1083,8 +1083,47 @@ object IncrementalPostings {
     * identically — spec-pinned and oracle-checked (`q_bm25_maintained`).
     * `tokenize` must match the one the state was merged with. */
   def bm25Search(spark: SparkSession, rootPath: String, terms: Seq[String],
-                 k: Int = 20, tokenize: Column => Column = split(_, " ")): DataFrame = {
-    val hits = termHits(spark, rootPath, terms)
+                 k: Int = 20, tokenize: Column => Column = split(_, " ")): DataFrame =
+    bm25Scored(spark, rootPath, terms, tokenize)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** The query terms' hit rows — (tok, doc_id, tf, df), checkpointed —
+    * exposed so a caller composing a predicate (Hybrid's filtered
+    * lexical leg) can derive the candidate ids from ONE entry-bucket
+    * read and hand the frame back to [[bm25ScoredFrom]]. */
+  private[graft] def bm25Hits(spark: SparkSession, rootPath: String,
+      terms: Seq[String]): DataFrame = termHits(spark, rootPath, terms)
+
+  /** [[bm25Search]]'s scored candidates PRE top-k — every doc matching at
+    * least one term, as (doc_id, score). The seam a FILTERED search
+    * composes a predicate into: filtering here, before the rank
+    * truncation, keeps k-fill semantics (the leg fills its depth from
+    * MATCHING docs — post-filtering a ranked list returns only the
+    * matchers that happened to rank), while scoring stats stay the full
+    * state's (Lucene's fq discipline: a filter never changes idf/avgdl).
+    * Candidate-bounded (Σ df(term) docs), never corpus-sized. */
+  private[graft] def bm25Scored(spark: SparkSession, rootPath: String,
+      terms: Seq[String],
+      tokenize: Column => Column = split(_, " ")): DataFrame =
+    bm25ScoredFrom(spark, rootPath, termHits(spark, rootPath, terms),
+      None, tokenize)
+
+  /** [[bm25Scored]] over an already-built hit frame ([[bm25Hits]]),
+    * optionally RESTRICTED to `among` (a (doc_id) frame): the semi-join
+    * applies before the doc-length fetch, so only the surviving hits'
+    * buckets are opened — a selective predicate prunes the expensive
+    * half of scoring, not just the rank. Restricting candidates never
+    * changes a survivor's score: tf/df/dl are per-doc or per-term facts
+    * and n_docs/avgdl are state-level ([[docStats]]), none affected by
+    * which OTHER candidates are scored. */
+  private[graft] def bm25ScoredFrom(spark: SparkSession, rootPath: String,
+      hits0: DataFrame, among: Option[DataFrame],
+      tokenize: Column => Column = split(_, " ")): DataFrame = {
+    val hits = among.map(a =>
+        hits0.join(broadcast(a.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+          .localCheckpoint())
+      .getOrElse(hits0)
     val stats = docStats(spark, rootPath, tokenize)
     // the length fetch opens only the hit docs' own buckets: the hit KEYS
     // stay distributed, but their distinct bucket ids are collectable
@@ -1100,8 +1139,6 @@ object IncrementalPostings {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(round(sum(col("contrib")), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** BM25 with query-time synonym expansion over the maintained state —

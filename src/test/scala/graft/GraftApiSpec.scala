@@ -227,6 +227,32 @@ class GraftApiSpec extends SparkSpec {
     assert(!g.ivfNeedsRebuild(path))
   }
 
+  test("facade hybrid round-trip: fused and filtered first-stage reads over two roots") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_apiHyb").toString
+    val postings = s"$base/postings"
+    val ivf = s"$base/ivf"
+    graft.streaming.IncrementalPostings.mergeBatch(spark, Seq(
+      ("1", 1L, "put", "merge merge sort"),
+      ("2", 2L, "put", "merge z z"),
+      ("3", 3L, "put", "merge y y")
+    ).toDF("rowkey", "event_id", "op", "text"), postings)
+    graft.operators.IvfIndex.build(Seq(
+      (1L, Array(1f, 0f), "a"), (2L, Array(0.9f, 0.43589f), "b"),
+      (3L, Array(0f, 1f), "b")
+    ).toDF("vec_id", "embedding", "grp"), ivf,
+      nlist = 1, iters = 1, attrs = Seq("grp"))
+    val fused = g.hybridSearch(postings, ivf, Seq("merge", "sort"),
+      qv = Seq(1f, 0f), probes = 1).collect()
+    assert(fused.nonEmpty && fused.head.getLong(0) === 1L,
+      "doc 1 leads both legs, so it must lead the fusion")
+    val filtered = g.hybridSearchFiltered(postings, ivf, Seq("merge"),
+      qv = Seq(1f, 0f), predicate = col("grp") === "b", probes = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered === Set(2L, 3L),
+      s"only grp='b' docs may surface, got $filtered")
+  }
+
   test("vec_dot_f is callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, "/root/testdata/sf0.001").limit(5)

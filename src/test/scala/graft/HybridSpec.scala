@@ -218,4 +218,99 @@ class HybridSpec extends SparkSpec {
           s"$key read outside the postings/IVF state roots: $f")
     }
   }
+
+  test("attrsForIds: keyed metadata fetch — stored attrs for exactly the ids, one cell opened, stored schema on every path") {
+    val tmp = Files.createTempDirectory("graft_hyba").toString
+    val ivf = tmp + "/ivf"
+    val vecs = (0L until 8L).map(i =>
+      (i, if (i < 4) Array(1f, 0.01f * i) else Array(-1f, 0.01f * i),
+        if (i % 2 == 0) "even" else "odd"))
+    IvfIndex.build(vecs.toDF("vec_id", "embedding", "grp"), ivf,
+      nlist = 2, iters = 3, attrs = Seq("grp"))
+    val got = IvfIndex.attrsForIds(spark, ivf, Seq(1L, 2L, 99L).toDF("vec_id"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      === Seq((1L, "odd"), (2L, "even")),
+      "exactly the present ids with their stored attrs; absent id 99 drops")
+    // both requested ids live in the SAME cluster → one cell dir opened
+    val cellFiles = got.inputFiles.filter(_.contains("/vectors/"))
+    assert(cellFiles.map(f => f.split("/vectors/")(1).split("/")(0)).toSet.size === 1,
+      s"fetch of two same-cluster ids must open ONE cell dir, got $cellFiles")
+    // stored schema on the empty paths too (the _attrs_schema marker)
+    val stored = got.schema
+    assert(IvfIndex.attrsForIds(spark, ivf, Seq(999).toDF("vec_id")).schema
+      === stored, "no-hit empty path must carry the stored schema")
+    assert(IvfIndex.attrsForIds(spark, ivf,
+        Seq.empty[Long].toDF("vec_id")).schema === stored,
+      "empty-input path must carry the stored schema")
+    // an attribute-less root fails loudly, never a zero-column frame
+    val plain = tmp + "/plain"
+    IvfIndex.build(vecs.map(v => (v._1, v._2)).toDF("vec_id", "embedding"),
+      plain, nlist = 1, iters = 1)
+    assertThrows[IllegalArgumentException] {
+      IvfIndex.attrsForIds(spark, plain, Seq(1L).toDF("vec_id"))
+    }
+  }
+
+  test("filtered hybrid: each leg fills its depth from MATCHING docs; docs absent from the attr store drop") {
+    val tmp = Files.createTempDirectory("graft_hybf").toString
+    val postings = tmp + "/postings"
+    val ivf = tmp + "/ivf"
+    // Unfiltered, both legs' top-2 would be docs 1 and 2 (grp 'a').
+    // With the grp='b' predicate each leg must FILL depth 2 from the
+    // matching docs 3 and 4 — post-filtering the unfiltered top-2 would
+    // return nothing. Doc 5 is the strongest lexical match but absent
+    // from the vector index entirely → no metadata → drops.
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("1", 1L, "put", "merge merge merge"),
+      ("2", 2L, "put", "merge merge z"),
+      ("3", 3L, "put", "merge y y"),
+      ("4", 4L, "put", "merge w w"),
+      ("5", 5L, "put", "merge merge merge merge")
+    ).toDF("rowkey", "event_id", "op", "text"), postings)
+    IvfIndex.build(Seq(
+      (1L, Array(1f, 0f), "a"),
+      (2L, Array(0.95f, 0.31225f), "a"),
+      (3L, Array(0.8f, 0.6f), "b"),
+      (4L, Array(0f, 1f), "b")
+    ).toDF("vec_id", "embedding", "grp"), ivf,
+      nlist = 1, iters = 2, attrs = Seq("grp"))
+    val fused = Hybrid.hybridSearchFilteredMaintained(spark, postings, ivf,
+      terms = Seq("merge"), qv = Seq(1f, 0f),
+      predicate = col("grp") === "b", probes = 1, legDepth = 2)
+      .select("doc_id", "bm25_rank", "vec_rank").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fused.keySet === Set(3L, 4L),
+      s"only grp='b' docs may surface (k-fill from matchers), got $fused")
+    // lexical: 3 and 4 tie on score, string tie-break ranks 3 first;
+    // vector: 3 (sim .8) over 4 (sim 0)
+    assert(fused(3L) === ((1L, 1L)) && fused(4L) === ((2L, 2L)), s"$fused")
+  }
+
+  test("the filtered maintained twin reads ONLY the two state roots") {
+    val dir = "/root/testdata/sf0.001"
+    // pin the LEG plans (the file-reading stage — the fused twin serves
+    // them persisted, so its own plan reads cached blocks, not files)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+      .select("embedding", "label").head()
+    val (bm, v) = Hybrid.filteredLegs(spark,
+      graft.operators.Index.maintainedFixture(spark, dir),
+      graft.operators.Vectors.annFixture(spark, dir),
+      Seq("merge", "sort"), q.getSeq[Float](0),
+      col("label") === q.getInt(1),
+      graft.operators.Vectors.AnnFixtureNlist, 50)
+    for ((leg, name) <- Seq((bm, "filtered bm25 leg"), (v, "filtered vector leg"))) {
+      val inputs = leg.inputFiles
+      assert(inputs.nonEmpty, name)
+      for (f <- inputs)
+        assert(f.contains("/postings/") || f.contains("/ivf/"),
+          s"$name read outside the postings/IVF state roots: $f")
+      assert(!inputs.exists(_.contains("/testdata/")),
+        s"$name must never scan a corpus parquet")
+    }
+    // and the fused twin adds no corpus read of its own (legs persisted)
+    val fusedInputs = Hybrid.queries("q_hybrid_filtered_maintained")(spark, dir)
+      .inputFiles
+    assert(!fusedInputs.exists(_.contains("/testdata/")),
+      "q_hybrid_filtered_maintained must never scan a corpus parquet")
+  }
 }
