@@ -27,10 +27,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Semantics mirror the expansion join exactly, including the edges: an
   * EMPTY gram matches at every position (slice(ot,i,0) == [] for all i —
-  * n+1 starts), and an array shorter than the gram counts 0. Null
-  * handling follows [[PhraseCount]]: a null input nulls the result
-  * (BinaryExpression's default), and a null ELEMENT in either array nulls
-  * it too (contract-violating input stays loudly visible). */
+  * n+1 starts), and an array shorter than the gram counts 0. A null
+  * INPUT nulls the result (BinaryExpression's default). Null ELEMENTS
+  * compare null-safely — a null token matches only a null gram token —
+  * because that is what the expansion's array-keyed join does (Spark's
+  * complex-type equality is ordering-based, so [a, null] == [a, null]):
+  * a tokenizer that emits nulls must see the SAME matches from both
+  * dispatch branches, or registering a 33rd phrase would flip existing
+  * docs' alerts (round-14 review finding). */
 case class GramCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -68,34 +72,51 @@ object GramCount {
     Bridge.column(GramCount(Bridge.expression(tokens), Bridge.expression(gram)))
 
   /** The compiled kernel — called from generated code and `nullSafeEval`.
-    * Returns null on a null element in either array. */
+    * Null elements match null-safely (see the class doc); never returns
+    * null itself (input-level nulls are the expression's concern). One
+    * O(n+m) pre-pass detects null elements so the overwhelmingly common
+    * null-free case runs the pure-equality loop with no per-position
+    * null branches (the branchy loop measured ~1.5× slower on the
+    * percolation scan). */
   def compute(x: ArrayData, g: ArrayData): java.lang.Long = {
     val n = x.numElements()
     val m = g.numElements()
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i)) return null
-      i += 1
-    }
-    i = 0
-    while (i < m) {
-      if (g.isNullAt(i)) return null
-      i += 1
-    }
     if (m == 0) // every slice(ot, i, 0) == []: n+1 starts (1 when n == 0)
       return java.lang.Long.valueOf(n + 1L)
+    var hasNull = false
+    var t = 0
+    while (!hasNull && t < n) { hasNull = x.isNullAt(t); t += 1 }
+    t = 0
+    while (!hasNull && t < m) { hasNull = g.isNullAt(t); t += 1 }
     var count = 0L
     val last = n - m
-    i = 0
-    while (i <= last) {
-      var j = 0
-      var ok = true
-      while (ok && j < m) {
-        if (!x.getUTF8String(i + j).equals(g.getUTF8String(j))) ok = false
-        j += 1
+    var i = 0
+    if (!hasNull) {
+      while (i <= last) {
+        var j = 0
+        var ok = true
+        while (ok && j < m) {
+          if (!x.getUTF8String(i + j).equals(g.getUTF8String(j))) ok = false
+          j += 1
+        }
+        if (ok) count += 1
+        i += 1
       }
-      if (ok) count += 1
-      i += 1
+    } else {
+      while (i <= last) {
+        var j = 0
+        var ok = true
+        while (ok && j < m) {
+          val xn = x.isNullAt(i + j)
+          val gn = g.isNullAt(j)
+          if (xn != gn) ok = false
+          else if (!xn && !x.getUTF8String(i + j).equals(g.getUTF8String(j)))
+            ok = false
+          j += 1
+        }
+        if (ok) count += 1
+        i += 1
+      }
     }
     java.lang.Long.valueOf(count)
   }

@@ -191,7 +191,7 @@ object Hybrid {
     // cells ([[IvfIndex.vectorsForIds]] — the HBase-Get shape, no
     // embeddings scan); candidates deleted from the index drop out
     val qv = fixtureQueryVec(spark, dir)
-    val cand = sharedMaintainedLegs(spark, dir)._1
+    val cand = sharedBmLeg(spark, dir)
       .select(col("id").as("vec_id"),
         col("rank").cast("long").as("bm25_rank"))
     IvfIndex.vectorsForIds(spark, Vectors.annFixture(spark, dir),
@@ -331,9 +331,16 @@ object Hybrid {
     * ≤ [[LegDepth]] rows each — the artifact stores rank lists, never
     * state or corpus rows. */
   private def sharedMaintainedLegs(spark: SparkSession,
-                                   dir: String): (DataFrame, DataFrame) = {
-    val qv = fixtureQueryVec(spark, dir)
-    val bm = Materialize.artifact(spark, "hybrid_bm_leg", dir) {
+                                   dir: String): (DataFrame, DataFrame) =
+    (sharedBmLeg(spark, dir), sharedVecLeg(spark, dir))
+
+  /** The legs build INDEPENDENTLY (two artifacts, not one pair-build):
+    * the rerank twin consumes only the lexical leg, and eagerly building
+    * the vector leg it never reads would charge every cold rerank
+    * measurement (ScaleProbe invalidates per run) for an unrelated
+    * full-probe IVF read — round-14 review finding. */
+  private def sharedBmLeg(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "hybrid_bm_leg", dir) {
       rankLeg(
         graft.streaming.IncrementalPostings
           .bm25Search(spark, Index.maintainedFixture(spark, dir), Terms,
@@ -341,30 +348,24 @@ object Hybrid {
         col("doc_id"), col("score"), LegDepth)
         .select(col("id").cast("long").as("id"), col("score"), col("rank"))
     }
-    val v = Materialize.artifact(spark, "hybrid_vec_leg", dir) {
+
+  private def sharedVecLeg(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "hybrid_vec_leg", dir) {
       rankLeg(
-        IvfIndex.search(spark, Vectors.annFixture(spark, dir), qv,
+        IvfIndex.search(spark, Vectors.annFixture(spark, dir),
+            fixtureQueryVec(spark, dir),
             k = LegDepth, probes = Vectors.AnnFixtureNlist)
           .select(col("vec_id"), round(col("sim"), 4).as("sim")),
         col("vec_id"), col("sim"), LegDepth)
     }
-    (bm, v)
-  }
 
   /** The fixture query vector (the pre-delete embedding of id 100 —
-    * q_ann_maintained's query), collected once per (session, dir): three
-    * fusion twins share it, and the collect is a corpus action the fused
-    * PLANS must never contain. */
-  private val queryVecs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Float]]()
-  Materialize.onSessionFreed { s =>
-    queryVecs.keySet.removeIf(_._1 eq s)
-  }
+    * q_ann_maintained's query), served from [[Vectors.fixtureQuery]]'s
+    * per-(session, dir) cache: the collect is a corpus action the fused
+    * PLANS must never contain, and a per-call head() would re-scan
+    * embeddings on every bench/probe trial. */
   private def fixtureQueryVec(spark: SparkSession, dir: String): Seq[Float] =
-    queryVecs.computeIfAbsent((spark, dir), { case (s, d) =>
-      Tables.embeddings(s, d).filter(col("vec_id") === 100)
-        .head().getSeq[Float](1)
-    })
+    Vectors.fixtureQuery(spark, dir)._1
 
   private def qHybridMaintained(spark: SparkSession, dir: String): DataFrame = {
     // Fixture reuse, no new artifact: lexical over Index's maintained
@@ -378,19 +379,9 @@ object Hybrid {
   }
 
   /** The fixture query LABEL (vec 100's — the filtered keys' predicate
-    * value), collected once per (session, dir) like [[fixtureQueryVec]]:
-    * a per-call head() would re-scan embeddings on every bench trial for
-    * a driver-bounded parameter. */
-  private val queryLabels =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
-  Materialize.onSessionFreed { s =>
-    queryLabels.keySet.removeIf(_._1 eq s)
-  }
+    * value), from the same [[Vectors.fixtureQuery]] cache. */
   private def fixtureQueryLabel(spark: SparkSession, dir: String): Int =
-    queryLabels.computeIfAbsent((spark, dir), { case (s, d) =>
-      Tables.embeddings(s, d).filter(col("vec_id") === 100)
-        .select("label").head().getInt(0)
-    })
+    Vectors.fixtureQuery(spark, dir)._2
 
   private def qHybridFilteredMaintained(spark: SparkSession, dir: String): DataFrame = {
     // the filtered-hybrid maintained twin over the same two fixture

@@ -344,6 +344,23 @@ object IvfIndex {
       s"index at $path stores attribute columns [${attrs.mkString(",")}] " +
         s"but the upsert batch is missing [${absent.mkString(",")}] — " +
         "every upsert into an attribute-carrying index must supply them")
+    // ... with the STORED types: presence alone lets a batch whose
+    // touched cells happen to have no live files (all-deleted) commit a
+    // type-divergent cell file that unionByName never sees — a later
+    // whole-dir read then fails far from the offending upsert
+    StateStore.readTag(spark, path, "_attrs_schema")
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .foreach { stored =>
+        val diverged = attrs.flatMap { a =>
+          val got = vectors.schema(a).dataType
+          val want = stored(a).dataType
+          if (got != want) Some(s"$a: batch $got vs stored $want") else None
+        }
+        if (diverged.nonEmpty) throw new IllegalStateException(
+          s"index at $path stores attribute types the upsert batch " +
+            s"contradicts [${diverged.mkString("; ")}] — cell files must " +
+            "never disagree on a column's type")
+      }
     // cache the batch: the duplicate check and assign() both consume it,
     // and the caller's frame may be expensive
     val batch = vectors.select(
@@ -688,9 +705,15 @@ object IvfIndex {
       throw new IllegalStateException(
         s"index at $path has no vectors to encode — build it with IvfIndex.build")
     val nlist = centroids(spark, path).count().toInt
+    // attribute columns survive the retrofit exactly as they survive
+    // rebuild: an attr-carrying index passed through enablePq must not
+    // come back metadata-less with its filtered reads broken
+    val attrs = attrsOf(spark, path)
     val live = spark.read.parquet(path + "/vectors")
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
-    StateStore.commit(spark, path)(tmp => build(live, tmp, nlist, iters, Some(pq)))
+      .select((Seq("vec_id", "embedding") ++ attrs).map(col): _*)
+      .localCheckpoint()
+    StateStore.commit(spark, path)(tmp =>
+      build(live, tmp, nlist, iters, Some(pq), attrs))
   }
 
   /** PQ-shortlisted probed search — the memory-bounded form of [[search]]:

@@ -265,6 +265,26 @@ object Vectors {
 
   private[graft] val AnnFixtureNlist = 8
 
+  /** The maintained-fixture query parameters — vec 100's pre-delete
+    * (embedding, label) — collected ONCE per (session, dir) and shared by
+    * every maintained ANN/hybrid key: the fetch is a driver-bounded
+    * parameter read, but an uncached head() re-scans the embeddings
+    * parquet on every bench/probe trial, which at N× derived corpora
+    * adds a corpus-sized footer/scan term to reads whose growth is
+    * supposed to be cell-sized (round-14 review finding). */
+  private val fixtureQueries = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[Float], Int)]()
+  Materialize.onSessionFreed { s =>
+    fixtureQueries.keySet.removeIf(_._1 eq s)
+  }
+  private[graft] def fixtureQuery(spark: SparkSession,
+                                  dir: String): (Seq[Float], Int) =
+    fixtureQueries.computeIfAbsent((spark, dir), { case (s, d) =>
+      val r = Tables.embeddings(s, d).filter(col("vec_id") === 100)
+        .select("embedding", "label").head()
+      (r.getSeq[Float](0), r.getInt(1))
+    })
+
   private[graft] def annFixture(spark: SparkSession, dir: String): String =
     annStates.computeIfAbsent((spark, dir), { case (s, d) =>
       val t0 = System.nanoTime()
@@ -300,8 +320,7 @@ object Vectors {
     // here, which is what lets DuckDB check it). Query = the pre-delete
     // embedding of id 100, surviving only as id 0's upserted copy.
     val root = annFixture(spark, dir)
-    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
-      .head().getSeq[Float](1)
+    val qv = fixtureQuery(spark, dir)._1
     IvfIndex.search(spark, root, qv, k = 10, probes = AnnFixtureNlist)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
   }
@@ -317,8 +336,7 @@ object Vectors {
     // one answer. What it proves beyond q_ann_maintained: upsert/delete
     // kept every cell's codes a pure function of its vectors.
     val root = annFixture(spark, dir)
-    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
-      .head().getSeq[Float](1)
+    val qv = fixtureQuery(spark, dir)._1
     IvfIndex.searchPq(spark, root, qv, k = 10, probes = AnnFixtureNlist,
         shortlist = 1 << 20)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
@@ -374,10 +392,9 @@ object Vectors {
     // probes = nlist makes it the exact filtered answer, which is what
     // lets DuckDB brute-force the same maintained set + predicate.
     val root = annFixture(spark, dir)
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
-      .select("embedding", "label").head()
-    IvfIndex.searchFiltered(spark, root, q.getSeq[Float](0),
-        col("label") === lit(q.getInt(1)), k = 10, probes = AnnFixtureNlist)
+    val (qv, qlabel) = fixtureQuery(spark, dir)
+    IvfIndex.searchFiltered(spark, root, qv,
+        col("label") === lit(qlabel), k = 10, probes = AnnFixtureNlist)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
   }
 

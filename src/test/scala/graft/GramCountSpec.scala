@@ -40,7 +40,7 @@ class GramCountSpec extends SparkSpec {
     assert(got === Set((1L, "x y"), (1L, "y x"), (2L, "y x")))
   }
 
-  test("edges: empty gram matches every start (slice semantics); nulls null loudly") {
+  test("edges: empty gram matches every start (slice semantics); null elements match null-safely") {
     def count(toks: Seq[String], gram: Seq[String]): Long =
       Seq(Tuple1(toks.toArray)).toDF("toks")
         .select(GramCount.gram_count(col("toks"),
@@ -50,12 +50,24 @@ class GramCountSpec extends SparkSpec {
     assert(count(Seq("a", "b"), Nil) === 3L)
     assert(count(Seq.empty, Nil) === 1L)
     assert(count(Seq("a"), Seq("a", "b")) === 0L, "array shorter than gram")
-    val r = Seq(Tuple1(Array[String]("a", null, "b"))).toDF("toks")
+    // Null ELEMENTS must behave exactly like the expansion's array-keyed
+    // join (Spark's complex-type equality is ordering-based: null == null,
+    // null != "x") — the dispatch is a physical choice, so a tokenizer
+    // that emits nulls must see identical matches from both branches. A
+    // doc with a null token still matches phrases in its null-free
+    // regions, and the null-overlapping windows simply don't match.
+    val r = Seq(Tuple1(Array[String]("a", "b", null, "a", "b"))).toDF("toks")
       .select(GramCount.gram_count(col("toks"), typedlit(Seq("a", "b")))).head()
-    assert(r.isNullAt(0), "a null token element must null the count")
+    assert(r.getLong(0) === 2L,
+      "null-free regions still match; the null-overlapping window does not")
     val g = Seq(Tuple1(Array[String]("a", null))).toDF("gram")
       .select(GramCount.gram_count(typedlit(Seq("a", "b")), col("gram"))).head()
-    assert(g.isNullAt(0), "a null gram element must null the count")
+    assert(g.getLong(0) === 0L, "a null gram token matches only a null doc token")
+    // and null-safe EQUALITY: [a, null] occurs in [x, a, null, y]
+    val eq = Seq(Tuple1(Array[String]("x", "a", null, "y"))).toDF("toks")
+      .select(GramCount.gram_count(col("toks"),
+        typedlit(Seq("a", null)).cast("array<string>"))).head()
+    assert(eq.getLong(0) === 1L, "null matches null, as array equality does")
   }
 
   test("interpreted eval agrees with the codegen plan result") {

@@ -481,5 +481,21 @@ class IvfIndexSpec extends SparkSpec {
         nlist = 1, iters = 1, attrs = Seq("cell"))
     }
     assert(bad.getMessage.contains("reserved"))
+    // an attr batch with the right NAME but a diverging TYPE is rejected
+    // too: presence alone would let a batch whose touched cells have no
+    // live files commit a type-divergent cell file that unionByName never
+    // sees — the cross-file schema disagreement the guard exists for
+    val typed = intercept[IllegalStateException] {
+      IvfIndex.upsert(spark, p,
+        Seq((51L, Array(1f, 0f), 7)).toDF("vec_id", "embedding", "grp"))
+    }
+    assert(typed.getMessage.contains("type"), typed.getMessage)
+    // enablePq is a whole-root retrofit — it must carry the attrs
+    // through like rebuild does, or a PQ retrofit would silently strip
+    // the metadata and break every later filtered read
+    IvfIndex.enablePq(spark, p, IvfIndex.PqSpec(m = 2, k = 2))
+    assert(IvfIndex.searchFiltered(spark, p, q, col("grp") === "cold",
+        k = 4, probes = 2).collect().map(_.getLong(0)).toSeq === (6L to 9L),
+      "filtered reads must survive the PQ retrofit")
   }
 }

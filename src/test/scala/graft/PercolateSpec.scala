@@ -156,6 +156,37 @@ class PercolateSpec extends SparkSpec {
     assert(viaFrame2.nonEmpty)
   }
 
+  test("null-emitting tokenizers see identical phrase matches from both dispatch branches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split, transform, when}
+    // a tokenize that nulls one token (the stopword-removal-gone-wrong
+    // shape: transform + when without otherwise) — the round-14 review
+    // found the scan branch nulling a WHOLE doc on any null token while
+    // the expansion still matched its null-free regions, so registering
+    // a 33rd phrase could flip existing docs' alerts
+    val tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(split(c, " "), t => when(t =!= "xx", t))
+    val docs = Seq(
+      (1L, "fast merge xx fast merge", 100L), // nulls between two matches
+      (2L, "fast xx merge", 100L),            // null splits the phrase
+      (3L, "fast merge", 100L)
+    ).toDF("doc_id", "text", "n_chars")
+    val probe = Percolate.StoredQuery("pp", all = Nil,
+      phrases = Seq("fast merge"))
+    val small = Seq(probe) // ≤ GramScanMax distinct grams → compiled scan
+    val large = probe +: (0 until 40).map(i => // > GramScanMax → expansion
+      Percolate.StoredQuery(s"f$i", all = Nil, phrases = Seq(s"zz$i yy$i")))
+    def hits(reg: Seq[Percolate.StoredQuery]): Set[Long] =
+      Percolate.matchesBool(docs, reg, tok)
+        .filter(col("query_id") === "pp")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s = hits(small)
+    val l = hits(large)
+    assert(s === l, s"the dispatch must be purely physical: scan=$s expansion=$l")
+    assert(s === Set(1L, 3L),
+      "null-free regions match; a window overlapping the null does not")
+  }
+
   test("role rows round-trip: explodeRoles and fromRoleRows are inverses") {
     val qs = Percolate.demoRichQueries ++ Percolate.demoBoolQueries ++
       Percolate.demoGroupQueries
