@@ -63,7 +63,11 @@ object ScaleProbe {
     // round-14's own addition: the filtered IVF probe — predicate
     // evaluated inside the probed cell files (no metadata join); the
     // growth term should be cell size (corpus / nlist), not corpus
-    "q_ann_filtered_maintained")
+    "q_ann_filtered_maintained",
+    // and the filtered two-root read (predicate over BOTH hybrid legs):
+    // cold per run via ColdArtifacts — candidate-bounded attr fetch +
+    // filtered probe, expected in the unfiltered twins' flat band
+    "q_hybrid_filtered_maintained")
 
   /** Session artifacts to DROP before every run of a family, so the probe
     * times the family's real read instead of a cache hit: the hybrid
