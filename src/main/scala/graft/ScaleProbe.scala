@@ -80,8 +80,9 @@ object ScaleProbe {
     // vectorsForIds fetch, not a ranked leg) — invalidating the vec leg
     // here would re-build an artifact the plan never reads
     "q_hybrid_rerank_maintained" -> Seq("hybrid_bm_leg"),
-    // not probed as a family yet, but recorded so a future addition
-    // times the real filtered two-root read, not a leg-cache hit
+    // probed cold as a family (listed above): both filtered-leg
+    // artifacts drop per run so the probe times the real filtered
+    // two-root read, not a leg-cache hit
     "q_hybrid_filtered_maintained" -> Seq("hybrid_bmf_leg", "hybrid_vecf_leg"))
   // tagged corpus: replica-prefixed tokens grow the VOCABULARY N× — the
   // honest corpus for reads whose cost scales with vocabulary size.

@@ -291,38 +291,71 @@ object Hybrid {
     rrfFuse(bmF, vF, rrfK, top)
   }
 
-  /** The two PREDICATE-FILTERED maintained legs, ranked. Lexical: one
-    * entry-bucket read yields the candidate ids (checkpointed hit
-    * frame); their metadata comes back by key, the predicate prunes
-    * them, and only the SURVIVORS' doc buckets are opened for the dl
-    * fetch — a selective predicate cuts the expensive half of lexical
-    * scoring, not just the final rank (restricting candidates never
-    * changes a survivor's score — bm25ScoredFrom's contract). Vector:
-    * the scan-pushed filtered probe. Like the rerank twin, ids must be
-    * numeric-compatible rowkeys (the IVF store keys by LONG vec_id).
+  /** The two PREDICATE-FILTERED maintained legs, ranked — built by the
+    * independent per-leg builders ([[filteredBmLeg]], [[filteredVecLeg]])
+    * so a caller consuming one leg never pays the other's reads.
     * Two-root coherence: [[maintainedLegs]]' contract. */
   private[graft] def filteredLegs(spark: SparkSession, postingsRoot: String,
       ivfRoot: String, terms: Seq[String], qv: Seq[Float],
       predicate: Column, probes: Int,
-      legDepth: Int): (DataFrame, DataFrame) = {
+      legDepth: Int): (DataFrame, DataFrame) =
+    (filteredBmLeg(spark, postingsRoot, ivfRoot, terms, predicate, legDepth),
+     filteredVecLeg(spark, ivfRoot, qv, predicate, probes, legDepth))
+
+  /** The filtered LEXICAL leg: one entry-bucket read yields the candidate
+    * ids (checkpointed hit frame); their metadata comes back by key, the
+    * predicate prunes them, and only the SURVIVORS' doc buckets are
+    * opened for the dl fetch — a selective predicate cuts the expensive
+    * half of lexical scoring, not just the final rank (restricting
+    * candidates never changes a survivor's score — bm25ScoredFrom's
+    * contract).
+    *
+    * CANONICAL-NUMERIC-ROWKEY CONTRACT (enforced, not assumed): the IVF
+    * store keys by LONG vec_id, so a postings rowkey must round-trip
+    * string→long→string unchanged. A non-numeric rowkey casts to null
+    * (no attribute row could ever answer its predicate); a non-canonical
+    * one ("01") would silently read doc "1"'s metadata. Either is a
+    * loud error here — a silent drop or alias would mis-rank without a
+    * trace. The survivors' ORIGINAL doc_id strings are recovered by
+    * joining the long key back to the candidate pair frame, so the
+    * semi-join into scoring always matches what the postings store. */
+  private[graft] def filteredBmLeg(spark: SparkSession, postingsRoot: String,
+      ivfRoot: String, terms: Seq[String], predicate: Column,
+      legDepth: Int): DataFrame = {
     val hits = graft.streaming.IncrementalPostings
       .bm25Hits(spark, postingsRoot, terms)
-    val cand = hits.select(col("doc_id").cast("long").as("vec_id")).distinct()
-    val allowed = IvfIndex.attrsForIds(spark, ivfRoot, cand)
-      .filter(predicate)
-      .select(col("vec_id").cast("string").as("doc_id"))
-    val bmF = rankLeg(
+    // try_cast, not cast: under ANSI a malformed rowkey would abort the
+    // job with a raw CAST error — the guard below owns the diagnosis
+    val cand = hits.select(col("doc_id"),
+        col("doc_id").try_cast("long").as("vec_id")).distinct()
+    // candidate-bounded (the hit frame is checkpointed) — one small job
+    val bad = cand.filter(col("vec_id").isNull ||
+        col("vec_id").cast("string") =!= col("doc_id"))
+      .select("doc_id").limit(1).collect()
+    require(bad.isEmpty,
+      "filtered hybrid requires canonical numeric rowkeys (the vector " +
+        "store keys by LONG vec_id) — found doc_id " +
+        s"'${bad.headOption.map(_.getString(0)).getOrElse("")}'")
+    val allowedVec = IvfIndex
+      .attrsForIds(spark, ivfRoot, cand.select("vec_id"))
+      .filter(predicate).select("vec_id")
+    val allowed = cand.join(allowedVec, "vec_id").select("doc_id")
+    rankLeg(
       graft.streaming.IncrementalPostings
         .bm25ScoredFrom(spark, postingsRoot, hits, Some(allowed)),
       col("doc_id"), col("score"), legDepth)
       .select(col("id").cast("long").as("id"), col("score"), col("rank"))
-    val vF = rankLeg(
+  }
+
+  /** The filtered VECTOR leg: the scan-pushed filtered probe, ranked. */
+  private[graft] def filteredVecLeg(spark: SparkSession, ivfRoot: String,
+      qv: Seq[Float], predicate: Column, probes: Int,
+      legDepth: Int): DataFrame =
+    rankLeg(
       IvfIndex.searchFiltered(spark, ivfRoot, qv, predicate,
           k = legDepth, probes = probes)
         .select(col("vec_id"), round(col("sim"), 4).as("sim")),
       col("vec_id"), col("sim"), legDepth)
-    (bmF, vF)
-  }
 
   /** The fixture twins' ranked legs, built ONCE per (session, dir) and
     * served persisted to all three maintained fusion keys (the
@@ -391,15 +424,18 @@ object Hybrid {
     // other fusion twin's (Bench's warm-read protocol; a scale probe of
     // the COLD two-root read invalidates them per run — ScaleProbe's
     // ColdArtifacts); the cold leaf reads stay measured by
-    // q_ann_filtered_maintained and the bm25 family.
+    // q_ann_filtered_maintained and the bm25 family. Each leg builds
+    // INDEPENDENTLY (per-leg builders, not one pair-build): rebuilding
+    // one artifact must pay only its own leg's reads — the same
+    // cold-measurement isolation the rerank twin's legs follow.
     val pred = col("label") === lit(fixtureQueryLabel(spark, dir))
-    val qv = fixtureQueryVec(spark, dir)
     val postingsRoot = Index.maintainedFixture(spark, dir)
     val ivfRoot = Vectors.annFixture(spark, dir)
-    lazy val built = filteredLegs(spark, postingsRoot, ivfRoot, Terms, qv,
-      pred, probes = Vectors.AnnFixtureNlist, legDepth = LegDepth)
-    val bm = Materialize.artifact(spark, "hybrid_bmf_leg", dir)(built._1)
-    val v = Materialize.artifact(spark, "hybrid_vecf_leg", dir)(built._2)
+    val bm = Materialize.artifact(spark, "hybrid_bmf_leg", dir)(
+      filteredBmLeg(spark, postingsRoot, ivfRoot, Terms, pred, LegDepth))
+    val v = Materialize.artifact(spark, "hybrid_vecf_leg", dir)(
+      filteredVecLeg(spark, ivfRoot, fixtureQueryVec(spark, dir), pred,
+        probes = Vectors.AnnFixtureNlist, legDepth = LegDepth))
     rrfFuse(bm, v)
   }
 

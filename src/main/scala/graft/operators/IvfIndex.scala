@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, MapType, StructField, StructType}
 import graft.streaming.StateStore
 
 /** Persisted IVF (inverted-file) vector index — the materialized form of
@@ -191,6 +191,21 @@ object IvfIndex {
     StateStore.readTag(spark, path, "_attrs")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
+  /** `dataType` with nullability forced true RECURSIVELY — container
+    * `containsNull`/`valueContainsNull` and nested struct fields included,
+    * not just the top level. Nullability is a per-batch inference artifact
+    * (a parquet read-back is always nullable; a literal-built frame often
+    * isn't), never a storage-compatibility fact, so the `_attrs_schema`
+    * type guard compares through this normalization on both sides. */
+  private[graft] def deepNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(deepNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(deepNullable(m.keyType), deepNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Train the coarse quantizer and materialize the index. Seeding is the
     * `nlist` smallest vec_ids — deterministic, so rebuilds are stable.
     * Each iteration checkpoints the (tiny) centroid table to truncate the
@@ -280,11 +295,15 @@ object IvfIndex {
         StateStore.ensureTag(spark0, path, "_attrs", attrs.mkString(","))
         // the stored (vec_id, attrs) schema, pinned so [[attrsForIds]]'
         // empty paths return the stored types without a footer read;
-        // fields recorded nullable because a parquet read-back always is
+        // nullability normalized DEEP (containers and nested fields too —
+        // [[deepNullable]]) because a parquet read-back always is, and
+        // [[upsert]]'s type guard must not reject a batch differing only
+        // in ArrayType.containsNull / nested-field nullability
         StateStore.ensureTag(spark0, path, "_attrs_schema",
           StructType(assigned.schema.fields.filter(f =>
             f.name == "vec_id" || attrs.contains(f.name))
-            .map(_.copy(nullable = true))).json)
+            .map(f => f.copy(dataType = deepNullable(f.dataType),
+              nullable = true))).json)
       }
     } finally assigned.unpersist(): Unit
   }
@@ -352,8 +371,10 @@ object IvfIndex {
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .foreach { stored =>
         val diverged = attrs.flatMap { a =>
-          val got = vectors.schema(a).dataType
-          val want = stored(a).dataType
+          // nested nullability is a parquet read-back artifact, not a
+          // type divergence: compare with containers/fields normalized
+          val got = deepNullable(vectors.schema(a).dataType)
+          val want = deepNullable(stored(a).dataType)
           if (got != want) Some(s"$a: batch $got vs stored $want") else None
         }
         if (diverged.nonEmpty) throw new IllegalStateException(
@@ -572,19 +593,25 @@ object IvfIndex {
     val vecRoot = path + "/vectors"
     val idsRoot = path + "/ids"
     val cols = "vec_id" +: attrs
-    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    // a null id (a caller's failed long cast) can never match a stored
+    // LONG key — dropping it here is the same "absent id, no row"
+    // semantics, and keeps the driver-side bucket collect total
+    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id"))
+      .filter(col("vec_id").isNotNull).distinct()
     def empty: DataFrame = {
-      val schema = StateStore.readTag(spark, path, "_attrs_schema")
+      // fields projected in `cols` order on BOTH sources, so the empty
+      // paths' column order always agrees with the non-empty select
+      val stored = StateStore.readTag(spark, path, "_attrs_schema")
         .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse {
           val live = StateStore.liveBuckets(spark, vecRoot, "cell=")
           require(live.nonEmpty, s"index at $path has neither an " +
             "_attrs_schema marker nor a live cell to derive the schema from")
-          StructType(spark.read.parquet(s"$vecRoot/${live.head}")
-            .schema.fields.filter(f => cols.contains(f.name)))
+          spark.read.parquet(s"$vecRoot/${live.head}").schema
         }
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(cols.map(n => stored(n))))
     }
     val liveIds = StateStore.liveBuckets(spark, idsRoot).toSet
     if (liveIds.isEmpty) return empty

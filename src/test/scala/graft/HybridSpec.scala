@@ -313,4 +313,57 @@ class HybridSpec extends SparkSpec {
     assert(!fusedInputs.exists(_.contains("/testdata/")),
       "q_hybrid_filtered_maintained must never scan a corpus parquet")
   }
+
+  test("filtered lexical leg: non-canonical or non-numeric rowkeys fail LOUDLY, never drop or alias") {
+    val tmp = Files.createTempDirectory("graft_hybk").toString
+    val ivf = tmp + "/ivf"
+    IvfIndex.build(Seq((1L, Array(1f, 0f), "a")).toDF("vec_id", "embedding", "grp"),
+      ivf, nlist = 1, iters = 1, attrs = Seq("grp"))
+    // "01" casts to long 1 and would silently read doc "1"'s metadata —
+    // then re-stringified it would never match the postings' semi-join
+    // and the doc would VANISH from the leg. The contract is a loud error.
+    val nonCanonical = tmp + "/p1"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("01", 1L, "put", "merge merge"),
+      ("2", 2L, "put", "merge")
+    ).toDF("rowkey", "event_id", "op", "text"), nonCanonical)
+    val e1 = intercept[IllegalArgumentException] {
+      Hybrid.filteredBmLeg(spark, nonCanonical, ivf, Seq("merge"),
+        col("grp") === "a", legDepth = 2).collect()
+    }
+    assert(e1.getMessage.contains("canonical numeric rowkeys")
+      && e1.getMessage.contains("01"), e1.getMessage)
+    // a fully non-numeric rowkey casts to NULL — same loud error, never a
+    // driver-side crash inside the attribute fetch
+    val nonNumeric = tmp + "/p2"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("doc-a", 1L, "put", "merge merge")
+    ).toDF("rowkey", "event_id", "op", "text"), nonNumeric)
+    val e2 = intercept[IllegalArgumentException] {
+      Hybrid.filteredBmLeg(spark, nonNumeric, ivf, Seq("merge"),
+        col("grp") === "a", legDepth = 2).collect()
+    }
+    assert(e2.getMessage.contains("canonical numeric rowkeys"), e2.getMessage)
+    // and a CANONICAL root is untouched by the guard: the survivor's
+    // original doc_id reaches the semi-join (long joined on both sides)
+    val canonical = tmp + "/p3"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("1", 1L, "put", "merge merge")
+    ).toDF("rowkey", "event_id", "op", "text"), canonical)
+    val ok = Hybrid.filteredBmLeg(spark, canonical, ivf, Seq("merge"),
+      col("grp") === "a", legDepth = 2).collect()
+    assert(ok.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("attrsForIds drops null input ids (no row can match a LONG key) instead of crashing") {
+    val tmp = Files.createTempDirectory("graft_hybn").toString
+    val ivf = tmp + "/ivf"
+    IvfIndex.build(Seq((1L, Array(1f, 0f), "a"), (2L, Array(0f, 1f), "b"))
+      .toDF("vec_id", "embedding", "grp"), ivf,
+      nlist = 1, iters = 1, attrs = Seq("grp"))
+    val ids = Seq(Some(1L), None, Some(2L)).toDF("vec_id")
+    val got = IvfIndex.attrsForIds(spark, ivf, ids)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((1L, "a"), (2L, "b")))
+  }
 }

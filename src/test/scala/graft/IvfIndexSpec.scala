@@ -498,4 +498,37 @@ class IvfIndexSpec extends SparkSpec {
         k = 4, probes = 2).collect().map(_.getLong(0)).toSeq === (6L to 9L),
       "filtered reads must survive the PQ retrofit")
   }
+
+  test("the attrs type guard compares through NESTED nullability — containsNull is a batch artifact, not a divergence") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_ivfN").toString + "/ivf"
+    // build with an Array[Float] attr: the encoder infers containsNull =
+    // false (primitive elements)
+    IvfIndex.build(Seq((0L, Array(1f, 0f), Array(1f, 2f)),
+        (1L, Array(0f, 1f), Array(3f, 4f)))
+      .toDF("vec_id", "embedding", "tags"), p,
+      nlist = 1, iters = 1, attrs = Seq("tags"))
+    // an upsert batch differing ONLY in the array's containsNull (the
+    // shape every parquet read-back and Row-built frame produces) must be
+    // ACCEPTED: the cell files are storage-compatible
+    val looseSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("tags", ArrayType(FloatType, containsNull = true))))
+    val loose = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, Seq(0.5f, 0.5f), Seq(5f, 6f)))),
+      looseSchema)
+    IvfIndex.upsert(spark, p, loose) // must not throw
+    assert(IvfIndex.attrsForIds(spark, p, Seq(2L).toDF("vec_id"))
+      .head().getSeq[Float](1) === Seq(5f, 6f))
+    // a genuinely divergent ELEMENT type is still rejected
+    val diverged = intercept[IllegalStateException] {
+      IvfIndex.upsert(spark, p,
+        Seq((3L, Array(1f, 0f), Array(1.0, 2.0)))
+          .toDF("vec_id", "embedding", "tags"))
+    }
+    assert(diverged.getMessage.contains("type"), diverged.getMessage)
+  }
 }
