@@ -380,6 +380,20 @@ object IncrementalPostings {
           legacy.write.partitionBy("b").mode("overwrite").parquet(tmp)
         }
       }
+      // df sidecar (opt-in, [[enableDfSidecar]]): each touched entries
+      // bucket's dfs twin is recomputed from the already-cached post-merge
+      // content — pure function of bucket content, so replay reproduces
+      // identical rows. Committed after the entries (a crash between
+      // leaves the sidecar one batch behind; the checkpointed replay
+      // recomputes it from the already-new entries — dstats' argument).
+      if (entryDirs.nonEmpty && dfSidecarEnabled(spark, rootPath)) {
+        StateStore.ensureBucketCount(spark, dfsRoot(rootPath), numBuckets)
+        StateStore.commitBuckets(spark, dfsRoot(rootPath), entryDirs) { tmp =>
+          dfsOf(newEntries.drop("b"), numBuckets)
+            .sortWithinPartitions("b", "tok")
+            .write.partitionBy("b").mode("overwrite").parquet(tmp)
+        }
+      }
     } finally {
       mergedDocs.unpersist(); newEntries.unpersist()
       removals.unpersist(); additions.unpersist(): Unit
@@ -496,6 +510,19 @@ object IncrementalPostings {
     }
     // the swap replaced the sidecar root, marker included — re-pin
     StateStore.ensureBucketCount(spark, statsRoot, newBuckets)
+    // df sidecar: tok-keyed, but recomputed from the rescaled entries
+    // rather than re-hashed — the same pure-function-of-bucket-content
+    // derivation the merge writes. The old root (old bucket-count marker
+    // included) is dropped first; a crash between the delete and the
+    // backfill leaves an enabled-but-empty sidecar, which reads as
+    // "nothing saturated" — probes then read every list, the exact
+    // fallback behavior (absent rows are always the safe direction), and
+    // re-running rescale or the backfill converges.
+    if (dfSidecarEnabled(spark, rootPath)) {
+      val p = new org.apache.hadoop.fs.Path(dfsRoot(rootPath))
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      enableDfSidecar(spark, rootPath)
+    }
   }
 
   /** All live entries rows (tok, doc_id) — the full-index read behind the
@@ -531,6 +558,107 @@ object IncrementalPostings {
     allEntries(spark, rootPath).groupBy("tok")
       .agg(countDistinct(col("doc_id")).as("df"),
         sum(col("tf")).as("n"))
+
+  // ——— per-token document-frequency sidecar ———————————————————————————
+  //
+  // The remedy behind MaintenanceReport.dfSidecarAdvised (SCALE.md
+  // §df-cap): on a boilerplate-heavy corpus most posting MASS belongs to
+  // crowd tokens over the near-dup df cap, and candidate generation reads
+  // those lists only to drop them. The sidecar keeps (tok, df) — two
+  // columns, vocabulary-sized — in its own bucketed subroot, maintained
+  // like dstats (each dfs bucket is a pure function of its entries
+  // bucket's post-merge content, recomputed for exactly the touched
+  // buckets), so a probe can learn WHICH of its query tokens are
+  // saturated from rows proportional to the query, then skip reading the
+  // saturated posting lists entirely. Opt-in ([[enableDfSidecar]]) —
+  // a second maintained state is only worth keeping consistent once the
+  // saturation trigger fires.
+
+  private def dfsRoot(rootPath: String): String = rootPath + "/dfs"
+
+  /** Whether `rootPath` maintains the per-token df sidecar (the `_dfs`
+    * root marker [[enableDfSidecar]] sets). */
+  def dfSidecarEnabled(spark: SparkSession, rootPath: String): Boolean =
+    StateStore.readTag(spark, rootPath, "_dfs").contains("1")
+
+  /** The (b, tok, df) rows for one set of entries buckets — the pure
+    * function of bucket content both the backfill and the per-merge
+    * maintenance write: a token's posting list is complete within its
+    * bucket, so per-bucket df is exact. */
+  private def dfsOf(entries: DataFrame, numBuckets: Int): DataFrame =
+    entries.withColumn("b", tokBucket(numBuckets))
+      .groupBy("b", "tok").agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Turn the df sidecar ON for an existing root and backfill it from the
+    * live entries (one pass — vocabulary-shaped aggregate, committed
+    * bucket-by-bucket under the usual swap protocol). Idempotent: re-run
+    * recomputes the same rows. Every later merge keeps the touched
+    * buckets current ([[mergeBatch]]); [[rescale]] recomputes it like
+    * dstats. Single-writer contract as for any maintenance pass. */
+  def enableDfSidecar(spark: SparkSession, rootPath: String): Unit = {
+    val entriesRoot = rootPath + "/entries"
+    val n = StateStore.bucketCount(spark, entriesRoot)
+      .getOrElse(IncrementalIndex.DefaultBuckets)
+    StateStore.ensureTag(spark, rootPath, "_dfs", "1")
+    StateStore.ensureBucketCount(spark, dfsRoot(rootPath), n)
+    val dirs = StateStore.liveBuckets(spark, entriesRoot)
+    if (dirs.nonEmpty) {
+      val dfs = dfsOf(withTf(readEntriesRaw(spark,
+        dirs.map(d => s"$entriesRoot/$d"))), n).cache()
+      dfs.count() // decouple from any prior dfs files before the swaps
+      try StateStore.commitBuckets(spark, dfsRoot(rootPath), dirs) { tmp =>
+        dfs.sortWithinPartitions("b", "tok")
+          .write.partitionBy("b").mode("overwrite").parquet(tmp)
+      } finally dfs.unpersist(): Unit
+    }
+  }
+
+  /** The sidecar's (tok, df) rows for exactly `toks`, reading only the dfs
+    * buckets those tokens hash to — per-probe I/O proportional to the
+    * query's tokens, never the vocabulary. None when the root does not
+    * maintain the sidecar (callers fall back to reading the lists). A
+    * token with no postings has no row — absent means df = 0. */
+  private[graft] def dfsForTokens(spark: SparkSession, rootPath: String,
+                                  toks: Seq[String]): Option[DataFrame] = {
+    if (!dfSidecarEnabled(spark, rootPath)) return None
+    val root = dfsRoot(rootPath)
+    val dirs = StateStore.bucketDirsFor(spark, root, toks)
+    if (dirs.isEmpty)
+      return Some(emptyDf(spark, StructType(Seq(
+        StructField("tok", StringType), StructField("df", LongType)))))
+    Some(spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      .filter(col("tok").isin(toks: _*))
+      .select("tok", "df"))
+  }
+
+  /** [[dfsForTokens]] for a token FRAME (values are data, bucket ids are
+    * driver metadata — [[bucketDirsForFrame]]'s contract): the batch
+    * probe's sidecar read. None when the sidecar is disabled. */
+  private[graft] def dfsForTokensFrame(spark: SparkSession, rootPath: String,
+                                       toks: DataFrame): Option[DataFrame] = {
+    if (!dfSidecarEnabled(spark, rootPath)) return None
+    val root = dfsRoot(rootPath)
+    val dirs = bucketDirsForFrame(spark, root, toks, "tok")
+    if (dirs.isEmpty)
+      return Some(emptyDf(spark, StructType(Seq(
+        StructField("tok", StringType), StructField("df", LongType)))))
+    Some(spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+      .join(toks.select("tok").distinct(), "tok")
+      .select("tok", "df"))
+  }
+
+  /** The full sidecar (tok, df) view — the cheap source for saturation
+    * monitoring once the sidecar exists (two columns of vocabulary-sized
+    * metadata; no entries scan, no posting lists). None when disabled. */
+  private[graft] def dfsAll(spark: SparkSession, rootPath: String): Option[DataFrame] = {
+    if (!dfSidecarEnabled(spark, rootPath)) return None
+    val root = dfsRoot(rootPath)
+    val dirs = StateStore.liveBuckets(spark, root)
+    if (dirs.isEmpty)
+      return Some(emptyDf(spark, StructType(Seq(
+        StructField("tok", StringType), StructField("df", LongType)))))
+    Some(spark.read.parquet(dirs.map(d => s"$root/$d"): _*).select("tok", "df"))
+  }
 
   /** Prefix completions from the MAINTAINED vocabulary, ranked by corpus
     * occurrence count — the same ranking as the corpus-scoped suggester. */

@@ -239,7 +239,13 @@ object IncrementalShingles {
                    dfCap: Int): Option[(Long, Double, Double)] = {
     if (StateStore.liveBuckets(spark, rootPath + "/entries").isEmpty)
       return None
-    val agg = IncrementalPostings.vocabulary(spark, rootPath)
+    // served from the df sidecar when the root maintains one: the same
+    // (tok, df) facts from two metadata columns — no entries scan, no
+    // posting-list aggregation — so the monitoring read gets cheap
+    // exactly when the state gets crowd-heavy
+    val vocabDf = IncrementalPostings.dfsAll(spark, rootPath)
+      .getOrElse(IncrementalPostings.vocabulary(spark, rootPath))
+    val agg = vocabDf
       .agg(count(lit(1)).as("v"),
         count(when(col("df") > dfCap, 1)).as("sat"),
         sum(col("df")).as("mass"),
@@ -250,6 +256,23 @@ object IncrementalShingles {
     else Some((sat, sat.toDouble / v,
       agg.getLong(3).toDouble / math.max(1L, agg.getLong(2))))
   }
+
+  /** Turn the per-token df sidecar ON for a maintained shingle root — the
+    * remedy [[IngestPipeline.maintain]]'s `dfSidecarAdvised` recommends
+    * once saturated posting mass crosses the advise threshold. Backfills
+    * (tok, df) from the live entries and keeps it current on every later
+    * merge; the probes ([[nearDuplicates]], [[nearDuplicatesBatch]], the
+    * gate) then skip reading saturated shingles' posting lists instead of
+    * reading-then-dropping them. Candidate sets and scores are unchanged
+    * by contract — the sidecar moves I/O, not semantics. Single-writer
+    * contract: run it from the maintenance cadence, not beside a live
+    * merge. */
+  def enableDfSidecar(spark: SparkSession, rootPath: String): Unit =
+    IncrementalPostings.enableDfSidecar(spark, rootPath)
+
+  /** Whether `rootPath` maintains the df sidecar. */
+  def dfSidecarEnabled(spark: SparkSession, rootPath: String): Boolean =
+    IncrementalPostings.dfSidecarEnabled(spark, rootPath)
 
   /** Query-time near-duplicate probe against the MAINTAINED state — the
     * ingestion-time dedup check a training-data pipeline runs per arriving
@@ -357,12 +380,33 @@ object IncrementalShingles {
         }
         qsh.sortBy(s => (crc(s), s)).take(maxQueryShingles)
       } else qsh
+    // df sidecar prefilter (when the root maintains one —
+    // [[enableDfSidecar]]): learn WHICH probe shingles are saturated from
+    // (tok, df) rows proportional to the probe, and skip reading those
+    // shingles' posting lists entirely — the crowd lists are the probe's
+    // dominant read on a saturated corpus, and the exact path reads them
+    // only to drop them at the cap. The read-side cap filter below stays
+    // (defense in the sidecar's one-batch-stale crash window); scores are
+    // text-derived and unaffected. An absent sidecar row means "read the
+    // list" — staleness and partial backfill only cost I/O, never a
+    // wrong skip... except the delete-window case every capped read
+    // shares: a shingle whose df fell back under the cap is skipped until
+    // the next merge touches its bucket, the same transient the gate's
+    // torn-prefix clamp documents.
+    val readSh = IncrementalPostings.dfsForTokens(spark, rootPath, probeSh)
+      .map { dfs =>
+        val sat = dfs.filter(col("df") > dfCap)
+          .select("tok").collect().map(_.getString(0)).toSet
+        probeSh.filterNot(sat)
+      }.getOrElse(probeSh)
+    if (readSh.isEmpty) // every probe shingle saturated: no candidates
+      return spark.range(0).select(lit("").as("rowkey"), lit(0.0).as("jaccard"))
     // one pass over the pruned entries: per-shingle df and posting list
     // together, cap filter, then the union of surviving posting lists.
     // The candidate list is collected — bounded by dfCap × |query
     // shingles| by construction — so the live-row fetch below prunes to
     // the candidates' own doc buckets (the HBase-Get shape).
-    val candAgg = IncrementalPostings.prunedEntries(spark, rootPath, probeSh)
+    val candAgg = IncrementalPostings.prunedEntries(spark, rootPath, readSh)
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), collect_set(col("doc_id")).as("ids"))
       .filter(col("df") <= dfCap)
@@ -391,9 +435,23 @@ object IncrementalShingles {
     // UTF8String byte order beyond the BMP, and the merge scan needs the
     // engine's own order on both sides
     val qArr = array_sort(typedlit(qsh))
-    IncrementalPostings.prunedDocs(spark, rootPath, candIds)
-      .select(col("rowkey"),
-        array_sort(array_distinct(scheme.sketch(col("text")))).as("bs"))
+    // The candidate sketches are MATERIALIZED (localCheckpoint — ≤ dfCap
+    // × |query shingles| rows, the probe's own bound) before the score.
+    // Left lazy, predicate pushdown substitutes the score filter with the
+    // whole sketch-HOF expression and the |query|-sized literal, several
+    // references each, producing a plan whose FILTER node is megabytes of
+    // expression tree: every probe then pays seconds of DRIVER-side
+    // planning/codegen/task-binary broadcast per call (measured: 2.2 MiB
+    // task binaries; first collect of such a frame 8.0 s at 10× state,
+    // the SECOND collect of the same frame 0.04 s — the executors were
+    // never the cost), the term previously misread as probe-latency
+    // growth (SCALE.md §df-cap, DfSidecarProfile). Post-checkpoint the
+    // score reads `bs` as a plain attribute of a materialized frame:
+    // expressions stay small, planning stays constant. The fetch frame is
+    // exposed pre-checkpoint as [[probeFetch]] so the bucket-pruning pin
+    // (the HBase-Get shape) still has lineage to assert on.
+    val fetched = probeFetch(spark, rootPath, candIds, scheme).localCheckpoint()
+    fetched
       .withColumn("c", graft.functions.SortedIntersectCount
         .sorted_intersect_count(col("bs"), qArr).cast("long"))
       .withColumn("jaccard",
@@ -402,6 +460,17 @@ object IncrementalShingles {
       .select("rowkey", "jaccard")
       .orderBy(col("jaccard").desc, col("rowkey"))
   }
+
+  /** The per-doc probe's candidate fetch, LAZY: the candidates' live rows
+    * from only their own doc buckets ([[IncrementalPostings.prunedDocs]]),
+    * sketched — (rowkey, bs). [[nearDuplicatesWith]] checkpoints this
+    * before scoring (see there); exposed so specs can pin the fetch's
+    * bucket pruning on the exact frame the probe materializes. */
+  private[graft] def probeFetch(spark: SparkSession, rootPath: String,
+      candIds: Seq[String], scheme: SketchScheme): DataFrame =
+    IncrementalPostings.prunedDocs(spark, rootPath, candIds)
+      .select(col("rowkey"),
+        array_sort(array_distinct(scheme.sketch(col("text")))).as("bs"))
 
   /** Batch form of [[nearDuplicates]] — a micro-batch of arriving
     * documents probes the maintained state in ONE job (the shape an
@@ -471,10 +540,29 @@ object IncrementalShingles {
     // read twice (hit aggregation + overlap count) rather than
     // checkpointed: the pruned bucket scan is ~1 s while materializing
     // the full pre-cap entry rows costs more than the second scan
+    val allToks = qsh.select("tok").distinct()
     val entries = IncrementalPostings.prunedEntriesForTokens(spark, rootPath,
-        qsh.select("tok").distinct())
+        allToks)
       .select(col("tok"), col("doc_id").as("rowkey"))
-    val hit = entries
+    // df sidecar prefilter for CANDIDATE GENERATION only (same contract
+    // as the per-doc probe): saturated batch shingles' posting lists are
+    // never aggregated into hit sets they'd be dropped from anyway. The
+    // OVERLAP count below deliberately keeps reading ALL batch shingles'
+    // entries — shared high-df shingles still count toward the score
+    // (the df cap bounds candidate generation, never the score), so the
+    // sidecar cannot change a single admitted/dropped verdict, only the
+    // I/O of finding the candidates. Job count is unchanged: the exact
+    // path already scanned the entries twice (hit + overlap).
+    val candToks = IncrementalPostings
+      .dfsForTokensFrame(spark, rootPath, allToks)
+      .map(dfs => allToks.join(
+        dfs.filter(col("df") > dfCap).select("tok"), Seq("tok"), "left_anti"))
+      .getOrElse(allToks)
+    val candEntries =
+      if (candToks eq allToks) entries
+      else IncrementalPostings.prunedEntriesForTokens(spark, rootPath, candToks)
+        .select(col("tok"), col("doc_id").as("rowkey"))
+    val hit = candEntries
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), collect_set(col("rowkey")).as("ids"))
       .filter(col("df") <= dfCap)

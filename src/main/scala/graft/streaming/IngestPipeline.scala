@@ -1113,18 +1113,22 @@ object IngestPipeline {
     * ([[IncrementalShingles.dfSaturation]] — the per-token-df-sidecar
     * trigger; None when the pipeline has no shingle entries).
     * `dfSidecarAdvised` is that trigger FIRED: the saturated mass
-    * fraction exceeded `dfSatAdviseThreshold` this pass — the state is
-    * majority crowd-shingles and the cap's read-time drop should become
-    * a merge-time one (the per-token-df sidecar, SCALE.md's recorded
-    * decision rule); [[maintain]] also logs a WARN naming the deferral
-    * so the signal cannot pass unseen in an unmonitored report. */
+    * fraction exceeded `dfSatAdviseThreshold` this pass while the root
+    * does NOT yet maintain the per-token-df sidecar — the state is
+    * majority crowd-shingles and the probes are reading lists they drop
+    * ([[IncrementalShingles.enableDfSidecar]] is the remedy); [[maintain]]
+    * also logs a WARN naming that call so the signal cannot pass unseen
+    * in an unmonitored report. `dfSidecarEnabled` reports whether the
+    * sidecar is in place (an enabled root is never re-advised — the
+    * saturation fraction stays observable either way). */
   final case class MaintenanceReport(annSkewBefore: Option[Double],
                                      annRebuilt: Boolean,
                                      annSkewAfter: Option[Double],
                                      bucketPressureBytes: Long = 0L,
                                      rescaledTo: Option[Int] = None,
                                      dfSaturatedMassFrac: Option[Double] = None,
-                                     dfSidecarAdvised: Boolean = false)
+                                     dfSidecarAdvised: Boolean = false,
+                                     dfSidecarEnabled: Boolean = false)
 
   /** The pipeline's MAINTENANCE pass — [[applyBatch]]'s operational
     * counterpart, run on a maintenance cadence (every N batches, or
@@ -1261,22 +1265,27 @@ object IngestPipeline {
     val dfSat = IncrementalShingles
       .dfSaturation(spark, shingleRoot(pipelineRoot), satScheme.dfCap)
       .map(_._3)
-    // ARM the recorded decision rule (SCALE.md): past the threshold the
-    // state is storing mostly crowd shingles — the read-time df-cap drop
-    // should become a merge-time one (per-token-df sidecar). The engine
-    // defers the sidecar itself (the read-time cap stays correct, just
-    // I/O-wasteful), but the deferral is loud: a WARN plus a report flag,
-    // so it is an operator decision, never an unnoticed default.
-    val advised = dfSat.exists(_ > dfSatAdviseThreshold)
+    // The recorded decision rule (SCALE.md): past the threshold the state
+    // is storing mostly crowd shingles, and the probes read those lists
+    // only to drop them at the cap — the per-token-df sidecar
+    // ([[IncrementalShingles.enableDfSidecar]]) is the remedy, letting
+    // candidate generation skip saturated lists without reading them.
+    // Enabling stays an operator decision (a second maintained state to
+    // keep consistent), so the trigger is loud — WARN + report flag —
+    // and clears once the sidecar is in place.
+    val sidecarOn = IncrementalShingles
+      .dfSidecarEnabled(spark, shingleRoot(pipelineRoot))
+    val advised = !sidecarOn && dfSat.exists(_ > dfSatAdviseThreshold)
     if (advised) log.warn(
       s"shingle state at ${shingleRoot(pipelineRoot)}: " +
         f"df-saturated posting-mass fraction ${dfSat.get}%.3f exceeds " +
-        f"$dfSatAdviseThreshold%.2f — candidate generation now skips the " +
-        "majority of stored entry rows at read time; arm the per-token-df " +
-        "sidecar (drop shingles at df cap during merge) to stop paying " +
-        "their write+storage cost (SCALE.md df-cap decision rule)")
+        f"$dfSatAdviseThreshold%.2f — candidate generation reads then " +
+        "drops the majority of stored entry rows; enable the per-token-df " +
+        "sidecar (IncrementalShingles.enableDfSidecar) so probes skip " +
+        "saturated posting lists without reading them (SCALE.md df-cap " +
+        "decision rule)")
     MaintenanceReport(skewBefore, rebuilt, skewAfter, pressure, rescaledTo,
-      dfSat, advised)
+      dfSat, advised, sidecarOn)
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -238,9 +238,14 @@ class IncrementalShinglesSpec extends SparkSpec {
     for (f <- entryFiles)
       assert(wanted.exists(b => f.contains(s"/$b/")),
         s"probe read entry file outside the query's buckets: $f")
-    // ...and the returned frame's live-row fetch opens only the
-    // CANDIDATES' doc buckets (the HBase-Get shape)
-    val docFiles = IncrementalShingles.nearDuplicates(spark, root, q, 0.5)
+    // ...and the live-row fetch opens only the CANDIDATES' doc buckets
+    // (the HBase-Get shape) — pinned on the exact lazy frame the probe
+    // checkpoints (probeFetch; the returned frame is materialized, so its
+    // own lineage is a checkpoint, not files). WHICH candidates the probe
+    // derives is pinned behaviorally by the score assertions above
+    // ({1, 3} at threshold 0.5).
+    val docFiles = IncrementalShingles.probeFetch(spark, root,
+        Seq("1", "3"), IncrementalShingles.WordShingles)
       .inputFiles.filter(_.contains("/docs/"))
     val wantedDocs = Set("1", "3").map(bucketOf)
     assert(docFiles.nonEmpty)
@@ -322,20 +327,26 @@ class IncrementalShinglesSpec extends SparkSpec {
     assert(probe(1) === exact)
     assert(probe(100) === exact)
     // the budgeted fetch opens ONLY the budget-surviving candidate's doc
-    // bucket; the unbudgeted probe provably fetched more (the crowd)
+    // bucket; the unbudgeted probe provably fetched more (the crowd).
+    // Pinned on the lazy fetch frame the probe checkpoints (probeFetch),
+    // with the budget's candidate SELECTION pinned behaviorally by the
+    // low-threshold score assertions below ({t1} at budget 1, all six
+    // unbudgeted).
     def bucketOf(key: String): String = {
       val crc = new java.util.zip.CRC32()
       crc.update(key.getBytes("UTF-8"))
       s"b=${java.lang.Math.floorMod(crc.getValue, IncrementalIndex.DefaultBuckets.toLong)}"
     }
-    def docBuckets(maxCand: Int): Set[String] =
-      IncrementalShingles.nearDuplicates(spark, root, q, 0.4,
-        dfCap = 100, maxCandidates = maxCand)
+    def docBuckets(cands: Seq[String]): Set[String] =
+      IncrementalShingles.probeFetch(spark, root, cands,
+          IncrementalShingles.WordShingles)
         .inputFiles.filter(_.contains("/docs/"))
         .flatMap(f => "b=\\d+".r.findFirstIn(f)).toSet
-    assert(docBuckets(1) === Set(bucketOf("t1")),
+    val crowd = Seq("t1", "b1", "b2", "b3", "b4", "b5")
+    assert(docBuckets(Seq("t1")) === Set(bucketOf("t1")),
       "budget-1 probe must fetch only the rarest-shingle candidate's bucket")
-    assert(docBuckets(1).subsetOf(docBuckets(0)) && docBuckets(0).size > 1,
+    assert(docBuckets(Seq("t1")).subsetOf(docBuckets(crowd)) &&
+      docBuckets(crowd).size > 1,
       "the unbudgeted probe should demonstrate the crowd fetch the budget cuts")
     // the documented trade: BELOW the rare-shingle threshold the budget
     // can drop sub-threshold candidates the exact probe would have scored
@@ -635,6 +646,140 @@ class IncrementalShinglesSpec extends SparkSpec {
       assert(corpus().keySet === Set("2", "4", "5", "6"),
         "intra-batch near-dup must keep only the smaller rowkey")
     } finally query.stop()
+  }
+
+  // ——— per-token df sidecar ———————————————————————————————————————————
+
+  /** tok -> df from a (tok, df)-shaped frame, for convergence compares. */
+  private def dfMap(df: DataFrame): Map[String, Long] =
+    df.select("tok", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def sidecarMap(root: String): Map[String, Long] =
+    dfMap(graft.streaming.IncrementalPostings.dfsAll(spark, root)
+      .getOrElse(fail(s"sidecar not enabled at $root")))
+
+  private def vocabMap(root: String): Map[String, Long] =
+    dfMap(graft.streaming.IncrementalPostings.vocabulary(spark, root))
+
+  test("df sidecar converges with the merge path: puts, updates, deletes, stale replay, and a backfill mid-life") {
+    val root = Files.createTempDirectory("graft_shdfs").toString + "/shingles"
+    // batch 1 lands BEFORE the sidecar exists — enable backfills it
+    merge(root,
+      DocChange("1", 0, "put", "merge sort spill disk"),
+      DocChange("2", 1, "put", "merge sort spill heap"))
+    IncrementalShingles.enableDfSidecar(spark, root)
+    assert(sidecarMap(root) === vocabMap(root), "backfill must equal the vocabulary")
+    assert(sidecarMap(root)("merge sort spill") === 2L)
+    // every later merge keeps the touched buckets current
+    merge(root,
+      DocChange("3", 2, "put", "merge sort spill tape"),
+      DocChange("2", 3, "put", "hash join probe build"), // update: old shingles go
+      DocChange("1", 4, "delete", ""))                    // delete: df decrements
+    assert(sidecarMap(root) === vocabMap(root))
+    assert(sidecarMap(root)("merge sort spill") === 1L,
+      "update + delete must decrement the crowd shingle's df")
+    // stale replay (event below the tombstone) rewrites identical rows
+    val before = sidecarMap(root)
+    merge(root, DocChange("1", 1, "put", "merge sort spill disk"))
+    assert(sidecarMap(root) === before, "replay must not move the sidecar")
+    assert(sidecarMap(root) === vocabMap(root))
+    // dfSaturation served from the sidecar equals the entries-derived form
+    val viaSidecar = IncrementalShingles.dfSaturation(spark, root, 1)
+    val p = new org.apache.hadoop.fs.Path(root + "/_dfs")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    assert(IncrementalShingles.dfSaturation(spark, root, 1) === viaSidecar,
+      "sidecar-served saturation must equal the entries-derived reading")
+  }
+
+  test("df sidecar survives a rescale: recomputed at the new bucket count, still converged") {
+    val root = Files.createTempDirectory("graft_shdfr").toString + "/shingles"
+    merge(root,
+      DocChange("1", 0, "put", "alpha beta gamma delta"),
+      DocChange("2", 1, "put", "alpha beta gamma omega"))
+    IncrementalShingles.enableDfSidecar(spark, root)
+    IncrementalShingles.rescale(spark, root, 32)
+    assert(graft.streaming.StateStore.bucketCount(spark, root + "/dfs")
+      === Some(32), "sidecar must re-pin the new bucket count")
+    assert(sidecarMap(root) === vocabMap(root))
+    // and merges against the rescaled root keep maintaining it (a merge
+    // follows the root's own _nbuckets marker — the pipeline discipline)
+    IncrementalShingles.mergeBatch(spark,
+      Seq(DocChange("3", 2, "put", "alpha beta gamma kappa")).toDF(), root,
+      numBuckets = 32)
+    assert(sidecarMap(root) === vocabMap(root))
+    assert(sidecarMap(root)("alpha beta gamma") === 3L)
+  }
+
+  test("sidecar probes skip saturated posting lists; candidates and scores are unchanged") {
+    import graft.streaming.IncrementalPostings
+    // two roots, identical state; cap 2, crowd shingle at df 3 (saturated)
+    val mk = () => {
+      val r = Files.createTempDirectory("graft_shdsk").toString + "/shingles"
+      merge(r,
+        DocChange("1", 0, "put", "merge sort spill aa bb cc dd"),
+        DocChange("2", 1, "put", "merge sort spill aa bb xx yy"),
+        DocChange("3", 2, "put", "merge sort spill qq ww ee rr"))
+      r
+    }
+    val plain = mk()
+    val withSc = mk()
+    IncrementalShingles.enableDfSidecar(spark, withSc)
+    val probe = "merge sort spill aa bb cc zz"
+    def run(root: String): Seq[(String, Double)] =
+      IncrementalShingles.nearDuplicates(spark, root, probe,
+        threshold = 0.1, dfCap = 2)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(run(withSc) === run(plain),
+      "the sidecar must not change a probe's candidates or scores")
+    assert(run(withSc).map(_._1) === Seq("1", "2"),
+      "docs sharing only the saturated crowd shingle (3) never surface")
+    // gate parity on the same state
+    val batch = Seq(
+      DocChange("9", 9, "put", "merge sort spill aa bb cc zz"),
+      DocChange("10", 10, "put", "totally novel content here now")).toDF()
+    def verdicts(root: String): Map[String, String] =
+      IncrementalShingles.gateDecisions(spark, root, batch, threshold = 0.5)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(verdicts(withSc) === verdicts(plain),
+      "the sidecar must not change a single gate verdict")
+    // the skip is REAL — the sidecar is consulted BEFORE the posting
+    // read, not alongside it: plant a sidecar row claiming 'aa bb cc'
+    // (truly df 1 in this root, well under cap) is saturated, by copying
+    // its dfs bucket from a root where it IS df 3. A probe whose only
+    // sub-cap shared shingle is 'aa bb cc' must then return NO candidates:
+    // if the read path consulted the entries' own df instead of the
+    // sidecar, doc 1 would surface.
+    val crowd = Files.createTempDirectory("graft_shdcr").toString + "/shingles"
+    merge(crowd,
+      DocChange("1", 0, "put", "aa bb cc k1 k2"),
+      DocChange("2", 1, "put", "aa bb cc k3 k4"),
+      DocChange("3", 2, "put", "aa bb cc k5 k6"))
+    IncrementalShingles.enableDfSidecar(spark, crowd)
+    val nb = graft.streaming.StateStore.bucketCount(spark, withSc + "/dfs").get
+    assert(nb === graft.streaming.StateStore.bucketCount(spark, crowd + "/dfs").get)
+    val b = {
+      val c = new java.util.zip.CRC32()
+      c.update("aa bb cc".getBytes("UTF-8"))
+      java.lang.Math.floorMod(c.getValue, nb.toLong)
+    }
+    val fs = new org.apache.hadoop.fs.Path(withSc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$withSc/dfs/b=$b"), true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$crowd/dfs/b=$b"),
+      fs, new org.apache.hadoop.fs.Path(s"$withSc/dfs/b=$b"),
+      false, spark.sessionState.newHadoopConf())
+    val planted = IncrementalPostings.dfsForTokens(spark, withSc,
+      Seq("aa bb cc")).get.collect()
+    assert(planted.length === 1 && planted.head.getLong(1) === 3L,
+      "the planted sidecar row must claim df 3")
+    val skipped = IncrementalShingles.nearDuplicates(spark, withSc,
+      "aa bb cc zz ww", threshold = 0.0, dfCap = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(skipped.isEmpty,
+      "a shingle the sidecar marks saturated must be skipped without " +
+        s"reading its posting list, got candidates $skipped")
   }
 
   private def snapshot(base: String): Map[String, Map[String, String]] = {

@@ -611,6 +611,21 @@ class IngestPipelineSpec extends SparkSpec {
       annNlist = 2, annIters = 2, dfSatAdviseThreshold = -0.1)
     assert(armed.dfSidecarAdvised,
       "a saturated-past-threshold state must advise the df sidecar")
+    assert(!armed.dfSidecarEnabled)
+    // the advice CLEARS once the recommended remedy is in place: with the
+    // sidecar enabled on the shingle root, the same forced-threshold pass
+    // reports it and stops advising (the saturation fraction itself stays
+    // observable — now served from the sidecar)
+    graft.streaming.IncrementalShingles.enableDfSidecar(
+      spark, IngestPipeline.shingleRoot(root))
+    val remedied = IngestPipeline.maintain(spark, root,
+      horizonEventId = 100, horizonBatchId = 2,
+      annNlist = 2, annIters = 2, dfSatAdviseThreshold = -0.1)
+    assert(remedied.dfSidecarEnabled, "maintain must report the sidecar")
+    assert(!remedied.dfSidecarAdvised,
+      "an enabled sidecar must clear the advice")
+    assert(remedied.dfSaturatedMassFrac === armed.dfSaturatedMassFrac,
+      "the sidecar-served saturation must equal the entries-derived one")
     // the snapshot reflects the pass: tombstones gone, skew re-read
     val m1 = metrics()
     assert(m1(("row_state", "tombstones")) === 0.0)
