@@ -221,10 +221,14 @@ object Hybrid {
     * from the IVF root after the lexical read fuses with vec_rank 0,
     * exactly as if the vector leg had not matched it), and no read
     * errors or partial-bucket states are possible. Spec-pinned
-    * (HybridSpec "mixed-epoch"). Callers needing one-epoch fusion run
-    * hybrid reads inside the same maintenance slot that serializes
-    * writers ([[graft.streaming.WriterFence]] discipline) — the exact
-    * guidance SCALE.md records for single-root maintained reads. */
+    * (HybridSpec "mixed-epoch"). Callers needing one-epoch fusion have
+    * two options: run hybrid reads inside the same maintenance slot that
+    * serializes writers ([[graft.streaming.WriterFence]] discipline — the
+    * guidance SCALE.md records for single-root maintained reads), or pass
+    * `consistent = true` to [[hybridSearchMaintained]] /
+    * [[hybridSearchFilteredMaintained]] — the opt-in optimistic mode
+    * ([[oneEpoch]]) that validates both roots' version stamps around the
+    * leg reads and retries (then fails loudly) on an interleaved commit. */
   private[graft] def maintainedLegs(spark: SparkSession, postingsRoot: String,
                              ivfRoot: String, terms: Seq[String],
                              qv: Seq[Float], probes: Int,
@@ -256,10 +260,47 @@ object Hybrid {
                              ivfRoot: String, terms: Seq[String],
                              qv: Seq[Float], probes: Int,
                              legDepth: Int = LegDepth, rrfK: Int = RrfK,
-                             top: Int = TopK): DataFrame = {
-    val (bm, v) = maintainedLegs(spark, postingsRoot, ivfRoot, terms, qv,
+                             top: Int = TopK, consistent: Boolean = false,
+                             consistencyRetries: Int = 3): DataFrame = {
+    def legs() = maintainedLegs(spark, postingsRoot, ivfRoot, terms, qv,
       probes, legDepth)
+    val (bm, v) =
+      if (!consistent) legs()
+      else oneEpoch(spark, Seq(postingsRoot, ivfRoot), consistencyRetries)(legs())
     rrfFuse(bm, v, rrfK, top)
+  }
+
+  /** The OPT-IN one-epoch mode the mixed-epoch contract names
+    * ([[maintainedLegs]]): an optimistic stability loop over the two
+    * roots' [[graft.streaming.StateStore.versionStamp]]s — stamp both
+    * roots, MATERIALIZE the legs (eager localCheckpoint: the check is
+    * meaningless while the plan could still read files later), stamp
+    * again; equal stamps mean no commit landed between the leg reads, so
+    * the fused result is one epoch of both roots. A mismatch retries the
+    * whole read up to `maxRetries` times, then FAILS LOUDLY — under
+    * sustained write pressure one-epoch fusion is a scheduling decision
+    * (run the read in the writer's maintenance slot), not something a
+    * retry loop should fake by spinning. The stamps are two directory
+    * listings per root per attempt (driver metadata); default reads skip
+    * all of it. */
+  private[graft] def oneEpoch(spark: SparkSession, roots: Seq[String],
+      maxRetries: Int)(read: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    var attempt = 0
+    while (true) {
+      val before = roots.map(r => graft.streaming.StateStore.versionStamp(spark, r))
+      val (bm, v) = read
+      val out = (bm.localCheckpoint(), v.localCheckpoint())
+      val after = roots.map(r => graft.streaming.StateStore.versionStamp(spark, r))
+      if (before == after) return out
+      attempt += 1
+      if (attempt > maxRetries) throw new IllegalStateException(
+        s"one-epoch hybrid read over ${roots.mkString(", ")} could not " +
+          s"observe a stable epoch in ${maxRetries + 1} attempts — a " +
+          "writer is committing continuously; run the consistent read " +
+          "inside the writer's maintenance slot (WriterFence discipline) " +
+          "or accept the default mixed-epoch contract")
+    }
+    sys.error("unreachable")
   }
 
   /** [[hybridSearchMaintained]] COMPOSED with a metadata predicate —
@@ -285,9 +326,13 @@ object Hybrid {
       postingsRoot: String, ivfRoot: String, terms: Seq[String],
       qv: Seq[Float], predicate: Column, probes: Int,
       legDepth: Int = LegDepth, rrfK: Int = RrfK,
-      top: Int = TopK): DataFrame = {
-    val (bmF, vF) = filteredLegs(spark, postingsRoot, ivfRoot, terms, qv,
+      top: Int = TopK, consistent: Boolean = false,
+      consistencyRetries: Int = 3): DataFrame = {
+    def legs() = filteredLegs(spark, postingsRoot, ivfRoot, terms, qv,
       predicate, probes, legDepth)
+    val (bmF, vF) =
+      if (!consistent) legs()
+      else oneEpoch(spark, Seq(postingsRoot, ivfRoot), consistencyRetries)(legs())
     rrfFuse(bmF, vF, rrfK, top)
   }
 

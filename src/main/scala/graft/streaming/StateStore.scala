@@ -357,6 +357,36 @@ object StateStore {
       .sum
   }
 
+  /** A cheap content-version fingerprint of a state root for OPTIMISTIC
+    * read stability (the seqlock discipline): every child and grandchild
+    * entry under the root, mapped to (modificationTime, length). Two
+    * directory-listing levels of driver metadata — bucket dirs, marker
+    * files, fence epochs — and every commit in this store moves it: a
+    * bucket swap replaces the bucket dir (new mtime) and touches its
+    * parent, a whole-root swap replaces the subroot, a marker write adds
+    * a file. Equal stamps before and after a read ⇒ no commit landed
+    * between them; the converse (a commit always changes the stamp) is
+    * what the swap protocol guarantees. Used by the two-root hybrid
+    * read's opt-in one-epoch mode ([[graft.operators.Hybrid]]). */
+  def versionStamp(spark: SparkSession, rootPath: String): Map[String, (Long, Long)] = {
+    val root = new Path(rootPath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for (s <- fs.listStatus(root)) {
+      out(s.getPath.getName) = (s.getModificationTime, s.getLen)
+      if (s.isDirectory)
+        // a child can vanish mid-listing when a swap races this stamp —
+        // skipping it is safe: the rename that removed it also moved the
+        // parent's mtime, so the two stamps around that read differ anyway
+        try for (c <- fs.listStatus(s.getPath))
+          out(s"${s.getPath.getName}/${c.getPath.getName}") =
+            (c.getModificationTime, c.getLen)
+        catch { case _: java.io.FileNotFoundException => }
+    }
+    out.toMap
+  }
+
   def liveBuckets(spark: SparkSession, rootPath: String,
                   prefix: String = "b="): Seq[String] = {
     val root = new Path(rootPath)

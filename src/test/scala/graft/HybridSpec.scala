@@ -186,6 +186,63 @@ class HybridSpec extends SparkSpec {
     assert(fused(2L)._1 > 0L && fused(2L)._2 > 0L)
   }
 
+  test("one-epoch mode: an interleaved commit triggers a retry, sustained commits fail loudly, default unchanged") {
+    val tmp = Files.createTempDirectory("graft_hyb1e").toString
+    val postings = tmp + "/postings"
+    val ivf = tmp + "/ivf"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("1", 1L, "put", "merge sort pad"),
+      ("2", 2L, "put", "merge merge sort")
+    ).toDF("rowkey", "event_id", "op", "text"), postings)
+    IvfIndex.build(Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding"), ivf, nlist = 1, iters = 1)
+    def legs() = {
+      val (bm, v) = Hybrid.maintainedLegs(spark, postings, ivf,
+        Seq("merge", "sort"), Seq(1f, 0f), probes = 1, legDepth = 10)
+      (bm, v)
+    }
+    def mutate(eid: Long): Unit =
+      IncrementalPostings.mergeBatch(spark, Seq(
+        ("9", eid, "put", s"merge filler$eid")
+      ).toDF("rowkey", "event_id", "op", "text"), postings)
+    // a commit interleaved with the FIRST read attempt forces exactly one
+    // retry: the second attempt sees stable stamps and returns its own
+    // single-epoch legs (the doc committed mid-read is visible in them —
+    // it landed before the successful attempt's first stamp)
+    var calls = 0
+    val (bm, _) = Hybrid.oneEpoch(spark, Seq(postings, ivf), maxRetries = 3) {
+      calls += 1
+      val out = legs()
+      val pinned = (out._1.localCheckpoint(), out._2.localCheckpoint())
+      if (calls == 1) mutate(10L)
+      pinned
+    }
+    assert(calls === 2, s"one interleaved commit must cost exactly one retry, got $calls")
+    assert(bm.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 9L),
+      "the successful attempt's legs must be the post-commit epoch")
+    // a writer committing on EVERY attempt exhausts the retries and fails
+    // loudly — one-epoch under sustained writes is a scheduling decision,
+    // not something the engine should fake by spinning
+    var eid = 20L
+    val ex = intercept[IllegalStateException] {
+      Hybrid.oneEpoch(spark, Seq(postings, ivf), maxRetries = 2) {
+        eid += 1; mutate(eid); legs()
+      }
+    }
+    assert(ex.getMessage.contains("stable epoch"), ex.getMessage)
+    // the public surface: consistent = true fuses identically to the
+    // default on a quiet root (same legs, same fusion — the mode only
+    // adds validation), and the default path never stats a version stamp
+    val quiet = Hybrid.hybridSearchMaintained(spark, postings, ivf,
+      Seq("merge", "sort"), Seq(1f, 0f), probes = 1, consistent = true)
+      .collect().map(_.toString).toSeq
+    val default = Hybrid.hybridSearchMaintained(spark, postings, ivf,
+      Seq("merge", "sort"), Seq(1f, 0f), probes = 1)
+      .collect().map(_.toString).toSeq
+    assert(quiet === default)
+  }
+
   test("the maintained twins read ONLY the two state roots — no corpus file") {
     val dir = "/root/testdata/sf0.001"
     // The twins consume the SHARED persisted leg pair, so their fused
