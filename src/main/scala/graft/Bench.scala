@@ -138,6 +138,29 @@ object Bench {
     // count) — the pair shows how the per-batch fixed cost (state probe +
     // touched-bucket listings + checkpoint-shaped overheads) amortizes
     // with flush size, which is the reference's own tuning knob.
+    // Box-I/O reading around each ingest leg: /proc/diskstats deltas
+    // (sectors read/written + device-busy ms, summed over whole physical
+    // devices) and the 1-min loadavg — so a low docs/s record carries its
+    // own evidence of whether the BOX was busy, instead of that being
+    // inferred after the fact from unrelated artifact-build times.
+    // Zero-cost reads of proc metadata; absent files (non-Linux) degrade
+    // to zeros rather than failing the bench.
+    def diskStats(): (Long, Long, Long) = try {
+      val dev = "^(sd[a-z]+|vd[a-z]+|nvme\\d+n\\d+|xvd[a-z]+)$".r
+      var (sr, sw, busy) = (0L, 0L, 0L)
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/diskstats")).forEach { line =>
+        val f = line.trim.split("\\s+")
+        if (f.length >= 13 && dev.findFirstIn(f(2)).isDefined) {
+          sr += f(5).toLong; sw += f(9).toLong; busy += f(12).toLong
+        }
+      }
+      (sr, sw, busy)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+    def loadavg1m(): Double = try {
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/loadavg")).get(0).split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     def ingestAt(label: String, batchSizeOf: Long => Long,
                  withBootstrap: Boolean, doubled: Boolean = false,
                  fullFeatures: Boolean = false): String = try {
@@ -197,6 +220,8 @@ object Bench {
         graft.streaming.IngestPipeline.registerQueries(spark, pipe,
           graft.operators.Percolate.demoQueries)
       }
+      val load0 = loadavg1m()
+      val (sr0, sw0, busy0) = diskStats()
       val t0 = System.nanoTime()
       // phase split: gate (admission decision + durable log commit) vs the
       // four state merges — WHICH half of the per-batch fixed cost binds
@@ -208,6 +233,12 @@ object Bench {
         gateSec += g; mergeSec += m
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val (sr1, sw1, busy1) = diskStats()
+      // device busy fraction over the leg's own wall-clock: ~0 on an idle
+      // box whose writes fit the page cache; near (or over, multi-device)
+      // 1.0 exactly when "the box was loaded" — the r14 adjudication,
+      // now measured in-record
+      val ioJson = f""","io":{"sectors_read":${sr1 - sr0},"sectors_written":${sw1 - sw0},"busy_ms":${busy1 - busy0},"busy_frac":${(busy1 - busy0) / (sec * 1000)}%.3f,"loadavg_1m":$load0%.2f}"""
       // what the gate actually did — docs/sec over a gate that drops
       // nothing would be a hollow number
       val verdicts = graft.streaming.IngestPipeline.admissionLog(spark, pipe)
@@ -222,7 +253,7 @@ object Bench {
       }
       try graft.operators.Materialize.deleteLocalDir(root.toString)
       catch { case _: Throwable => }
-      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"gate_sec":$gateSec%.3f,"merge_sec":$mergeSec%.3f,"admitted":$admitted,"dropped":$dropped$featJson$bootJson}"""
+      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"gate_sec":$gateSec%.3f,"merge_sec":$mergeSec%.3f,"admitted":$admitted,"dropped":$dropped$ioJson$featJson$bootJson}"""
     } catch { case e: Throwable =>
       System.err.println(s"$label bench failed: $e"); ""
     }

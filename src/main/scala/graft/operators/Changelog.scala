@@ -136,9 +136,15 @@ object Changelog {
   }
 
   /** A [[graft.streaming.CounterStore]] root built by merging the events
-    * changelog (as increment mutations) in TWO halves split on event_id
-    * — so the second merge genuinely folds deltas into partials the
-    * first one wrote, and its tombstones genuinely reset counters. */
+    * changelog (as increment mutations) in ONE pass. The fixture serves
+    * the maintained READ (`q_counter_maintained`); the property that a
+    * SECOND merge genuinely folds deltas into existing partials — and
+    * that its tombstones reset counters — is CounterStoreSpec's, pinned
+    * on its own roots. It used to be re-proven here with a median split,
+    * which doubled the bucket rewrites (every merge rewrites every
+    * touched bucket whole) and made this the suite's single most
+    * load-sensitive artifact build (round-14: 6 s quiet, 90.7 s on a
+    * loaded box) for no additional read coverage. */
   private val counterFixtures =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   Materialize.onSessionFreed { s =>
@@ -165,12 +171,7 @@ object Changelog {
         when(col("event_type") === Cfg.deleteClass, "delete")
           .otherwise("incr").as("op"),
         col("value").as("delta"))
-      val mid = changes.agg(percentile_approx(col("event_id"), lit(0.5),
-        lit(100))).head().getLong(0)
-      graft.streaming.CounterStore.mergeCounters(
-        s, changes.filter(col("event_id") <= mid), root)
-      graft.streaming.CounterStore.mergeCounters(
-        s, changes.filter(col("event_id") > mid), root)
+      graft.streaming.CounterStore.mergeCounters(s, changes, root)
       Materialize.recordBuild("counter_store_fixture", System.nanoTime() - t0)
       root
     })

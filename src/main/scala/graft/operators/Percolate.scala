@@ -213,8 +213,12 @@ object Percolate {
     * while the gram set is small and the expansion amortizes past it. */
   private[graft] val GramScanMax = 32L
 
+  /** `gramScanMax` overrides the [[GramScanMax]] dispatch constant —
+    * measurement seam (GramCrossoverProbe forces each strategy at every
+    * registry size); production callers take the default. */
   def matchesBoolFrame(docs: DataFrame, reg: DataFrame,
-                       tokenize: Column => Column = split(_, " ")): DataFrame = {
+                       tokenize: Column => Column = split(_, " "),
+                       gramScanMax: Long = GramScanMax): DataFrame = {
     val termHits = tokenized(docs, tokenize)
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .join(broadcast(reg.filter(col("role").isin("all", "any", "none") ||
@@ -243,7 +247,7 @@ object Percolate {
     val nGrams = if (ks.isEmpty) 0L else gramSet.count()
     val phraseHits =
       if (ks.isEmpty) termHits.limit(0)
-      else if (nGrams <= GramScanMax) {
+      else if (nGrams <= gramScanMax) {
         // SMALL GRAM SET — compiled containment scan: docs × grams pairs
         // (broadcast nested-loop, the gram side is ≤ GramScanMax rows),
         // each pair decided by ONE codegen'd early-exit token scan
