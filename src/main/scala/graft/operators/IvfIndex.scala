@@ -855,52 +855,73 @@ object IvfIndex {
   /** Batched PQ search — [[searchBatch]]'s memory-bounded twin and
     * [[searchPq]]'s batch form ("embed a batch, retrieve neighbors for
     * all of it" without touching the float vectors until the rerank).
-    * Everything stays in-plan: the per-(query, subspace, codeword) ADC
-    * table is a broadcast join of the codebooks with the exploded query
-    * subvectors (|queries| × m × k rows — batch-sized by contract, like
-    * [[searchBatch]]'s query broadcast), candidate scoring explodes each
-    * candidate's codes once and partial-aggregates the dp sums map-side,
-    * and only the per-query shortlist survivors are re-read at full
-    * precision. Returns (qid, vec_id, cell, sim, rank), rank 1..k. */
+    *
+    * The DRIVER-SIZED pieces are computed driver-side and enter the plan
+    * as local relations: the codebooks (m × k rows), the centroid probe
+    * ranking, and the per-(query, subspace, codeword) ADC table
+    * (|queries| × m × k rows — batch-sized by contract; a broadcast
+    * would move exactly these rows through the driver anyway, so this
+    * changes WHERE the arithmetic runs, not what moves). What stays
+    * distributed is everything data-sized: the probed cells' codes scan
+    * (exploded once, dp sums partial-aggregated map-side) and the
+    * full-precision rerank of the shortlist survivors. The restructure
+    * exists for the job chain: the checkpoint/collect/broadcast-build
+    * actions of the previous shape made this the suite's most
+    * job-heavy read (~23 jobs with AQE), and per-job driver overhead —
+    * which grows with session state — multiplied through it
+    * (PQ_BATCH_AB_r15.json; IvfPqSpec pins the construction job count).
+    * Dimension validation rides the batch collect, loud and per-qid.
+    * Returns (qid LONG, vec_id, cell, sim, rank), rank 1..k. */
   def searchBatchPq(spark: SparkSession, path: String, queries: DataFrame,
                     k: Int = 10, probes: Int = 2,
                     shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
     heal(spark, path) // a torn root swap must not read as "PQ missing"
     val cb = codebooksOpt(spark, path).getOrElse(throw new IllegalStateException(
       s"index at $path has no PQ codebooks — build with pq=Some(PqSpec()) " +
         "or retrofit with IvfIndex.enablePq"))
-    val shape = cb.agg(max(col("s")), max(size(col("cw")))).head()
-    val (m, subDim) = (shape.getInt(0) + 1, shape.getInt(1))
-    // the loud-failure twin of searchPq's require, folded INTO the plan:
-    // a wrong-length qv would zip_with into null scores and silently
-    // return garbage for that qid, so its first evaluation (the probe
-    // ranking below) raises instead — no dedicated pre-flight validation
-    // job per call (this was the suite's most expensive key paying one
-    // extra Spark action; IvfPqSpec pins the job count)
-    val qvChecked = when(size(col("qv")) === m * subDim, col("qv"))
-      .otherwise(raise_error(concat(
-        lit(s"query vector dim does not match PQ shape m=$m subDim=$subDim (qid "),
-        col("qid").cast("string"), lit(")"))))
-    val queriesV = queries.select(col("qid"), qvChecked.as("qv"))
-    val cellRank = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
-    val probed = queriesV
-      .crossJoin(broadcast(centroids(spark, path)))
-      .withColumn("csim", dotDD(col("cent"), col("qv")))
-      .withColumn("rn", row_number().over(cellRank))
-      .filter(col("rn") <= probes)
-      .select("qid", "cell", "qv")
-      .localCheckpoint()
-    val cellList = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val cbRows = cb.select(col("s"), col("code"),
+        col("cw").cast("array<double>")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = cbRows.iterator.map(_._1).max + 1
+    val subDim = cbRows.iterator.map(_._3.length).max
+    val qRows = queries.select(col("qid").cast("long"), col("qv")).collect()
+      .map { r =>
+        val qv = r.getSeq[Float](1)
+        if (qv == null || qv.length != m * subDim)
+          throw new IllegalArgumentException(
+            "query vector dim does not match PQ shape " +
+              s"m=$m subDim=$subDim (qid ${r.getLong(0)})")
+        (r.getLong(0), qv)
+      }
+    // centroids store DOUBLE means; read them as such and fold in the
+    // same order as dotDD (ascending index, double accumulate), so probe
+    // ranking and ADC partials are bit-identical to the in-plan form
+    val centRows = centroids(spark, path)
+      .select(col("cell"), col("cent").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val probedPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { case (qid, qv) =>
+      centRows.toSeq
+        .map { case (cell, cent) =>
+          var acc = 0.0; var i = 0
+          while (i < cent.length) { acc += cent(i) * qv(i).toDouble; i += 1 }
+          (cell, acc)
+        }
+        .sortBy { case (cell, csim) => (-csim, cell) }
+        .take(probes).map { case (cell, _) => (qid, cell) }
+    }
+    val adcRows: Seq[(Long, Int, Int, Double)] =
+      qRows.toSeq.flatMap { case (qid, qv) =>
+        cbRows.map { case (s, code, cw) =>
+          var dp = 0.0; var i = 0
+          while (i < cw.length) { dp += cw(i) * qv(s * subDim + i).toDouble; i += 1 }
+          (qid, s, code, dp)
+        }
+      }
+    val cellList = probedPairs.map(_._2).distinct.sorted
     StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal first
-    val qsub = queriesV.select(col("qid"), posexplode(expr(
-      s"transform(sequence(0, ${m - 1}), s -> " +
-        s"transform(slice(qv, s * $subDim + 1, $subDim), " +
-        "x -> cast(x AS double)))")).as(Seq("s", "qsub")))
-    val tbl = cb.select("s", "code", "cw").join(qsub, "s")
-      .withColumn("dp", aggregate(
-        zip_with(col("cw"), col("qsub"), (x, y) => x * y),
-        lit(0.0), (a, p) => a + p))
-      .select("qid", "s", "code", "dp")
+    val probedDf = probedPairs.toDF("qid", "cell")
+    val tbl = adcRows.toDF("qid", "s", "code", "dp")
     // ONE read relation serves both the ADC scan and the rerank — the
     // second spark.read would re-run parquet schema inference (a small
     // Spark job) per call on the hot path
@@ -909,18 +930,19 @@ object IvfIndex {
     val short = vecs
       .filter(col("cell").isin(cellList: _*))
       .select(col("vec_id"), col("cell"), col("codes")) // column-pruned
-      .join(broadcast(probed.select("qid", "cell")), "cell")
+      .join(broadcast(probedDf), "cell")
       .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(tbl), Seq("qid", "s", "code"))
       .groupBy("qid", "vec_id").agg(sum(col("dp")).as("adc"))
       .withColumn("rn", row_number().over(shortW))
       .filter(col("rn") <= shortlist)
       .select("qid", "vec_id")
+    val qDf = qRows.toSeq.toDF("qid", "qv")
     val simRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     vecs
       .filter(col("cell").isin(cellList: _*))
       .join(broadcast(short), "vec_id") // one row per shortlisted (qid, id)
-      .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
+      .join(broadcast(qDf), "qid")
       .withColumn("sim", dotDD(col("embedding"), col("qv")))
       .withColumn("rn", row_number().over(simRank))
       .filter(col("rn") <= k)
@@ -949,9 +971,16 @@ object IvfIndex {
     * vectors — never the under-filled list that post-filtering a top-k
     * produces (filter-after-rank returns only the matchers that happened
     * to rank in the unfiltered top k). Like every probed read, recall
-    * beyond the probed cells is governed by `probes`: a highly selective
-    * predicate concentrates matches in few cells, so filtered searches
-    * warrant more probes than unfiltered ones (probes = nlist is exact).
+    * beyond the probed cells is governed by `probes`, and selectivity
+    * sets how many: the MEASURED rule (FilteredRecallProbe, SCALE.md
+    * §filtered — clustered corpus, cluster-independent predicate) is
+    * that the unfiltered probe setting loses nothing while expected
+    * matches per probed cell (selectivity × N/nlist) stay well above k
+    * (recall@10 = 1.0 at selectivity ≥ 0.1 even at probes = 1 on the
+    * probe corpus), and once selectivity × cellSize falls toward k the
+    * filtered top-k spans cells — scale probes ≈ k / (selectivity ×
+    * cellSize) beyond the unfiltered choice (at selectivity 0.01:
+    * 0.51 recall at probes = 1, 0.82 at 4; probes = nlist is exact).
     * A predicate over a column the index does not store fails loudly at
     * resolution. */
   def searchFiltered(spark: SparkSession, path: String, query: Seq[Float],

@@ -208,10 +208,17 @@ object Percolate {
     * compiled containment scan (docs × grams nested-loop, one
     * [[graft.functions.GramCount]] per pair) instead of the k-gram array
     * expansion + array-keyed join. The scan costs ~|grams| first-token
-    * compares per doc token; the expansion costs one slice allocation +
-    * array hash per doc token per registry length — so the scan wins
-    * while the gram set is small and the expansion amortizes past it. */
-  private[graft] val GramScanMax = 32L
+    * compares per doc token (early-exit, zero-allocation); the expansion
+    * costs one slice allocation + array hash per doc token per registry
+    * length — flat-expensive, amortizing only for very large registries.
+    * The constant is MEASURED, not chosen (round 15, GramCrossoverProbe,
+    * `GRAM_CROSSOVER_r15.json`, hit-heavy registries — scan-pessimistic):
+    * the scan won or tied at every size {8, 32, 128, 512} at both 1× and
+    * 30× corpus (g512 @30×: scan 5.1 s vs expansion 6.0 s; g32: 1.1 vs
+    * 5.7), scan cost growing sublinearly in grams (64× grams → ~8×
+    * time), so the crossover extrapolates to ~1–2k grams. 512 is the
+    * largest directly-measured always-wins size. */
+  private[graft] val GramScanMax = 512L
 
   /** `gramScanMax` overrides the [[GramScanMax]] dispatch constant —
     * measurement seam (GramCrossoverProbe forces each strategy at every

@@ -293,9 +293,16 @@ object Vectors {
       // built WITH PQ so the same fixture proves the codes column rides
       // the upsert/delete cell rewrites below (q_ann_pq_maintained), and
       // WITH the label attribute so the same fixture serves the filtered
-      // probe (q_ann_filtered_maintained) — attrs colocate in cell files
+      // probe (q_ann_filtered_maintained) — attrs colocate in cell files.
+      // PQ iters = 1: this fixture's PQ keys read with a corpus-sized
+      // shortlist (exact rerank regardless of codebook quality), so
+      // extra codebook Lloyd rounds buy nothing here and each one is an
+      // eager checkpointed job on the suite's most expensive artifact
+      // build; codebook-QUALITY measurements use their own roots with
+      // the default spec (RecallProbe, ann_recall)
       IvfIndex.build(e.select("vec_id", "embedding", "label"), root,
-        nlist = AnnFixtureNlist, iters = 2, pq = Some(IvfIndex.PqSpec()),
+        nlist = AnnFixtureNlist, iters = 2,
+        pq = Some(IvfIndex.PqSpec(iters = 1)),
         attrs = Seq("label"))
       // the re-embed keeps each doc's OWN label (metadata outlives an
       // embedding update), so the oracle's label column is just e.label

@@ -195,22 +195,24 @@ class IvfPqSpec extends SparkSpec {
     IvfIndex.searchBatchPq(spark, path, qs, k = 3, probes = nlist): Unit
     // plan construction's job budget, measured with AQE off (AQE splits
     // one action's stages into several jobs, which would turn the count
-    // into a plan-shape artifact rather than an action count): the
-    // codebook shape head, the probe checkpoint (+ its centroid
-    // broadcast job), the probed-cell metadata collect, and one parquet
-    // schema-inference job per DISTINCT read relation (centroids,
-    // codebooks, vectors — the vectors read is shared by ADC scan and
-    // rerank). That is 7; the round-9 pre-flight validation action made
-    // it 8+ — this pin fails if a per-call validation job creeps back.
+    // into a plan-shape artifact rather than an action count): three
+    // driver-side collects (codebooks, queries — dimension validation
+    // rides this one — and centroids) plus a schema-inference job per
+    // distinct parquet read (codebooks, centroids, vectors) = 6. The
+    // round-15 restructure moved the probe ranking and ADC table
+    // driver-side (they are batch-sized by contract), retiring the probe
+    // checkpoint, the cell-list collect, and the shape head the previous
+    // shape paid — the pin was ≤ 7 then; it fails if a per-call action
+    // creeps back.
     val constructionJobs = {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try SpecMetrics.jobsRun(spark) {
         IvfIndex.searchBatchPq(spark, path, qs, k = 3, probes = nlist): Unit
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
-    assert(constructionJobs <= 7,
+    assert(constructionJobs <= 6,
       s"searchBatchPq construction ran $constructionJobs jobs — a " +
-        "pre-flight validation action has crept back in")
+        "per-call action has crept back in")
     // the folded check still fails loudly: a wrong-length qv raises from
     // the first job that evaluates it, naming the offending qid
     val bad = qs.withColumn("qv", expr("slice(qv, 1, 7)"))

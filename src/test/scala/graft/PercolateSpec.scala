@@ -135,12 +135,19 @@ class PercolateSpec extends SparkSpec {
       Percolate.StoredQuery("pm", all = Nil,
         phrases = Seq("merge sort", "query plan")))
     val big = nonsense ++ real
-    assert(Percolate.explodeRoles(big).count(_._3 == "phrase") >
-      Percolate.GramScanMax,
-      "fixture precondition: the registry must exceed GramScanMax grams")
-    val viaFrame = pairs(Percolate.matchesBool(fix, big))
-    assert(viaFrame === pairs(Percolate.matchesCompiledBool(fix, big)))
-    assert(viaFrame.nonEmpty && viaFrame.forall(_._2.startsWith("p")),
+    // each strategy FORCED through the gramScanMax seam (the registry no
+    // longer needs to exceed the dispatch constant — it is measured at
+    // 512 now, far above a spec-sized fixture)
+    import spark.implicits._
+    def frameOf(qs: Seq[Percolate.StoredQuery]) =
+      Percolate.explodeRoles(qs).toDF("query_id", "term", "role")
+    val viaScan = pairs(Percolate.matchesBoolFrame(fix, frameOf(big),
+      gramScanMax = Long.MaxValue))
+    val viaExpansion = pairs(Percolate.matchesBoolFrame(fix, frameOf(big),
+      gramScanMax = 0L))
+    assert(viaScan === pairs(Percolate.matchesCompiledBool(fix, big)))
+    assert(viaExpansion === viaScan)
+    assert(viaScan.nonEmpty && viaScan.forall(_._2.startsWith("p")),
       "nonsense phrases must match nothing; real phrases must still match")
     // the NON-selective large registry (all-common tokens — the gate must
     // SKIP the filter and still agree): 40 copies of the demo phrases
@@ -151,9 +158,11 @@ class PercolateSpec extends SparkSpec {
       val a = common(i % common.size); val b = common((i / 2 + 1) % common.size)
       Percolate.StoredQuery(s"cf$i", all = Nil, phrases = Seq(s"$a $b"))
     }
-    val viaFrame2 = pairs(Percolate.matchesBool(fix, filler))
-    assert(viaFrame2 === pairs(Percolate.matchesCompiledBool(fix, filler)))
-    assert(viaFrame2.nonEmpty)
+    val viaExpansion2 = pairs(Percolate.matchesBoolFrame(fix, frameOf(filler),
+      gramScanMax = 0L))
+    assert(viaExpansion2 === pairs(Percolate.matchesCompiledBool(fix, filler)))
+    assert(viaExpansion2 === pairs(Percolate.matchesBool(fix, filler)))
+    assert(viaExpansion2.nonEmpty)
   }
 
   test("null-emitting tokenizers see identical phrase matches from both dispatch branches") {
@@ -173,15 +182,17 @@ class PercolateSpec extends SparkSpec {
     ).toDF("doc_id", "text", "n_chars")
     val probe = Percolate.StoredQuery("pp", all = Nil,
       phrases = Seq("fast merge"))
-    val small = Seq(probe) // ≤ GramScanMax distinct grams → compiled scan
-    val large = probe +: (0 until 40).map(i => // > GramScanMax → expansion
+    val reg = probe +: (0 until 40).map(i =>
       Percolate.StoredQuery(s"f$i", all = Nil, phrases = Seq(s"zz$i yy$i")))
-    def hits(reg: Seq[Percolate.StoredQuery]): Set[Long] =
-      Percolate.matchesBool(docs, reg, tok)
+    // both branches forced via the gramScanMax seam on ONE registry
+    def hits(forced: Long): Set[Long] =
+      Percolate.matchesBoolFrame(docs,
+          Percolate.explodeRoles(reg).toDF("query_id", "term", "role"),
+          tok, gramScanMax = forced)
         .filter(col("query_id") === "pp")
         .select("doc_id").collect().map(_.getLong(0)).toSet
-    val s = hits(small)
-    val l = hits(large)
+    val s = hits(Long.MaxValue) // compiled scan
+    val l = hits(0L)            // expansion
     assert(s === l, s"the dispatch must be purely physical: scan=$s expansion=$l")
     assert(s === Set(1L, 3L),
       "null-free regions match; a window overlapping the null does not")
