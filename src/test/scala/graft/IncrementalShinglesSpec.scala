@@ -244,14 +244,19 @@ class IncrementalShinglesSpec extends SparkSpec {
     // own lineage is a checkpoint, not files). WHICH candidates the probe
     // derives is pinned behaviorally by the score assertions above
     // ({1, 3} at threshold 0.5).
-    val docFiles = IncrementalShingles.probeFetch(spark, root,
-        Seq("1", "3"), IncrementalShingles.WordShingles)
-      .inputFiles.filter(_.contains("/docs/"))
+    val fetchFrame = IncrementalShingles.probeFetch(spark, root,
+      Seq("1", "3"), IncrementalShingles.WordShingles)
+    val docFiles = fetchFrame.inputFiles.filter(_.contains("/docs/"))
     val wantedDocs = Set("1", "3").map(bucketOf)
     assert(docFiles.nonEmpty)
     for (f <- docFiles)
       assert(wantedDocs.exists(b => f.contains(s"/$b/")),
         s"probe fetched a doc bucket outside the candidates': $f")
+    // ...and the candidate keys reach the scan as a pushed filter (the
+    // pin PlanSpec held on the returned frame before round 15's
+    // materialization moved the scan into probeFetch)
+    assert(fetchFrame.queryExecution.executedPlan.toString
+      .contains("PushedFilters"), "candidate isin must reach the doc scan")
     // unrelated text shares no shingle: no candidates, empty result
     assert(IncrementalShingles.nearDuplicates(spark, root,
       "unrelated probe sentence with nothing shared").count() === 0L)

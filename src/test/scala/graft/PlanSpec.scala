@@ -319,7 +319,13 @@ class PlanSpec extends SparkSpec {
     val pp = { val df = SparkEntry.queries("q_neardup_probe")(spark, dir)
       df.collect(); df.queryExecution.executedPlan.toString }
     assert(!pp.contains("SortMergeJoin"), pp.take(800))
-    assert(pp.contains("PushedFilters"), pp.take(800)) // candidate filter reaches the scan
+    // the returned plan scores a MATERIALIZED candidate frame (round 15:
+    // the lazy score tail was a per-call planning pathology — SCALE.md
+    // §df-cap), so the scan-level pins moved with the fetch: candidate
+    // bucket pruning + the pushed isin live on probeFetch
+    // (IncrementalShinglesSpec); here pin the materialization itself
+    assert(pp.contains("ExistingRDD"),
+      s"q_neardup_probe must score a checkpointed candidate frame: ${pp.take(800)}")
     // maintained ranked retrieval opens NO corpus file — entries, docs
     // state, and the dstats sidecar only — and BM25's hit list broadcasts
     // into the length fetch (never a shuffle of the docs)
