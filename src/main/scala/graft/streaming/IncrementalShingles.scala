@@ -243,14 +243,21 @@ object IncrementalShingles {
     // (tok, df) facts from two metadata columns — no entries scan, no
     // posting-list aggregation — so the monitoring read gets cheap
     // exactly when the state gets crowd-heavy
-    val vocabDf = IncrementalPostings.dfsAll(spark, rootPath)
-      .getOrElse(IncrementalPostings.vocabulary(spark, rootPath))
-    val agg = vocabDf
+    def aggOf(vocabDf: org.apache.spark.sql.DataFrame) = vocabDf
       .agg(count(lit(1)).as("v"),
         count(when(col("df") > dfCap, 1)).as("sat"),
         sum(col("df")).as("mass"),
         coalesce(sum(when(col("df") > dfCap, col("df"))), lit(0L)).as("satmass"))
       .head()
+    val sidecar = IncrementalPostings.dfsAll(spark, rootPath)
+    var agg = aggOf(sidecar.getOrElse(
+      IncrementalPostings.vocabulary(spark, rootPath)))
+    if (sidecar.isDefined && agg.getLong(0) == 0L)
+      // enabled-but-empty sidecar (the rescale crash window, healed by
+      // the next merge): entries exist — the guard above said so — and a
+      // monitoring pass must not read "nothing saturated" off a sidecar
+      // that merely hasn't been backfilled; fall back to the entries
+      agg = aggOf(IncrementalPostings.vocabulary(spark, rootPath))
     val (v, sat) = (agg.getLong(0), agg.getLong(1))
     if (v == 0L) None
     else Some((sat, sat.toDouble / v,

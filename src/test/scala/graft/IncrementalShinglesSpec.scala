@@ -689,11 +689,21 @@ class IncrementalShinglesSpec extends SparkSpec {
     merge(root, DocChange("1", 1, "put", "merge sort spill disk"))
     assert(sidecarMap(root) === before, "replay must not move the sidecar")
     assert(sidecarMap(root) === vocabMap(root))
-    // dfSaturation served from the sidecar equals the entries-derived form
-    val viaSidecar = IncrementalShingles.dfSaturation(spark, root, 1)
-    val p = new org.apache.hadoop.fs.Path(root + "/_dfs")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
-    assert(IncrementalShingles.dfSaturation(spark, root, 1) === viaSidecar,
+    // dfSaturation served from the sidecar equals the entries-derived
+    // form (cap 0: every live shingle saturates, so the reading is
+    // non-trivial on this small end state)
+    val viaSidecar = IncrementalShingles.dfSaturation(spark, root, 0)
+    assert(viaSidecar.exists(_._1 > 0L))
+    // the rescale crash window: marker present, dfs dir gone — the
+    // monitoring read must fall back to the entries, never report
+    // "nothing saturated" off an unbackfilled sidecar
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root + "/dfs"), true)
+    assert(IncrementalShingles.dfSaturation(spark, root, 0) === viaSidecar,
+      "an enabled-but-empty sidecar must fall back to the entries")
+    fs.delete(new org.apache.hadoop.fs.Path(root + "/_dfs"), false)
+    assert(IncrementalShingles.dfSaturation(spark, root, 0) === viaSidecar,
       "sidecar-served saturation must equal the entries-derived reading")
   }
 
