@@ -516,9 +516,22 @@ class Graft(spark: SparkSession, dir: String,
     * two-root coherence contract). */
   def hybridSearch(postingsRoot: String, ivfRoot: String,
                    terms: Seq[String], qv: Seq[Float], probes: Int = 2,
-                   legDepth: Int = 50): DataFrame =
+                   legDepth: Int = 50, consistent: Boolean = false): DataFrame =
     graft.operators.Hybrid.hybridSearchMaintained(spark, postingsRoot,
-      ivfRoot, terms, qv, probes, legDepth)
+      ivfRoot, terms, qv, probes, legDepth, consistent = consistent)
+
+  /** Retrieve-then-rerank over maintained state — the other standard
+    * first-stage shape: BM25 top-`candDepth` candidates from the standing
+    * postings, re-scored by embedding dot against `qv` via a keyed vector
+    * fetch from the IVF index (a candidate deleted from the index drops).
+    * Mixed-epoch by default; `consistent = true` opts into the optimistic
+    * one-epoch mode over both roots (retry on an interleaved commit, loud
+    * failure on exhaustion — [[graft.operators.Hybrid.oneEpoch]]). */
+  def hybridRerank(postingsRoot: String, ivfRoot: String,
+                   terms: Seq[String], qv: Seq[Float], candDepth: Int = 50,
+                   top: Int = 20, consistent: Boolean = false): DataFrame =
+    graft.operators.Hybrid.rerankMaintained(spark, postingsRoot, ivfRoot,
+      terms, qv, candDepth, top, consistent = consistent)
 
   /** [[hybridSearch]] composed with a metadata predicate over the IVF
     * index's stored attribute columns — the fq-over-hybrid shape: the
@@ -528,9 +541,11 @@ class Graft(spark: SparkSession, dir: String,
   def hybridSearchFiltered(postingsRoot: String, ivfRoot: String,
                            terms: Seq[String], qv: Seq[Float],
                            predicate: Column, probes: Int = 2,
-                           legDepth: Int = 50): DataFrame =
+                           legDepth: Int = 50,
+                           consistent: Boolean = false): DataFrame =
     graft.operators.Hybrid.hybridSearchFilteredMaintained(spark,
-      postingsRoot, ivfRoot, terms, qv, predicate, probes, legDepth)
+      postingsRoot, ivfRoot, terms, qv, predicate, probes, legDepth,
+      consistent = consistent)
 
   /** Memory-bounded probed search against a PQ-enabled index: ADC
     * shortlist over the (column-pruned) codes, exact rerank of the top
@@ -540,9 +555,15 @@ class Graft(spark: SparkSession, dir: String,
                   probes: Int = 2, shortlist: Int = 100): DataFrame =
     IvfIndex.searchPq(spark, path, query, k, probes, shortlist)
 
-  /** Batched [[ivfSearchPq]]: `queries` is (qid LONG, qv ARRAY<FLOAT>);
-    * ADC tables, shortlists, and reranks all stay in-plan — no per-query
-    * driver loop, floats touched only at the rerank. */
+  /** Batched [[ivfSearchPq]]: `queries` is (qid LONG, qv ARRAY<FLOAT>).
+    * The batch, the codebooks, and the centroids are collected
+    * DRIVER-SIDE and the probe ranking + per-query ADC tables are built
+    * there, entering the plan as local relations (|queries| × m × k rows
+    * — batch-sized by contract, so an oversized batch costs driver
+    * memory; a broadcast would move the same rows through the driver
+    * anyway). Only the data-sized work stays distributed: the probed
+    * cells' codes scan and the full-precision rerank — floats touched
+    * only at the rerank, no per-query driver loop. */
   def ivfSearchBatchPq(path: String, queries: DataFrame, k: Int = 10,
                        probes: Int = 2, shortlist: Int = 100): DataFrame =
     IvfIndex.searchBatchPq(spark, path, queries, k, probes, shortlist)

@@ -50,6 +50,15 @@ object Hybrid {
   private val WBm25 = 0.7
   private val WVec = 0.3
 
+  /** Collect a RESULT-SIZED frame into a local relation — the
+    * materialization both the one-epoch stamps and the keyed fetches
+    * need (a lazy bounded frame re-plans/re-reads per downstream driver
+    * lookup — the round-15 probe pathology). Callers own the bound:
+    * every use here is a ≤ legDepth/candDepth rank list. */
+  private def localRelation(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** Top-[[LegDepth]] of a scored leg as (id, score, rank): distributed
     * top-N first (TakeOrderedAndProject — no global sort), then ranks
     * assigned on the ≤ N surviving rows (the unpartitioned window is over
@@ -273,23 +282,38 @@ object Hybrid {
   /** The OPT-IN one-epoch mode the mixed-epoch contract names
     * ([[maintainedLegs]]): an optimistic stability loop over the two
     * roots' [[graft.streaming.StateStore.versionStamp]]s — stamp both
-    * roots, MATERIALIZE the legs (eager localCheckpoint: the check is
-    * meaningless while the plan could still read files later), stamp
-    * again; equal stamps mean no commit landed between the leg reads, so
-    * the fused result is one epoch of both roots. A mismatch retries the
-    * whole read up to `maxRetries` times, then FAILS LOUDLY — under
-    * sustained write pressure one-epoch fusion is a scheduling decision
-    * (run the read in the writer's maintenance slot), not something a
-    * retry loop should fake by spinning. The stamps are two directory
-    * listings per root per attempt (driver metadata); default reads skip
-    * all of it. */
+    * roots, MATERIALIZE the legs (the check is meaningless while the
+    * plan could still read files later), stamp again; equal stamps mean
+    * no commit landed between the leg reads, so the fused result is one
+    * epoch of both roots. A mismatch retries the whole read up to
+    * `maxRetries` times, then FAILS LOUDLY — under sustained write
+    * pressure one-epoch fusion is a scheduling decision (run the read in
+    * the writer's maintenance slot), not something a retry loop should
+    * fake by spinning. The stamps are two directory listings per root
+    * per attempt (driver metadata); default reads skip all of it.
+    *
+    * Materialization is collect-to-local-relation, NOT localCheckpoint:
+    * the legs are result-sized by contract (≤ legDepth rank rows — the
+    * same bounded class as every keyed-fetch collect in this engine), a
+    * discarded attempt leaves nothing persisted to reclaim (a dropped
+    * localCheckpoint's RDD lingers until the ContextCleaner GCs it —
+    * round-15 ADVICE), and downstream fusion of a 50-row local relation
+    * needs no exchange at all. Stamp-stability caveat: versionStamp maps
+    * directory entries to (mtime, length), and mtime granularity is the
+    * filesystem's (ms on RawLocalFileSystem) — two commits to the SAME
+    * entry within one tick could alias. Every state-root commit here is
+    * a rename-swap (new directory entry per touched bucket plus the
+    * parent's mtime moving), so aliasing needs a same-name re-swap in
+    * the same millisecond with an unchanged entry count — accepted for
+    * an opt-in optimistic mode; the fence-slot discipline remains the
+    * strict path. */
   private[graft] def oneEpoch(spark: SparkSession, roots: Seq[String],
       maxRetries: Int)(read: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     var attempt = 0
     while (true) {
       val before = roots.map(r => graft.streaming.StateStore.versionStamp(spark, r))
       val (bm, v) = read
-      val out = (bm.localCheckpoint(), v.localCheckpoint())
+      val out = (localRelation(spark, bm), localRelation(spark, v))
       val after = roots.map(r => graft.streaming.StateStore.versionStamp(spark, r))
       if (before == after) return out
       attempt += 1
@@ -401,6 +425,69 @@ object Hybrid {
           k = legDepth, probes = probes)
         .select(col("vec_id"), round(col("sim"), 4).as("sim")),
       col("vec_id"), col("sim"), legDepth)
+
+  /** Retrieve-then-RERANK over MAINTAINED state — the reusable API for
+    * the other standard first-stage shape (fusion merges two rankings;
+    * rerank re-orders one ranking by the other's score): BM25
+    * top-`candDepth` candidates from the standing postings, each
+    * candidate's vector key-fetched from the maintained IVF index's own
+    * cells ([[IvfIndex.vectorsForIds]] — the HBase-Get shape, never an
+    * embeddings scan), re-scored by embedding dot to `qv`, top-`top` by
+    * the new score. A candidate without a vector DROPS (nothing to
+    * rerank with — exactly right for docs deleted from the index).
+    * Candidate ids obey the canonical-numeric-rowkey contract
+    * ([[filteredBmLeg]]'s — the vector store keys by LONG vec_id); a
+    * non-numeric or non-canonical id fails LOUDLY, never drops or
+    * aliases. The bounded candidate list is materialized before the
+    * keyed fetch (the fetch plans driver-side bucket lookups against it;
+    * a lazy candidate plan would re-run the bm25 read per lookup).
+    *
+    * Like every two-root read, the default contract is MIXED-EPOCH,
+    * NEVER TORN ([[maintainedLegs]]); `consistent = true` opts into the
+    * optimistic one-epoch mode ([[oneEpoch]]) over BOTH roots — stamps
+    * validated around the candidate read and the vector fetch together,
+    * one retry per interleaved commit, loud failure on exhaustion.
+    * Returns (doc_id STRING, bm25_rank, sim), ordered by sim desc. */
+  def rerankMaintained(spark: SparkSession, postingsRoot: String,
+                       ivfRoot: String, terms: Seq[String], qv: Seq[Float],
+                       candDepth: Int = LegDepth, top: Int = TopK,
+                       consistent: Boolean = false,
+                       consistencyRetries: Int = 3): DataFrame = {
+    val (cand, vecs) =
+      if (!consistent) rerankRead(spark, postingsRoot, ivfRoot, terms, candDepth)
+      else oneEpoch(spark, Seq(postingsRoot, ivfRoot), consistencyRetries)(
+        rerankRead(spark, postingsRoot, ivfRoot, terms, candDepth))
+    vecs.join(broadcast(cand), "vec_id")
+      .select(col("doc_id"), col("bm25_rank"),
+        round(graft.functions.VecDotFloat.vec_dot(col("embedding"),
+          typedlit(qv)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(top)
+  }
+
+  /** [[rerankMaintained]]'s two-root read pair: the materialized BM25
+    * candidate list (doc_id, vec_id, bm25_rank) and the candidates'
+    * keyed vector fetch. Exposed so the one-epoch interleaving spec can
+    * drive [[oneEpoch]] with the rerank read shape. */
+  private[graft] def rerankRead(spark: SparkSession, postingsRoot: String,
+      ivfRoot: String, terms: Seq[String],
+      candDepth: Int): (DataFrame, DataFrame) = {
+    val cand = localRelation(spark, rankLeg(
+      graft.streaming.IncrementalPostings
+        .bm25Search(spark, postingsRoot, terms, k = candDepth),
+      col("doc_id"), col("score"), candDepth)
+      .select(col("id").as("doc_id"),
+        col("id").try_cast("long").as("vec_id"),
+        col("rank").cast("long").as("bm25_rank")))
+    val bad = cand.filter(col("vec_id").isNull ||
+        col("vec_id").cast("string") =!= col("doc_id"))
+      .select("doc_id").limit(1).collect()
+    require(bad.isEmpty,
+      "maintained rerank requires canonical numeric rowkeys (the vector " +
+        "store keys by LONG vec_id) — found doc_id " +
+        s"'${bad.headOption.map(_.getString(0)).getOrElse("")}'")
+    (cand, IvfIndex.vectorsForIds(spark, ivfRoot, cand.select("vec_id")))
+  }
 
   /** The fixture twins' ranked legs, built ONCE per (session, dir) and
     * served persisted to all three maintained fusion keys (the

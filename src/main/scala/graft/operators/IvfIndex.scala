@@ -885,9 +885,20 @@ object IvfIndex {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     val m = cbRows.iterator.map(_._1).max + 1
     val subDim = cbRows.iterator.map(_._3.length).max
-    val qRows = queries.select(col("qid").cast("long"), col("qv")).collect()
+    // cast qv in the select (not getSeq on the raw column): the previous
+    // in-plan form accepted any numeric array via cast-to-double, so an
+    // array<double> batch must keep working here rather than die in an
+    // opaque ClassCastException; null qids fail with the offending row
+    // named, matching the dim check's loud-failure style (round-15 ADVICE)
+    val qRows = queries
+      .select(col("qid").cast("long"), col("qv").cast("array<float>"))
+      .collect()
       .map { r =>
-        val qv = r.getSeq[Float](1)
+        val qv = if (r.isNullAt(1)) null else r.getSeq[Float](1)
+        if (r.isNullAt(0))
+          throw new IllegalArgumentException(
+            "batch PQ search requires a non-null qid on every row — found " +
+              s"a null-qid row (qv ${Option(qv).map(_.take(4).mkString("[", ",", ",…]")).getOrElse("null")})")
         if (qv == null || qv.length != m * subDim)
           throw new IllegalArgumentException(
             "query vector dim does not match PQ shape " +

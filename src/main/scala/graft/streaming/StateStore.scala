@@ -366,8 +366,14 @@ object StateStore {
     * parent, a whole-root swap replaces the subroot, a marker write adds
     * a file. Equal stamps before and after a read ⇒ no commit landed
     * between them; the converse (a commit always changes the stamp) is
-    * what the swap protocol guarantees. Used by the two-root hybrid
-    * read's opt-in one-epoch mode ([[graft.operators.Hybrid]]). */
+    * what the swap protocol guarantees — up to mtime GRANULARITY: the
+    * stamp is (modificationTime, length) per entry, and mtime ticks at
+    * the filesystem's resolution (ms on RawLocalFileSystem), so a
+    * same-name re-swap landing in the same tick with an unchanged entry
+    * count would alias. Acceptable for the OPTIMISTIC mode this serves;
+    * readers needing a hard guarantee use the writer's fence slot. Used
+    * by the two-root hybrid read's opt-in one-epoch mode
+    * ([[graft.operators.Hybrid]]). */
   def versionStamp(spark: SparkSession, rootPath: String): Map[String, (Long, Long)] = {
     val root = new Path(rootPath)
     val fs = fsOf(spark, root)

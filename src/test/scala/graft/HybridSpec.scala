@@ -135,6 +135,64 @@ class HybridSpec extends SparkSpec {
       s"rerank must order by vector sim (B > C > A) and drop deleted D, got $got")
   }
 
+  test("rerankMaintained: public face reranks + drops deleted; consistent=true matches default and an interleaved commit retries once") {
+    val tmp = Files.createTempDirectory("graft_hybrm").toString
+    val postings = tmp + "/postings"
+    val ivf = tmp + "/ivf"
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("1", 1L, "put", "merge merge merge x"),
+      ("2", 2L, "put", "merge y"),
+      ("3", 3L, "put", "merge merge z"),
+      ("4", 4L, "put", "merge merge merge merge w")
+    ).toDF("rowkey", "event_id", "op", "text"), postings)
+    IvfIndex.build(Seq(
+      (1L, Array(0f, 1f)), (2L, Array(1f, 0f)),
+      (3L, Array(0.8f, 0.6f)), (4L, Array(1f, 0.1f))
+    ).toDF("vec_id", "embedding"), ivf, nlist = 1, iters = 2)
+    IvfIndex.delete(spark, ivf, Seq(4L).toDF("vec_id"))
+    // default read: vector order (2 > 3 > 1), deleted 4 dropped, and the
+    // lexical rank rides along for the consumer
+    val got = Hybrid.rerankMaintained(spark, postings, ivf,
+      Seq("merge"), Seq(1f, 0f), candDepth = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) === Seq("2", "3", "1"),
+      s"rerank must order by vector sim and drop deleted 4, got $got")
+    assert(got.map(_._2).forall(_ > 0L), s"bm25_rank must ride along: $got")
+    // consistent = true on quiet roots: identical rows (the mode only
+    // adds stamp validation around the same read)
+    val cons = Hybrid.rerankMaintained(spark, postings, ivf,
+      Seq("merge"), Seq(1f, 0f), candDepth = 4, consistent = true)
+      .collect().map(_.toString).toSeq
+    assert(cons === Hybrid.rerankMaintained(spark, postings, ivf,
+      Seq("merge"), Seq(1f, 0f), candDepth = 4)
+      .collect().map(_.toString).toSeq)
+    // the one-epoch interleaving case on the RERANK read shape: a commit
+    // interleaved with the first attempt costs exactly one retry, and the
+    // successful attempt's candidates are the post-commit epoch's
+    var calls = 0
+    val (cand, _) = Hybrid.oneEpoch(spark, Seq(postings, ivf), maxRetries = 3) {
+      calls += 1
+      val out = Hybrid.rerankRead(spark, postings, ivf, Seq("merge"), 10)
+      if (calls == 1)
+        IncrementalPostings.mergeBatch(spark, Seq(
+          ("9", 9L, "put", "merge nine")
+        ).toDF("rowkey", "event_id", "op", "text"), postings)
+      out
+    }
+    assert(calls === 2, s"one interleaved commit must cost exactly one retry, got $calls")
+    assert(cand.select("doc_id").collect().map(_.getString(0)).toSet
+      .contains("9"), "the successful attempt must see the post-commit epoch")
+    // canonical-numeric-rowkey contract: a non-numeric candidate id fails
+    // LOUDLY (never a silent drop — the vector store keys by LONG)
+    IncrementalPostings.mergeBatch(spark, Seq(
+      ("x1", 20L, "put", "merge noncanonical")
+    ).toDF("rowkey", "event_id", "op", "text"), postings)
+    val ex = intercept[IllegalArgumentException] {
+      Hybrid.rerankMaintained(spark, postings, ivf, Seq("merge"), Seq(1f, 0f))
+    }
+    assert(ex.getMessage.contains("canonical numeric rowkeys"), ex.getMessage)
+  }
+
   test("two-root reads racing a mutation fuse MIXED-EPOCH, never torn (coherence contract)") {
     // The documented contract (Hybrid.maintainedLegs): the two state
     // roots swap at different instants, so a hybrid read interleaved
