@@ -616,14 +616,18 @@ class Graft(spark: SparkSession, dir: String,
     * tombstone GC (row state + both token states) at `horizonEventId`,
     * admission-log GC at `horizonBatchId`, and a drift-gated online
     * retrain of the vector index. Run on the maintenance cadence, never
-    * per batch; the horizons come from the source's replay retention. */
+    * per batch; the horizons come from the source's replay retention.
+    * `autoDfSidecar = true` lets the pass act on its own df-saturation
+    * trigger — enable the per-token-df sidecar in the same maintenance
+    * slot (cost logged) instead of leaving the advice for a human. */
   def maintainPipeline(pipelineRoot: String, horizonEventId: Long,
                        horizonBatchId: Long,
                        annNlist: Int = 16, annIters: Int = 5,
-                       annSkewThreshold: Double = 4.0): IngestPipeline.MaintenanceReport =
+                       annSkewThreshold: Double = 4.0,
+                       autoDfSidecar: Boolean = false): IngestPipeline.MaintenanceReport =
     IngestPipeline.maintain(spark, pipelineRoot, horizonEventId, horizonBatchId,
       annNlist = annNlist, annIters = annIters,
-      annSkewThreshold = annSkewThreshold)
+      annSkewThreshold = annSkewThreshold, autoDfSidecar = autoDfSidecar)
 
   /** Retrofit PQ onto the pipeline's maintained ANN index (one fenced
     * whole-index rewrite); afterwards every merge maintains the codes and

@@ -1119,7 +1119,12 @@ object IngestPipeline {
     * ([[IncrementalShingles.enableDfSidecar]] is the remedy); [[maintain]]
     * also logs a WARN naming that call so the signal cannot pass unseen
     * in an unmonitored report. `dfSidecarEnabled` reports whether the
-    * sidecar is in place (an enabled root is never re-advised — the
+    * sidecar is in place; `dfSidecarAutoEnabled` is [[maintain]]'s
+    * `autoDfSidecar` policy acting on the trigger THIS pass — the advice
+    * fired, the sidecar was enabled in the same maintenance slot (one
+    * dfs/ recompute pass, cost logged), and the advice is already
+    * cleared: `dfSidecarAdvised` stays false because nothing is left for
+    * the operator to do (an enabled root is never re-advised — the
     * saturation fraction stays observable either way). */
   final case class MaintenanceReport(annSkewBefore: Option[Double],
                                      annRebuilt: Boolean,
@@ -1128,7 +1133,8 @@ object IngestPipeline {
                                      rescaledTo: Option[Int] = None,
                                      dfSaturatedMassFrac: Option[Double] = None,
                                      dfSidecarAdvised: Boolean = false,
-                                     dfSidecarEnabled: Boolean = false)
+                                     dfSidecarEnabled: Boolean = false,
+                                     dfSidecarAutoEnabled: Boolean = false)
 
   /** The pipeline's MAINTENANCE pass — [[applyBatch]]'s operational
     * counterpart, run on a maintenance cadence (every N batches, or
@@ -1186,7 +1192,8 @@ object IngestPipeline {
                compactAdmissionLog: Boolean = true,
                bucketByteBudget: Long = 0L,
                heldFence: Option[WriterFence.Fence] = None,
-               dfSatAdviseThreshold: Double = 0.5): MaintenanceReport = {
+               dfSatAdviseThreshold: Double = 0.5,
+               autoDfSidecar: Boolean = false): MaintenanceReport = {
     require(annSkewThreshold > 1.0,
       "annSkewThreshold must exceed 1.0 (perfect balance)")
     // marker-first, like forget: a maintain against a rescaled root must
@@ -1275,7 +1282,28 @@ object IngestPipeline {
     // and clears once the sidecar is in place.
     val sidecarOn = IncrementalShingles
       .dfSidecarEnabled(spark, shingleRoot(pipelineRoot))
-    val advised = !sidecarOn && dfSat.exists(_ > dfSatAdviseThreshold)
+    val triggered = !sidecarOn && dfSat.exists(_ > dfSatAdviseThreshold)
+    // autoDfSidecar: the 100 TB operator's policy flag — act on the
+    // trigger inside this maintenance slot (the pass already holds the
+    // single-writer window, and the enable is the same one-pass dfs/
+    // backfill the advice names) instead of leaving a WARN for a human.
+    // The enable cost is LOGGED, not silent: it is a vocabulary-shaped
+    // recompute (measured 2.1–5.5 s at probe scale — DF_SIDECAR_PROBE),
+    // and an unexplained slow maintenance pass is its own incident.
+    // Default OFF: enabling a second maintained state stays an explicit
+    // operator decision unless this policy says otherwise.
+    val autoEnabled = triggered && autoDfSidecar
+    if (autoEnabled) {
+      val t0 = System.nanoTime()
+      IncrementalShingles.enableDfSidecar(spark, shingleRoot(pipelineRoot))
+      log.info(
+        s"shingle state at ${shingleRoot(pipelineRoot)}: " +
+          f"df-saturated posting-mass fraction ${dfSat.get}%.3f exceeded " +
+          f"$dfSatAdviseThreshold%.2f — autoDfSidecar enabled the " +
+          f"per-token-df sidecar in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          "(one dfs/ backfill pass; later merges keep it current)")
+    }
+    val advised = triggered && !autoEnabled
     if (advised) log.warn(
       s"shingle state at ${shingleRoot(pipelineRoot)}: " +
         f"df-saturated posting-mass fraction ${dfSat.get}%.3f exceeds " +
@@ -1285,7 +1313,7 @@ object IngestPipeline {
         "saturated posting lists without reading them (SCALE.md df-cap " +
         "decision rule)")
     MaintenanceReport(skewBefore, rebuilt, skewAfter, pressure, rescaledTo,
-      dfSat, advised, sidecarOn)
+      dfSat, advised, sidecarOn || autoEnabled, autoEnabled)
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

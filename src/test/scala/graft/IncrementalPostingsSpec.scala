@@ -702,28 +702,51 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(bPos <= bNo * 3 / 2 + (256 << 10),
       s"positions root term search read $bPos bytes vs $bNo on the " +
         "positions-free root — the payload is inflating position-free reads")
-    // positive control — prove the measurement can SEE the payload: the
-    // same term search forced to read the positions column (plan shape
-    // unchanged: one extra selected column) must cost visibly more than
-    // the pruned read on the same root
-    def runWide(): Long = SpecMetrics.fsBytesRead {
-      graft.streaming.IncrementalPostings
-        .prunedEntriesForTokens(spark, withPos,
-          Seq("merge", "sort").toDF("tok"))
-        .select("tok", "doc_id", "positions").collect(): Unit
+    // non-vacuousness guard for the pin: the measurement must see the
+    // term search read SOMETHING — a blind counter would make the ratio
+    // pin pass with 0 ≤ 0
+    assert(bNo > 0,
+      "the bytes measurement saw zero reads for a real term search — " +
+        "the pin above is blind")
+    // positive control — prove the payload the pin is about is physically
+    // there to be read: the parquet footers of the positions root's entry
+    // files must carry a nonzero positions column chunk, and the
+    // positions-free root none. DETERMINISTIC (file metadata, no
+    // process-wide counters): the previous form compared process-wide
+    // read-syscall deltas of a wide vs narrow collect, and under the
+    // full-suite parallel run concurrent suites' I/O polluted the deltas
+    // and inverted it (round-15 verdict #1 — flaked in CI, green in
+    // isolation). The footer numbers are what that delta was trying to
+    // observe.
+    import scala.jdk.CollectionConverters._
+    def positionsChunkBytes(root: String): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "entries"))
+        .iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty, s"no entry files under $root/entries")
+      files.map { p =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString), conf))
+        try rdr.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString.startsWith("positions"))
+          .map(_.getTotalSize).sum
+        finally rdr.close()
+      }.sum
     }
-    def runNarrow(): Long = SpecMetrics.fsBytesRead {
-      graft.streaming.IncrementalPostings
-        .prunedEntriesForTokens(spark, withPos,
-          Seq("merge", "sort").toDF("tok"))
-        .select("tok", "doc_id").collect(): Unit
-    }
-    runWide(); runNarrow()
-    val (bWide, bNarrow) = (runWide(), runNarrow())
-    assert(bWide > bNarrow,
-      s"control failed: reading the positions column ($bWide bytes) did " +
-        s"not cost more than the pruned read ($bNarrow bytes) — the " +
-        "bytes measurement cannot see the payload, so the pin above is blind")
+    val posWith = positionsChunkBytes(withPos)
+    // keepPositions = false stores NULL positions, so the column chunk
+    // still exists on the positions-free root — but it is definition
+    // levels only. The real payload must dominate it by a wide margin,
+    // or the pin above is guarding a column too small to matter.
+    val posNull = positionsChunkBytes(noPos)
+    assert(posWith > 4 * posNull && posWith > posNull + 1024,
+      s"control failed: the positions root's footer mass ($posWith bytes) " +
+        s"does not dominate the all-NULL root's ($posNull bytes) — the " +
+        "payload the pin above guards against is not physically present, " +
+        "so the pin is vacuous")
   }
 
   test("bm25SearchGroups: singleton groups ≡ bm25Search; a synonym group sums tf, maxes df") {

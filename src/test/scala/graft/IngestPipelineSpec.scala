@@ -612,6 +612,31 @@ class IngestPipelineSpec extends SparkSpec {
     assert(armed.dfSidecarAdvised,
       "a saturated-past-threshold state must advise the df sidecar")
     assert(!armed.dfSidecarEnabled)
+    assert(!armed.dfSidecarAutoEnabled,
+      "without the policy flag maintain must only advise, never act")
+    // autoDfSidecar policy (round-15 verdict task): the SAME pass acts on
+    // its own trigger — advice fires, the sidecar is enabled in this
+    // maintenance slot, and the advice clears, all in one pass
+    val auto = IngestPipeline.maintain(spark, root,
+      horizonEventId = 100, horizonBatchId = 2,
+      annNlist = 2, annIters = 2, dfSatAdviseThreshold = -0.1,
+      autoDfSidecar = true)
+    assert(auto.dfSidecarAutoEnabled,
+      "autoDfSidecar must act on the fired trigger in the same pass")
+    assert(auto.dfSidecarEnabled, "the auto-enabled sidecar must be reported in place")
+    assert(!auto.dfSidecarAdvised,
+      "auto-enable must clear the advice in the same pass — nothing is left to do")
+    assert(graft.streaming.IncrementalShingles.dfSidecarEnabled(
+      spark, IngestPipeline.shingleRoot(root)),
+      "the sidecar must actually be on the shingle root, not just reported")
+    // the NEXT pass with the policy still on: already enabled, so the
+    // trigger cannot re-fire and nothing is re-enabled
+    val auto2 = IngestPipeline.maintain(spark, root,
+      horizonEventId = 100, horizonBatchId = 2,
+      annNlist = 2, annIters = 2, dfSatAdviseThreshold = -0.1,
+      autoDfSidecar = true)
+    assert(auto2.dfSidecarEnabled && !auto2.dfSidecarAutoEnabled &&
+      !auto2.dfSidecarAdvised)
     // the advice CLEARS once the recommended remedy is in place: with the
     // sidecar enabled on the shingle root, the same forced-threshold pass
     // reports it and stops advising (the saturation fraction itself stays
