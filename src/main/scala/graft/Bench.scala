@@ -161,6 +161,27 @@ object Bench {
       java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/loadavg")).get(0).split(" ")(0).toDouble
     } catch { case _: Throwable => -1.0 }
+    // CPU-side counters (round-15 verdict: the io block exonerated the
+    // DISK for the slow driver ingest legs — busy_frac 0.003 while the
+    // merge ran 14× its quiet cost — so the next anomalous record must
+    // carry the CPU-side evidence too): /proc/stat aggregate jiffies
+    // split user/system/idle/iowait/steal, and the JVM's own GC time.
+    // steal names a noisy-neighbor hypervisor; iowait names cold reads;
+    // a user gap with idle high names throttling outside this process;
+    // gc_frac names the JVM itself. Zeros on non-Linux, like diskStats.
+    def cpuStat(): (Long, Long, Long, Long, Long) = try {
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal
+      (f(1).toLong + f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong,
+        if (f.length > 8) f(8).toLong else 0L)
+    } catch { case _: Throwable => (0L, 0L, 0L, 0L, 0L) }
+    def gcMillis(): Long = try {
+      var t = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    } catch { case _: Throwable => 0L }
     def ingestAt(label: String, batchSizeOf: Long => Long,
                  withBootstrap: Boolean, doubled: Boolean = false,
                  fullFeatures: Boolean = false): String = try {
@@ -222,6 +243,8 @@ object Bench {
       }
       val load0 = loadavg1m()
       val (sr0, sw0, busy0) = diskStats()
+      val (us0, sy0, id0, io0, st0) = cpuStat()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // phase split: gate (admission decision + durable log commit) vs the
       // four state merges — WHICH half of the per-batch fixed cost binds
@@ -234,11 +257,18 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val (sr1, sw1, busy1) = diskStats()
+      val (us1, sy1, id1, io1, st1) = cpuStat()
+      val gc1 = gcMillis()
       // device busy fraction over the leg's own wall-clock: ~0 on an idle
       // box whose writes fit the page cache; near (or over, multi-device)
       // 1.0 exactly when "the box was loaded" — the r14 adjudication,
-      // now measured in-record
-      val ioJson = f""","io":{"sectors_read":${sr1 - sr0},"sectors_written":${sw1 - sw0},"busy_ms":${busy1 - busy0},"busy_frac":${(busy1 - busy0) / (sec * 1000)}%.3f,"loadavg_1m":$load0%.2f}"""
+      // now measured in-record. The cpu sub-block adjudicates the
+      // disk-exonerated case: fractions are of the BOX's total jiffies
+      // over the leg (so user+sys+idle+iowait+steal ≈ 1), gc_frac is of
+      // the leg's wall-clock.
+      val jifTot = math.max(1L,
+        (us1 - us0) + (sy1 - sy0) + (id1 - id0) + (io1 - io0) + (st1 - st0))
+      val ioJson = f""","io":{"sectors_read":${sr1 - sr0},"sectors_written":${sw1 - sw0},"busy_ms":${busy1 - busy0},"busy_frac":${(busy1 - busy0) / (sec * 1000)}%.3f,"loadavg_1m":$load0%.2f,"cpu":{"user_frac":${(us1 - us0).toDouble / jifTot}%.3f,"sys_frac":${(sy1 - sy0).toDouble / jifTot}%.3f,"idle_frac":${(id1 - id0).toDouble / jifTot}%.3f,"iowait_frac":${(io1 - io0).toDouble / jifTot}%.3f,"steal_frac":${(st1 - st0).toDouble / jifTot}%.3f,"gc_ms":${gc1 - gc0},"gc_frac":${(gc1 - gc0) / (sec * 1000)}%.3f}}"""
       // what the gate actually did — docs/sec over a gate that drops
       // nothing would be a hollow number
       val verdicts = graft.streaming.IngestPipeline.admissionLog(spark, pipe)
@@ -284,9 +314,36 @@ object Bench {
       val entries = settings.map { case (name, f) =>
         AnnEval.entryJson(name, truth, f)
       }.mkString(",")
+      // clustered-corpus recall (round-15 verdict #6): the sf fixture is
+      // near-uniform, so its recall numbers (kept above, for drift) say
+      // little about IVF quality — real embedding corpora cluster, and a
+      // query's true neighbors live in its own cluster. This leg rides
+      // FilteredRecallProbe's deterministic mixture-of-Gaussians corpus
+      // so BOTH drift signals (uniform floor, clustered quality) are in
+      // every bench record, not in a probe run from rounds ago.
+      val cRoot = aRoot.toString + "/clustered"
+      val cCorpus = spark.range(20000L).select(
+          col("id").as("vec_id"),
+          expr(
+            """transform(sequence(0, 63, 1), j -> cast(
+              |  (pmod(hash(id % 48, j, 'center'), 10000) / 10000.0) * 10.0 - 5.0 +
+              |  (pmod(hash(id, j, 'noise'), 1000) / 1000.0) * 0.5 - 0.25
+              | as float))""".stripMargin).as("embedding"))
+        .localCheckpoint()
+      graft.operators.IvfIndex.build(cCorpus, cRoot, nlist = 16, iters = 5)
+      val cqs = cCorpus.filter(col("vec_id") % 1250 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .localCheckpoint()
+      val cTruth = AnnEval.top(graft.operators.IvfIndex.searchBatch(
+        spark, cRoot, cqs, k = 10, probes = 16)) // probes = nlist ⇒ exact
+      val cEntries = Seq(1, 2, 4).map { p =>
+        AnnEval.entryJson(s"p$p", cTruth,
+          () => graft.operators.IvfIndex.searchBatch(spark, cRoot, cqs, 10, probes = p))
+      }.mkString(",")
       try graft.operators.Materialize.deleteLocalDir(aRoot.toString)
       catch { case _: Throwable => }
-      s""","ann_recall":{"k":10,"n_queries":${truth.size},"nlist":16,$entries}"""
+      s""","ann_recall":{"k":10,"n_queries":${truth.size},"nlist":16,$entries,""" +
+        s""""clustered":{"n_vec":20000,"clusters":48,"dim":64,"n_queries":${cTruth.size},$cEntries}}"""
     } catch { case t: Throwable =>
       System.err.println(s"ann recall bench failed: $t"); ""
     }

@@ -31,13 +31,17 @@ object GramCrossoverProbe {
         (col("doc_id") + r * 1000000L).as("doc_id"), col("text")))
         .reduce(_ unionAll _).localCheckpoint()
     // registry phrases: REAL corpus 3-gram shingles (so the scan does its
-    // true work — phrases that hit), picked deterministically by hash
+    // true work — phrases that hit), picked deterministically by hash.
+    // 2048 covers the round-16 crossover legs (round 15 measured up to
+    // 512 and EXTRAPOLATED the crossover to ~1-2k grams; these legs pin
+    // it with data).
     val allGrams = base
       .select(explode(graft.streaming.IncrementalShingles
         .shingleize(col("text"))).as("g"))
       .distinct()
       .orderBy(abs(hash(col("g"))), col("g"))
-      .limit(512).collect().map(_.getString(0))
+      .limit(2048).collect().map(_.getString(0))
+    println(s"GRAMX distinct corpus grams available=${allGrams.length}")
     def registry(n: Int) = {
       import spark.implicits._
       allGrams.take(n).zipWithIndex
@@ -58,7 +62,7 @@ object GramCrossoverProbe {
     for ((scale, n) <- Seq(("1x", 1), ("30x", 30))) {
       val docs = corpusAt(n)
       println(s"GRAMX corpus $scale docs=${docs.count()}")
-      for (size <- Seq(8, 32, 128, 512)) {
+      for (size <- Seq(8, 32, 128, 512, 1024, 2048)) {
         val reg = registry(size)
         def run(forced: Long): (Double, Long) = minOf3 {
           Percolate.matchesBoolFrame(docs, reg, gramScanMax = forced)
