@@ -332,6 +332,20 @@ class HybridSpec extends SparkSpec {
         assert(f.contains("/postings/") || f.contains("/ivf/"),
           s"$key read outside the postings/IVF state roots: $f")
     }
+    // the PUBLIC rerank face obeys the same pin: candidates come
+    // materialized (no file read in the returned plan's lexical side)
+    // and the only files are the IVF store's — never a corpus parquet
+    val rr = Hybrid.rerankMaintained(spark,
+      graft.operators.Index.maintainedFixture(spark, dir),
+      graft.operators.Vectors.annFixture(spark, dir),
+      Seq("merge", "sort"), qv)
+    val rrInputs = rr.inputFiles
+    assert(!rrInputs.exists(_.contains("/testdata/")),
+      "rerankMaintained must never scan a corpus parquet")
+    for (f <- rrInputs)
+      assert(f.contains("/postings/") || f.contains("/ivf/"),
+        s"rerankMaintained read outside the state roots: $f")
+    assert(rr.count() > 0)
   }
 
   test("attrsForIds: keyed metadata fetch — stored attrs for exactly the ids, one cell opened, stored schema on every path") {
