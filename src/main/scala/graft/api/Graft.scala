@@ -533,6 +533,19 @@ class Graft(spark: SparkSession, dir: String,
     graft.operators.Hybrid.rerankMaintained(spark, postingsRoot, ivfRoot,
       terms, qv, candDepth, top, consistent = consistent)
 
+  /** [[hybridRerank]] composed with a metadata predicate over the IVF
+    * index's stored attribute columns — fq over retrieve-then-rerank:
+    * candidates are the top-`candDepth` MATCHING docs (k-fill; predicate
+    * answered by the colocated attribute store, scoring stats the full
+    * state's), then re-scored by the keyed vector fetch. */
+  def hybridRerankFiltered(postingsRoot: String, ivfRoot: String,
+                           terms: Seq[String], qv: Seq[Float],
+                           predicate: Column, candDepth: Int = 50,
+                           top: Int = 20,
+                           consistent: Boolean = false): DataFrame =
+    graft.operators.Hybrid.rerankFilteredMaintained(spark, postingsRoot,
+      ivfRoot, terms, qv, predicate, candDepth, top, consistent = consistent)
+
   /** [[hybridSearch]] composed with a metadata predicate over the IVF
     * index's stored attribute columns — the fq-over-hybrid shape: the
     * vector leg evaluates it inside the probed cells, the lexical leg's

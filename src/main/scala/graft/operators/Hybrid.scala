@@ -489,6 +489,44 @@ object Hybrid {
     (cand, IvfIndex.vectorsForIds(spark, ivfRoot, cand.select("vec_id")))
   }
 
+  /** [[rerankMaintained]] COMPOSED with a metadata predicate — fq over
+    * retrieve-then-rerank, the last first-stage shape without a filtered
+    * form (the fusion twins got theirs in round 14). The candidate list
+    * is the FILTERED lexical leg ([[filteredBmLeg]] — k-fill: the
+    * top-`candDepth` MATCHING docs, predicate answered by the IVF
+    * store's colocated attributes with the attr-store drop semantics and
+    * the canonical-rowkey contract, scoring stats the full state's);
+    * the survivors' vectors come back by key and re-score against `qv`.
+    * Same two-root coherence story as [[rerankMaintained]]:
+    * mixed-epoch-never-torn by default, `consistent = true` for the
+    * optimistic one-epoch mode. Returns (doc_id STRING, bm25_rank, sim),
+    * ordered by sim desc. */
+  def rerankFilteredMaintained(spark: SparkSession, postingsRoot: String,
+      ivfRoot: String, terms: Seq[String], qv: Seq[Float],
+      predicate: Column, candDepth: Int = LegDepth, top: Int = TopK,
+      consistent: Boolean = false,
+      consistencyRetries: Int = 3): DataFrame = {
+    def read(): (DataFrame, DataFrame) = {
+      // filteredBmLeg enforces the canonical contract and returns the
+      // LONG key; materialized for the same reason as rerankRead's cand
+      val cand = localRelation(spark,
+        filteredBmLeg(spark, postingsRoot, ivfRoot, terms, predicate,
+          candDepth)
+          .select(col("id").as("vec_id"),
+            col("rank").cast("long").as("bm25_rank")))
+      (cand, IvfIndex.vectorsForIds(spark, ivfRoot, cand.select("vec_id")))
+    }
+    val (cand, vecs) =
+      if (!consistent) read()
+      else oneEpoch(spark, Seq(postingsRoot, ivfRoot), consistencyRetries)(read())
+    vecs.join(broadcast(cand), "vec_id")
+      .select(col("vec_id").cast("string").as("doc_id"), col("bm25_rank"),
+        round(graft.functions.VecDotFloat.vec_dot(col("embedding"),
+          typedlit(qv)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(top)
+  }
+
   /** The fixture twins' ranked legs, built ONCE per (session, dir) and
     * served persisted to all three maintained fusion keys (the
     * [[Index.sharedPostings]] seam): RRF and weighted fuse both legs;
@@ -571,6 +609,29 @@ object Hybrid {
     rrfFuse(bm, v)
   }
 
+  private def qHybridRerankFiltered(spark: SparkSession, dir: String): DataFrame = {
+    // the filtered rerank twin over the same two fixture roots:
+    // candidates = the FILTERED lexical leg (label of vec 100, the
+    // stored attribute — shared artifact with q_hybrid_filtered_
+    // maintained, whose plan it is), vectors key-fetched, re-scored by
+    // the fixture query vector. Deleted-candidate drop and k-fill ride
+    // the leg's own proofs; output keys LONG like the rerank twin (the
+    // oracle's doc_id is numeric).
+    val pred = col("label") === lit(fixtureQueryLabel(spark, dir))
+    val postingsRoot = Index.maintainedFixture(spark, dir)
+    val ivfRoot = Vectors.annFixture(spark, dir)
+    val cand = Materialize.artifact(spark, "hybrid_bmf_leg", dir)(
+      filteredBmLeg(spark, postingsRoot, ivfRoot, Terms, pred, LegDepth))
+      .select(col("id").as("vec_id"), col("rank").cast("long").as("bm25_rank"))
+    IvfIndex.vectorsForIds(spark, ivfRoot, cand.select("vec_id"))
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id").as("doc_id"), col("bm25_rank"),
+        round(graft.functions.VecDotFloat.vec_dot(col("embedding"),
+          typedlit(fixtureQueryVec(spark, dir))), 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
   private def qHybridWeightedMaintained(spark: SparkSession, dir: String): DataFrame = {
     // the weighted fusion's maintained twin — same legs as
     // q_hybrid_maintained, min-max fusion instead of RRF: the fusion
@@ -587,7 +648,8 @@ object Hybrid {
     "q_hybrid_rerank" -> qHybridRerank,
     "q_hybrid_rerank_maintained" -> qHybridRerankMaintained,
     "q_hybrid_filtered" -> qHybridFiltered,
-    "q_hybrid_filtered_maintained" -> qHybridFilteredMaintained)
+    "q_hybrid_filtered_maintained" -> qHybridFilteredMaintained,
+    "q_hybrid_rerank_filtered" -> qHybridRerankFiltered)
 
   /** The shared leg CTEs (DuckDB): BM25 over documents (q_bm25_topk's
     * formula), brute-force cosine over embeddings. */
@@ -780,6 +842,15 @@ object Hybrid {
     "q_hybrid_filtered" -> ("WITH " + filteredCorpusLegsCte + "\n" + rrfSelect),
     "q_hybrid_filtered_maintained" ->
       ("WITH " + filteredMaintainedLegsCte + "\n" + rrfSelect),
+    "q_hybrid_rerank_filtered" ->
+      // the filtered CTE's bl IS the filtered ranked candidate list
+      // (label-matching, attr-store drop, VARCHAR tie-break); the rerank
+      // tail re-scores it by the post-maintenance embeddings
+      ("WITH " + filteredMaintainedLegsCte + """
+        |SELECT bl.doc_id, brank AS bm25_rank,
+        |       round(list_dot_product(emb::DOUBLE[], qv), 4) AS sim
+        |FROM bl JOIN m ON bl.doc_id = m.vec_id, q
+        |ORDER BY sim DESC, bl.doc_id LIMIT 20""".stripMargin),
     "q_hybrid_rerank" -> ("WITH " + corpusLegsCte + """
       |SELECT bl.doc_id, brank AS bm25_rank,
       |       round(list_dot_product(embedding::DOUBLE[], qv), 4) AS sim

@@ -413,6 +413,24 @@ class HybridSpec extends SparkSpec {
     // lexical: 3 and 4 tie on score, string tie-break ranks 3 first;
     // vector: 3 (sim .8) over 4 (sim 0)
     assert(fused(3L) === ((1L, 1L)) && fused(4L) === ((2L, 2L)), s"$fused")
+    // the FILTERED RERANK on the same fixture: candidates k-fill from
+    // the matching docs (3, 4 — candDepth 2 of grp='b'; unfiltered the
+    // candidates would be 1, 2 and post-filtering would return nothing),
+    // then the vector re-score orders 3 (sim .8) over 4 (sim 0). Doc 5
+    // (strongest lexical match, absent from the index) drops.
+    val rr = Hybrid.rerankFilteredMaintained(spark, postings, ivf,
+      terms = Seq("merge"), qv = Seq(1f, 0f),
+      predicate = col("grp") === "b", candDepth = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rr.map(_._1).toSeq === Seq("3", "4"),
+      s"filtered rerank must k-fill from matchers and re-order by sim: $rr")
+    assert(rr.map(_._2).toSeq === Seq(1L, 2L), s"bm25_rank must ride: $rr")
+    // consistent = true on quiet roots: identical rows
+    assert(Hybrid.rerankFilteredMaintained(spark, postings, ivf,
+        Seq("merge"), Seq(1f, 0f), col("grp") === "b", candDepth = 2,
+        consistent = true)
+      .collect().map(_.toString).toSeq
+      === rr.map(r => s"[${r._1},${r._2},${r._3}]").toSeq)
   }
 
   test("the filtered maintained twin reads ONLY the two state roots") {
