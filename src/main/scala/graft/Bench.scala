@@ -77,6 +77,58 @@ object Bench {
       // a failed query must not masquerade as a fast success
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Box-I/O reading around each ingest leg (and, below, each slow
+    // query's trial loop): /proc/diskstats deltas (sectors read/written +
+    // device-busy ms, summed over whole physical devices) and the 1-min
+    // loadavg — so a low docs/s record carries its own evidence of
+    // whether the BOX was busy, instead of that being inferred after the
+    // fact from unrelated artifact-build times. Zero-cost reads of proc
+    // metadata; absent files (non-Linux) degrade to zeros rather than
+    // failing the bench.
+    def diskStats(): (Long, Long, Long) = try {
+      val dev = "^(sd[a-z]+|vd[a-z]+|nvme\\d+n\\d+|xvd[a-z]+)$".r
+      var (sr, sw, busy) = (0L, 0L, 0L)
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/diskstats")).forEach { line =>
+        val f = line.trim.split("\\s+")
+        if (f.length >= 13 && dev.findFirstIn(f(2)).isDefined) {
+          sr += f(5).toLong; sw += f(9).toLong; busy += f(12).toLong
+        }
+      }
+      (sr, sw, busy)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+    def loadavg1m(): Double = try {
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/loadavg")).get(0).split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    // CPU-side counters (round-15 verdict: the io block exonerated the
+    // DISK for the slow driver ingest legs — busy_frac 0.003 while the
+    // merge ran 14× its quiet cost — so the next anomalous record must
+    // carry the CPU-side evidence too): /proc/stat aggregate jiffies
+    // split user/system/idle/iowait/steal, and the JVM's own GC time.
+    // steal names a noisy-neighbor hypervisor; iowait names cold reads;
+    // a user gap with idle high names throttling outside this process;
+    // gc_frac names the JVM itself. Zeros on non-Linux, like diskStats.
+    def cpuStat(): (Long, Long, Long, Long, Long) = try {
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal — irq+softirq
+      // FOLD INTO sys: omitting them from the jiffy total silently
+      // redistributed kernel-interrupt time into the other fractions,
+      // in exactly the kernel-storm mode this block exists to adjudicate
+      // (round-16 ADVICE)
+      (f(1).toLong + f(2).toLong,
+        f(3).toLong + (if (f.length > 6) f(6).toLong else 0L) +
+          (if (f.length > 7) f(7).toLong else 0L),
+        f(4).toLong, f(5).toLong,
+        if (f.length > 8) f(8).toLong else 0L)
+    } catch { case _: Throwable => (0L, 0L, 0L, 0L, 0L) }
+    def gcMillis(): Long = try {
+      var t = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    } catch { case _: Throwable => 0L }
     // Per-key detail: ALL trial times plus the key's wall-clock start —
     // min-of-N absorbs transient noise but also HIDES it; when the
     // round artifact shows one key over the bar while every quiet
@@ -87,22 +139,43 @@ object Bench {
     // window inflated, neighbors' trials in the same window inflated
     // too). t0_epoch_ms timestamps make the window checkable against
     // box-level evidence.
-    case class KeyRun(min: Double, trials: Seq[Double], t0EpochMs: Long)
+    case class KeyRun(min: Double, trials: Seq[Double], t0EpochMs: Long,
+                      cpuJson: String)
+    // Per-query rows over this min SELF-ADJUDICATE (round-16 verdict #1:
+    // the first driver-record breach of the 2 s hard bar had to be
+    // exonerated by cross-commit inference because per-query rows carried
+    // no CPU evidence): keys whose min lands above the threshold emit a
+    // `cpu` sub-block — the same /proc/stat + GC deltas the ingest legs
+    // carry, measured over the key's OWN trial window — so the next
+    // breach record names steal/sys/gc in-record.
+    val CpuDetailMinSec = 1.2
     val detail = benchKeys.map { case (name, fn) =>
       // Collect predecessors' garbage before timing: otherwise a query's
       // trials pay GC debt accrued by whichever queries happened to run
       // before it in map order, which is noise, not the query's cost.
       System.gc()
+      val load0 = loadavg1m()
+      val (us0, sy0, id0, io0, st0) = cpuStat()
+      val gc0 = gcMillis()
       val t0 = System.currentTimeMillis()
       val trials = Seq.fill(trialsN)(timeOnce(fn))
-      name -> KeyRun(if (trials.exists(_ < 0)) -1.0 else trials.min, trials, t0)
+      val wallSec = math.max(1e-3, (System.currentTimeMillis() - t0) / 1e3)
+      val (us1, sy1, id1, io1, st1) = cpuStat()
+      val gc1 = gcMillis()
+      val min = if (trials.exists(_ < 0)) -1.0 else trials.min
+      val cpuJson = if (min <= CpuDetailMinSec) "" else {
+        val jifTot = math.max(1L, (us1 - us0) + (sy1 - sy0) + (id1 - id0) +
+          (io1 - io0) + (st1 - st0))
+        f""","cpu":{"wall_sec":$wallSec%.3f,"loadavg_1m":$load0%.2f,"user_frac":${(us1 - us0).toDouble / jifTot}%.3f,"sys_frac":${(sy1 - sy0).toDouble / jifTot}%.3f,"idle_frac":${(id1 - id0).toDouble / jifTot}%.3f,"iowait_frac":${(io1 - io0).toDouble / jifTot}%.3f,"steal_frac":${(st1 - st0).toDouble / jifTot}%.3f,"gc_ms":${gc1 - gc0},"gc_frac":${(gc1 - gc0) / (wallSec * 1000)}%.3f}"""
+      }
+      name -> KeyRun(min, trials, t0, cpuJson)
     }
     val results = detail.map { case (k, r) => k -> r.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val trialsJson = detail.map { case (k, r) =>
       s"\"" + k + "\":{\"t0_epoch_ms\":" + r.t0EpochMs + ",\"trials\":" +
-        r.trials.map(t => f"$t%.3f").mkString("[", ",", "]") + "}"
+        r.trials.map(t => f"$t%.3f").mkString("[", ",", "]") + r.cpuJson + "}"
     }.mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val nFailed = results.size - ok.size
@@ -138,50 +211,6 @@ object Bench {
     // count) — the pair shows how the per-batch fixed cost (state probe +
     // touched-bucket listings + checkpoint-shaped overheads) amortizes
     // with flush size, which is the reference's own tuning knob.
-    // Box-I/O reading around each ingest leg: /proc/diskstats deltas
-    // (sectors read/written + device-busy ms, summed over whole physical
-    // devices) and the 1-min loadavg — so a low docs/s record carries its
-    // own evidence of whether the BOX was busy, instead of that being
-    // inferred after the fact from unrelated artifact-build times.
-    // Zero-cost reads of proc metadata; absent files (non-Linux) degrade
-    // to zeros rather than failing the bench.
-    def diskStats(): (Long, Long, Long) = try {
-      val dev = "^(sd[a-z]+|vd[a-z]+|nvme\\d+n\\d+|xvd[a-z]+)$".r
-      var (sr, sw, busy) = (0L, 0L, 0L)
-      java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/diskstats")).forEach { line =>
-        val f = line.trim.split("\\s+")
-        if (f.length >= 13 && dev.findFirstIn(f(2)).isDefined) {
-          sr += f(5).toLong; sw += f(9).toLong; busy += f(12).toLong
-        }
-      }
-      (sr, sw, busy)
-    } catch { case _: Throwable => (0L, 0L, 0L) }
-    def loadavg1m(): Double = try {
-      java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/loadavg")).get(0).split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
-    // CPU-side counters (round-15 verdict: the io block exonerated the
-    // DISK for the slow driver ingest legs — busy_frac 0.003 while the
-    // merge ran 14× its quiet cost — so the next anomalous record must
-    // carry the CPU-side evidence too): /proc/stat aggregate jiffies
-    // split user/system/idle/iowait/steal, and the JVM's own GC time.
-    // steal names a noisy-neighbor hypervisor; iowait names cold reads;
-    // a user gap with idle high names throttling outside this process;
-    // gc_frac names the JVM itself. Zeros on non-Linux, like diskStats.
-    def cpuStat(): (Long, Long, Long, Long, Long) = try {
-      val f = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-      // cpu user nice system idle iowait irq softirq steal
-      (f(1).toLong + f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong,
-        if (f.length > 8) f(8).toLong else 0L)
-    } catch { case _: Throwable => (0L, 0L, 0L, 0L, 0L) }
-    def gcMillis(): Long = try {
-      var t = 0L
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .forEach(b => t += math.max(0L, b.getCollectionTime))
-      t
-    } catch { case _: Throwable => 0L }
     def ingestAt(label: String, batchSizeOf: Long => Long,
                  withBootstrap: Boolean, doubled: Boolean = false,
                  fullFeatures: Boolean = false): String = try {
@@ -248,13 +277,22 @@ object Bench {
       val t0 = System.nanoTime()
       // phase split: gate (admission decision + durable log commit) vs the
       // four state merges — WHICH half of the per-batch fixed cost binds
-      // is the question the dual-flush-size comparison raises
+      // is the question the dual-flush-size comparison raises. The gate
+      // half further splits into its sub-phases (sketch / probe / score /
+      // log_commit — round-16 verdict #4: the gate became the dominant
+      // ingest half with no instrumentation of its own), summed across
+      // the leg's batches.
       var gateSec = 0.0; var mergeSec = 0.0
+      val gatePhases = scala.collection.mutable.LinkedHashMap[String, Double]()
       (0L until nBatches).foreach { b =>
-        val (g, m) = graft.streaming.IngestPipeline.applyBatchTimed(spark,
+        val (g, m, ph) = graft.streaming.IngestPipeline.applyBatchPhased(spark,
           docs.filter(col("b") === b).drop("b"), pipe, b)
         gateSec += g; mergeSec += m
+        ph.foreach { case (name, sec) =>
+          gatePhases(name) = gatePhases.getOrElse(name, 0.0) + sec }
       }
+      val gatePhaseJson = gatePhases.map { case (name, sec) =>
+        f""""$name":$sec%.3f""" }.mkString(""","gate_phases":{""", ",", "}")
       val sec = (System.nanoTime() - t0) / 1e9
       val (sr1, sw1, busy1) = diskStats()
       val (us1, sy1, id1, io1, st1) = cpuStat()
@@ -283,7 +321,7 @@ object Bench {
       }
       try graft.operators.Materialize.deleteLocalDir(root.toString)
       catch { case _: Throwable => }
-      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"gate_sec":$gateSec%.3f,"merge_sec":$mergeSec%.3f,"admitted":$admitted,"dropped":$dropped$ioJson$featJson$bootJson}"""
+      f""","$label":{"docs":$nDocs,"batches":$nBatches,"batch_docs":$batchSize,"sec":$sec%.3f,"docs_per_sec":${nDocs / sec}%.1f,"gate_sec":$gateSec%.3f$gatePhaseJson,"merge_sec":$mergeSec%.3f,"admitted":$admitted,"dropped":$dropped$ioJson$featJson$bootJson}"""
     } catch { case e: Throwable =>
       System.err.println(s"$label bench failed: $e"); ""
     }
@@ -321,6 +359,13 @@ object Bench {
       // FilteredRecallProbe's deterministic mixture-of-Gaussians corpus
       // so BOTH drift signals (uniform floor, clustered quality) are in
       // every bench record, not in a probe run from rounds ago.
+      // nlist 64 > 48 clusters (round-16 verdict #3): at nlist 16 every
+      // query's whole neighbor cluster landed in its own cell and p1
+      // read 1.000 at every setting — a ceiling-pinned instrument that
+      // could only catch catastrophic regressions. With clusters SPLIT
+      // across cells, p1 sits mid-scale (the drift needle) while p4
+      // stays ≥0.95 (the quality pin).
+      val ClusteredNlist = 64
       val cRoot = aRoot.toString + "/clustered"
       val cCorpus = spark.range(20000L).select(
           col("id").as("vec_id"),
@@ -330,12 +375,12 @@ object Bench {
               |  (pmod(hash(id, j, 'noise'), 1000) / 1000.0) * 0.5 - 0.25
               | as float))""".stripMargin).as("embedding"))
         .localCheckpoint()
-      graft.operators.IvfIndex.build(cCorpus, cRoot, nlist = 16, iters = 5)
+      graft.operators.IvfIndex.build(cCorpus, cRoot, nlist = ClusteredNlist, iters = 5)
       val cqs = cCorpus.filter(col("vec_id") % 1250 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .localCheckpoint()
       val cTruth = AnnEval.top(graft.operators.IvfIndex.searchBatch(
-        spark, cRoot, cqs, k = 10, probes = 16)) // probes = nlist ⇒ exact
+        spark, cRoot, cqs, k = 10, probes = ClusteredNlist)) // probes = nlist ⇒ exact
       val cEntries = Seq(1, 2, 4).map { p =>
         AnnEval.entryJson(s"p$p", cTruth,
           () => graft.operators.IvfIndex.searchBatch(spark, cRoot, cqs, 10, probes = p))
@@ -343,7 +388,7 @@ object Bench {
       try graft.operators.Materialize.deleteLocalDir(aRoot.toString)
       catch { case _: Throwable => }
       s""","ann_recall":{"k":10,"n_queries":${truth.size},"nlist":16,$entries,""" +
-        s""""clustered":{"n_vec":20000,"clusters":48,"dim":64,"n_queries":${cTruth.size},$cEntries}}"""
+        s""""clustered":{"n_vec":20000,"clusters":48,"dim":64,"nlist":$ClusteredNlist,"n_queries":${cTruth.size},$cEntries}}"""
     } catch { case t: Throwable =>
       System.err.println(s"ann recall bench failed: $t"); ""
     }
@@ -383,11 +428,15 @@ object Bench {
       val wTrials = wDetail.map(r => r.trials.map(t => f"$t%.3f")
         .mkString("[", ",", "]")).getOrElse("[]")
       val wT0 = wDetail.map(_.t0EpochMs).getOrElse(0L)
+      // the worst key's cpu block rides the tail summary too — a breach
+      // record must self-adjudicate even under a tail-only capture
+      val wCpu = wDetail.map(_.cpuJson).getOrElse("")
+        .replaceFirst("^,\"cpu\":", ",\"worst_cpu\":")
       println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_keys":$n,""" +
         f""""n_failed":$nFailed,""" +
         f""""per_key_avg":${if (n > 0) total / n else 0.0}%.4f,""" +
         f""""worst_key":"${worst._1}","worst_sec":${worst._2}%.3f,""" +
-        f""""worst_trials":$wTrials,"worst_t0_epoch_ms":$wT0,"sf":"$sfDir"}""")
+        f""""worst_trials":$wTrials,"worst_t0_epoch_ms":$wT0$wCpu,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

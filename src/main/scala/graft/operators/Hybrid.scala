@@ -298,15 +298,15 @@ object Hybrid {
     * discarded attempt leaves nothing persisted to reclaim (a dropped
     * localCheckpoint's RDD lingers until the ContextCleaner GCs it —
     * round-15 ADVICE), and downstream fusion of a 50-row local relation
-    * needs no exchange at all. Stamp-stability caveat: versionStamp maps
-    * directory entries to (mtime, length), and mtime granularity is the
-    * filesystem's (ms on RawLocalFileSystem) — two commits to the SAME
-    * entry within one tick could alias. Every state-root commit here is
-    * a rename-swap (new directory entry per touched bucket plus the
-    * parent's mtime moving), so aliasing needs a same-name re-swap in
-    * the same millisecond with an unchanged entry count — accepted for
-    * an opt-in optimistic mode; the fence-slot discipline remains the
-    * strict path. */
+    * needs no exchange at all. Stamp stability: versionStamp folds each
+    * root's monotonic `_seq` commit counter into the fingerprint
+    * alongside the per-entry (mtime, length) metadata, so two commits
+    * landing in one filesystem mtime tick with unchanged entry sizes —
+    * the former alias window — are still told apart (every
+    * commit/commitBuckets pre-increments the counter;
+    * IncrementalMergeSpec constructs the alias and proves the stamp
+    * breaks it). The fence-slot discipline remains the strict path for
+    * readers that cannot tolerate optimistic retries. */
   private[graft] def oneEpoch(spark: SparkSession, roots: Seq[String],
       maxRetries: Int)(read: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     var attempt = 0
@@ -461,7 +461,11 @@ object Hybrid {
       .select(col("doc_id"), col("bm25_rank"),
         round(graft.functions.VecDotFloat.vec_dot(col("embedding"),
           typedlit(qv)), 4).as("sim"))
-      .orderBy(col("sim").desc, col("doc_id"))
+      // tie-break NUMERICALLY (doc_id is canonical-numeric by the
+      // contract above): the oracle-pinned fixture twins order rounded-
+      // sim ties by the long id, and a string sort ('10' < '2') could
+      // select different rows at the `top` cutoff (round-16 ADVICE)
+      .orderBy(col("sim").desc, col("doc_id").cast("long"))
       .limit(top)
   }
 
@@ -523,7 +527,9 @@ object Hybrid {
       .select(col("vec_id").cast("string").as("doc_id"), col("bm25_rank"),
         round(graft.functions.VecDotFloat.vec_dot(col("embedding"),
           typedlit(qv)), 4).as("sim"))
-      .orderBy(col("sim").desc, col("doc_id"))
+      // numeric tie-break, matching the oracle-pinned twins (see
+      // rerankMaintained — round-16 ADVICE)
+      .orderBy(col("sim").desc, col("doc_id").cast("long"))
       .limit(top)
   }
 

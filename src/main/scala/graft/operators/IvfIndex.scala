@@ -898,7 +898,9 @@ object IvfIndex {
         if (r.isNullAt(0))
           throw new IllegalArgumentException(
             "batch PQ search requires a non-null qid on every row — found " +
-              s"a null-qid row (qv ${Option(qv).map(_.take(4).mkString("[", ",", ",…]")).getOrElse("null")})")
+              s"a null-qid row (qv ${Option(qv).map(v =>
+                v.take(4).mkString("[", ",",
+                  if (v.length > 4) ",…]" else "]")).getOrElse("null")})")
         if (qv == null || qv.length != m * subDim)
           throw new IllegalArgumentException(
             "query vector dim does not match PQ shape " +

@@ -728,18 +728,26 @@ object IncrementalShingles {
   def gateDecisions(spark: SparkSession, rootPath: String, batch: DataFrame,
                     threshold: Double = 0.8,
                     scheme: SketchScheme = WordShingles,
-                    maxCandidates: Int = 0): DataFrame = {
+                    maxCandidates: Int = 0,
+                    clock: PhaseClock = new PhaseClock): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
     // document granularity first: the latest event per rowkey is what the
     // merge would keep, so it alone decides admission for the rowkey.
     // The sketch set is computed HERE, once — the state probe, the
     // intra-batch pass, and the score join all read the same
     // materialized arrays (sketching used to run three times per gate)
-    val latest = puts.groupBy("rowkey")
+    // Phase attribution (`clock`): the per-stage localCheckpoints below
+    // are eager, so each phase's wall time is REAL when it runs —
+    // `sketch` (latest-event dedup + sketch arrays), `probe` (the
+    // bucket-pruned state probe + survivor set), `score` (the
+    // update-flag key fetch + intra-batch pair scoring). The default
+    // clock is a discarded accumulator — zero behavior change for
+    // untimed callers.
+    val latest = clock.time("sketch")(puts.groupBy("rowkey")
       .agg(max_by(col("text"), col("event_id")).as("text"))
       .select(col("rowkey"),
         array_sort(array_distinct(scheme.sketch(col("text")))).as("qs"))
-      .localCheckpoint()
+      .localCheckpoint())
     // a put whose only near-dup is its OWN stored version is an UPDATE,
     // not a duplicate — qid = rowkey matches must not gate it out, or
     // every minor edit to an existing document would be silently lost
@@ -749,17 +757,18 @@ object IncrementalShingles {
     // checkpointed: dupBest feeds BOTH the survivor anti-join and the
     // final decisions select — without it the whole state probe (the
     // batch's most expensive plan) executes twice per gate
-    val dupBest = nearDuplicatesBatchSketched(spark, rootPath,
+    val dupBest = clock.time("probe")(nearDuplicatesBatchSketched(spark, rootPath,
         latest.select(col("rowkey").as("qid"), col("qs")), threshold,
         scheme.dfCap, scheme, maxCandidates)
       .filter(col("qid") =!= col("rowkey"))
       .groupBy("qid")
       .agg(min_by(col("rowkey"), struct(-col("jaccard"), col("rowkey"))).as("dup_of"))
       .select(col("qid").as("rowkey"), col("dup_of"))
-      .localCheckpoint()
+      .localCheckpoint())
     // checkpointed: state-pass survivors feed the existence probe and the
     // intra-batch pair generation — one probe
-    val survivors = latest.join(dupBest, Seq("rowkey"), "left_anti").localCheckpoint()
+    val survivors = clock.time("probe")(
+      latest.join(dupBest, Seq("rowkey"), "left_anti").localCheckpoint())
     // which survivors are UPDATES of already-stored docs: a key-fetch
     // against only the batch keys' own doc buckets (metadata-bounded,
     // same shape as the probe's fetch)
@@ -768,7 +777,13 @@ object IncrementalShingles {
       .select(col("rowkey"), lit(true).as("exists"))
     val flagged = survivors.join(existing, Seq("rowkey"), "left_outer")
       .select(col("rowkey"), col("qs"), coalesce(col("exists"), lit(false)).as("exists"))
-    val drops = intraBatchDrops(flagged, threshold, scheme.dfCap)
+    // checkpointed (batch-pair-bounded rows): attributes the intra-batch
+    // scoring to its own phase AND leaves the final decisions select —
+    // the frame the admission log's durable write executes — a cheap
+    // join of three checkpointed batch-bounded inputs, so `log_commit`
+    // measures the write, not a replay of the scoring plan
+    val drops = clock.time("score")(
+      intraBatchDrops(flagged, threshold, scheme.dfCap).localCheckpoint())
     latest.select("rowkey")
       .join(dupBest.withColumnRenamed("dup_of", "s_dup_of")
         .withColumn("state_dup", lit(true)), Seq("rowkey"), "left_outer")

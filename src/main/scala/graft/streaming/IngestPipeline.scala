@@ -472,7 +472,8 @@ object IngestPipeline {
                                   admitIf: Option[Column],
                                   semanticThreshold: Option[Double] = None,
                                   semanticProbes: Int = 2,
-                                  gateMaxCandidates: Int = 0): DataFrame = {
+                                  gateMaxCandidates: Int = 0,
+                                  clock: PhaseClock = new PhaseClock): DataFrame = {
     val dir = admissionDir(pipelineRoot, batchId)
     if (!StateStore.nonEmpty(spark, dir)) {
       // threshold > 1.0: text gate disarmed — every put rowkey is
@@ -484,7 +485,7 @@ object IngestPipeline {
               lit(null).cast("string").as("dup_of"))
         else IncrementalShingles.gateDecisions(
           spark, shingleRoot(pipelineRoot), b, threshold, scheme,
-          gateMaxCandidates)
+          gateMaxCandidates, clock)
       val textDecisions = admitIf match {
         case None => textGate(batch)
         case Some(pred) =>
@@ -522,8 +523,13 @@ object IngestPipeline {
               coalesce(col("sem_dup_of"), col("dup_of")).as("dup_of"))
         case _ => textDecisions
       }
-      StateStore.commit(spark, dir)(tmp =>
-        decisions.withColumn("batch_id", lit(batchId)).write.parquet(tmp))
+      // the durable verdict commit — with the gate's upstream frames
+      // checkpointed (gateDecisions), this phase is the parquet write +
+      // swap plus the final decisions join; the armed semantic gate's
+      // probe (bench legs run text-only) also executes here
+      clock.time("log_commit")(
+        StateStore.commit(spark, dir)(tmp =>
+          decisions.withColumn("batch_id", lit(batchId)).write.parquet(tmp)))
     }
     spark.read.schema(decisionSchema).parquet(dir)
   }
@@ -669,6 +675,32 @@ object IngestPipeline {
                  tokenizerName: Option[String] = None,
                  textTransform: Option[Column => Column] = None,
                  gateMaxCandidates: Int = 0): (Double, Double) = {
+    val (g, m, _) = applyBatchPhased(spark, rawBatch, pipelineRoot, batchId,
+      threshold, numBuckets, tokenize, scheme, admitIf, annNlist, annIters,
+      semanticThreshold, semanticProbes, tokenizerName, textTransform,
+      gateMaxCandidates)
+    (g, m)
+  }
+
+  /** [[applyBatchTimed]] with the gate's wall time further attributed to
+    * its sub-phases via [[PhaseClock]] — (gateSeconds, mergeSeconds,
+    * gatePhases): `sketch` / `probe` / `score` ([[IncrementalShingles
+    * .gateDecisions]]) and `log_commit` (the durable verdict write).
+    * A replayed batch (decisions already logged) reports an empty/zero
+    * phase list — the gate re-reads the log, it does not re-decide. */
+  private[graft] def applyBatchPhased(spark: SparkSession, rawBatch: DataFrame,
+                 pipelineRoot: String, batchId: Long, threshold: Double = 0.8,
+                 numBuckets: Int = IncrementalIndex.DefaultBuckets,
+                 tokenize: Column => Column = split(_, " "),
+                 scheme: IncrementalShingles.SketchScheme =
+                   IncrementalShingles.WordShingles,
+                 admitIf: Option[Column] = None,
+                 annNlist: Int = 16, annIters: Int = 5,
+                 semanticThreshold: Option[Double] = None,
+                 semanticProbes: Int = 2,
+                 tokenizerName: Option[String] = None,
+                 textTransform: Option[Column => Column] = None,
+                 gateMaxCandidates: Int = 0): (Double, Double, Seq[(String, Double)]) = {
     val t0 = System.nanoTime()
     // the text transform (PII redaction, normalization) runs FIRST —
     // before the gate sees the batch — so raw text never reaches the
@@ -684,12 +716,14 @@ object IngestPipeline {
     // count check against the start()-time parameter.
     val effBuckets = StateStore.bucketCount(spark, stateRoot(pipelineRoot))
       .getOrElse(numBuckets)
+    val clock = new PhaseClock
     val decisions = decideAndLog(spark, batch, pipelineRoot, batchId, threshold,
-      scheme, admitIf, semanticThreshold, semanticProbes, gateMaxCandidates)
+      scheme, admitIf, semanticThreshold, semanticProbes, gateMaxCandidates,
+      clock)
     val t1 = System.nanoTime()
     mergeAll(spark, batch, decisions, pipelineRoot, effBuckets, tokenize,
       scheme, annNlist, annIters, tokenizerName, Some(batchId))
-    ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+    ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9, clock.phases)
   }
 
   /** The merge half of [[applyBatch]] (shared with [[bootstrap]]): apply

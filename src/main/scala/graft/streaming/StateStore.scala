@@ -98,14 +98,51 @@ object StateStore {
     if (fs.exists(backup)) fs.delete(backup, true): Unit
   }
 
+  /** Advance the monotonic commit counter `_seq` under `dir` — the
+    * content-versioned marker that closes [[versionStamp]]'s mtime-
+    * granularity alias window (round-16 verdict #5): two commits landing
+    * in one filesystem mtime tick with unchanged entry sizes are
+    * indistinguishable by (mtime, length), but each bumps this counter
+    * and the stamp folds its VALUE in. Bumped BEFORE the swap
+    * (pre-increment): a completed commit has always moved the counter,
+    * and a crash between bump and swap at worst costs an optimistic
+    * reader one spurious retry. Read-increment-write is safe under the
+    * store's single-writer-per-root contract; tmp-then-rename keeps the
+    * marker itself torn-write-free. An unparseable marker restarts at 1
+    * — still a stamp CHANGE, which is all the seqlock needs. */
+  private def bumpSeq(fs: FileSystem, dir: Path): Unit = {
+    val marker = new Path(dir, "_seq")
+    val next = (try {
+      if (!fs.exists(marker)) 0L
+      else {
+        val in = fs.open(marker)
+        (try new String(in.readAllBytes(), "UTF-8").trim finally in.close()).toLong
+      }
+    } catch { case _: Throwable => 0L }) + 1L
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, "_seq.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, marker)) {
+      // local fs refuses rename-onto-existing: replace under the
+      // single-writer contract
+      fs.delete(marker, true)
+      if (!fs.rename(tmp, marker))
+        throw new IOException(s"cannot advance commit counter $marker")
+    }
+  }
+
   /** Swap in a new state version: `write` receives the `.tmp` path and must
     * fully materialize the new state there; the swap then promotes it. The
     * caller's DataFrame must already be decoupled from `<path>`'s files
-    * (cache + count) — the old state is renamed during the swap. */
+    * (cache + count) — the old state is renamed during the swap.
+    * The commit counter bumps in `<path>`'s PARENT (the swap replaces
+    * `<path>` itself), so a stamp over the enclosing root sees it. */
   def commit(spark: SparkSession, statePath: String)(write: String => Unit): Unit = {
     val tmp = new Path(statePath + ".tmp")
     val fs = fsOf(spark, tmp)
     recover(spark, statePath)
+    Option(new Path(statePath).getParent).foreach(bumpSeq(fs, _))
     if (fs.exists(tmp)) fs.delete(tmp, true)
     write(tmp.toString)
     swapIn(spark, tmp.toString, statePath)
@@ -132,6 +169,9 @@ object StateStore {
     val fs = fsOf(spark, root)
     if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
     fs.mkdirs(root)
+    // inside the root (bucket swaps never touch root-level files), before
+    // any swap — see bumpSeq for the pre-increment argument
+    bumpSeq(fs, root)
     write(tmpRoot.toString)
     bucketDirs.foreach(d => swapIn(spark, s"$tmpRoot/$d", s"$rootPath/$d"))
     if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
@@ -359,20 +399,22 @@ object StateStore {
 
   /** A cheap content-version fingerprint of a state root for OPTIMISTIC
     * read stability (the seqlock discipline): every child and grandchild
-    * entry under the root, mapped to (modificationTime, length). Two
+    * entry under the root, mapped to (modificationTime, length) — plus,
+    * for each `_seq` commit-counter marker encountered, its VALUE. Two
     * directory-listing levels of driver metadata — bucket dirs, marker
     * files, fence epochs — and every commit in this store moves it: a
     * bucket swap replaces the bucket dir (new mtime) and touches its
     * parent, a whole-root swap replaces the subroot, a marker write adds
-    * a file. Equal stamps before and after a read ⇒ no commit landed
-    * between them; the converse (a commit always changes the stamp) is
-    * what the swap protocol guarantees — up to mtime GRANULARITY: the
-    * stamp is (modificationTime, length) per entry, and mtime ticks at
-    * the filesystem's resolution (ms on RawLocalFileSystem), so a
-    * same-name re-swap landing in the same tick with an unchanged entry
-    * count would alias. Acceptable for the OPTIMISTIC mode this serves;
-    * readers needing a hard guarantee use the writer's fence slot. Used
-    * by the two-root hybrid read's opt-in one-epoch mode
+    * a file, and EVERY commit/commitBuckets pre-increments a `_seq`
+    * counter inside (or, for whole-subroot swaps, beside) the swapped
+    * entry. Equal stamps before and after a read ⇒ no commit landed
+    * between them. (mtime, length) alone ticks at the filesystem's mtime
+    * resolution (ms on RawLocalFileSystem), so a same-name re-swap in
+    * one tick with unchanged sizes would ALIAS; folding the counters'
+    * monotonic values in closes that window — the cost is one small read
+    * per `_seq` file per stamp (round-16 verdict #5). Readers needing a
+    * hard guarantee still use the writer's fence slot. Used by the
+    * two-root hybrid read's opt-in one-epoch mode
     * ([[graft.operators.Hybrid]]). */
   def versionStamp(spark: SparkSession, rootPath: String): Map[String, (Long, Long)] = {
     val root = new Path(rootPath)
@@ -390,6 +432,14 @@ object StateStore {
             (c.getModificationTime, c.getLen)
         catch { case _: java.io.FileNotFoundException => }
     }
+    for (k <- out.keys.toSeq if k == "_seq" || k.endsWith("/_seq"))
+      try {
+        val in = fs.open(new Path(root, k))
+        val v = (try new String(in.readAllBytes(), "UTF-8").trim
+          finally in.close()).toLong
+        out(s"$k#value") = (v, v)
+      } catch { case _: Throwable => } // racing swap: the mtime entries
+        // around that commit differ anyway
     out.toMap
   }
 

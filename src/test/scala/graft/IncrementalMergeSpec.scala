@@ -234,4 +234,47 @@ class IncrementalMergeSpec extends SparkSpec {
     assert(stateMap(IncrementalIndex.readState(spark, statePathA)) ===
       stateMap(IncrementalIndex.compact(ev)))
   }
+
+  test("versionStamp distinguishes two same-mtime, same-size commits via the _seq counter") {
+    // The seqlock stamp's residual risk was mtime GRANULARITY: two
+    // same-name re-swaps landing in one filesystem tick with unchanged
+    // entry sizes alias under (mtime, length) alone, and the one-epoch
+    // read would wrongly certify a torn read. This CONSTRUCTS that alias
+    // — two commits with byte-identical, identically-named content, all
+    // entry mtimes then pinned to one instant — and proves the folded
+    // `_seq` commit counter still tells them apart (round-16 verdict #5).
+    val root = Files.createTempDirectory("graft_seq").toString + "/state"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def commitOnce(): Unit =
+      StateStore.commitBuckets(spark, root, Seq("b=0")) { tmp =>
+        val f = new org.apache.hadoop.fs.Path(s"$tmp/b=0/part-00000")
+        val out = fs.create(f, true)
+        try out.write("fixed content".getBytes("UTF-8")) finally out.close()
+      }
+    def pinMtimes(): Unit = {
+      val t = 1700000000000L
+      def touch(p: org.apache.hadoop.fs.Path): Unit = {
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).foreach(c => touch(c.getPath))
+        fs.setTimes(p, t, t)
+      }
+      touch(new org.apache.hadoop.fs.Path(root))
+    }
+    commitOnce(); pinMtimes()
+    val s1 = StateStore.versionStamp(spark, root)
+    commitOnce(); pinMtimes()
+    val s2 = StateStore.versionStamp(spark, root)
+    // the construction is a TRUE alias for the metadata-only stamp: every
+    // (name, mtime, length) entry identical across the two commits
+    // ("1" and "2" are both one byte)
+    val meta1 = s1.view.filterKeys(!_.endsWith("#value")).toMap
+    val meta2 = s2.view.filterKeys(!_.endsWith("#value")).toMap
+    assert(meta1 === meta2,
+      s"expected a metadata alias, got diff ${meta1.toSet.diff(meta2.toSet)}")
+    // ...and the folded counter value still distinguishes them
+    assert(s1 !== s2, "the _seq value must break the alias")
+    assert(s1("_seq#value")._1 + 1L === s2("_seq#value")._1,
+      s"counter must advance by one: ${s1.get("_seq#value")} -> ${s2.get("_seq#value")}")
+  }
 }

@@ -42,7 +42,13 @@ object IngestAbProbe {
     def cpuStat(): (Long, Long, Long, Long, Long) = try {
       val f = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-      (f(1).toLong + f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong,
+      // irq+softirq fold into sys — an incomplete jiffy denominator
+      // redistributed kernel-storm time into the other fractions
+      // (round-16 ADVICE; same fix as Bench.cpuStat)
+      (f(1).toLong + f(2).toLong,
+        f(3).toLong + (if (f.length > 6) f(6).toLong else 0L) +
+          (if (f.length > 7) f(7).toLong else 0L),
+        f(4).toLong, f(5).toLong,
         if (f.length > 8) f(8).toLong else 0L)
     } catch { case _: Throwable => (0L, 0L, 0L, 0L, 0L) }
     def gcMillis(): Long = {

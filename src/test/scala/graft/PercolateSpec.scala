@@ -165,6 +165,40 @@ class PercolateSpec extends SparkSpec {
     assert(viaExpansion2.nonEmpty)
   }
 
+  test("registry-compile dispatch is purely physical: local ≡ frame on every role") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every role populated (all/any/none/phrase/range/groups), PLUS a
+    // duplicate registry row — the frame path counts duplicate rows in
+    // its sizes aggregation, and the compiled path must count identically
+    val fix = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val qs = Percolate.demoRichQueries ++ Percolate.demoBoolQueries ++
+      Percolate.demoGroupQueries
+    val rows = Percolate.explodeRoles(qs) ++
+      Seq(("need_spark_not_slow", "spark", "all")) // duplicate 'all' row
+    val reg = rows.toDF("query_id", "term", "role")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the four dispatch corners: {local, frame} × {scan, expansion}
+    val localScan = pairsOf(Percolate.matchesBoolFrame(fix, reg))
+    val frameScan = pairsOf(Percolate.matchesBoolFrame(fix, reg,
+      registryCompileMax = 0))
+    val localExp = pairsOf(Percolate.matchesBoolFrame(fix, reg,
+      gramScanMax = 0L))
+    val frameExp = pairsOf(Percolate.matchesBoolFrame(fix, reg,
+      gramScanMax = 0L, registryCompileMax = 0))
+    assert(localScan === frameScan,
+      s"local/frame diverge (scan): ${localScan.diff(frameScan)} | ${frameScan.diff(localScan)}")
+    assert(localScan === localExp && localScan === frameExp)
+    assert(localScan.nonEmpty)
+    // the duplicated 'all' row inflates n_all AND hit_all equally (the
+    // join fans out per registry row), so the query must still match in
+    // BOTH paths — a path counting dups on one side only would drop it
+    assert(localScan.exists(_._2 == "need_spark_not_slow"),
+      "duplicate registry rows must inflate sizes and hits symmetrically")
+  }
+
   test("null-emitting tokenizers see identical phrase matches from both dispatch branches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, split, transform, when}

@@ -115,6 +115,53 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 2L), (101L, 1L)))
   }
 
+  test("grid join, raw sweep, and indexed sweep agree on random interval sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // deterministic pseudo-random intervals and points spanning several
+    // segments, including point-only segments (between sparse intervals)
+    // and points outside the boundary range on both sides — the dense-
+    // offset fallback's edge cases
+    val H = 3600000000L
+    val segUs = 2 * H // small width ⇒ many segments at this fixture size
+    val iGen = Gen.listOfN(60, for {
+      s <- Gen.choose(0L, 40 * H)
+      len <- Gen.choose(1L, 6 * H)
+    } yield (s, s + len))
+    val pGen = Gen.listOfN(80, Gen.choose(-2 * H, 50 * H))
+    val intervals = iGen(Gen.Parameters.default, Seed(7L)).get
+      .toDF("start_us", "end_us")
+    val points = pGen(Gen.Parameters.default, Seed(11L)).get
+      .zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("event_id", "ts")
+    val bounds = intervals
+      .select(col("start_us").as("ts"), lit(1L).as("d"))
+      .unionByName(intervals.select((col("end_us") + 1).as("ts"), lit(-1L).as("d")))
+      .groupBy("ts").agg(sum("d").as("d"))
+    val errors = points.select(col("event_id"), col("ts"),
+      floor(col("ts") / segUs).as("seg"))
+    val indexed = Temporal.activeSweepIndexed(
+        Temporal.stepsOf(bounds, segUs), Temporal.offsetsOf(bounds, segUs),
+        errors)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the general (un-indexed) sweep — identical rows, zero counts kept
+    val ev = points.select(col("event_id"), col("ts"))
+      .withColumn("event_type", lit("error"))
+      .withColumn("user_id", lit(0L)).withColumn("value", lit(0.0))
+    val raw = Temporal.activeSweepBounds(bounds, ev, segUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(indexed === raw,
+      s"indexed sweep diverged from the raw sweep: ${indexed.toSet.diff(raw.toSet)}")
+    // the grid join (inner — zero-count points absent) agrees on positives
+    val grid = Temporal.activeIntervalCounts(points, intervals, "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(indexed.filter(_._2 > 0L) === grid,
+      s"sweep positives diverged from grid join")
+    assert(grid.nonEmpty && indexed.exists(_._2 == 0L),
+      "fixture must exercise both matched and zero-count points")
+  }
+
   test("funnel stage requires the steps IN ORDER, not as a bag of types") {
     import spark.implicits._
     // user 1: purchase → click → view (all types present, wrong order) = stage 1
