@@ -359,20 +359,29 @@ object Bench {
       // FilteredRecallProbe's deterministic mixture-of-Gaussians corpus
       // so BOTH drift signals (uniform floor, clustered quality) are in
       // every bench record, not in a probe run from rounds ago.
-      // nlist 64 > 48 clusters (round-16 verdict #3): at nlist 16 every
-      // query's whole neighbor cluster landed in its own cell and p1
-      // read 1.000 at every setting — a ceiling-pinned instrument that
-      // could only catch catastrophic regressions. With clusters SPLIT
-      // across cells, p1 sits mid-scale (the drift needle) while p4
-      // stays ≥0.95 (the quality pin).
+      // Dynamic range (round-16 verdict #3, REDONE round 17): nlist 64 >
+      // 48 clusters alone did NOT move the needle — assignment ranks by
+      // DOT PRODUCT, and with tight blobs (noise ±0.25) on huge centers
+      // (±5) two centroids landing in one blob differ by a small delta d,
+      // so every member's assignment margin center·Δd ± noise·Δd is
+      // dominated by the CONSTANT center term (~35×): the whole blob goes
+      // to one centroid, the loser starves, and p1 reads 1.000 at ANY
+      // nlist (measured: live_cells=48 of 64, p1=1.000 —
+      // ClusteredCalProbe). Mid-scale needs within-blob spread comparable
+      // to the center scale. Calibrated sweep (ClusteredCalProbe, round
+      // 17): 16 clusters / noise ±2.5 / nlist 64 → all 64 cells live,
+      // p1 = 0.500 (the drift needle, dead mid-scale), p2 = 0.825,
+      // p4 = 1.000 (the quality pin ≥ 0.95). Deterministic hash corpus —
+      // the numbers are reproducible, not seeded.
       val ClusteredNlist = 64
+      val ClusteredK = 16
       val cRoot = aRoot.toString + "/clustered"
       val cCorpus = spark.range(20000L).select(
           col("id").as("vec_id"),
           expr(
-            """transform(sequence(0, 63, 1), j -> cast(
-              |  (pmod(hash(id % 48, j, 'center'), 10000) / 10000.0) * 10.0 - 5.0 +
-              |  (pmod(hash(id, j, 'noise'), 1000) / 1000.0) * 0.5 - 0.25
+            s"""transform(sequence(0, 63, 1), j -> cast(
+              |  (pmod(hash(id % $ClusteredK, j, 'center'), 10000) / 10000.0) * 10.0 - 5.0 +
+              |  (pmod(hash(id, j, 'noise'), 1000) / 1000.0) * 5.0 - 2.5
               | as float))""".stripMargin).as("embedding"))
         .localCheckpoint()
       graft.operators.IvfIndex.build(cCorpus, cRoot, nlist = ClusteredNlist, iters = 5)
@@ -388,7 +397,7 @@ object Bench {
       try graft.operators.Materialize.deleteLocalDir(aRoot.toString)
       catch { case _: Throwable => }
       s""","ann_recall":{"k":10,"n_queries":${truth.size},"nlist":16,$entries,""" +
-        s""""clustered":{"n_vec":20000,"clusters":48,"dim":64,"nlist":$ClusteredNlist,"n_queries":${cTruth.size},$cEntries}}"""
+        s""""clustered":{"n_vec":20000,"clusters":$ClusteredK,"dim":64,"nlist":$ClusteredNlist,"n_queries":${cTruth.size},$cEntries}}"""
     } catch { case t: Throwable =>
       System.err.println(s"ann recall bench failed: $t"); ""
     }
