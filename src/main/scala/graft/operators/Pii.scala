@@ -60,7 +60,7 @@ object Pii {
     * gains one synthetic email and phone, every third doc a second
     * email, every fifth a 11-digit id — then detection counts and the
     * redacted text are checked end to end. */
-  private[operators] def decorated(docs: DataFrame): DataFrame =
+  private[graft] def decorated(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(col("text"),
         lit(" contact u"), col("doc_id").cast("string"), lit("@ex.org"),
@@ -73,9 +73,27 @@ object Pii {
           .otherwise(lit(""))).as("text"))
 
   private def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    // Round-17: the built-in formulation ran SIX regex passes per row
+    // (3× regexp_replace for the mask chain + 3× regexp_count on the
+    // per-stage inputs; Catalyst's subexpression elimination dedupes the
+    // shared replace prefixes but cannot merge a count with its replace
+    // twin). The fused [[graft.functions.RegexpReplaceCount]] expression
+    // returns (clean, n) from ONE `find()` loop per category — three
+    // passes total, identical semantics (count == replacements by
+    // construction; parity spec-pinned, oracle re-checked at two SFs).
+    import graft.functions.RegexpReplaceCount.regexp_replace_count
     val d = decorated(Tables.documents(spark, dir))
-    d.select(col("doc_id") +: counts(col("text")) :+
-        redact(col("text")).as("clean"): _*)
+    d.select(col("doc_id"),
+        regexp_replace_count(col("text"), EmailRe, EmailMask).as("s1"))
+      .select(col("doc_id"), col("s1"),
+        regexp_replace_count(col("s1.clean"), PhoneRe, PhoneMask).as("s2"))
+      .select(col("doc_id"), col("s1"), col("s2"),
+        regexp_replace_count(col("s2.clean"), IdRe, IdMask).as("s3"))
+      .select(col("doc_id"),
+        col("s1.n").as("n_email"),
+        col("s2.n").as("n_phone"),
+        col("s3.n").as("n_id"),
+        col("s3.clean").as("clean"))
       .orderBy("doc_id")
   }
 
