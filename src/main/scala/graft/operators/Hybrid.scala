@@ -131,9 +131,31 @@ object Hybrid {
       .agg(round(sum(col("contrib")), 4).as("score"))
   }
 
-  /** Corpus BM25 leg — [[bm25ScoredCorpus]], ranked. */
+  /** The corpus legs' SCORED (pre-rank) sets, MATERIALIZED once per
+    * session (round 17) — the corpus-scoped analogue of the maintained
+    * twins' shared leg artifacts (`hybrid_bm_leg`/`hybrid_vec_leg`,
+    * established round 14): four keys consume these two legs
+    * (search/weighted rank them, filtered predicates-then-ranks for
+    * k-fill, rerank re-orders the lexical one), and before this seam
+    * each key re-ran both scoring pipelines in its own plan. Scored (not
+    * ranked) is the sharing point BECAUSE of the filtered form: fq
+    * applies before the rank truncation, so the ranked-50 artifact
+    * cannot serve it. Bounds: the BM25 set is Σ df(term) rows (posting-
+    * bounded); the vector set is one narrow (vec_id, sim) row per vector
+    * — the same per-doc-column bound as `doc_fingerprints`/`simhash_fp`.
+    * Invalidated with the corpus scope like every derived artifact. */
+  private def sharedBmScoredCorpus(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "hybrid_bm_scored", dir)(
+      bm25ScoredCorpus(spark, dir))
+
+  private def sharedVecScoredCorpus(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "hybrid_vec_scored", dir)(
+      vecScoredCorpus(spark, dir))
+
+  /** Corpus BM25 leg — the scored artifact, ranked (a TakeOrdered over
+    * cached blocks). */
   private def bm25LegCorpus(spark: SparkSession, dir: String): DataFrame =
-    rankLeg(bm25ScoredCorpus(spark, dir), col("doc_id"), col("score"))
+    rankLeg(sharedBmScoredCorpus(spark, dir), col("doc_id"), col("score"))
 
   /** Corpus vector leg — q_vector_topk's brute-force cosine (query =
     * vec 0's embedding, vec 0 excluded), ranked on the rounded sim. */
@@ -147,7 +169,7 @@ object Hybrid {
   }
 
   private def vecLegCorpus(spark: SparkSession, dir: String): DataFrame =
-    rankLeg(vecScoredCorpus(spark, dir), col("vec_id"), col("sim"))
+    rankLeg(sharedVecScoredCorpus(spark, dir), col("vec_id"), col("sim"))
 
   private def qHybridSearch(spark: SparkSession, dir: String): DataFrame =
     rrfFuse(bm25LegCorpus(spark, dir), vecLegCorpus(spark, dir))
@@ -166,10 +188,10 @@ object Hybrid {
     val allowed = Tables.documents(spark, dir)
       .filter(col("lang") === "en").select("doc_id")
     val bm = rankLeg(
-      bm25ScoredCorpus(spark, dir).join(allowed, "doc_id"),
+      sharedBmScoredCorpus(spark, dir).join(allowed, "doc_id"),
       col("doc_id"), col("score"))
     val v = rankLeg(
-      vecScoredCorpus(spark, dir)
+      sharedVecScoredCorpus(spark, dir)
         .join(allowed.withColumnRenamed("doc_id", "vec_id"), "vec_id"),
       col("vec_id"), col("sim"))
     rrfFuse(bm, v)
