@@ -248,6 +248,37 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(20)
 
+  /** Document-level co-occurrence pair counts (tok_a < tok_b, n_ab),
+    * MATERIALIZED once per session — the corpus statistic PMI mining
+    * reads, vocabulary²-bounded (distinct sorted pairs, never
+    * occurrences). Unthresholded: the n_ab cutoff is the QUERY's
+    * constant, not the statistic's. */
+  private[graft] def sharedCoocCounts(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "cooc_pair_counts", dir) {
+      val ts = array_sort(array_distinct(toks))
+      Tables.documents(spark, dir)
+        .select(ts.as("t"))
+        .select(posexplode(col("t")).as(Seq("i", "tok_a")), col("t"))
+        .select(col("tok_a"),
+          explode(slice(col("t"), col("i") + lit(2), size(col("t")))).as("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(count(lit(1)).as("n_ab"))
+    }
+
+  /** Adjacent-bigram occurrence counts ((a, b), n_ab), MATERIALIZED once
+    * per session — the bigram LM table beside the unigram one the
+    * postings already carry. Bounded by distinct adjacent pairs. */
+  private[graft] def sharedBigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Materialize.artifact(spark, "bigram_counts", dir) {
+      Tables.documents(spark, dir).select(toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))"))
+          .as("bg"))
+        .groupBy(col("bg.a").as("tok_a"), col("bg.b").as("tok_b"))
+        .agg(count(lit(1)).as("n_ab"))
+    }
+
   private def qCollocations(spark: SparkSession, dir: String): DataFrame = {
     // PMI collocation mining — which word pairs co-occur in documents far
     // more than their independent document frequencies predict (the
@@ -262,17 +293,18 @@ object TextAnalysis {
     // length. Generators stay on the whole-stage-codegen path; the
     // equivalent nested higher-order `transform` lambdas fall back to
     // interpreted evaluation and ran ~10× slower at sf0.1.
-    val ts = array_sort(array_distinct(toks))
-    val pairs = Tables.documents(spark, dir)
-      .select(ts.as("t"))
-      .select(posexplode(col("t")).as(Seq("i", "tok_a")), col("t"))
-      .select(col("tok_a"),
-        explode(slice(col("t"), col("i") + lit(2), size(col("t")))).as("tok_b"))
-      .groupBy("tok_a", "tok_b")
-      .agg(count(lit(1)).as("n_ab"))
-    val docToks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-    val dfreq = docToks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Round 17 (guide §2.4 via the Materialize seam): the document-level
+    // co-occurrence counts are a standing corpus statistic — vocabulary²-
+    // bounded, like the postings they sit beside — so the O(k²) per-doc
+    // pair expansion builds ONCE per session instead of inside every
+    // call; df(tok) is read from the postings artifact (same analyzer —
+    // distinct-docs-per-token IS the posting list's df), which removes
+    // the second full corpus explode this query ran per call. Only the
+    // broadcast joins, the n_ab threshold (a query constant, kept OUT of
+    // the artifact) and the PMI arithmetic remain per query.
+    val pairs = sharedCoocCounts(spark, dir)
+    val dfreq = Index.sharedPostings(spark, dir)
+      .select(col("tok"), col("df"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     pairs
       .join(broadcast(dfreq.select(col("tok").as("tok_a"), col("df").as("df_a"))), "tok_a")
@@ -300,15 +332,15 @@ object TextAnalysis {
     // same per-row sequence/slice expression q_repetition uses — one
     // scan, no join; the aggregates are vocabulary²-bounded and the two
     // frequency tables broadcast into the scorer.
-    val docs = Tables.documents(spark, dir).select(toks.as("t"))
-    val bigrams = docs.filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))"))
-        .as("bg"))
-      .groupBy(col("bg.a").as("tok_a"), col("bg.b").as("tok_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    val unigrams = docs.select(explode(col("t")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // Round 17: the bigram table is the [[sharedBigramCounts]] session
+    // artifact and the unigram table reads the postings artifact's
+    // occurrence counts (same analyzer; Σ tf per token IS the unigram
+    // count) — the two full corpus explode+aggregate passes this query
+    // re-ran per call now build once per session. Totals come from the
+    // two vocabulary-sized tables, exactly as before.
+    val bigrams = sharedBigramCounts(spark, dir)
+    val unigrams = Index.sharedPostings(spark, dir)
+      .select(col("tok"), col("n").as("cnt"))
     val totals = unigrams.agg(sum(col("cnt")).as("n_toks"))
       .crossJoin(bigrams.agg(sum(col("n_ab")).as("n_bgs")))
     bigrams
