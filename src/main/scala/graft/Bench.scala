@@ -52,6 +52,40 @@ object Bench {
     // their cost is captured by the build clock and reported below).
     val benchKeys = SparkEntry.queries.filter { case (k, _) =>
       only.forall(_.contains(k)) }
+    // Cold-start leg (round-17 verdict #7 — honesty guard for the
+    // Materialize seam): ONE designated key per artifact family, timed on
+    // its FIRST execution in this fresh session, BEFORE any artifact or
+    // fixture exists — the build+query latency a first query pays, kept
+    // in-record beside the warm numbers. Runs before the warmup passes,
+    // so the timed region of the 150 keys is untouched (these builds
+    // would have happened in warmup anyway; the clock just reads them).
+    // Order-dependent by design: a family's shared sub-artifact (e.g.
+    // the shingle index under minhash_pairs) attributes to whichever
+    // designated key runs first — the list is ordered so each key's time
+    // covers its OWN family's artifacts.
+    val coldKeys = Seq(
+      "q_bm25_topk",       // postings_default + doc_lens
+      "q_dedup_near",      // shingle_index + near_dup_pairs
+      "q_dedup_minhash",   // minhash_pairs (over the now-built shingles)
+      "q_dedup_simhash",   // simhash_fp + doc_fingerprints
+      "q_dedup_cjk",       // cjk_sketch_index + cjk_near_dup_pairs
+      "q_active_sweep",    // event_sessions + sweep_bounds/steps/offsets
+      "q_percolate_rich",  // percolate_doc_terms + doc_tokens_ordered
+      "q_hybrid_search",   // hybrid_*_leg + hybrid_*_scored
+      "q_bigram_pmi",      // bigram_counts (+ postings stats, already built)
+      "q_bm25_maintained", // maintained_postings_fixture
+      "q_ann_maintained")  // ann_maintained_fixture
+    val coldJson = if (only.nonEmpty) "" else {
+      val entries = coldKeys.flatMap { k =>
+        SparkEntry.queries.get(k).map { fn =>
+          val t0 = System.nanoTime()
+          val okCold = try { run(fn); true } catch { case _: Throwable => false }
+          val sec = if (okCold) (System.nanoTime() - t0) / 1e9 else -1.0
+          f""""$k":$sec%.3f"""
+        }
+      }
+      entries.mkString(""","cold":{""", ",", "}")
+    }
     benchKeys.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
@@ -411,7 +445,7 @@ object Bench {
       ingestAt("ingest_10k", total => math.min(total, 10000L),
         withBootstrap = false, doubled = true)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"trial_detail":$trialsJson,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap$annJson$ingestJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"trial_detail":$trialsJson,"sf":"$sfDir","artifact_build_sec":$buildSec,"artifact_builds":$buildMap$coldJson$annJson$ingestJson}"""
     println(json)
     // Stdout of driver runs has been truncated before (BENCH_r06 lost 16
     // per-query numbers to a clipped capture) — persist the full line too.
@@ -426,6 +460,16 @@ object Bench {
     // Emit a compact self-contained summary as the very LAST line so even
     // a tail capture yields a parseable record; the full per-key JSON is
     // in .tmp/bench.json above.
+    //
+    // Round-17 verdict #1: every BENCH record since round 14 carries
+    // "parsed": null — the driver's parser extracts per-query seconds
+    // from neither the giant full-JSON line (front-truncated by the tail
+    // capture) nor this summary line (which carried only totals). The
+    // per-query seconds map therefore now rides THIS closing line too,
+    // compact (3 decimals, no trial detail — ~25 bytes/key), alongside
+    // the original one-line contract fields (metric/value/unit/queries/
+    // sf) and all previously existing summary fields. Timing methodology
+    // is untouched; this is output plumbing only.
     locally {
       val n = ok.size
       val worst = if (ok.nonEmpty) ok.maxBy(_._2) else ("", 0.0)
@@ -441,11 +485,21 @@ object Bench {
       // record must self-adjudicate even under a tail-only capture
       val wCpu = wDetail.map(_.cpuJson).getOrElse("")
         .replaceFirst("^,\"cpu\":", ",\"worst_cpu\":")
-      println(f"""{"metric":"bench_summary","total_sec":$total%.2f,"n_keys":$n,""" +
+      val qsCompact = results.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      // field order is deliberate: the driver stores only the LAST ~2k
+      // chars of stdout in its record, so the human-auditable summary
+      // fields (worst key, cold block, sf) sit at the END of the line
+      // where a truncated capture still shows them; the parseable map
+      // sits in front for a full-stdout parser.
+      println(f"""{"metric":"bench_summary","value":$total,"unit":"sec",""" +
+        s""""queries":$qsCompact,""" +
+        f""""total_sec":$total%.2f,"n_keys":$n,""" +
         f""""n_failed":$nFailed,""" +
         f""""per_key_avg":${if (n > 0) total / n else 0.0}%.4f,""" +
         f""""worst_key":"${worst._1}","worst_sec":${worst._2}%.3f,""" +
-        f""""worst_trials":$wTrials,"worst_t0_epoch_ms":$wT0$wCpu,"sf":"$sfDir"}""")
+        f""""worst_trials":$wTrials,"worst_t0_epoch_ms":$wT0$wCpu""" +
+        s"""$coldJson,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

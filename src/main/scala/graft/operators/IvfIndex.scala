@@ -775,8 +775,6 @@ object IvfIndex {
       .orderBy(col("csim").desc, col("cell"))
       .limit(probes)
       .select("cell").collect().map(_.getInt(0)).toSeq
-    // heal any interrupted upsert swap before partition discovery
-    StateStore.liveBuckets(spark, path + "/vectors", "cell=")
     // ADC table adc[s][code] = dot(query subvector, codeword): m×k rows
     // collected from the codebooks (driver-bounded by the PqSpec), shipped
     // back as ONE nested literal so the scan-side score is a pure
@@ -796,8 +794,10 @@ object IvfIndex {
       adc(s)(c) = d
     }
     val adcLit = typedlit(adc.map(_.toSeq).toSeq)
-    val short = spark.read.parquet(path + "/vectors")
-      .filter(col("cell").isin(probed: _*))
+    // ONE explicit probed-directory relation serves the ADC scan, the
+    // empty fallback, and the rerank (heals + cached listing inside)
+    val vecs = probedVectorsRead(spark, path, probed)
+    val short = vecs
       .select(col("vec_id"), col("codes")) // column-pruned: no float read
       .withColumn("adc", aggregate(
         zip_with(col("codes"), adcLit, (c, row) => element_at(row, c + 1)),
@@ -806,10 +806,10 @@ object IvfIndex {
       .limit(shortlist)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     if (short.isEmpty) // probed cells hold no vectors: nothing to rerank
-      return spark.read.parquet(path + "/vectors")
+      return vecs
         .select(col("vec_id"), col("cell"), lit(0.0).as("sim")).limit(0)
-    spark.read.parquet(path + "/vectors")
-      .filter(col("cell").isin(probed: _*) && col("vec_id").isin(short: _*))
+    vecs
+      .filter(col("vec_id").isin(short: _*))
       .withColumn("sim", dotDD(col("embedding"), qv))
       .select(col("vec_id"), col("cell"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -839,10 +839,9 @@ object IvfIndex {
       .select("qid", "cell", "qv")
       .localCheckpoint()
     val cellList = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal before discovery
     val simRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    spark.read.parquet(path + "/vectors")
-      .filter(col("cell").isin(cellList: _*)) // prunes to the probed directories
+    // explicit probed-directory read (heals + cached listing inside)
+    probedVectorsRead(spark, path, cellList)
       .join(broadcast(probed), "cell")
       .withColumn("sim", dotDD(col("embedding"), col("qv")))
       .withColumn("rn", row_number().over(simRank))
@@ -932,16 +931,15 @@ object IvfIndex {
         }
       }
     val cellList = probedPairs.map(_._2).distinct.sorted
-    StateStore.liveBuckets(spark, path + "/vectors", "cell=") // heal first
     val probedDf = probedPairs.toDF("qid", "cell")
     val tbl = adcRows.toDF("qid", "s", "code", "dp")
     // ONE read relation serves both the ADC scan and the rerank — the
     // second spark.read would re-run parquet schema inference (a small
-    // Spark job) per call on the hot path
-    val vecs = spark.read.parquet(path + "/vectors")
+    // Spark job) per call on the hot path; explicit probed-directory
+    // read (heals + cached listing inside)
+    val vecs = probedVectorsRead(spark, path, cellList)
     val shortW = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
     val short = vecs
-      .filter(col("cell").isin(cellList: _*))
       .select(col("vec_id"), col("cell"), col("codes")) // column-pruned
       .join(broadcast(probedDf), "cell")
       .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
@@ -953,7 +951,6 @@ object IvfIndex {
     val qDf = qRows.toSeq.toDF("qid", "qv")
     val simRank = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     vecs
-      .filter(col("cell").isin(cellList: _*))
       .join(broadcast(short), "vec_id") // one row per shortlisted (qid, id)
       .join(broadcast(qDf), "qid")
       .withColumn("sim", dotDD(col("embedding"), col("qv")))
@@ -962,6 +959,34 @@ object IvfIndex {
       .select(col("qid"), col("vec_id"), col("cell"), col("sim"),
         col("rn").cast("long").as("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** The probed cells' vectors as ONE explicit-directory read (round-17
+    * verdict #6, guide §6 file listing): every probed read previously
+    * opened `spark.read.parquet(<root>/vectors)` — whole-root partition
+    * discovery that lists EVERY `cell=` directory per call (nlist
+    * listings, and past spark.sql.sources.parallelPartitionDiscovery
+    * .threshold a distributed listing JOB) before the `isin` filter
+    * pruned the partitions. This reads only the probed cells' own
+    * directories (basePath keeps the partition column), serves the live
+    * listing from the `_seq`-token cache, and heals torn swaps exactly
+    * where the old liveBuckets pre-call did. A probe set whose cells are
+    * all empty (no dir — partitionBy writes no dir for an empty cell)
+    * returns the first live cell filtered to nothing, so the schema and
+    * column types match the stored files exactly. An index with no live
+    * cells at all keeps failing loudly, as the whole-root read did. */
+  private def probedVectorsRead(spark: SparkSession, path: String,
+      cells: Seq[Int]): DataFrame = {
+    val vecRoot = path + "/vectors"
+    val live = StateStore.liveBuckets(spark, vecRoot, "cell=")
+    require(live.nonEmpty,
+      s"index at $path has no live vector cells — build it with IvfIndex.build")
+    val wanted = cells.map(c => s"cell=$c").toSet
+    val dirs = live.filter(wanted.contains)
+    val src = if (dirs.nonEmpty) dirs else live.take(1)
+    val df = spark.read.option("basePath", vecRoot)
+      .parquet(src.map(d => s"$vecRoot/$d"): _*)
+    if (dirs.nonEmpty) df else df.filter(lit(false))
   }
 
   /** Probed ANN search: rank cells by query·centroid, then scan only the
@@ -1005,11 +1030,9 @@ object IvfIndex {
       .orderBy(col("csim").desc, col("cell"))
       .limit(probes)
       .select("cell").collect().map(_.getInt(0)).toSeq
-    // heal any interrupted upsert swap before partition discovery (a
-    // leftover cell=<c>.old dir would corrupt the inferred cell column)
-    StateStore.liveBuckets(spark, path + "/vectors", "cell=")
-    spark.read.parquet(path + "/vectors") // partition-discovered `cell` column
-      .filter(col("cell").isin(probed: _*)) // prunes to probed directories
+    // explicit probed-directory read: heals + lists via the cached
+    // liveBuckets, and file discovery opens only the probed cells' dirs
+    probedVectorsRead(spark, path, probed)
       .filter(predicate) // pre-top-k: never under-fills k (scan-pushed)
       .withColumn("sim", dotDD(col("embedding"), qv))
       .select(col("vec_id"), col("cell"), col("sim"))

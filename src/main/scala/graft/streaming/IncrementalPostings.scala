@@ -639,6 +639,30 @@ object IncrementalPostings {
     if (!dfSidecarEnabled(spark, rootPath)) return None
     val root = dfsRoot(rootPath)
     val dirs = bucketDirsForFrame(spark, root, toks, "tok")
+    dfsReadDirs(spark, root, dirs, toks)
+  }
+
+  /** [[dfsForTokensFrame]] served from an ENTRY-dir list already resolved
+    * for the same token set ([[entryBucketDirsForFrame]]): the sidecar is
+    * pinned to the entries' bucket count at enable time, so the same
+    * `b=NN` names address the same tokens' dfs buckets — no second
+    * distinct-bucket-id job. Falls back to its own derivation when the
+    * counts are not provably equal (a root mid-adoption). */
+  private[graft] def dfsForTokensFrameIn(spark: SparkSession, rootPath: String,
+      entryDirs: Seq[String], toks: DataFrame): Option[DataFrame] = {
+    if (!dfSidecarEnabled(spark, rootPath)) return None
+    val root = dfsRoot(rootPath)
+    val nEntries = StateStore.bucketCount(spark, rootPath + "/entries")
+    val nDfs = StateStore.bucketCount(spark, root)
+    if (nEntries.isEmpty || nEntries != nDfs)
+      return dfsForTokensFrame(spark, rootPath, toks)
+    val wanted = entryDirs.toSet
+    val dirs = StateStore.liveBuckets(spark, root).filter(wanted.contains)
+    dfsReadDirs(spark, root, dirs, toks)
+  }
+
+  private def dfsReadDirs(spark: SparkSession, root: String, dirs: Seq[String],
+                          toks: DataFrame): Option[DataFrame] = {
     if (dirs.isEmpty)
       return Some(emptyDf(spark, StructType(Seq(
         StructField("tok", StringType), StructField("df", LongType)))))
@@ -739,9 +763,27 @@ object IncrementalPostings {
     * bucket, so per-token counts over the result are exact. A missing
     * `_nbuckets` marker (pre-marker root) falls back to all live dirs. */
   private[graft] def prunedEntriesForTokens(spark: SparkSession, rootPath: String,
-                                            toks: DataFrame): DataFrame = {
+                                            toks: DataFrame): DataFrame =
+    prunedEntriesForTokensIn(spark, rootPath,
+      entryBucketDirsForFrame(spark, rootPath, toks), toks)
+
+  /** The entry-bucket dirs `toks` hash into — the ONE distinct-bucket-id
+    * driver job of [[prunedEntriesForTokens]], exposed so a caller with
+    * several tok-keyed pruned reads of the SAME token set (the gate
+    * probe: entries + dfs sidecar + candidate entries) runs the job once
+    * and shares the result (round-17 verdict #2 — the probe's per-batch
+    * fixed cost was dominated by repeated identical metadata jobs). */
+  private[graft] def entryBucketDirsForFrame(spark: SparkSession,
+      rootPath: String, toks: DataFrame): Seq[String] =
+    bucketDirsForFrame(spark, rootPath + "/entries", toks, "tok")
+
+  /** [[prunedEntriesForTokens]] over an already-resolved dir list
+    * ([[entryBucketDirsForFrame]]). Passing a SUPERSET of the tokens'
+    * own dirs is sound — the token join restricts rows either way; the
+    * trade is scan width for driver jobs, the caller's call. */
+  private[graft] def prunedEntriesForTokensIn(spark: SparkSession,
+      rootPath: String, dirs: Seq[String], toks: DataFrame): DataFrame = {
     val entriesRoot = rootPath + "/entries"
-    val dirs = bucketDirsForFrame(spark, entriesRoot, toks, "tok")
     val entries = withTf(
       if (dirs.nonEmpty) readEntriesRaw(spark, dirs.map(d => s"$entriesRoot/$d"))
       else emptyDf(spark, entriesSchema).drop("b"))
@@ -887,13 +929,59 @@ object IncrementalPostings {
     docsState(spark, rootPath).join(broadcast(hits), "rowkey")
   }
 
+  /** `_seq`-stamped cache of tiny derived metadata frames (round-17
+    * verdict #4): the ranking-statistics sidecar aggregates
+    * ([[docStats]]/[[fieldStats]]) are ≤-field-count rows re-derived by a
+    * full Spark action on EVERY ranked maintained read, although they can
+    * only change when a commit lands on the root — which
+    * [[StateStore.stateToken]] detects with one getFileStatus + two small
+    * `_seq` reads, no job. A hit returns the collected rows as a
+    * LocalRelation, so the consumer's `broadcast(...)`/`head()` runs
+    * driver-side with ZERO Spark jobs — one fewer action per ranked
+    * maintained query, the read-fresh contract preserved by construction
+    * (any commit moves the token; seqlock fill as in the listing cache:
+    * cache only when the token is unchanged across the compute).
+    * Session-scoped (dropped with the session, like every artifact —
+    * never persisted, never keyed on input paths across sessions). */
+  private val metaFrameCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (String, (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row]))]()
+  graft.operators.Materialize.onSessionFreed { s =>
+    metaFrameCache.keySet.removeIf(_._1 eq s): Unit
+  }
+
+  private def cachedMetaFrame(spark: SparkSession, cacheKey: String,
+      tokenRoot: String)(build: => DataFrame): DataFrame = {
+    def local(schema: org.apache.spark.sql.types.StructType,
+              rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val token = StateStore.stateToken(spark, tokenRoot)
+    if (token.isEmpty) return build
+    val k = (spark, cacheKey)
+    val hit = metaFrameCache.get(k)
+    if (hit != null && hit._1 == token.get) return local(hit._2._1, hit._2._2)
+    val df = build
+    val rows = df.collect()
+    if (StateStore.stateToken(spark, tokenRoot) == token)
+      metaFrameCache.put(k, (token.get, (df.schema, rows))): Unit
+    local(df.schema, rows)
+  }
+
   /** Corpus-level ranking statistics over the maintained state — one row
     * (n_docs, avgdl) summed from the per-bucket stats sidecar: ≤
     * bucket-count rows of metadata, no docs scan. avgdl is the exact
     * integer token-length sum over the exact live count, divided once in
-    * double — the same arithmetic as the corpus-scoped BM25's `avg`. */
+    * double — the same arithmetic as the corpus-scoped BM25's `avg`.
+    * Served from the `_seq`-stamped [[cachedMetaFrame]] when the sidecar
+    * root is tokenizable (the fallback corpus aggregate of a pre-sidecar
+    * root is never cached — no token root to validate against). */
   def docStats(spark: SparkSession, rootPath: String,
-               tokenize: Column => Column = split(_, " ")): DataFrame = {
+               tokenize: Column => Column = split(_, " ")): DataFrame =
+    cachedMetaFrame(spark, s"docStats:$rootPath", rootPath + "/dstats")(
+      docStatsUncached(spark, rootPath, tokenize))
+
+  private def docStatsUncached(spark: SparkSession, rootPath: String,
+               tokenize: Column => Column): DataFrame = {
     // guard symmetry with the `_fields` WRITE marker: a single-field
     // ranked read against a multi-field root would filter the sidecar to
     // a field that doesn't exist and score every document with NULL
@@ -936,7 +1024,11 @@ object IncrementalPostings {
     * and avgdl its exact-integer length sum over that count. ≤ bucket ×
     * field rows of metadata, no docs scan. Legacy pre-field rows adopt
     * [[DefaultField]]. */
-  def fieldStats(spark: SparkSession, rootPath: String): DataFrame = {
+  def fieldStats(spark: SparkSession, rootPath: String): DataFrame =
+    cachedMetaFrame(spark, s"fieldStats:$rootPath", rootPath + "/dstats")(
+      fieldStatsUncached(spark, rootPath))
+
+  private def fieldStatsUncached(spark: SparkSession, rootPath: String): DataFrame = {
     val root = rootPath + "/dstats"
     val dirs = StateStore.liveBuckets(spark, root)
     require(dirs.nonEmpty,

@@ -548,8 +548,16 @@ object IncrementalShingles {
     // checkpointed: the pruned bucket scan is ~1 s while materializing
     // the full pre-cap entry rows costs more than the second scan
     val allToks = qsh.select("tok").distinct()
-    val entries = IncrementalPostings.prunedEntriesForTokens(spark, rootPath,
-        allToks)
+    // ONE distinct-bucket-id driver job serves every tok-keyed pruned
+    // read of this probe (round-17 verdict #2): the entries read, the
+    // dfs-sidecar read (pinned to the same bucket count), and the
+    // candidate-entries read below previously each ran their own
+    // identical metadata job per batch — three of the probe's per-batch
+    // fixed-cost jobs collapsed into this one collect.
+    val tokDirs = IncrementalPostings.entryBucketDirsForFrame(spark, rootPath,
+      allToks)
+    val entries = IncrementalPostings.prunedEntriesForTokensIn(spark, rootPath,
+        tokDirs, allToks)
       .select(col("tok"), col("doc_id").as("rowkey"))
     // df sidecar prefilter for CANDIDATE GENERATION only (same contract
     // as the per-doc probe): saturated batch shingles' posting lists are
@@ -561,13 +569,17 @@ object IncrementalShingles {
     // I/O of finding the candidates. Job count is unchanged: the exact
     // path already scanned the entries twice (hit + overlap).
     val candToks = IncrementalPostings
-      .dfsForTokensFrame(spark, rootPath, allToks)
+      .dfsForTokensFrameIn(spark, rootPath, tokDirs, allToks)
       .map(dfs => allToks.join(
         dfs.filter(col("df") > dfCap).select("tok"), Seq("tok"), "left_anti"))
       .getOrElse(allToks)
+    // candToks ⊆ allToks, so its touched dirs ⊆ tokDirs and the token
+    // join restricts the rows identically — reusing the resolved dirs
+    // trades a (possibly) wider scan for one fewer driver job per batch
     val candEntries =
       if (candToks eq allToks) entries
-      else IncrementalPostings.prunedEntriesForTokens(spark, rootPath, candToks)
+      else IncrementalPostings.prunedEntriesForTokensIn(spark, rootPath,
+          tokDirs, candToks)
         .select(col("tok"), col("doc_id").as("rowkey"))
     val hit = candEntries
       .groupBy("tok")
@@ -611,8 +623,11 @@ object IncrementalShingles {
     // and measured fastest; expanding pairs × |A| first doubled the
     // probe's wall-clock (the pair×shingle fan-out shuffles before
     // anything filters).
+    // left_semi instead of distinct+inner: same row set (entries rows
+    // with ≥1 candidate match, never duplicated), one aggregate exchange
+    // fewer per batch
     val overlap = entries
-      .join(cands.select("rowkey").distinct(), "rowkey")
+      .join(cands.select("rowkey"), Seq("rowkey"), "left_semi")
       .join(qsh, "tok")
       .join(cands, Seq("qid", "rowkey"))
       .groupBy("qid", "rowkey").agg(count(lit(1)).as("c"))
@@ -729,7 +744,50 @@ object IncrementalShingles {
                     threshold: Double = 0.8,
                     scheme: SketchScheme = WordShingles,
                     maxCandidates: Int = 0,
-                    clock: PhaseClock = new PhaseClock): DataFrame = {
+                    clock: PhaseClock = new PhaseClock): DataFrame =
+    gateDecisionsBody(spark, rootPath, batch, threshold, scheme,
+      maxCandidates, clock)
+
+  /** Execution-conf bracket for the gate's SKETCH action (round-18,
+    * guide §1.2 order: measured before changed). Interleaved GateProbe
+    * A/Bs of the bracket at three scopes:
+    *   - whole gate: sketch 2.6→1.1 s/5 batches, probe neutral, score
+    *     6.7→20.5/23.9 s — AQE's runtime join replanning is LOAD-BEARING
+    *     in the intra-batch scoring pass, so the blanket bracket was
+    *     REJECTED;
+    *   - sketch only (this shape): the phase is one flush-bounded
+    *     groupBy + sketch projection with no joins for AQE to replan —
+    *     the bracket removes only the per-query-stage job dispatches.
+    * Shuffle partitions are pinned to defaultParallelism for the bracket
+    * (NOT a local-mode constant: at any cluster size that is the core
+    * count, the right width for flush-bounded shuffles) so a production
+    * session sized for large analytic shuffles does not launch
+    * 2000-task stages on batch-sized frames once AQE is not there to
+    * coalesce them. Both knobs restore on exit and are overridable:
+    * `spark.graft.gate.aqe=true` keeps AQE on, and
+    * `spark.graft.gate.shufflePartitions=N` pins the width explicitly. */
+  private def withGateExecConf[T](spark: SparkSession)(body: => T): T = {
+    val keepAqe = spark.conf.getOption("spark.graft.gate.aqe")
+      .exists(_.equalsIgnoreCase("true"))
+    if (keepAqe) return body
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevSp = spark.conf.getOption(spKey)
+    val gateSp = spark.conf.getOption("spark.graft.gate.shufflePartitions")
+      .getOrElse(spark.sparkContext.defaultParallelism.toString)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(spKey, gateSp)
+    try body finally {
+      prevAqe.fold(spark.conf.unset(aqeKey))(spark.conf.set(aqeKey, _))
+      prevSp.fold(spark.conf.unset(spKey))(spark.conf.set(spKey, _))
+    }
+  }
+
+  private def gateDecisionsBody(spark: SparkSession, rootPath: String,
+                    batch: DataFrame, threshold: Double,
+                    scheme: SketchScheme, maxCandidates: Int,
+                    clock: PhaseClock): DataFrame = {
     val puts = batch.filter(col("op") =!= "delete")
     // document granularity first: the latest event per rowkey is what the
     // merge would keep, so it alone decides admission for the rowkey.
@@ -743,11 +801,12 @@ object IncrementalShingles {
     // update-flag key fetch + intra-batch pair scoring). The default
     // clock is a discarded accumulator — zero behavior change for
     // untimed callers.
-    val latest = clock.time("sketch")(puts.groupBy("rowkey")
-      .agg(max_by(col("text"), col("event_id")).as("text"))
-      .select(col("rowkey"),
-        array_sort(array_distinct(scheme.sketch(col("text")))).as("qs"))
-      .localCheckpoint())
+    val latest = clock.time("sketch")(withGateExecConf(spark)(
+      puts.groupBy("rowkey")
+        .agg(max_by(col("text"), col("event_id")).as("text"))
+        .select(col("rowkey"),
+          array_sort(array_distinct(scheme.sketch(col("text")))).as("qs"))
+        .localCheckpoint()))
     // a put whose only near-dup is its OWN stored version is an UPDATE,
     // not a duplicate — qid = rowkey matches must not gate it out, or
     // every minor edit to an existing document would be silently lost
@@ -766,7 +825,10 @@ object IncrementalShingles {
       .select(col("qid").as("rowkey"), col("dup_of"))
       .localCheckpoint())
     // checkpointed: state-pass survivors feed the existence probe and the
-    // intra-batch pair generation — one probe
+    // intra-batch pair generation — one probe. (Round-18: dropping this
+    // checkpoint was A/B'd and measured WORSE — the un-checkpointed
+    // anti-join re-executes per consumer under AQE, job count rose and
+    // the score phase slowed — so it STAYS.)
     val survivors = clock.time("probe")(
       latest.join(dupBest, Seq("rowkey"), "left_anti").localCheckpoint())
     // which survivors are UPDATES of already-stored docs: a key-fetch

@@ -141,11 +141,14 @@ object StateStore {
   def commit(spark: SparkSession, statePath: String)(write: String => Unit): Unit = {
     val tmp = new Path(statePath + ".tmp")
     val fs = fsOf(spark, tmp)
-    recover(spark, statePath)
-    Option(new Path(statePath).getParent).foreach(bumpSeq(fs, _))
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    write(tmp.toString)
-    swapIn(spark, tmp.toString, statePath)
+    beginCommit(statePath)
+    try {
+      recover(spark, statePath)
+      Option(new Path(statePath).getParent).foreach(bumpSeq(fs, _))
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      write(tmp.toString)
+      swapIn(spark, tmp.toString, statePath)
+    } finally endCommit(statePath)
   }
 
   /** Bucketed commit — the delta-sized write path. `write` materializes
@@ -167,14 +170,17 @@ object StateStore {
     val root = new Path(rootPath)
     val tmpRoot = new Path(rootPath + ".tmpbatch")
     val fs = fsOf(spark, root)
-    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-    fs.mkdirs(root)
-    // inside the root (bucket swaps never touch root-level files), before
-    // any swap — see bumpSeq for the pre-increment argument
-    bumpSeq(fs, root)
-    write(tmpRoot.toString)
-    bucketDirs.foreach(d => swapIn(spark, s"$tmpRoot/$d", s"$rootPath/$d"))
-    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
+    beginCommit(rootPath)
+    try {
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      fs.mkdirs(root)
+      // inside the root (bucket swaps never touch root-level files), before
+      // any swap — see bumpSeq for the pre-increment argument
+      bumpSeq(fs, root)
+      write(tmpRoot.toString)
+      bucketDirs.foreach(d => swapIn(spark, s"$tmpRoot/$d", s"$rootPath/$d"))
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true): Unit
+    } finally endCommit(rootPath)
   }
 
   /** Pin the bucket count of a bucketed state root. The first writer
@@ -445,6 +451,98 @@ object StateStore {
 
   def liveBuckets(spark: SparkSession, rootPath: String,
                   prefix: String = "b="): Seq[String] = {
+    val cacheKey = (rootPath, prefix)
+    if (!commitsInFlight.contains(rootPath)) {
+      val fs = fsOf(spark, new Path(rootPath))
+      listingToken(fs, rootPath) match {
+        case Some(token) =>
+          val hit = listingCache.get(cacheKey)
+          if (hit != null && hit._1 == token) return hit._2
+          val listed = liveBucketsUncached(spark, rootPath, prefix)
+          // seqlock fill: cache only if the token is STILL the one read
+          // before listing — a commit landing mid-listing (other thread/
+          // process) must not pin its half-swapped view under a token
+          // that will still validate afterwards
+          if (listingToken(fs, rootPath).contains(token))
+            listingCache.put(cacheKey, (token, listed)): Unit
+          return listed
+        case None => // tokenless root (no _seq anywhere): never cached
+      }
+    }
+    liveBucketsUncached(spark, rootPath, prefix)
+  }
+
+  /** Cross-batch/-query reuse of bucket listings (round-17 verdict #2):
+    * [[liveBuckets]] re-listed its root on every pruned read — several
+    * times per gate batch and per maintained query — although the listing
+    * can only change when a commit lands, and every commit in this store
+    * moves a `_seq` counter ([[bumpSeq]]: commitBuckets inside the root,
+    * whole-subroot commit in the root's parent) AND renames entries under
+    * the root (root mtime). The cache token is (root mtime+len, root
+    * `_seq`, parent `_seq`): any completed commit changes at least one
+    * component, so a token match proves the listing unchanged — one
+    * getFileStatus + ≤2 small `_seq` reads instead of two listStatus
+    * sweeps per call (an RPC-priced saving on a real DFS; a job-path
+    * constant locally). A hit may skip the heal pass safely: a torn swap
+    * implies a commit whose pre-incremented `_seq` already invalidated
+    * the token. Same-process commits additionally bypass and purge the
+    * cache while in flight ([[commitsInFlight]]) — the bump-before-swap
+    * window would otherwise let a racing reader cache the pre-swap
+    * listing under the post-bump token. Cross-process writers during a
+    * read are outside the store's single-writer contract (readers racing
+    * a swap already only get abort-and-retry semantics). Roots that have
+    * never committed through this store (no `_seq` anywhere) are never
+    * cached. */
+  private val listingCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Seq[String])]()
+  private val commitsInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def seqValueOf(fs: FileSystem, dir: Path): String = try {
+    val marker = new Path(dir, "_seq")
+    if (!fs.exists(marker)) "-"
+    else {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+  } catch { case _: Throwable => "?" } // mid-rename of the marker itself:
+  // treated as uncacheable by listingToken — two "?" reads must not alias
+
+  private def listingToken(fs: FileSystem, rootPath: String): Option[String] = try {
+    val root = new Path(rootPath)
+    if (!fs.exists(root)) return None
+    val st = fs.getFileStatus(root)
+    val own = seqValueOf(fs, root)
+    val parent = Option(root.getParent).map(seqValueOf(fs, _)).getOrElse("-")
+    if (own == "?" || parent == "?") None // racing marker write: uncacheable
+    else if (own == "-" && parent == "-") None // no counter anywhere
+    else Some(s"${st.getModificationTime}:${st.getLen}:$own:$parent")
+  } catch { case _: Throwable => None }
+
+  /** Purge cached listings for a root and mark a commit in flight there —
+    * bracketed by [[commit]]/[[commitBuckets]]. */
+  private def beginCommit(rootPath: String): Unit = {
+    commitsInFlight.add(rootPath): Unit
+    listingCache.keySet.removeIf(_._1 == rootPath): Unit
+  }
+  private def endCommit(rootPath: String): Unit = {
+    listingCache.keySet.removeIf(_._1 == rootPath): Unit
+    commitsInFlight.remove(rootPath): Unit
+  }
+
+  /** The root's current change token — (mtime, len, own `_seq`, parent
+    * `_seq`) — or None when the root cannot be tokenized (missing, no
+    * `_seq` anywhere, a racing marker write, or a same-process commit in
+    * flight). Every completed commit through this store changes at least
+    * one component (see [[liveBuckets]]'s cache argument), so two equal
+    * tokens bracket an unchanged root: the seam for `_seq`-stamped
+    * derived-value caches (round-17 verdict #4). */
+  private[graft] def stateToken(spark: SparkSession, rootPath: String): Option[String] =
+    if (commitsInFlight.contains(rootPath)) None
+    else listingToken(fsOf(spark, new Path(rootPath)), rootPath)
+
+  private[graft] def liveBucketsUncached(spark: SparkSession, rootPath: String,
+                                         prefix: String = "b="): Seq[String] = {
     val root = new Path(rootPath)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return Seq.empty
